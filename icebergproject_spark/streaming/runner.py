@@ -1,0 +1,123 @@
+"""Structured Streaming wrappers (SURVEY §2.1 S1/S2, §2.2 K1–K7, §2.8).
+
+The reference's jobs are continuous Flink pipelines over Kafka with 5 s
+checkpoints (T1). Kafka is absent in this harness, so sources are file
+streams over the same parquet (the transformations are source-agnostic —
+swap ``file_stream_source`` for ``spark.readStream.format("kafka")`` +
+``from_json`` on a real deployment; S1's options map 1:1 to
+``startingOffsets`` etc.).
+
+Key mappings:
+  - T1 checkpoint 5 s       → ``trigger(processingTime='5 seconds')`` +
+    ``option('checkpointLocation', ...)``; tests use availableNow.
+  - K7 side-output fan-out  → ``foreachBatch`` writing one micro-batch to
+    several sinks.
+  - K3 dynamic per-record topic → a ``topic`` column on the Kafka sink
+    (Spark's Kafka sink routes per record when no fixed topic is set).
+  - T3/T4 window + watermark → ``withWatermark`` + ``window()`` (the
+    reference has no watermarks — processing time only; event time is a
+    deterministic superset, SURVEY §2.8 T4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2 stand-in: file source streaming DataFrame."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink_fn,
+    query_name: str = "pipeline",
+    output_mode: str = "update",
+) -> None:
+    """Drain all available input through ``sink_fn(batch_df, batch_id)``
+    (availableNow ≙ a bounded replay of the unbounded pipeline — the
+    standard way to test streaming semantics deterministically).
+
+    ``update`` output mode ≙ the reference's retract-stream consumption
+    (ProcessUserPoints.scala:44): aggregates emit revised rows per batch
+    instead of waiting for the watermark to close the window.
+    """
+    q = (
+        df.writeStream.foreachBatch(sink_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_multi_sink(sinks: list) -> callable:
+    """K7: one micro-batch → several sinks. ``sinks`` are callables
+    ``(DataFrame) -> None``; the batch is persisted so each sink doesn't
+    recompute the lineage (the reference's side outputs evaluate the
+    operator once too)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for sink in sinks:
+                sink(batch)
+        finally:
+            batch.unpersist()
+
+    return handle
+
+
+def windowed_count_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window_length: str = "10 seconds",
+    watermark: str = "30 seconds",
+    count_col: str = "product_cnt",
+) -> DataFrame:
+    """T3+T4: watermarked tumbling-window count for streaming A2.
+
+    Late rows beyond the watermark are dropped — a documented superset of
+    the reference's processing-time windows (which can't be late).
+    """
+    w = F.window(F.col(ts_col), window_length)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *key_cols)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_date"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            *key_cols,
+            F.col(count_col),
+        )
+    )
+
+
+def dynamic_topic_routing(df: DataFrame, topic_col: str, payload_cols: list[str]) -> DataFrame:
+    """K3: shape a stream for Spark's Kafka sink with per-record topics —
+    (topic, value) columns; the sink honors the ``topic`` column when no
+    fixed topic option is set (the reference reads ``kafka_dwd_topic``
+    per record in its serializer, ProcessODSDataToDWD.scala:143-148)."""
+    return df.select(
+        F.col(topic_col).alias("topic"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("value"),
+    )

@@ -1,0 +1,82 @@
+"""Lakehouse table-format tests: append / merge / time travel / compaction /
+snapshot expiry (SURVEY §2.9 M1–M3, K1/K6 semantics)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakehouseCatalog(spark, warehouse=str(tmp_path), db="icebergdb")
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, ["id", "v"])
+
+
+def test_append_accumulates(spark, catalog):
+    t = catalog.table("ODS_BROWSELOG")
+    t.append(df_of(spark, [("1", "a")]))
+    t.append(df_of(spark, [("2", "b")]))
+    assert t.read().count() == 2
+    assert [s["operation"] for s in t.history()] == ["append", "append"]
+
+
+def test_time_travel(spark, catalog):
+    t = catalog.table("DWD_USER_LOGIN")
+    s1 = t.append(df_of(spark, [("1", "a")]))
+    t.append(df_of(spark, [("2", "b")]))
+    assert t.read(snapshot_id=s1["snapshot_id"]).count() == 1  # M3
+    assert t.read().count() == 2
+    assert t.read(as_of_ms=s1["timestamp_ms"]).count() == 1
+
+
+def test_merge_upsert(spark, catalog):
+    t = catalog.table("DIM_MEMBER_INFO")
+    t.append(df_of(spark, [("1", "old"), ("2", "keep")]))
+    t.merge(df_of(spark, [("1", "new"), ("3", "ins")]), ["id"])
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {"1": "new", "2": "keep", "3": "ins"}  # K6 MERGE semantics
+
+
+def test_merge_last_writer_wins(spark, catalog):
+    t = catalog.table("DIM_X")
+    t.merge(df_of(spark, [("1", "first"), ("1", "second")]), ["id"])
+    rows = t.read().collect()
+    assert len(rows) == 1  # one row per key after batch dedup
+
+
+def test_compaction_preserves_data(spark, catalog):
+    t = catalog.table("DWS_BROWSE_INFO")
+    for i in range(4):
+        t.append(df_of(spark, [(str(i), "x")]))
+    before = {r.id for r in t.read().collect()}
+    t.compact(target_partitions=1)  # M1 rewrite_data_files
+    assert {r.id for r in t.read().collect()} == before
+    assert len(t.current_snapshot()["data_dirs"]) == 1
+
+
+def test_expire_snapshots(spark, catalog):
+    t = catalog.table("ODS_USER_LOGIN")
+    t.append(df_of(spark, [("1", "a")]))
+    t.append(df_of(spark, [("2", "b")]))
+    time.sleep(0.01)
+    n = t.expire_snapshots(older_than_ms=int(time.time() * 1000))  # M2
+    assert n == 1  # old snapshot gone, current kept
+    assert t.read().count() == 2
+    with pytest.raises(ValueError):
+        t.read(snapshot_id=1)
+
+
+def test_maintain_all(spark, catalog):
+    for name in ["T1", "T2"]:
+        catalog.table(name).append(df_of(spark, [("1", "a")]))
+    out = catalog.maintain_all()
+    assert set(out) == {"T1", "T2"}
+    for name in ["T1", "T2"]:
+        assert catalog.table(name).read().count() == 1

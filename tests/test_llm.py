@@ -1,0 +1,143 @@
+"""LLM data-pipeline operator tests: dedup recall/precision properties,
+similarity ranking sanity, text features, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergproject_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different content about spark query engines at scale now"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_id = {r.doc_id: r.dup_cnt for r in out}
+    assert by_id[0] == 2  # docs 0 and 1 identical, min-id representative
+    assert 1 not in by_id
+    assert by_id[2] == 1 and by_id[3] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(dedup.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == ["a b"]  # shorter than n → whole text
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold_num=3, threshold_den=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got and (1, 2) in got  # near-dup
+    assert all(3 not in p for p in got)  # unrelated never pairs
+
+
+def test_minhash_lsh_finds_identical(docs):
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (0, 1) in got  # identical docs always collide in every band
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_near_pairs(docs):
+    out = dedup.simhash_near_pairs(docs, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert got[(0, 1)] == 0  # identical → distance 0
+    assert all(3 not in k for k in got)
+
+
+def test_simhash_is_64bit_stable(docs):
+    fp1 = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    fp2 = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert fp1 == fp2  # deterministic
+    assert fp1[0] == fp1[1]
+
+
+def test_cosine_topk_ranking(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, q, k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert out[0].score == pytest.approx(0.993884, abs=1e-5)
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    from icebergproject_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, q, k=50)
+    dim = len(emb.select("embedding").first()[0])
+    approx = similarity.lsh_topk(emb, q, dim=dim, k=50, planes=4)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert len(approx_rows) > 0
+    # uniform random embeddings are LSH's worst case (no clusters), so only
+    # require overlap with the exact top-k plus well-formed output
+    hits = sum((r.query_id, r.neighbor_id) in exact_pairs for r in approx_rows)
+    assert hits > 0
+    assert all(1 <= r.rank <= 50 for r in approx_rows)
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "the cat, the hat.")], ["doc_id", "text"])
+    r = text.text_stats(df).collect()[0]
+    assert r.n_tokens == 4
+    assert r.n_distinct_tokens == 3  # 'the' appears twice
+    assert r.stopword_ratio == 0.5  # two bare 'the' of 4 tokens
+    assert r.punct_ratio == pytest.approx(round(2 / 17, 6), abs=1e-6)
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze"), (2, "el perro y la casa"),
+         (3, "just some english words")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out == {1: "de", 2: "es", 3: "en"}
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame([(1, "hello world42!")], ["doc_id", "text"])
+    # hello | world | 42 | !
+    assert text.token_count_bpe(df).collect()[0].n_bpe_tokens == 4
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "binary payload here")], ["doc_id", "text"])
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    r = media.collect()[0]
+    assert bytes(r.content).decode() == "binary payload here"
+    assert r.n_bytes == 19
+    feats = multimodal.extract_features(media).collect()[0]
+    assert feats.width == 20 and feats.height == 20  # deterministic stub
+    assert feats.media_id == 1 and feats.feature_hash > 0
+
+
+def test_frame_sample_plan(spark):
+    docs = spark.createDataFrame([(1, "x" * 25000)], ["doc_id", "text"])
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id", media_type="video")
+    frames = multimodal.frame_sample_plan(media, every_n=10).collect()
+    assert [r.frame_idx for r in frames] == [0, 10, 20]

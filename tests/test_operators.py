@@ -1,0 +1,103 @@
+"""Operator tests over FIXTURES-style hand-written rows: routing splits,
+left-join null attrs, hierarchy flatten, window bucketing boundaries."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from icebergproject_spark.operators import (
+    broadcast_route,
+    discriminator_filter,
+    enrich_left,
+    extract_map_payload,
+    flatten_two_level,
+    group_sum_points,
+    reject_nulls,
+    tumbling_window_count,
+)
+
+
+def test_extract_map_payload(spark):
+    df = spark.createDataFrame(
+        [("browselog", {"logTime": "1655274222161", "userId": "uid813665", "frontProductUrl": ""})],
+        ["logtype", "data"],
+    )
+    out = extract_map_payload(
+        df, "data", {"logTime": "log_time", "userId": "user_id", "missing": "gone"}
+    ).collect()[0]
+    assert out.log_time == "1655274222161"
+    assert out.user_id == "uid813665"
+    assert out.gone is None  # absent key ⇒ null
+
+
+def test_broadcast_route_split(spark):
+    facts = spark.createDataFrame(
+        [
+            ("lakehousedb", "mc_member_info", "1"),
+            ("lakehousedb", "mc_user_login", "2"),
+            ("otherdb", "mc_member_info", "3"),
+        ],
+        ["database", "table", "id"],
+    )
+    config = spark.createDataFrame(
+        [("lakehousedb:mc_member_info", "user_id", "DIM_MEMBER_INFO")],
+        ["config_key", "pk_col", "sink"],
+    )
+    dim, fact = broadcast_route(facts, config, ["database", "table"], "config_key")
+    dim_rows = dim.collect()
+    assert len(dim_rows) == 1 and dim_rows[0].id == "1"
+    assert dim_rows[0].pk_col == "user_id"  # enriched with config cols
+    fact_ids = {r.id for r in fact.collect()}
+    assert fact_ids == {"2", "3"}
+    assert fact.columns == facts.columns  # config cols dropped
+
+
+def test_enrich_left_missing_dim_nulls(spark):
+    login = spark.createDataFrame([("u1",), ("u2",)], ["user_id"])
+    member = spark.createDataFrame([("u1", "gold")], ["user_id", "member_level"])
+    wide = enrich_left(login, member, on="user_id", attrs=["member_level"])
+    rows = {r.user_id: r.member_level for r in wide.collect()}
+    assert rows == {"u1": "gold", "u2": None}
+
+
+def test_flatten_two_level(spark):
+    cat = spark.createDataFrame(
+        [("14000", "14", "repair"), ("14", None, "autoparts")],
+        ["id", "p_id", "name"],
+    )
+    flat = flatten_two_level(cat, "id", "p_id", "name").collect()
+    assert len(flat) == 1
+    assert flat[0].second_level_name == "repair"
+    assert flat[0].first_level_name == "autoparts"
+
+
+def test_group_sum_points_cast(spark):
+    df = spark.createDataFrame(
+        [("2022-01-01", "u1", "42"), ("2022-01-01", "u1", "8")],
+        ["log_time", "user_id", "obtain_points"],
+    )
+    out = group_sum_points(df, ["log_time", "user_id"]).collect()[0]
+    assert out.total_points == 50
+
+
+def test_tumbling_window_boundaries(spark):
+    # 09.999 and 10.000 land in different 10s buckets
+    df = spark.createDataFrame(
+        [("2022-01-01 00:00:09.999", "p"), ("2022-01-01 00:00:10.000", "p")],
+        ["t", "key"],
+    ).select(F.col("t").cast("timestamp").alias("ts"), "key")
+    out = tumbling_window_count(df, "ts", ["key"], "10 seconds").collect()
+    starts = sorted(r.window_start for r in out)
+    assert starts == ["2022-01-01 00:00:00", "2022-01-01 00:00:10"]
+    assert all(r.product_cnt == 1 for r in out)
+    ends = sorted(r.window_end for r in out)
+    assert ends == ["2022-01-01 00:00:10", "2022-01-01 00:00:20"]
+
+
+def test_discriminator_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("browselog", "u1"), ("otherlog", "u2"), ("browselog", None)],
+        ["logtype", "user_id"],
+    )
+    assert discriminator_filter(df, "logtype", "browselog").count() == 2
+    assert reject_nulls(df, ["user_id"]).count() == 2

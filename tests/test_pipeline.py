@@ -1,0 +1,200 @@
+"""Golden end-to-end medallion test over FIXTURES.md hand-written rows:
+ODS parse/route → DWD cleanse → DIM upsert → DWS wide joins → DM marts.
+Covers null timestamps, unmatched dim keys, non-business databases, and
+CDC delete suppression — the exact edge cases FIXTURES.md calls out."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+from icebergproject_spark.plans import (
+    browse_wide,
+    cleanse_browselog,
+    cleanse_user_login,
+    dm_product_visit,
+    dm_user_login_info,
+    ods_browselog,
+    ods_user_login,
+    parse_cdc_stream,
+    route_cdc,
+    upsert_dims,
+    user_login_wide,
+)
+from icebergproject_spark.plans.dim import filter_upsert_ops
+
+
+@pytest.fixture()
+def cdc(spark):
+    rows = [
+        # (database, table, type, ts, data)
+        ("lakehousedb", "mc_user_login", "insert", "1648300465",
+         {"id": "9992", "user_id": "uid185880", "ip": "54.223.109.158",
+          "login_tm": "1646741000000", "logout_tm": None}),
+        ("lakehousedb", "mc_user_login", "insert", "1648300466",
+         {"id": "9993", "user_id": "uid000001", "ip": "10.0.0.1",
+          "login_tm": None, "logout_tm": None}),
+        ("lakehousedb", "mc_member_info", "insert", "1648300467",
+         {"id": "1", "user_id": "uid185880", "member_level": "gold",
+          "member_points": "120", "balance": "30804",
+          "member_growth_score": "7", "gmt_create": "1645019079851"}),
+        ("lakehousedb", "mc_member_info", "delete", "1648300468",  # must be ignored
+         {"id": "1", "user_id": "uid185880", "member_level": "bronze",
+          "member_points": "0", "balance": "0",
+          "member_growth_score": "0", "gmt_create": "1645019079851"}),
+        ("otherdb", "mc_user_login", "insert", "1648300469",  # non-business db
+         {"id": "1", "user_id": "nope", "ip": "x", "login_tm": None, "logout_tm": None}),
+    ]
+    return spark.createDataFrame(
+        rows, "database string, table string, type string, ts string, data map<string,string>"
+    )
+
+
+@pytest.fixture()
+def routing_config(spark):
+    return spark.createDataFrame(
+        [("lakehousedb:mc_member_info", "user_id", "DIM_MEMBER_INFO")],
+        ["config_key", "pk_col", "sink"],
+    )
+
+
+def test_ods_routing(cdc, routing_config):
+    biz = parse_cdc_stream(cdc)
+    assert biz.count() == 4  # otherdb dropped
+    dim, fact = route_cdc(biz, routing_config)
+    assert dim.count() == 2  # member_info insert + delete
+    assert {r.table for r in fact.collect()} == {"mc_user_login"}
+
+
+def test_ods_dwd_user_login(cdc, routing_config):
+    biz = parse_cdc_stream(cdc)
+    _, fact = route_cdc(biz, routing_config)
+    ods = ods_user_login(fact)
+    dwd = cleanse_user_login(ods).collect()
+    by_id = {r.id: r for r in dwd}
+    assert by_id["9992"].login_tm == "2022-03-08 12:03:20"
+    assert by_id["9992"].logout_tm == "1970-01-01 00:00:00"  # null default
+    assert by_id["9993"].login_tm == "1970-01-01 00:00:00"
+
+
+def test_dim_upsert_and_merge(spark, cdc, routing_config, tmp_path):
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path), db="testdb")
+    biz = parse_cdc_stream(cdc)
+    dim, _ = route_cdc(biz, routing_config)
+    cfg = [{
+        "tbl_name": "mc_member_info", "tbl_db": "lakehousedb", "pk_col": "user_id",
+        "cols": "id,user_id,member_level,member_points,balance,member_growth_score,gmt_create",
+        "sink_tbl_name": "DIM_MEMBER_INFO",
+    }]
+    merged = upsert_dims(catalog, dim, cfg)
+    assert merged == {"DIM_MEMBER_INFO": 1}  # delete filtered out (T8)
+    t = catalog.table("DIM_MEMBER_INFO").read().collect()
+    assert len(t) == 1 and t[0].member_level == "gold"  # delete didn't clobber
+
+    # CDC update arrives → MERGE updates in place, no duplicate key
+    upd = spark.createDataFrame(
+        [("lakehousedb", "mc_member_info", "update", "9",
+          {"id": "1", "user_id": "uid185880", "member_level": "platinum",
+           "member_points": "150", "balance": "99", "member_growth_score": "9",
+           "gmt_create": "1645019079851"})],
+        "database string, table string, type string, ts string, data map<string,string>",
+    )
+    upsert_dims(catalog, upd, cfg)
+    t2 = catalog.table("DIM_MEMBER_INFO").read().collect()
+    assert len(t2) == 1 and t2[0].member_level == "platinum"
+
+
+def test_dws_user_login_wide_null_attrs(spark):
+    login = spark.createDataFrame(
+        [("uid185880", "1.2.3.4", "2022-03-08 12:03:20", "1970-01-01 00:00:00"),
+         ("uid_nodim", "5.6.7.8", "2022-03-08 13:00:00", "1970-01-01 00:00:00")],
+        ["user_id", "ip", "login_tm", "logout_tm"],
+    )
+    member = spark.createDataFrame(
+        [("uid185880", "1645019079851", "gold", "120", "30804", "7")],
+        ["user_id", "gmt_create", "member_level", "member_points", "balance", "member_growth_score"],
+    )
+    addr = spark.createDataFrame(
+        [("uid185880", "jiangsu", "nanjing", "qinhuai", "1 main st")],
+        ["user_id", "province", "city", "area", "address"],
+    )
+    wide = user_login_wide(login, member, addr)
+    assert wide.columns == [
+        "user_id", "ip", "gmt_create", "login_tm", "logout_tm", "member_level",
+        "province", "city", "area", "address", "member_points", "balance",
+        "member_growth_score",
+    ]  # 13-col DWS_USER_LOGIN shape (ProcessUserlogInToDWS.scala:230-248)
+    rows = {r.user_id: r for r in wide.collect()}
+    assert rows["uid185880"].province == "jiangsu"
+    assert rows["uid_nodim"].province is None  # unmatched dim ⇒ nulls
+
+
+def test_dws_browse_wide_and_dm(spark):
+    log = spark.createDataFrame(
+        [("1655274222161", "uid289100", "30.121.149.246", "",
+          "https://2by/a9UWkE/npF76q", "14000", "demHQ6TADV", "42")],
+        ["log_time", "user_id", "user_ip", "front_product_url",
+         "browse_product_url", "browse_product_tpcode", "browse_product_code",
+         "obtain_points"],
+    )
+    ods = cleanse_browselog(log)
+    product = spark.createDataFrame(
+        [("demHQ6TADV", "14000", "oil filter", "1645019079851")],
+        ["product_id", "category_id", "product_name", "gmt_create"],
+    )
+    category = spark.createDataFrame(
+        [("14000", "14", "repair"), ("14", None, "autoparts")],
+        ["id", "p_id", "name"],
+    )
+    wide = browse_wide(ods, product, category)
+    r = wide.collect()[0]
+    assert r.log_time == "2022-06-15"  # date part only (ProduceBrowseLogToDWS.scala:209)
+    assert r.product_name == "oil filter"
+    assert r.first_category_name == "autoparts"
+    assert r.second_category_name == "repair"
+    assert r.obtain_points == "42"
+
+    visits = dm_product_visit(
+        wide.withColumn("event_ts", F.lit("2022-06-15 06:23:42").cast("timestamp"))
+    ).collect()
+    assert visits[0].product_cnt == 1
+    assert visits[0].window_start == "2022-06-15 06:23:40"
+    assert visits[0].first_cat == "autoparts"
+
+
+def test_dm_user_login_info_drops_null_province(spark):
+    wide = spark.createDataFrame(
+        [("u1", "jiangsu", "nanjing", "2022-03-08 12:03:20", "1645019079851"),
+         ("u2", None, None, "2022-03-08 12:05:00", "1645019079851")],
+        ["user_id", "province", "city", "login_tm", "gmt_create"],
+    )
+    out = dm_user_login_info(wide)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].user_id == "u1"
+    assert rows[0].dt  # wall-clock today (F1)
+
+
+def test_filter_upsert_ops(spark):
+    df = spark.createDataFrame(
+        [("insert",), ("update",), ("bootstrap-insert",), ("delete",)], ["type"]
+    )
+    kept = {r.type for r in filter_upsert_ops(df).collect()}
+    assert kept == {"insert", "update", "bootstrap-insert"}
+
+
+def test_ods_browselog_envelope(spark):
+    raw = spark.createDataFrame(
+        [("browselog", {"logTime": "1655274222161", "userId": "uid813665",
+                        "userIp": "30.121.149.246", "frontProductUrl": "",
+                        "browseProductUrl": "https://2by/a9UWkE/npF76q",
+                        "browseProductTpCode": "14000",
+                        "browseProductCode": "demHQ6TADV", "obtainPoints": "42"}),
+         ("otherlog", {"x": "y"})],
+        "logtype string, data map<string,string>",
+    )
+    ods = ods_browselog(raw)
+    rows = ods.collect()
+    assert len(rows) == 1  # non-browselog routed nowhere
+    assert rows[0].browse_product_code == "demHQ6TADV"
+    assert rows[0].front_product_url == ""  # valueless key preserved
