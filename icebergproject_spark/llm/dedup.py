@@ -119,17 +119,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Deterministic, JVM-side, no UDFs."""
+    flat = _minhash_flat(df, content_col, id_col, n, num_hashes)
+    return flat.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _minhash_flat(
+    df: DataFrame, content_col: str, id_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash columns via explode + min-aggregate.
+
+    Faster than per-row array transforms (measured ~25% at sf0.1) and the
+    scale-correct shape: the hash evaluation is a flat whole-stage-codegen
+    projection over exploded shingles, and the groupBy(id) shuffle carries
+    one partially-aggregated row per (partition, id) thanks to map-side
+    combine — not one row per shingle.
+    """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
     )
-
-    def perm_min(seed: int) -> F.Column:
-        # one-parameter lambda: a two-parameter callable would receive the
-        # array INDEX as its second argument, not this seed
-        return F.array_min(F.transform("sh", lambda g: F.xxhash64(g, F.lit(seed))))
-
-    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
-    return sh.select("id", sig.alias("sig"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    return inv.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -147,7 +159,7 @@ def minhash_lsh_candidates(
     At scale the only shuffle is groupBy(band, band_sig) on 16-byte keys.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, content_col, id_col, n, num_hashes)
+    sigs = _minhash_flat(df, content_col, id_col, n, num_hashes)
     banded = sigs.select(
         "id",
         F.explode(
@@ -156,7 +168,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)]
                         ).alias("band_sig"),
                     )
                     for b in range(bands)

@@ -1,0 +1,118 @@
+"""Temporal operators: as-of join and gap sessionization.
+
+Neither exists in the reference (SURVEY §2.4 notes their absence) nor as a
+single Spark primitive — they are the classic "custom operator as a
+composition of built-ins" case (build-plan guidance: composition first,
+pandas UDF only if semantics demand it; here they don't).
+
+**as-of join** — for each left row, the latest right row with the same key
+and ``right_ts <= left_ts``. Implemented as union + partitioned window
+``last(..., ignorenulls)`` ordered by (ts, right-before-left, tiebreak):
+
+  - one shuffle on the key (the union sorts within partitions);
+  - no per-row subqueries, no skew-prone range cross join;
+  - at 100 TB this is the textbook distributed as-of plan (both sides
+    co-partitioned by key, linear scan within partition).
+
+**sessionization** — gap-based session ids per key: a session break is a
+gap > threshold from the previous event; session id = running count of
+breaks. Two window functions over one shuffle, no state API.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: attach the most recent ``right_vals`` at or before
+    each left row's timestamp. Left rows keep all their columns; misses
+    (no earlier right row) yield nulls.
+
+    ``tiebreak`` orders right rows sharing (key, ts) — the greatest wins,
+    keeping results deterministic.
+    """
+    lcols = left.columns
+    tagged_l = left.withColumn("__is_right", F.lit(0)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    tagged_r = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c) for c in right_vals],
+        )
+        .withColumn("__is_right", F.lit(1))
+    )
+    # align schemas for the union
+    for c in lcols:
+        if c not in tagged_r.columns:
+            tagged_r = tagged_r.withColumn(c, F.lit(None))
+    for c in right_vals:
+        if c not in tagged_l.columns:
+            tagged_l = tagged_l.withColumn(c, F.lit(None))
+    if tiebreak and tiebreak not in tagged_l.columns:
+        tagged_l = tagged_l.withColumn(tiebreak, F.lit(None))
+    unioned = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
+
+    # right rows at the same ts sort BEFORE left rows (asof is <=)
+    order = [F.col("__ts").asc(), F.col("__is_right").desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_right",
+        *[
+            F.last(F.when(F.col("__is_right") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return (
+        carried.filter(F.col("__is_right") == 0)
+        .select(
+            *lcols,
+            *[F.col(f"__asof_{c}").alias(c) for c in right_vals],
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids (1-based per key, ordered by time).
+
+    A new session starts when the gap from the previous event exceeds
+    ``gap`` (SQL interval literal). Output = input + session_col.
+    """
+    w_order = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(F.col(ts_col)).over(w_order)
+    gap_secs = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    # interval → seconds once, driver-side
+    num, unit = gap.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    limit = int(num) * mult
+    is_break = F.when(prev_ts.isNull() | (gap_secs > limit), 1).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_break).over(w_cum))

@@ -709,3 +709,10 @@ REGISTRY: dict[str, Query] = {
     "multimodal_meta": Query(q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_features": Query(q_multimodal_features, None),
 }
+
+
+# extended registry (§2.6 gap-fill + temporal operators) — bottom import
+# so queries_ext can reuse Query/_t/DEC helpers from this module
+from icebergproject_spark.queries_ext import EXT_REGISTRY  # noqa: E402
+
+REGISTRY.update(EXT_REGISTRY)
