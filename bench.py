@@ -37,11 +37,17 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_parts_by_revenue",
     "priority_with_returns",
+    # temporal + advanced relational
+    "asof_trade_quote",
+    "user_sessions",
+    "browse_pipeline_e2e",
     # LLM data-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "text_stats",
     "similarity_topk",
+    "similarity_ivf",
 ]
 
 

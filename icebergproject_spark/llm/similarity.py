@@ -45,18 +45,23 @@ def cosine_topk(
     ``queries``: (query_id, embedding). Output: (query_id, neighbor_id,
     score, rank), self-matches excluded, ties broken by neighbor id.
     """
+    # norms once per row (not per pair): identical arithmetic, 3× less
+    # work in the O(corpus × queries) stage
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
         (
-            _dot(F.col("__qvec"), F.col("__cvec"))
-            / (l2_norm(F.col("__qvec")) * l2_norm(F.col("__cvec")))
+            _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn"))
         ).alias("score"),
     )
     scored = scored.filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -114,19 +119,135 @@ def lsh_topk(
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         hyperplane_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         hyperplane_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
     )
     scored = cb.join(F.broadcast(qb), "__bucket").select(
         query_id_col,
         "neighbor_id",
         (
-            _dot(F.col("__qvec"), F.col("__cvec"))
-            / (l2_norm(F.col("__qvec")) * l2_norm(F.col("__cvec")))
+            _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn"))
+        ).alias("score"),
+    )
+    scored = scored.filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+):
+    """Spherical k-means centroids from a deterministic corpus sample.
+
+    IVF index *training* is a coordinator-side job over a bounded sample
+    (standard FAISS practice) — the full corpus is never collected. The
+    sample is ordered by id so retraining is reproducible. Returns a
+    row-normalized ``np.ndarray (n_centroids, dim)``.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_limit)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _probe_udf(centroids, nprobe: int):
+    """Arrow-batched cluster assignment: top-``nprobe`` centroid ids per
+    vector by cosine. The centroid matrix rides inside the UDF closure
+    (broadcast once per executor) — a (256, 1024) float64 index is 2 MB,
+    nothing at cluster scale. Returns ``array<int>``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c_t = centroids.T  # (dim, n_centroids)
+
+    # no parameter annotations: `from __future__ import annotations` makes
+    # them unresolvable strings for pandas_udf's signature inspection
+    def probe(v):
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c_t
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
+
+    return pandas_udf(probe, "array<int>")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` closest cells and scores only
+    those candidates exactly.
+
+    The 100 TB shape: assignment is one Arrow-batched pass (no shuffle —
+    the centroid index ships in the UDF closure); the candidate join is a
+    broadcast equi-join on cell id, cutting scored pairs by
+    ~n_centroids/nprobe versus brute force. Output matches cosine_topk.
+    """
+    cents = train_centroids(corpus, n_centroids, vec_col, id_col)
+    assign1 = _probe_udf(cents, 1)
+    probe_n = _probe_udf(cents, nprobe)
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        F.explode(probe_n(F.col(vec_col))).alias("__cell"),
+    )
+    scored = cb.join(F.broadcast(qb), "__cell").select(
+        query_id_col,
+        "neighbor_id",
+        (
+            _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn"))
         ).alias("score"),
     )
     scored = scored.filter(F.col(query_id_col) != F.col("neighbor_id"))

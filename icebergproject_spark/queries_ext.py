@@ -315,6 +315,53 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- embedding near-dup + IVF similarity ----------------------------------
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (rounded score ≥ 0.35; the
+    synthetic vectors are near-orthogonal, max pair ≈ 0.51, so 0.35 cuts
+    the same-label tail). Verification tier — LSH variant is the scale
+    path."""
+    from icebergproject_spark.llm.dedup import embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.35)
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE score >= 0.35
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (rows-only: bucket pruning is not
+    SQL-expressible; recall vs the exact variant is pytest-checked)."""
+    from icebergproject_spark.llm.dedup import embedding_near_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_lsh(emb, dim=64, threshold=0.35, planes=4)
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 neighbors for query vectors vec_id < 5
+    (rows-only: centroid training is iterative, not SQL-expressible;
+    recall vs exact top-k is pytest-checked)."""
+    from icebergproject_spark.llm.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 EXT_REGISTRY: dict[str, Query] = {
     "top_events_global": Query(q_top_events_global, ORACLE_TOP_EVENTS),
     "revenue_rollup": Query(q_revenue_rollup, ORACLE_ROLLUP),
@@ -327,4 +374,7 @@ EXT_REGISTRY: dict[str, Query] = {
     "asof_trade_quote": Query(q_asof_trade_quote, ORACLE_ASOF),
     "user_sessions": Query(q_user_sessions, ORACLE_SESSIONS),
     "browse_pipeline_e2e": Query(q_browse_pipeline_e2e, ORACLE_PIPELINE_E2E),
+    "dedup_embedding": Query(q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": Query(q_dedup_embedding_lsh, None),
+    "similarity_ivf": Query(q_similarity_ivf, None),
 }

@@ -141,3 +141,65 @@ def test_frame_sample_plan(spark):
     media = multimodal.attach_binary_payload(docs, "text", "doc_id", media_type="video")
     frames = multimodal.frame_sample_plan(media, every_n=10).collect()
     assert [r.frame_idx for r in frames] == [0, 10, 20]
+
+
+# --- approximate-path recall vs exact baselines ---------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    from icebergproject_spark.tables import load_table
+
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def _neighbor_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_topk_recall(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _neighbor_sets(similarity.cosine_topk(embeddings, queries, k=5))
+    approx = _neighbor_sets(
+        similarity.ivf_topk(embeddings, queries, k=5, n_centroids=16, nprobe=4)
+    )
+    assert set(approx) == set(exact)  # every query answered
+    recalls = [len(approx[q] & exact[q]) / 5 for q in exact]
+    # deterministic (seeded centroids): measured 0.92 mean recall@5 at
+    # sf0.001 with nprobe=4/16; assert a safety margin below that
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_scores_are_exact_for_found_neighbors(embeddings):
+    """IVF prunes candidates but must not approximate the scores."""
+    queries = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in similarity.cosine_topk(embeddings, queries, k=5).collect()
+    }
+    for r in similarity.ivf_topk(embeddings, queries, k=5).collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.score == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_embedding_near_pairs_exact_vs_lsh(embeddings):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_pairs(embeddings, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_pairs_lsh(
+            embeddings, dim=64, threshold=0.3, planes=4
+        ).collect()
+    }
+    assert approx <= exact  # LSH may miss pairs but never invents them
+    if exact:
+        assert len(approx) / len(exact) >= 0.1  # recovers some of the tail

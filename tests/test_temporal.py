@@ -1,0 +1,95 @@
+"""Temporal operator tests: as-of join semantics (<=, ties, misses,
+key isolation) and gap sessionization boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergproject_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),
+            (2, "k1", _ts("2024-01-01 10:05:00")),
+            (3, "k2", _ts("2024-01-01 10:00:00")),
+            (4, "k3", _ts("2024-01-01 09:00:00")),  # before any quote
+        ],
+        ["trade_id", "key", "t_ts"],
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 09:59:00"), 100, 9.5),
+            ("k1", _ts("2024-01-01 10:00:00"), 101, 10.0),  # same-ts as trade 1
+            ("k1", _ts("2024-01-01 10:00:00"), 102, 10.5),  # tie → greater key wins
+            ("k1", _ts("2024-01-01 10:04:00"), 103, 11.0),
+            ("k2", _ts("2024-01-01 09:30:00"), 200, 20.0),
+            ("k3", _ts("2024-01-01 12:00:00"), 300, 30.0),  # after trade 4
+        ],
+        ["key", "q_ts", "quote_id", "px"],
+    )
+
+
+def test_asof_basic(trades, quotes):
+    out = asof_join(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+        right_vals=["quote_id", "px"], tiebreak="quote_id",
+    )
+    rows = {r.trade_id: r for r in out.collect()}
+    assert len(rows) == 4  # every left row survives exactly once
+    # same-timestamp quote IS eligible (as-of is <=); tie → max quote_id
+    assert rows[1].quote_id == 102 and rows[1].px == 10.5
+    # strictly-latest earlier quote
+    assert rows[2].quote_id == 103 and rows[2].px == 11.0
+    # keys don't leak across partitions
+    assert rows[3].quote_id == 200
+    # no earlier quote → nulls, row retained
+    assert rows[4].quote_id is None and rows[4].px is None
+
+
+def test_asof_keeps_left_columns(trades, quotes):
+    out = asof_join(
+        trades, quotes, key="key", left_ts="t_ts", right_ts="q_ts",
+        right_vals=["px"],
+    )
+    assert set(out.columns) == {"trade_id", "key", "t_ts", "px"}
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: 0s, exactly 1800s (same session — break is strictly >), 1801s
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(seconds=1800)),
+        ("u1", base + dt.timedelta(seconds=1800 + 1801)),
+        ("u2", base),  # separate key restarts numbering
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "user_id", "ts", gap="30 minutes")
+    got = {(r.user_id, r.ts): r.session_id for r in out.collect()}
+    assert got[("u1", rows[0][1])] == 1
+    assert got[("u1", rows[1][1])] == 1  # 1800s gap == limit → same session
+    assert got[("u1", rows[2][1])] == 2  # 1801s gap → new session
+    assert got[("u2", base)] == 1
+
+
+def test_sessionize_preserves_rows(spark, sf_dir):
+    from icebergproject_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    out = sessionize(ev, "user_id", "ts", gap="30 minutes")
+    assert out.count() == ev.count()
+    assert "session_id" in out.columns
