@@ -88,3 +88,54 @@ def test_dynamic_topic_routing_shape(spark):
     r = out.collect()[0]
     assert r.topic == "KAFKA-DWD-BROWSELOG-TOPIC"
     assert '"user_id":"u1"' in r.value
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries the open session
+    across micro-batches; a gap-crossing event closes and emits it."""
+    import os
+    import time
+
+    from icebergproject_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["user_id", "epoch"]).withColumn(
+            "ts", F.timestamp_seconds(F.col("epoch"))
+        )
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # batch 1: u1 two events 10s apart; u2 one event
+    write_file("f1", [("u1", base), ("u1", base + 10), ("u2", base)], time.time() - 60)
+    # batch 2 (later mtime): u1 event past the 30s gap → closes session 1;
+    # u2 event within gap → extends, stays open (not emitted)
+    write_file("f2", [("u1", base + 100), ("u2", base + 20)], time.time())
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = sessionize_stream(stream, "user_id", "ts", gap_seconds=30)
+
+    results = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    closed = {(r.key, r.session_start, r.session_end, r.n_events) for r in results}
+    # exactly u1's first session was closed by the gap in batch 2
+    assert closed == {("u1", base, base + 10, 2)}
