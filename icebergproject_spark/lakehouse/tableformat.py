@@ -39,6 +39,16 @@ from pyspark.sql.window import Window
 from icebergproject_spark.lakehouse.catalog import CATALOG_NAME, DEFAULT_WAREHOUSE, iceberg_available
 
 
+#: hidden-partition transforms (Iceberg-style: the user never sees the
+#: partition column; SURVEY §4 "partition ODS/DWD/DWS by date")
+_TRANSFORMS = {
+    "identity": lambda c: F.col(c),
+    "day": lambda c: F.date_format(c, "yyyy-MM-dd"),
+    "month": lambda c: F.date_format(c, "yyyy-MM"),
+    "bucket16": lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(16)),
+}
+
+
 class LakehouseTable:
     """One snapshot-versioned table under ``<warehouse>/<db>/<name>/``."""
 
@@ -49,8 +59,30 @@ class LakehouseTable:
         self.root = os.path.join(warehouse, db, name)
         self.snap_dir = os.path.join(self.root, "snapshots")
         self.data_dir = os.path.join(self.root, "data")
+        self.props_path = os.path.join(self.root, "properties.json")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- partition spec ---------------------------------------------------
+    def set_partitioning(self, column: str, transform: str = "day") -> None:
+        """Declare hidden partitioning (before the first write): data files
+        land under ``__p=<transform(column)>`` directories; readers filter
+        on the SOURCE column terms via ``read(partition_values=...)`` and
+        never see the partition column — Iceberg's hidden-partitioning
+        contract, minus expression→partition rewriting (the caller passes
+        the wanted partition values explicitly)."""
+        if transform not in _TRANSFORMS:
+            raise ValueError(f"transform must be one of {sorted(_TRANSFORMS)}")
+        if self._snapshots():
+            raise ValueError("cannot change partitioning after the first write")
+        with open(self.props_path, "w") as f:
+            json.dump({"partition": {"column": column, "transform": transform}}, f)
+
+    def _partition_spec(self) -> dict | None:
+        if not os.path.exists(self.props_path):
+            return None
+        with open(self.props_path) as f:
+            return json.load(f).get("partition")
 
     # -- snapshot metadata ------------------------------------------------
     def _snapshots(self) -> list[dict]:
@@ -87,7 +119,14 @@ class LakehouseTable:
 
     def _write_data(self, df: DataFrame) -> str:
         d = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(d)
+        spec = self._partition_spec()
+        if spec:
+            part = _TRANSFORMS[spec["transform"]](spec["column"]).alias("__p")
+            df.withColumn("__p", part).write.mode("overwrite").partitionBy(
+                "__p"
+            ).parquet(d)
+        else:
+            df.write.mode("overwrite").parquet(d)
         return d
 
     # -- operations -------------------------------------------------------
@@ -125,8 +164,21 @@ class LakehouseTable:
         new_dir = self._write_data(merged)
         return self._commit("merge", [new_dir])
 
-    def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
-        """S5 + M3: batch scan, optionally time-travelling."""
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_values: list | None = None,
+    ) -> DataFrame:
+        """S5 + M3: batch scan, optionally time-travelling.
+
+        ``partition_values``: for a partitioned table, scan only these
+        partition values (e.g. ``["2022-06-15", "2022-06-16"]`` for a
+        ``day`` transform). Pruning happens at planning time — unwanted
+        directories are never listed into the scan (verify with
+        ``.explain``: the filter shows under PartitionFilters, not as a
+        row-level predicate).
+        """
         snaps = self._snapshots()
         if not snaps:
             raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
@@ -141,6 +193,19 @@ class LakehouseTable:
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             snap = eligible[-1]
+        if self._partition_spec():
+            # one scan per snapshot dir (each is its own partitioned root —
+            # Spark refuses mixed partition discovery across roots); the
+            # partition filter pushes through the union into every scan
+            parts = [self.spark.read.parquet(d) for d in snap["data_dirs"]]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if partition_values is not None:
+                df = df.filter(F.col("__p").isin(list(partition_values)))
+            return df.drop("__p")
+        if partition_values is not None:
+            raise ValueError("table is not partitioned")
         return self.spark.read.parquet(*snap["data_dirs"])
 
     def compact(self, target_partitions: int | None = None) -> dict:

@@ -80,3 +80,54 @@ def test_maintain_all(spark, catalog):
     assert set(out) == {"T1", "T2"}
     for name in ["T1", "T2"]:
         assert catalog.table(name).read().count() == 1
+
+
+def test_hidden_partitioning_prunes(spark, catalog):
+    import pyspark.sql.functions as F
+
+    t = catalog.table("DWD_BROWSELOG")
+    t.set_partitioning("log_time", "day")
+    df = spark.createDataFrame(
+        [("1", "2022-06-15 06:00:00"), ("2", "2022-06-15 07:00:00"),
+         ("3", "2022-06-16 08:00:00")],
+        ["id", "log_time_str"],
+    ).withColumn("log_time", F.col("log_time_str").cast("timestamp")).drop("log_time_str")
+    t.append(df)
+    t.append(spark.createDataFrame(
+        [("4", "2022-06-17 09:00:00")], ["id", "s"]
+    ).withColumn("log_time", F.col("s").cast("timestamp")).drop("s"))
+
+    # full read: partition column hidden, all rows visible
+    full = t.read()
+    assert set(full.columns) == {"id", "log_time"}
+    assert full.count() == 4
+
+    # pruned read: only the requested day, and the cut happens at the
+    # scan (PartitionFilters), not as a row filter
+    pruned = t.read(partition_values=["2022-06-15"])
+    assert {r.id for r in pruned.collect()} == {"1", "2"}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__p" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_partitioning_declared_late_rejected(spark, catalog):
+    t = catalog.table("T_LATE")
+    t.append(df_of(spark, [("1", "a")]))
+    with pytest.raises(ValueError):
+        t.set_partitioning("id", "identity")
+
+
+def test_partitioned_merge_and_compact(spark, catalog):
+    import pyspark.sql.functions as F
+
+    t = catalog.table("DIM_PARTED")
+    t.set_partitioning("id", "bucket16")
+    t.append(df_of(spark, [("1", "a"), ("2", "b")]))
+    t.merge(df_of(spark, [("2", "B2"), ("3", "c")]), key_cols=["id"])
+    assert dict((r.id, r.v) for r in t.read().collect()) == {
+        "1": "a", "2": "B2", "3": "c"
+    }
+    t.compact()
+    assert dict((r.id, r.v) for r in t.read().collect()) == {
+        "1": "a", "2": "B2", "3": "c"
+    }
