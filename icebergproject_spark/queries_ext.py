@@ -315,6 +315,96 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- scalar-function suite (F2/F3/F5/F6/F7 roundtrips) ---------------------
+
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar library end-to-end against ground truth:
+    F2/F3 epoch-millis formatting (incl. the 1970 null default on error
+    events), F5 date-part split, F6 composite-key encode→decode, F7
+    string-encoded-map encode→parse→extract. Every derived column must
+    equal what the oracle computes directly from the source columns, so
+    any parsing defect hash-mismatches."""
+    from icebergproject_spark.functions import (
+        composite_key,
+        epoch_millis_to_date,
+        epoch_millis_to_datetime,
+        split_composite_key,
+        str_to_map_expr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    millis = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.unix_millis("ts").cast("string")
+    )
+    f2 = epoch_millis_to_datetime(millis)
+    encoded_map = F.concat(
+        F.lit("{type="), F.col("event_type"), F.lit(", uid="), F.col("user_id"), F.lit("}")
+    )
+    return ev.select(
+        "event_id",
+        f2.alias("f2_datetime"),
+        epoch_millis_to_date(millis).alias("f3_date"),
+        F.split(f2, " ")[0].alias("f5_datepart"),
+        composite_key("event_type", "user_id").alias("f6_key"),
+        split_composite_key(composite_key("event_type", "user_id"), 3)[0].alias(
+            "f6_first"
+        ),
+        str_to_map_expr(encoded_map)["uid"].alias("f7_uid"),
+    )
+
+
+ORACLE_SCALAR_SUITE = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN '1970-01-01 00:00:00'
+            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS f2_datetime,
+       CASE WHEN event_type = 'error' THEN '1970-01-01'
+            ELSE strftime(ts, '%Y-%m-%d') END AS f3_date,
+       CASE WHEN event_type = 'error' THEN '1970-01-01'
+            ELSE strftime(ts, '%Y-%m-%d') END AS f5_datepart,
+       event_type || '$' || user_id AS f6_key,
+       event_type AS f6_first,
+       CAST(user_id AS VARCHAR) AS f7_uid
+FROM events
+"""
+
+
+# --- skew-safe aggregation -------------------------------------------------
+
+def q_user_points_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 flagship aggregate through the skew-safe two-phase path
+    (operators/skew.salted_agg) — oracle-identical to the plain groupBy,
+    proving the salt+merge decomposition is lossless."""
+    from icebergproject_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("log_time"),
+        "user_id",
+        F.col("event_type").alias("product_name"),
+        F.get_json_object("props", "$.k").cast("int").alias("obtain_points"),
+    )
+    out = salted_agg(
+        pts,
+        keys=["log_time", "user_id", "product_name"],
+        aggs={"total_points": ("sum", "obtain_points")},
+        salt_buckets=8,
+    )
+    return out.select(
+        "log_time", "user_id", "product_name",
+        F.col("total_points").cast("long").alias("total_points"),
+    )
+
+
+ORACLE_USER_POINTS_SALTED = """
+SELECT strftime(ts, '%Y-%m-%d') AS log_time,
+       user_id,
+       event_type AS product_name,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS total_points
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # --- embedding near-dup + IVF similarity ----------------------------------
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +464,8 @@ EXT_REGISTRY: dict[str, Query] = {
     "asof_trade_quote": Query(q_asof_trade_quote, ORACLE_ASOF),
     "user_sessions": Query(q_user_sessions, ORACLE_SESSIONS),
     "browse_pipeline_e2e": Query(q_browse_pipeline_e2e, ORACLE_PIPELINE_E2E),
+    "scalar_suite": Query(q_scalar_suite, ORACLE_SCALAR_SUITE),
+    "user_points_salted": Query(q_user_points_salted, ORACLE_USER_POINTS_SALTED),
     "dedup_embedding": Query(q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Query(q_dedup_embedding_lsh, None),
     "similarity_ivf": Query(q_similarity_ivf, None),
