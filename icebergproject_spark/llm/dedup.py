@@ -300,16 +300,24 @@ def embedding_near_pairs(
     """
     import pandas as pd
 
-    spark = df.sparkSession
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b")
     )
-    pair_df = spark.createDataFrame(
-        [(p, q) for p in range(n_blocks) for q in range(p, n_blocks)], ["p", "q"]
+    # a row in block b belongs to tile (min(b,k), max(b,k)) for every k —
+    # explode that list instead of joining a tile table (narrow op, no
+    # join; the only exchange left is the groupBy(p,q) tile shuffle)
+    tiles_of_b = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(k)).alias("p"),
+                F.greatest(F.col("b"), F.lit(k)).alias("q"),
+            )
+            for k in range(n_blocks)
+        ]
     )
-    repl = rows.join(
-        F.broadcast(pair_df), (F.col("b") == F.col("p")) | (F.col("b") == F.col("q"))
+    repl = rows.select("id", "v", "b", F.explode(tiles_of_b).alias("pq")).select(
+        "id", "v", "b", "pq.p", "pq.q"
     )
     loose = threshold - 1e-7
 

@@ -198,3 +198,62 @@ def test_ods_browselog_envelope(spark):
     assert len(rows) == 1  # non-browselog routed nowhere
     assert rows[0].browse_product_code == "demHQ6TADV"
     assert rows[0].front_product_url == ""  # valueless key preserved
+
+
+def test_streaming_medallion_e2e(spark, tmp_path):
+    """The ODS→DWD chain as an actual stream: CDC JSON frames → envelope
+    decode → business-db filter → routing → typed ODS → cleanse → lakehouse
+    append per micro-batch. Same stage functions as the batch tests —
+    proving the pipeline is source-agnostic (SURVEY §7 stance)."""
+    import json
+
+    from icebergproject_spark.sources import CDC_ENVELOPE_SCHEMA, kafka_json_source
+
+    frames = [
+        {"database": "lakehousedb", "table": "mc_user_login", "type": "insert",
+         "ts": "1648300465", "xid": "1", "commit": "true",
+         "data": {"id": "9992", "user_id": "uid185880", "ip": "54.223.109.158",
+                  "login_tm": "1646741000000", "logout_tm": None}},
+        {"database": "lakehousedb", "table": "mc_user_login", "type": "insert",
+         "ts": "1648300466", "xid": "2", "commit": "true",
+         "data": {"id": "9993", "user_id": "uid000001", "ip": "10.0.0.1",
+                  "login_tm": None, "logout_tm": None}},
+        {"database": "otherdb", "table": "mc_user_login", "type": "insert",
+         "ts": "1648300469", "xid": "3", "commit": "true",
+         "data": {"id": "1", "user_id": "nope", "ip": "x",
+                  "login_tm": None, "logout_tm": None}},
+    ]
+    src = tmp_path / "cdc_frames"
+    src.mkdir()
+    (src / "batch.jsonl").write_text(
+        "\n".join(json.dumps(f) for f in frames) + "\n"
+    )
+
+    stream = kafka_json_source(spark, CDC_ENVELOPE_SCHEMA, path=str(src))
+    config = spark.createDataFrame(
+        [("lakehousedb:mc_member_info", "user_id", "DIM_MEMBER_INFO")],
+        ["config_key", "pk_col", "sink"],
+    )
+    biz = parse_cdc_stream(stream)
+    _, fact = route_cdc(biz, config)
+    dwd = cleanse_user_login(ods_user_login(fact))
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="testdb")
+
+    def sink(batch, _):
+        if batch.count():
+            catalog.table("DWD_USER_LOGIN").append(batch)
+
+    q = (
+        dwd.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {r.id: r for r in catalog.table("DWD_USER_LOGIN").read().collect()}
+    assert set(out) == {"9992", "9993"}  # otherdb row dropped in-stream
+    assert out["9992"].login_tm == "2022-03-08 12:03:20"
+    assert out["9992"].logout_tm == "1970-01-01 00:00:00"
+    assert out["9993"].login_tm == "1970-01-01 00:00:00"
