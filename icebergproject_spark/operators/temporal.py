@@ -116,3 +116,44 @@ def sessionize(
     is_break = F.when(prev_ts.isNull() | (gap_secs > limit), 1).otherwise(0)
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_break).over(w_cum))
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Interval containment join WITHOUT an equi key: each point row pairs
+    with every interval row whose [start, end] contains it.
+
+    Spark plans a bare ``BETWEEN`` join as a nested-loop cross product —
+    O(points × intervals). This bucketizes time instead: intervals
+    explode to the coarse buckets they overlap, points map to exactly one
+    bucket, and the join becomes an equi-join on bucket id followed by
+    the exact range filter. Cost: shuffle(points + intervals×avg_spans)
+    — linear, partition-parallel, and the bucket width trades replication
+    (long intervals → more copies) against selectivity (wide buckets →
+    more false candidates filtered post-join).
+
+    Output: all point columns + all interval columns.
+    """
+    num, unit = bucket.split()
+    width = int(num) * {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit]
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / width)
+    i_lo = F.floor(F.unix_timestamp(F.col(start_ts)) / width)
+    i_hi = F.floor(F.unix_timestamp(F.col(end_ts)) / width)
+
+    pb = points.withColumn("__bucket", p_bucket)
+    ib = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(i_lo, i_hi))
+    )
+    joined = pb.join(ib, "__bucket").filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("__bucket")

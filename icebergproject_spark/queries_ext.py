@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from icebergproject_spark.operators.temporal import asof_join, sessionize
+from icebergproject_spark.operators.temporal import asof_join, range_join, sessionize
 from icebergproject_spark.queries import DEC, DEC4, Query, _t
 
 
@@ -268,6 +268,71 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# --- range (interval containment) join ------------------------------------
+
+def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join: every ~997th order opens a 3-day 'campaign'
+    window; count ALL lineitems shipped inside each window (no join key —
+    the bucketized plan replaces the nested-loop cross product)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    campaigns = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        F.date_add(F.col("o_orderdate"), 3).cast("timestamp").alias("end_ts"),
+    )
+    points = li.select(F.col("l_shipdate"), F.col("l_quantity"))
+    joined = range_join(points, campaigns, "l_shipdate", "start_ts", "end_ts")
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT c.campaign_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM (
+  SELECT o_orderkey AS campaign_id,
+         o_orderdate AS start_ts,
+         CAST(o_orderdate + INTERVAL 3 DAY AS TIMESTAMP) AS end_ts
+  FROM orders WHERE o_orderkey % 997 = 0
+) c
+JOIN lineitem l
+  ON l.l_shipdate >= c.start_ts AND l.l_shipdate <= c.end_ts
+GROUP BY c.campaign_id
+"""
+
+
+# --- CUBE -------------------------------------------------------------------
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day): all four grouping combinations in one pass
+    (Expand + one shuffle), NULLs coalesced for a stable compare."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.select(F.col("event_type"), day.alias("d"), "value")
+        .cube("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("d", F.lit("ALL")).alias("d"),
+            "n",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS d,
+       COUNT(*) AS n
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
 # --- end-to-end pipeline query --------------------------------------------
 
 def q_browse_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +529,8 @@ EXT_REGISTRY: dict[str, Query] = {
     "asof_trade_quote": Query(q_asof_trade_quote, ORACLE_ASOF),
     "user_sessions": Query(q_user_sessions, ORACLE_SESSIONS),
     "browse_pipeline_e2e": Query(q_browse_pipeline_e2e, ORACLE_PIPELINE_E2E),
+    "range_join_shipments": Query(q_range_join_shipments, ORACLE_RANGE_JOIN),
+    "events_cube": Query(q_events_cube, ORACLE_CUBE),
     "scalar_suite": Query(q_scalar_suite, ORACLE_SCALAR_SUITE),
     "user_points_salted": Query(q_user_points_salted, ORACLE_USER_POINTS_SALTED),
     "dedup_embedding": Query(q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),

@@ -93,3 +93,32 @@ def test_sessionize_preserves_rows(spark, sf_dir):
     out = sessionize(ev, "user_id", "ts", gap="30 minutes")
     assert out.count() == ev.count()
     assert "session_id" in out.columns
+
+
+def test_range_join_semantics(spark):
+    from icebergproject_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00")),   # == start of A (inclusive)
+         (2, _ts("2024-01-03 12:00:00")),   # inside A and B (overlap → 2 rows)
+         (3, _ts("2024-01-05 00:00:00")),   # == end of A (inclusive)
+         (4, _ts("2024-02-01 00:00:00"))],  # outside all
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [("A", _ts("2024-01-01 00:00:00"), _ts("2024-01-05 00:00:00")),
+         ("B", _ts("2024-01-03 00:00:00"), _ts("2024-01-04 00:00:00"))],
+        ["iid", "start_ts", "end_ts"],
+    )
+    # narrow bucket (1 day) → intervals replicate across several buckets;
+    # results must be identical to the naive definition regardless
+    out = {(r.pid, r.iid) for r in range_join(
+        points, intervals, "ts", "start_ts", "end_ts", bucket="1 day"
+    ).collect()}
+    assert out == {(1, "A"), (2, "A"), (2, "B"), (3, "A")}
+
+    # wide bucket (30 days) → same answer, fewer replicas
+    out30 = {(r.pid, r.iid) for r in range_join(
+        points, intervals, "ts", "start_ts", "end_ts", bucket="30 days"
+    ).collect()}
+    assert out30 == out
