@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the scalar library: Spark output
+must equal a pure-Python model for ALL inputs, not just the fixtures.
+Each example batch runs as one Spark job to keep runtime bounded."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from icebergproject_spark.functions import (
+    composite_key,
+    epoch_millis_to_date,
+    epoch_millis_to_datetime,
+    split_composite_key,
+    str_to_map_expr,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+# millis from 1970 to ~2100; None exercises the 1970 default
+millis_st = st.one_of(st.none(), st.integers(min_value=0, max_value=4_102_444_800_000))
+
+# map-safe tokens: no '{', '}', ',', '=', '$', no spaces, nonempty
+token_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _expect_dt(ms: int | None) -> str:
+    if ms is None:
+        return "1970-01-01 00:00:00"
+    return dt.datetime.fromtimestamp(ms / 1000, dt.UTC).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _expect_d(ms: int | None) -> str:
+    if ms is None:
+        return "1970-01-01"
+    return dt.datetime.fromtimestamp(ms / 1000, dt.UTC).strftime("%Y-%m-%d")
+
+
+@settings(**SETTINGS)
+@given(st.lists(millis_st, min_size=1, max_size=25))
+def test_epoch_millis_formatting_matches_model(spark, batch):
+    df = spark.createDataFrame(
+        [(i, str(m) if m is not None else None) for i, m in enumerate(batch)],
+        "i int, ms string",
+    )
+    got = {
+        r.i: (r.f2, r.f3)
+        for r in df.select(
+            "i",
+            epoch_millis_to_datetime("ms").alias("f2"),
+            epoch_millis_to_date("ms").alias("f3"),
+        ).collect()
+    }
+    for i, m in enumerate(batch):
+        assert got[i] == (_expect_dt(m), _expect_d(m)), f"ms={m}"
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(token_st, token_st, token_st), min_size=1, max_size=25))
+def test_composite_key_roundtrip(spark, batch):
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(batch)],
+        "i int, a string, b string, c string",
+    )
+    key = composite_key("a", "b", "c")
+    parts = split_composite_key(key, 3)
+    got = {
+        r.i: (r.k, r.p0, r.p1, r.p2)
+        for r in df.select(
+            "i",
+            key.alias("k"),
+            parts[0].alias("p0"),
+            parts[1].alias("p1"),
+            parts[2].alias("p2"),
+        ).collect()
+    }
+    for i, (a, b, c) in enumerate(batch):
+        assert got[i] == (f"{a}${b}${c}", a, b, c)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.dictionaries(token_st, token_st, min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_str_to_map_roundtrip(spark, batch):
+    # encode exactly like Flink's Map.toString: "{k1=v1, k2=v2}"
+    encoded = [
+        (i, "{" + ", ".join(f"{k}={v}" for k, v in d.items()) + "}")
+        for i, d in enumerate(batch)
+    ]
+    df = spark.createDataFrame(encoded, "i int, s string")
+    got = {r.i: r.m for r in df.select("i", str_to_map_expr("s").alias("m")).collect()}
+    for i, d in enumerate(batch):
+        assert got[i] == d, f"input={encoded[i][1]!r}"
