@@ -714,5 +714,7 @@ REGISTRY: dict[str, Query] = {
 # extended registry (§2.6 gap-fill + temporal operators) — bottom import
 # so queries_ext can reuse Query/_t/DEC helpers from this module
 from icebergproject_spark.queries_ext import EXT_REGISTRY  # noqa: E402
+from icebergproject_spark.queries_ext2 import EXT2_REGISTRY  # noqa: E402
 
 REGISTRY.update(EXT_REGISTRY)
+REGISTRY.update(EXT2_REGISTRY)

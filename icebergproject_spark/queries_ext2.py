@@ -1,0 +1,279 @@
+"""Second extension registry — CDC/upsert views and further relational surface.
+
+The reference maintains dimension tables as last-writer-wins upserts
+(`dim/DimDataToHBase.scala:95-110` — Phoenix UPSERT per CDC record) and
+multiplexes many logical tables over one CDC stream
+(`ods/ProduceKafkaDBDataToODS.scala:141-151`). The queries here re-express
+those semantics as set-based Spark plans — changelog→latest-version view,
+UNION ALL multiplexing — plus the remaining relational surface a general
+engine needs (grouping sets, semi join, EXISTS decorrelation, exact
+percentiles, moving-average frames). All oracle-checked.
+
+Scale notes (100 TB):
+  - ``cdc_latest`` (row_number) sorts within partitions after one hash
+    shuffle on the key — fine when per-key history is shallow.
+  - ``user_last_state`` (max_by) is the preferred path at scale: it is a
+    plain aggregate, so it gets map-side partial aggregation and never
+    materializes per-key sorted runs. Same logical answer, cheaper plan.
+  - ``ods_union_multiplex`` is a union of narrow projections — Spark
+    computes partial aggregates per branch before the single shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from icebergproject_spark.queries import DEC, Query, _t
+
+
+# --- CDC changelog → latest-version view (row_number strategy) -------------
+
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized upsert view of a changelog: keep each key's latest
+    record. Models the reference's Phoenix last-writer-wins dim upsert
+    (DimDataToHBase.scala:95-110) as a set-based plan: one hash shuffle
+    on the key + per-key top-1 (row_number, deterministic (ts, event_id)
+    tiebreak). events ≙ the CDC stream keyed by user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("last_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+ORACLE_CDC_LATEST = """
+SELECT user_id, event_id, event_type AS last_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       ROUND(value, 6) AS last_value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# --- latest state via max_by (aggregate strategy — the 100 TB path) --------
+
+def q_user_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical ask as cdc_latest through MAX_BY: a plain aggregate
+    (partial-aggregatable map-side, no per-key sort) — the plan to prefer
+    when keys are many and history is deep. Deterministic ordinal =
+    unix_millis(ts)*1e6 + event_id (event_id unique, < 1e6)."""
+    ev = _t(spark, sf_dir, "events")
+    ordinal = F.unix_millis("ts") * F.lit(1_000_000) + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordinal).alias("last_type"),
+        F.max_by(F.round("value", 6), ordinal).alias("last_value"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+
+
+ORACLE_USER_LAST_STATE = """
+SELECT user_id,
+       arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+       arg_max(ROUND(value, 6), epoch_ms(ts) * 1000000 + event_id) AS last_value,
+       COUNT(*) AS n_changes
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- GROUPING SETS ---------------------------------------------------------
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()): three independent
+    aggregations in one Expand + single shuffle — what would otherwise be
+    three scans and a union."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- left-semi join --------------------------------------------------------
+
+def q_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one open ('O') order.
+    Semi joins keep only the probe side — no row multiplication, and the
+    build side deduplicates before broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+# --- correlated EXISTS (decorrelation) -------------------------------------
+
+def q_big_spender_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS written as SQL — Catalyst decorrelates it into a
+    semi join (no per-row subquery execution, unlike the reference's
+    per-record Phoenix point lookups, ProcessUserlogInToDWS.scala:137-144)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        """
+    )
+
+
+ORACLE_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+# --- exact percentiles -----------------------------------------------------
+
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p25/p50/p75) of quantity per
+    returnflag — `percentile` is Spark's exact sort-based implementation;
+    at scale swap for `approx_percentile` (t-digest, constant memory)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+            "n",
+        )
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- moving-average window frame -------------------------------------------
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame: per-user 4-event moving average (ROWS 3 PRECEDING)
+    over deterministic (ts, event_id) order. Rounded after an exact
+    DECIMAL sum so the frame average is order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    val = F.col("value").cast("decimal(18,6)")
+    avg4 = (F.sum(val).over(w) / F.count(F.lit(1)).over(w)).cast("decimal(18,6)")
+    return ev.select("event_id", "user_id", avg4.alias("avg4"))
+
+
+ORACLE_MOVING_AVG = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w / COUNT(*) OVER w
+            AS DECIMAL(18,6)) AS avg4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- UNION ALL multiplexing (one envelope, many tables) --------------------
+
+def q_ods_union_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ODS multiplexed-stream shape in reverse: two typed tables
+    normalized to one (rec_type, dt, amount) envelope with UNION ALL, then
+    a per-day/type rollup. Partial aggregates run per branch before the
+    single shuffle — the multiplexing is free."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("order").alias("rec_type"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+        F.col("o_totalprice").cast(DEC).alias("amount"),
+    )
+    ships = _t(spark, sf_dir, "lineitem").select(
+        F.lit("ship").alias("rec_type"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("dt"),
+        F.col("l_extendedprice").cast(DEC).alias("amount"),
+    )
+    return (
+        orders.unionByName(ships)
+        .groupBy("rec_type", "dt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").cast(DEC).alias("sum_amount"),
+        )
+    )
+
+
+ORACLE_UNION_MULTIPLEX = """
+SELECT rec_type, dt, COUNT(*) AS n,
+       CAST(SUM(amount) AS DECIMAL(18,2)) AS sum_amount
+FROM (
+  SELECT 'order' AS rec_type, strftime(o_orderdate, '%Y-%m-%d') AS dt,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+  FROM orders
+  UNION ALL
+  SELECT 'ship' AS rec_type, strftime(l_shipdate, '%Y-%m-%d') AS dt,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+  FROM lineitem
+)
+GROUP BY rec_type, dt
+"""
+
+
+EXT2_REGISTRY: dict[str, Query] = {
+    "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
+    "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
+    "orders_grouping_sets": Query(q_orders_grouping_sets, ORACLE_GROUPING_SETS),
+    "active_customers_semi": Query(q_active_customers_semi, ORACLE_SEMI),
+    "big_spender_exists": Query(q_big_spender_exists, ORACLE_EXISTS),
+    "quantity_quantiles": Query(q_quantity_quantiles, ORACLE_QUANTILES),
+    "events_moving_avg": Query(q_events_moving_avg, ORACLE_MOVING_AVG),
+    "ods_union_multiplex": Query(q_ods_union_multiplex, ORACLE_UNION_MULTIPLEX),
+}
