@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pyspark.sql.functions as F
+
 from icebergproject_spark.queries import REGISTRY
 from icebergproject_spark.session import build_session
 
@@ -56,6 +58,15 @@ def main() -> None:
     spark = build_session("bench")
     # warmup: JVM + codegen + parquet footer caches
     REGISTRY["dedup_exact"].fn(spark, SF_DIR).count()
+    # warmup: Python/Arrow worker pool (pandas-UDF queries measure
+    # steady-state kernels, not interpreter fork cost)
+    (
+        spark.range(0, 256, 1, 32)
+        .withColumn("g", F.col("id") % 32)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, "id bigint, g bigint")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -136,14 +136,21 @@ def _minhash_flat(
     one partially-aggregated row per (partition, id) thanks to map-side
     combine — not one row per shingle.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
+    # hash each shingle STRING once *inside* the transform (permutation i
+    # re-hashes the 8-byte base — ~40% cheaper than num_hashes string
+    # hashes) and skip array_distinct: duplicate shingles cannot change a
+    # min, and exploding longs instead of strings shrinks the exploded
+    # stream. Net ~30% over the distinct+string-explode shape at sf0.1.
+    col = F.col(content_col)
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
     )
-    # hash the shingle STRING once; permutation i re-hashes the 8-byte
-    # base (~40% cheaper than num_hashes string hashes, measured sf0.1)
-    inv = sh.select("id", F.explode("sh").alias("g")).select(
-        "id", F.xxhash64("g").alias("b")
-    )
+    inv = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("b"))
     aggs = [F.min(F.xxhash64("b", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     return inv.groupBy("id").agg(*aggs)
 
@@ -281,7 +288,7 @@ def embedding_near_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-dup: (id_a, id_b, score) pairs with rounded
     cosine ≥ threshold, id_a < id_b. All-pairs — the verification/baseline
@@ -300,6 +307,13 @@ def embedding_near_pairs(
     """
     import pandas as pd
 
+    if n_blocks is None:
+        # ~25k vectors per block keeps a tile's two blocks comfortably in
+        # one task's memory (25k × 64 dims × 8 B ≈ 13 MB a side) while the
+        # tile count b(b+1)/2 still saturates executors; floor of 4 keeps
+        # small inputs parallel, cap 256 bounds the replication factor
+        n = df.count()
+        n_blocks = min(256, max(4, n // 25_000 + 1))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b")
