@@ -267,6 +267,87 @@ GROUP BY rec_type, dt
 """
 
 
+# --- corpus analytics ------------------------------------------------------
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 terms with collection + document frequency — the
+    vocabulary-building shape. explode → groupBy(token) gets map-side
+    partial aggregation, so the shuffle carries one row per (partition,
+    token), not one per occurrence; the final top-k is a
+    TakeOrderedAndProject, never a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_TERMS = """
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate — the pretraining-filter shape: keep documents
+    with ≥50 tokens, distinct-token ratio ≥ 1/2, punctuation ≤ 1/20 of
+    chars. Thresholds are integer cross-multiplications (no float edges);
+    all predicates are column expressions evaluated in one scan pass."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
+    return docs.filter(
+        (n_tok >= 50)
+        & (n_distinct * 2 >= n_tok)
+        & (n_punct * 20 <= n_chars)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_QUALITY_FILTER = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE len(string_split(text, ' ')) >= 50
+  AND len(list_distinct(string_split(text, ' '))) * 2 >= len(string_split(text, ' '))
+  AND length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 20 <= length(text)
+"""
+
+
+def q_source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (500-char buckets) — corpus
+    composition profiling; one scan, one shuffle on (source, bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 500)
+    return (
+        docs.groupBy("source", bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SOURCE_HISTOGRAM = """
+SELECT source, n_chars // 500 AS len_bucket,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -276,4 +357,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "quantity_quantiles": Query(q_quantity_quantiles, ORACLE_QUANTILES),
     "events_moving_avg": Query(q_events_moving_avg, ORACLE_MOVING_AVG),
     "ods_union_multiplex": Query(q_ods_union_multiplex, ORACLE_UNION_MULTIPLEX),
+    "top_terms": Query(q_top_terms, ORACLE_TOP_TERMS),
+    "quality_filter": Query(q_quality_filter, ORACLE_QUALITY_FILTER),
+    "source_length_histogram": Query(q_source_length_histogram, ORACLE_SOURCE_HISTOGRAM),
 }

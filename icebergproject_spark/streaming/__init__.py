@@ -1,17 +1,21 @@
 """Structured Streaming layer (SURVEY Phase 3, §2.8)."""
 
 from icebergproject_spark.streaming.runner import (
-    file_stream_source,
-    run_available_now,
-    foreach_batch_multi_sink,
-    windowed_count_stream,
+    dedup_stream,
     dynamic_topic_routing,
+    file_stream_source,
+    foreach_batch_multi_sink,
+    run_available_now,
+    stream_stream_join,
+    windowed_count_stream,
 )
 
 __all__ = [
-    "file_stream_source",
-    "run_available_now",
-    "foreach_batch_multi_sink",
-    "windowed_count_stream",
+    "dedup_stream",
     "dynamic_topic_routing",
+    "file_stream_source",
+    "foreach_batch_multi_sink",
+    "run_available_now",
+    "stream_stream_join",
+    "windowed_count_stream",
 ]

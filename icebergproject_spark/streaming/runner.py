@@ -112,6 +112,47 @@ def windowed_count_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of a key seen within the
+    watermark horizon (at-least-once upstream delivery → effectively-once
+    downstream). State is bounded by the watermark — old keys age out, so
+    memory is O(keys per horizon), not O(stream). The reference has no
+    dedup stage (its Kafka producers are at-least-once, K2/T2); this closes
+    that gap for exactly-once-style sinks."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 minute",
+    within: str = "30 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time bound: right rows match left
+    rows at or after them, within ``within``. Both sides are watermarked so
+    Spark can discard state past the horizon (unbounded joins never purge).
+    Absent from the reference (SURVEY §2.4) — its enrichment is
+    stream-static only; this is the general two-stream correlation
+    (e.g. click ⋈ purchase attribution)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def dynamic_topic_routing(df: DataFrame, topic_col: str, payload_cols: list[str]) -> DataFrame:
     """K3: shape a stream for Spark's Kafka sink with per-record topics —
     (topic, value) columns; the sink honors the ``topic`` column when no

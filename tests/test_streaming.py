@@ -7,10 +7,12 @@ import pyspark.sql.functions as F
 
 from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
 from icebergproject_spark.streaming import (
+    dedup_stream,
     dynamic_topic_routing,
     file_stream_source,
     foreach_batch_multi_sink,
     run_available_now,
+    stream_stream_join,
     windowed_count_stream,
 )
 
@@ -88,6 +90,83 @@ def test_dynamic_topic_routing_shape(spark):
     r = out.collect()[0]
     assert r.topic == "KAFKA-DWD-BROWSELOG-TOPIC"
     assert '"user_id":"u1"' in r.value
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once replays collapse: duplicate event ids within the
+    watermark horizon are dropped across micro-batches."""
+    import os
+    import time
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["event_id", "user_id"]).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("event_id"))
+        )
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", [(1, "u1"), (2, "u2")], time.time() - 60)
+    write_file("f2", [(2, "u2"), (3, "u3")], time.time())  # 2 is a replay
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = dedup_stream(stream, ["event_id"], "ts", watermark="1 hour")
+    results = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.event_id for r in results) == [1, 2, 3]
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Click ⋈ purchase attribution: purchases join clicks of the same
+    user within 30 s; a purchase outside the bound does not match."""
+    base = 1_700_000_000
+    clicks_rows = [("u1", base), ("u2", base)]
+    buys_rows = [("u1", base + 10), ("u2", base + 120)]  # u2 outside bound
+
+    def stream_of(rows, ts_name, path):
+        df = spark.createDataFrame(rows, ["user_id", "epoch"]).withColumn(
+            ts_name, F.timestamp_seconds(F.col("epoch"))
+        ).drop("epoch")
+        df.write.mode("overwrite").parquet(path)
+        return spark.readStream.schema(df.schema).parquet(path)
+
+    clicks = stream_of(clicks_rows, "click_ts", str(tmp_path / "clicks"))
+    buys = stream_of(buys_rows, "buy_ts", str(tmp_path / "buys")).withColumnRenamed(
+        "user_id", "buyer_id"
+    )
+    joined = stream_stream_join(
+        clicks, buys.withColumnRenamed("buyer_id", "user_id"),
+        key="user_id", left_ts="click_ts", right_ts="buy_ts",
+        watermark="1 minute", within="30 seconds",
+    )
+    results = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    matched = {r[0] for r in results}
+    assert matched == {"u1"}
 
 
 def test_stateful_sessionize_stream(spark, tmp_path):
