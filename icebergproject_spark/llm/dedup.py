@@ -283,6 +283,75 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve duplicate-candidate pairs into clusters: connected
+    components by iterative min-label propagation.
+
+    Each iteration is join + groupBy (two shuffles) pushing the smallest
+    reachable id one hop further; iterations needed = graph diameter.
+    Near-dup graphs are unions of near-cliques (every copy pairs with most
+    others), so diameter is tiny and this converges in 2–3 rounds.
+    ``localCheckpoint`` truncates lineage each round — without it the plan
+    doubles per iteration and the 100 TB job dies in the optimizer, not
+    the executors. For adversarial long-chain graphs swap in the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same DataFrame shapes,
+    O(log² n) rounds; not needed for dedup workloads.
+
+    Returns (node, cluster_id): cluster_id = min node id in the component.
+    Nodes absent from any edge (if ``nodes`` given) are singletons.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .groupBy(F.col("d").alias("nbr"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["nbr"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    out = labels.select("node", F.col("label").alias("cluster_id"))
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col).alias("node"))
+        out = all_nodes.join(out, "node", "left").select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+        )
+    return out
+
+
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.9,

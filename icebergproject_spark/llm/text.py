@@ -87,6 +87,109 @@ def token_count_bpe(df: DataFrame, content_col: str = "text", id_col: str = "doc
     )
 
 
+def repetition_score(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    n-grams occupied by its single most frequent n-gram. High values flag
+    boilerplate / degenerate repetition for the pretraining quality gate.
+
+    Explode n-grams → count per (doc, gram) → max & sum per doc. Both
+    aggregates get map-side partial aggregation; the shuffle key is
+    (doc_id, gram_hash)-sized, never the text. Zero Python.
+    Output: (doc_id, n_ngrams, top_ngram_cnt, repetition_ratio).
+    """
+    # NB: not word_shingles() — that dedups grams; repetition needs every
+    # occurrence
+    toks = _tokens(content_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_ngrams"),
+            F.max("cnt").alias("top_ngram_cnt"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "top_ngram_cnt",
+            F.round(
+                F.col("top_ngram_cnt").cast("double") / F.col("n_ngrams"), 6
+            ).alias("repetition_ratio"),
+        )
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_shared`` distinct word n-grams with any benchmark document.
+
+    The standard eval-leakage check (n-gram collision, à la GPT-3/PaLM
+    dataset reports). Inverted-index join on shingles: the corpus side
+    explodes to (doc, gram) once, the benchmark side is tiny and
+    broadcast — no all-pairs comparison, the shuffle carries only
+    benchmark-colliding grams. Output: (doc_id, bench_id, shared_ngrams).
+    """
+    from icebergproject_spark.llm.dedup import word_shingles
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(content_col, n)).alias("g")
+    )
+    bench_grams = benchmarks.select(
+        F.col(bench_id_col), F.explode(word_shingles(content_col, n)).alias("g")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .filter(F.col(id_col) != F.col(bench_id_col))
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    rate_col: str = "rate_pct",
+) -> DataFrame:
+    """Deterministic stratified sampling — the domain-mixing primitive:
+    keep ``rate_pct``% of each stratum, chosen by a Knuth multiplicative
+    hash of the id (not row order, not RNG state), so the sample is
+    reproducible across runs, engines, and partitionings.
+
+    ``rates`` is a small (stratum, rate_pct) table, broadcast; the filter
+    is a pure column predicate evaluated in the scan stage — at 100 TB
+    this samples without any shuffle and composes with pushdown.
+    """
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(h % 100 < F.col(rate_col))
+        .drop(rate_col)
+    )
+
+
 def fingerprint(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of the text + first-shingle rolling hash
     (cheap blocking key for near-dup passes)."""

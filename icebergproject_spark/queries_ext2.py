@@ -348,6 +348,147 @@ GROUP BY 1, 2
 """
 
 
+# --- dedup cluster resolution + decontamination + sampling -----------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact 3-gram-Jaccard near-dup pairs
+    (the oracle-checkable edge set) resolved into connected components by
+    min-label propagation, then sized. The piece LSH candidate generation
+    alone is missing — transitive closure, so A≈B≈C collapses to ONE
+    surviving document even when A≉C directly. Singletons keep
+    cluster_id = doc_id."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold_num=3, threshold_den=10)
+    comp = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+    )
+
+
+# transitive closure over the same pair set via recursive CTE; min reachable
+# id == propagation fixpoint
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, sz, UNNEST(grams) AS g FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)]) AS grams,
+           len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)])) AS sz
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared,
+         ANY_VALUE(a.sz) AS size_a, ANY_VALUE(b.sz) AS size_b
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING 10 * COUNT(*) >= 3 * (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*))
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: share of a doc's word bigrams taken
+    by its most frequent bigram."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.repetition_score(docs, n=2)
+
+
+ORACLE_REPETITION = """
+WITH per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, UNNEST([array_to_string(toks[i:i+1], ' ')
+                           FOR i IN range(1, GREATEST(len(toks)-1, 1) + 1)]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+  GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       CAST(MAX(cnt) AS BIGINT) AS top_ngram_cnt,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS repetition_ratio
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥2 distinct 3-grams
+    with a held-out 'benchmark' set (stand-in: every 97th document).
+    Inverted-index join — the benchmark side is broadcast, no all-pairs.
+    Real runs use 13-grams; the short synthetic docs need n=3 for a
+    non-empty result."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return llm_text.contamination_pairs(docs, bench, n=3, min_shared=2)
+
+
+ORACLE_DECONTAMINATION = """
+WITH grams AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)])) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT d.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared_ngrams
+FROM grams d JOIN grams b ON d.g = b.g
+WHERE b.doc_id % 97 = 0 AND d.doc_id <> b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing sample: per-source keep-rate applied by
+    a multiplicative hash of doc_id — reproducible across engines (the
+    oracle runs the identical arithmetic), no RNG, no shuffle."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select("source", (20 + 5 * (src_num % 7)).alias("rate_pct"))
+    )
+    sampled = llm_text.stratified_sample(docs, rates)
+    return sampled.select("doc_id", "source", "n_chars")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100
+      < 20 + 5 * (CAST(substr(source, 4) AS INTEGER) % 7)
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -360,4 +501,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     "top_terms": Query(q_top_terms, ORACLE_TOP_TERMS),
     "quality_filter": Query(q_quality_filter, ORACLE_QUALITY_FILTER),
     "source_length_histogram": Query(q_source_length_histogram, ORACLE_SOURCE_HISTOGRAM),
+    "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
+    "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
+    "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
 }

@@ -203,3 +203,65 @@ def test_embedding_near_pairs_exact_vs_lsh(embeddings):
     assert approx <= exact  # LSH may miss pairs but never invents them
     if exact:
         assert len(approx) / len(exact) >= 0.1  # recovers some of the tail
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A-B, B-C chain collapses to one cluster (transitive, not just
+    pairwise); D stays a singleton via the nodes frame."""
+    edges = spark.createDataFrame([(2, 1), (2, 3)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["doc_id"])
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(
+            edges, nodes=nodes, node_col="doc_id"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_connected_components_two_components(spark):
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.cluster_id for r in dedup.connected_components(edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_contamination_pairs_detects_verbatim_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta epsilon y")], ["bench_id", "text"]
+    )
+    rows = text.contamination_pairs(docs, bench, n=3, min_shared=2).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_id, rows[0].bench_id) == (1, 100)
+    assert rows[0].shared_ngrams == 3  # three shared 3-grams in the run of 5
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        ["doc_id", "source"],
+    )
+    rates = spark.createDataFrame([("a", 100), ("b", 0)], ["source", "rate_pct"])
+    got1 = sorted(r.doc_id for r in text.stratified_sample(df, rates).collect())
+    got2 = sorted(r.doc_id for r in text.stratified_sample(df, rates).collect())
+    assert got1 == got2  # deterministic, no RNG
+    assert got1 == list(range(0, 200, 2))  # all of 'a', none of 'b'
+
+
+def test_repetition_score_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are unique")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text.repetition_score(docs, n=2).collect()}
+    assert got[1].repetition_ratio == 1.0  # every bigram is "spam spam"
+    assert got[1].n_ngrams == 4
+    assert got[2].repetition_ratio == 0.25  # 4 distinct bigrams

@@ -101,3 +101,34 @@ def test_discriminator_and_nulls(spark):
     )
     assert discriminator_filter(df, "logtype", "browselog").count() == 2
     assert reject_nulls(df, ["user_id"]).count() == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed by the key at write time ⇒
+    the join plan contains zero Exchange (the 100 TB fact⋈fact path)."""
+    from icebergproject_spark.operators.bucketing import colocated_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    # at real scale neither side broadcasts — force the sort-merge path the
+    # tiny fixture would otherwise broadcast away
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "bkt_orders", "o_orderkey", num_buckets=4)
+        write_bucketed(lineitem, "bkt_lineitem", "o_orderkey", num_buckets=4)
+        joined = colocated_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # sanity: same row count as the shuffled join
+        expected = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
