@@ -348,6 +348,88 @@ GROUP BY 1, 2
 """
 
 
+# --- remaining relational surface ------------------------------------------
+
+def q_customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — per-nation customer roster vs order
+    activity: nations appear whether they have customers, orders via those
+    customers, or neither side (nulls surface the mismatches). The classic
+    audit-join shape; one shuffle per aggregate, join keys are tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    by_nation = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    order_cust = orders.join(
+        cust.select("c_custkey", "c_nationkey"),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    ord_by_nation = order_cust.groupBy(
+        F.col("c_nationkey").alias("o_nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    joined = by_nation.join(
+        ord_by_nation,
+        by_nation["c_nationkey"] == ord_by_nation["o_nationkey"],
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("c_nationkey", "o_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_orders",
+    )
+
+
+ORACLE_RECONCILIATION = """
+WITH by_nation AS (
+  SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
+),
+ord_by_nation AS (
+  SELECT c.c_nationkey AS o_nationkey, COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT COALESCE(c_nationkey, o_nationkey) AS nationkey, n_customers, n_orders
+FROM by_nation FULL OUTER JOIN ord_by_nation ON c_nationkey = o_nationkey
+"""
+
+
+def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile profile of customer account balances per market
+    segment — the ranking-window family member the registry lacked
+    (row_number/lag/frames are covered elsewhere). One hash shuffle on
+    segment, in-partition sort for the window, then a plain re-aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            F.col("c_acctbal").cast(DEC).alias("bal"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bal").alias("lo"),
+            F.max("bal").alias("hi"),
+        )
+    )
+
+
+ORACLE_BALANCE_DECILES = """
+SELECT c_mktsegment, decile, COUNT(*) AS n,
+       MIN(bal) AS lo, MAX(bal) AS hi
+FROM (
+  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         NTILE(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+GROUP BY 1, 2
+"""
+
+
 # --- dedup cluster resolution + decontamination + sampling -----------------
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +583,10 @@ EXT2_REGISTRY: dict[str, Query] = {
     "top_terms": Query(q_top_terms, ORACLE_TOP_TERMS),
     "quality_filter": Query(q_quality_filter, ORACLE_QUALITY_FILTER),
     "source_length_histogram": Query(q_source_length_histogram, ORACLE_SOURCE_HISTOGRAM),
+    "customer_order_reconciliation": Query(
+        q_customer_order_reconciliation, ORACLE_RECONCILIATION
+    ),
+    "balance_deciles": Query(q_balance_deciles, ORACLE_BALANCE_DECILES),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
