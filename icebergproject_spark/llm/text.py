@@ -190,6 +190,67 @@ def stratified_sample(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, content_col: str = "text", top_k: int = 30
+) -> DataFrame:
+    """One counting step of BPE tokenizer training: global frequency of
+    adjacent character pairs within words, top-k.
+
+    The corpus explodes to (word) then (char-pair) rows, but both
+    aggregations get map-side partial combine, so the shuffle carries one
+    row per (partition, pair) — pair cardinality is alphabet², tiny. The
+    top-k is TakeOrderedAndProject (no global sort). Iterating real BPE
+    = re-running this with the current merges applied to the splitter.
+    """
+    toks = F.explode(_tokens(content_col)).alias("w")
+    # split into chars without the trailing empty string the '' pattern emits
+    chars = F.split(F.col("w"), "(?!$)")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(
+            F.element_at(chars, i.cast("int")),
+            F.element_at(chars, (i + 1).cast("int")),
+        ),
+    )
+    return (
+        df.select(toks)
+        .filter(F.length("w") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def doc_keywords(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction, tf-idf-style but exactly
+    reproducible: rank a doc's terms by term frequency desc, document
+    frequency asc (rarer ⇒ more distinctive), token asc; keep the top k.
+
+    Integer ranking replaces the float log in classic tf-idf so the result
+    hash-matches any engine. Plan: one shuffle to (doc, token) tf, one
+    broadcast-sized df join (vocabulary ≪ corpus), one window shuffle on
+    doc_id. Output: (doc_id, rank, token, tf, df).
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col), F.explode(_tokens(content_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df")
+    )
+
+
 def fingerprint(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of the text + first-shingle rolling hash
     (cheap blocking key for near-dup passes)."""

@@ -571,6 +571,53 @@ WHERE (doc_id * 2654435761) % 4294967296 % 100
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training counting step: top-30 adjacent char pairs within
+    words, corpus-global."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.bpe_pair_counts(docs, top_k=30)
+
+
+ORACLE_BPE_PAIRS = """
+SELECT pair, COUNT(*) AS cnt FROM (
+  SELECT UNNEST([w[i:i+1] FOR i IN range(1, length(w))]) AS pair
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+)
+GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 30
+"""
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinctive terms (tf desc, global df asc) — exact
+    integer-ranked tf-idf stand-in."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.doc_keywords(docs, k=3)
+
+
+ORACLE_DOC_KEYWORDS = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, rank, token, tf, df FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank
+  FROM tf JOIN dfreq USING (token)
+)
+WHERE rank <= 3
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -591,4 +638,6 @@ EXT2_REGISTRY: dict[str, Query] = {
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
+    "doc_keywords": Query(q_doc_keywords, ORACLE_DOC_KEYWORDS),
 }

@@ -73,6 +73,7 @@ def kafka_json_source(
     brokers: str | None = None,
     path: str | None = None,
     starting_offsets: str = "earliest",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """S1: streaming envelope source.
 
@@ -80,7 +81,8 @@ def kafka_json_source(
     1:1 to the reference's DDL: brokers, topic, scan.startup.mode). With
     ``path`` it falls back to a JSON-lines file stream carrying the same
     frames — byte-identical decode path, so pipelines test without a
-    broker.
+    broker. ``max_files_per_trigger`` caps micro-batch size on the file
+    path (≙ Kafka's maxOffsetsPerTrigger rate limit).
     """
     if brokers and topic:
         frames = (
@@ -93,11 +95,10 @@ def kafka_json_source(
         return decode_json_frames(frames, schema)
     if not path:
         raise ValueError("need brokers+topic or a file path")
-    frames = (
-        spark.readStream.format("text")
-        .load(path)
-        .select(F.col("value"))
-    )
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    frames = reader.load(path).select(F.col("value"))
     return decode_json_frames(frames, schema)
 
 

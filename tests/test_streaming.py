@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+from icebergproject_spark.plans.dim import upsert_dims
 from icebergproject_spark.streaming import (
     dedup_stream,
     dynamic_topic_routing,
@@ -218,3 +219,64 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     closed = {(r.key, r.session_start, r.session_end, r.n_events) for r in results}
     # exactly u1's first session was closed by the gap in batch 2
     assert closed == {("u1", base, base + 10, 2)}
+
+
+def test_streaming_cdc_merge_upsert(spark, tmp_path):
+    """K6 as a stream: CDC micro-batches foreachBatch-MERGEd into a
+    lakehouse dim — the second batch's update overwrites the first batch's
+    row (last-writer-wins) instead of appending. maxFilesPerTrigger=1
+    forces two micro-batches; mtimes pin their order."""
+    import json
+    import os
+    import time as time_mod
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.sources import CDC_ENVELOPE_SCHEMA, kafka_json_source
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    b1 = [
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "insert",
+         "ts": "1", "xid": "1", "commit": "true",
+         "data": {"user_id": "u1", "member_level": "bronze"}},
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "insert",
+         "ts": "2", "xid": "2", "commit": "true",
+         "data": {"user_id": "u2", "member_level": "silver"}},
+    ]
+    b2 = [
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "update",
+         "ts": "3", "xid": "3", "commit": "true",
+         "data": {"user_id": "u1", "member_level": "gold"}},
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "delete",
+         "ts": "4", "xid": "4", "commit": "true",
+         "data": {"user_id": "u2", "member_level": "gone"}},
+    ]
+    for i, frames in enumerate([b1, b2]):
+        p = src / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(f) for f in frames) + "\n")
+        os.utime(p, (time_mod.time() + i * 10, time_mod.time() + i * 10))
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="testdb")
+    config = [{"tbl_name": "mc_member_info", "tbl_db": "lakehousedb",
+               "pk_col": "user_id", "cols": "user_id,member_level",
+               "sink_tbl_name": "DIM_MEMBER_INFO"}]
+
+    stream = kafka_json_source(
+        spark, CDC_ENVELOPE_SCHEMA, path=str(src), max_files_per_trigger=1
+    )
+
+    def sink(batch, _):
+        upsert_dims(catalog, batch, config)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {r.user_id: r.member_level
+           for r in catalog.table("DIM_MEMBER_INFO").read().collect()}
+    # u1 updated in batch 2 (last writer wins); u2's delete ignored (T8)
+    assert out == {"u1": "gold", "u2": "silver"}
