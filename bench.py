@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_parts_by_revenue",
     "priority_with_returns",
+    "shipping_priority",
+    "local_supplier_volume",
     # temporal + advanced relational
     "asof_trade_quote",
     "user_sessions",

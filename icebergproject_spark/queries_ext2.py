@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from icebergproject_spark.queries import DEC, Query, _t
+from icebergproject_spark.queries import DEC, DEC4, Query, _t
 
 
 # --- CDC changelog → latest-version view (row_number strategy) -------------
@@ -430,6 +430,96 @@ GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue top-10. Catalyst pushes both date predicates into the scans
+    and broadcasts the filtered customer side; the only big shuffle is the
+    groupBy on (orderkey, date, priority); top-10 is
+    TakeOrderedAndProject, never a global sort."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    rev = (F.col("l_extendedprice").cast(DEC4) * (1 - F.col("l_discount").cast(DEC)))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast(DEC4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4))
+         AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1997-01-01' AND l_shipdate > DATE '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — six-way join (customer⋈orders⋈lineitem⋈supplier⋈
+    nation⋈region) with the 'local' constraint that customer and supplier
+    share a nation. The join-ordering showcase: region/nation broadcast
+    first (they prune everything downstream), lineitem joins last; the
+    customer-nation = supplier-nation equality prunes at the join, not in
+    a post-filter."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast(DEC4) * (1 - F.col("l_discount").cast(DEC)))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast(DEC4).alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4))
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
 # --- dedup cluster resolution + decontamination + sampling -----------------
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +724,8 @@ EXT2_REGISTRY: dict[str, Query] = {
         q_customer_order_reconciliation, ORACLE_RECONCILIATION
     ),
     "balance_deciles": Query(q_balance_deciles, ORACLE_BALANCE_DECILES),
+    "shipping_priority": Query(q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
