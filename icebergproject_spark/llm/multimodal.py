@@ -107,6 +107,37 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     return slim.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def chunk_binary(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Split each media payload into fixed-size byte chunks — the shard
+    step before any per-window kernel (audio frames, image tiles,
+    rolling-hash media dedup).
+
+    JVM-side end to end: explode a chunk-index sequence, slice the binary
+    with ``substr`` (column offsets) — no Python touches the bytes. At
+    100 TB the explode multiplies rows, not bytes read: each task slices
+    only its own partition's payloads, and downstream kernels get
+    uniform-size units regardless of source-file skew.
+
+    Output: (media_id, chunk_idx, chunk, chunk_len).
+    """
+    n_chunks = F.ceil(F.col("n_bytes") / F.lit(chunk_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunk = F.substr(
+        F.col("content"),
+        (F.col("chunk_idx") * chunk_bytes + 1).cast("int"),
+        F.lit(chunk_bytes),
+    )
+    return (
+        media.select("media_id", "content", F.explode(idx).alias("chunk_idx"))
+        .select(
+            "media_id",
+            "chunk_idx",
+            chunk.alias("chunk"),
+        )
+        .withColumn("chunk_len", F.octet_length("chunk"))
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     exploded JVM-side so the decode kernel receives (media_id, frame_idx)

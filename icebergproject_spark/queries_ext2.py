@@ -708,6 +708,32 @@ WHERE rank <= 3
 """
 
 
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size byte chunking of binary media payloads (the shard step
+    before per-window kernels). Bytes sliced JVM-side with column-offset
+    substr; the oracle checks the decoded view of every chunk."""
+    from icebergproject_spark.llm import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    chunks = multimodal.chunk_binary(media, chunk_bytes=100)
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        F.decode("chunk", "UTF-8").alias("chunk_text"),
+        "chunk_len",
+    )
+
+
+ORACLE_MULTIMODAL_CHUNKS = """
+SELECT doc_id AS media_id, i - 1 AS chunk_idx,
+       substr(text, (i - 1) * 100 + 1, 100) AS chunk_text,
+       length(substr(text, (i - 1) * 100 + 1, 100)) AS chunk_len
+FROM documents,
+     UNNEST(range(1, GREATEST(CAST(CEIL(length(text) / 100.0) AS BIGINT), 1) + 1)) AS t(i)
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -731,5 +757,6 @@ EXT2_REGISTRY: dict[str, Query] = {
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
+    "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),
     "doc_keywords": Query(q_doc_keywords, ORACLE_DOC_KEYWORDS),
 }

@@ -132,3 +132,62 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_zvalue_interleaves_bits(spark):
+    from icebergproject_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["a", "b"]).select(
+        zvalue("a", "b", bits=3).alias("z")
+    )
+    # a=101, b=011 → z bits (a2 b2 a1 b1 a0 b0) = 1 0 0 1 1 1
+    assert df.collect()[0].z == 0b100111
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Pruning evidence: with a Z-ordered layout a predicate on EITHER
+    key intersects few files' min-max ranges; with a single-column sort
+    the second key's predicate touches every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from icebergproject_spark.operators.zorder import zorder_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    zorder_write(li, zpath, "l_partkey", "l_suppkey", num_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_touched(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        touched = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                stats = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg)
+                    .column(i)
+                    .statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }[col]
+                total += 1
+                if stats.min <= hi and stats.max >= lo:
+                    touched += 1
+        return touched, total
+
+    # point-ish band: l_suppkey spans 0..9 in the fixture, so [0, 0] is
+    # the realistic "one supplier" lookup
+    z_touch, z_total = files_touched(zpath, "l_suppkey", 0, 0)
+    l_touch, l_total = files_touched(lpath, "l_suppkey", 0, 0)
+    assert l_touch == l_total  # single-column sort: no pruning on 2nd key
+    assert z_touch < z_total // 2  # z-order: most row groups pruned
+    # and the first key still prunes too
+    p_touch, p_total = files_touched(zpath, "l_partkey", 0, 20)
+    assert p_touch < p_total // 2
