@@ -11,6 +11,7 @@ from icebergproject_spark.sources.envelopes import (
     CDC_ENVELOPE_SCHEMA,
     LOG_ENVELOPE_SCHEMA,
     decode_json_frames,
+    decode_json_frames_with_dlq,
     kafka_json_source,
     read_config_table,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "CDC_ENVELOPE_SCHEMA",
     "LOG_ENVELOPE_SCHEMA",
     "decode_json_frames",
+    "decode_json_frames_with_dlq",
     "kafka_json_source",
     "read_config_table",
 ]

@@ -66,6 +66,41 @@ def decode_json_frames(frames: DataFrame, schema: StructType) -> DataFrame:
     ).select("e.*")
 
 
+def decode_json_frames_with_dlq(
+    frames: DataFrame, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Decode with a dead-letter split: (good, quarantined).
+
+    Rows whose JSON fails to parse (or isn't an object) keep their raw
+    frame in the quarantine stream instead of silently becoming all-null
+    rows — the production upgrade over the reference's null-propagating
+    fastjson parse. The split is two filters off ONE decoded projection
+    (Catalyst reuses the parse; no double JSON work), so it composes with
+    streaming and ``foreachBatch`` multi-sink fan-out.
+    """
+    raw = F.col("value").cast("string")
+    # PERMISSIVE from_json maps unparseable input to an all-null struct —
+    # indistinguishable from a legitimately-sparse record — so route the
+    # raw text into an explicit corrupt-record field instead
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField("__corrupt", _S)]
+    )
+    decoded = frames.select(
+        F.from_json(
+            raw,
+            schema_with_corrupt,
+            {"columnNameOfCorruptRecord": "__corrupt"},
+        ).alias("e")
+    )
+    good = decoded.filter(F.col("e.__corrupt").isNull()).select("e.*").drop(
+        "__corrupt"
+    )
+    bad = decoded.filter(F.col("e.__corrupt").isNotNull()).select(
+        F.col("e.__corrupt").alias("raw_value")
+    )
+    return good, bad
+
+
 def kafka_json_source(
     spark: SparkSession,
     schema: StructType,

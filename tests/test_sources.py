@@ -66,3 +66,26 @@ def test_read_config_table_literal(spark):
     row = cfg.collect()[0]
     assert row.tbl_name == "mc_member_info"
     assert row.phoenix_tbl_name == "DIM_MEMBER_INFO"
+
+
+def test_decode_with_dlq_splits_bad_frames(spark):
+    from icebergproject_spark.sources import (
+        CDC_ENVELOPE_SCHEMA,
+        decode_json_frames_with_dlq,
+    )
+
+    frames = spark.createDataFrame(
+        [
+            ('{"database":"lakehousedb","table":"t","type":"insert",'
+             '"ts":"1","xid":"1","commit":"true","data":{"k":"v"}}',),
+            ("this is not json",),
+            ('{"database":"d2"}',),  # valid object, missing fields → good
+        ],
+        ["value"],
+    )
+    good, bad = decode_json_frames_with_dlq(frames, CDC_ENVELOPE_SCHEMA)
+    good_rows = good.collect()
+    assert {r.database for r in good_rows} == {"lakehousedb", "d2"}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0].raw_value == "this is not json"

@@ -280,3 +280,43 @@ def test_streaming_cdc_merge_upsert(spark, tmp_path):
            for r in catalog.table("DIM_MEMBER_INFO").read().collect()}
     # u1 updated in batch 2 (last writer wins); u2's delete ignored (T8)
     assert out == {"u1": "gold", "u2": "silver"}
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """T1/T2: re-starting a stream on the same checkpoint must not
+    re-process already-committed micro-batches — only NEW files are read
+    on resume, so the sink sees each record exactly once."""
+    import json
+
+    from icebergproject_spark.sources import CDC_ENVELOPE_SCHEMA, kafka_json_source
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out: list[str] = []
+
+    def run_once() -> None:
+        stream = kafka_json_source(spark, CDC_ENVELOPE_SCHEMA, path=str(src))
+
+        def sink(batch, _):
+            out.extend(r.xid for r in batch.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def frame(xid: str) -> str:
+        return json.dumps(
+            {"database": "lakehousedb", "table": "t", "type": "insert",
+             "ts": "1", "xid": xid, "commit": "true", "data": {"k": "v"}}
+        )
+
+    (src / "a.jsonl").write_text(frame("1") + "\n" + frame("2") + "\n")
+    run_once()
+    assert sorted(out) == ["1", "2"]
+    (src / "b.jsonl").write_text(frame("3") + "\n")
+    run_once()  # resume: file a.jsonl already committed, only b is new
+    assert sorted(out) == ["1", "2", "3"]
