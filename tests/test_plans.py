@@ -1,0 +1,68 @@
+"""Physical-plan guardrails — fail fast if a query regresses into an
+extra shuffle, loses a broadcast, or drops a pushed-down filter.
+
+These mirror PLANS.md: the numbers asserted here are the plan shapes the
+100 TB design depends on (SCALE.md), not incidental; loosening one should
+be a conscious decision, not a silent regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from icebergproject_spark.queries import REGISTRY
+
+
+def _executed_plan(spark, sf_dir: str, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    # executedPlan is pre-AQE-finalization but Exchange/Broadcast/pushdown
+    # structure is already decided
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, node: str) -> int:
+    return len(re.findall(rf"\b{node}\b", plan))
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges,min_broadcasts",
+    [
+        # dim enrichment: broadcast joins only, zero shuffles
+        ("user_login_wide", 0, 2),
+        ("browse_wide", 0, 1),
+        # routing: broadcast config join, zero shuffles
+        ("route_fact", 0, 1),
+        # single-aggregate queries: exactly one shuffle
+        ("user_points", 1, 0),
+        ("product_visit_10s", 1, 0),
+        ("dedup_exact", 1, 0),
+    ],
+)
+def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
+    plan = _executed_plan(spark, sf_dir, name)
+    # BroadcastExchange also matches "Exchange" — count plain shuffles only
+    shuffles = _count(plan, "Exchange") - _count(plan, "BroadcastExchange")
+    assert shuffles <= max_exchanges, plan
+    assert _count(plan, "BroadcastExchange") >= min_broadcasts, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "ods_browselog")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 4-column projection must not read the full events schema."""
+    plan = _executed_plan(spark, sf_dir, "ods_browselog")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "value" not in read_cols  # unused wide column pruned
+    assert read_cols <= {"event_id", "ts", "user_id", "props", "event_type"}
+
+
+def test_topk_uses_partial_limits_not_global_sort(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "top_parts_by_revenue")
+    assert "WindowGroupLimit" in plan  # per-partition top-k before shuffle
