@@ -311,6 +311,10 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
+    # materialize the edge set once — it is re-joined every iteration, and
+    # an expensive upstream (e.g. the n-gram inverted-index self-join that
+    # produces near-dup pairs) must not be recomputed per round
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
