@@ -320,3 +320,50 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     (src / "b.jsonl").write_text(frame("3") + "\n")
     run_once()  # resume: file a.jsonl already committed, only b is new
     assert sorted(out) == ["1", "2", "3"]
+
+
+def test_streaming_update_mode_aggregate(spark, tmp_path):
+    """A1's streaming form: the reference consumes its points aggregate as
+    a retract stream (ProcessUserPoints.scala:44, toRetractStream) — in
+    Spark that's outputMode('update'): each micro-batch emits only the
+    groups whose aggregate changed, superseding the prior value."""
+    import os
+    import time as time_mod
+
+    src = str(tmp_path / "agg_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["user_id", "points"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", [("u1", 10), ("u2", 5)], time_mod.time() - 60)
+    write_file("f2", [("u1", 7)], time_mod.time())  # u1 total becomes 17
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    agg = stream.groupBy("user_id").agg(F.sum("points").alias("total_points"))
+
+    batches: list[dict] = []
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda b, _: batches.append({r.user_id: r.total_points for r in b.collect()})
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "agg_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert batches[0] == {"u1": 10, "u2": 5}
+    # update mode: only u1 re-emitted, with the superseding total
+    assert batches[1] == {"u1": 17}
