@@ -520,6 +520,98 @@ GROUP BY 1
 """
 
 
+def q_quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation with exact partial sums: Σx, Σy,
+    Σxy, Σx², Σy² accumulate in DECIMAL (order-independent, map-side
+    combined — the one shuffle carries 6 numbers per group), and the
+    final correlation is one double expression over exact inputs — so the
+    result is bit-stable across partitionings and engines, unlike naive
+    float corr() whose partial merges drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(30,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select("l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr"))
+
+
+ORACLE_CORR = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS qty_price_corr
+FROM s
+"""
+
+
+def q_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort next-day retention: of the users active on day D, how many
+    are active on D+1. Distinct (user, day) first — the shuffle carries
+    one row per user-day, not per event — then a self-join on
+    (user, day+1) that Catalyst plans as one hash join on user-day keys."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    nxt = ud.select("user_id", F.date_sub("d", 1).alias("d"))
+    return (
+        ud.join(nxt.withColumnRenamed("user_id", "u2"),
+                (ud["user_id"] == F.col("u2")) & (ud["d"] == nxt["d"]),
+                "left")
+        .groupBy(ud["d"].alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("u2").alias("retained_next_day"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "retained_next_day",
+        )
+    )
+
+
+ORACLE_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       COUNT(*) AS active_users,
+       COUNT(b.user_id) AS retained_next_day
+FROM ud a LEFT JOIN ud b
+  ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY 1
+"""
+
+
 # --- dedup cluster resolution + decontamination + sampling -----------------
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +843,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     ),
     "balance_deciles": Query(q_balance_deciles, ORACLE_BALANCE_DECILES),
     "shipping_priority": Query(q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "quantity_price_corr": Query(q_quantity_price_corr, ORACLE_CORR),
+    "daily_retention": Query(q_daily_retention, ORACLE_RETENTION),
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
