@@ -182,7 +182,13 @@ def stratified_sample(
     is a pure column predicate evaluated in the scan stage — at 100 TB
     this samples without any shuffle and composes with pushdown.
     """
-    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    # reduce the id below 2^31 before the Knuth multiply so the product
+    # stays under 2^63 for ANY bigint id (ANSI mode makes bigint overflow
+    # an error, not a wrap)
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     return (
         df.join(F.broadcast(rates), strata_col)
         .filter(h % 100 < F.col(rate_col))
@@ -248,6 +254,47 @@ def doc_keywords(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", "tf", "df")
+    )
+
+
+# deliberately simple patterns — kept to constructs with identical
+# semantics in Java regex and RE2-family engines (char classes, +, {n,m})
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for pretraining corpora: replace emails / phone numbers /
+    IPv4 addresses with typed placeholder tokens and count what was hit.
+
+    Chained ``regexp_replace`` column expressions — one codegen'd pass per
+    pattern, zero shuffle, linear in corpus bytes. Order matters: emails
+    first (their local part can contain digits a phone pattern would eat),
+    IPs before phones (dotted quads are digit runs too).
+
+    Output: (id, redacted, n_emails, n_phones, n_ips).
+    """
+    col = F.col(content_col)
+    counts = {
+        f"n_{name}s" if name != "ipv4" else "n_ips": F.size(
+            F.regexp_extract_all(col, F.lit(pat), 0)
+        )
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["ipv4"], "<IP>")
+    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
     )
 
 

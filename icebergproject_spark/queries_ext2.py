@@ -612,6 +612,73 @@ GROUP BY 1
 """
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: earliest view → first click
+    after it → first purchase after that. One shuffle (groupBy user) with
+    conditional MIN aggregates — no self-joins, no window re-sorts; each
+    stage timestamp is min(ts WHERE type=stage AND ts ≥ prior stage)
+    computed in two aggregate passes over the same grouped data."""
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.select("user_id", "event_type", "ts")
+    stage1 = typed.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts")
+    )
+    j = typed.join(stage1, "user_id")
+    stage2 = j.groupBy("user_id", "view_ts").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).alias("click_ts")
+    )
+    j2 = typed.join(stage2, "user_id")
+    funnel = j2.groupBy("user_id", "view_ts", "click_ts").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).alias("purchase_ts")
+    )
+    return funnel.select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("first_click_after_view"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_purchase_after_click"
+        ),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+  FROM events GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, s1.view_ts,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.view_ts
+                  THEN e.ts END) AS click_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT e.user_id, s2.view_ts, s2.click_ts,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.click_ts
+                  THEN e.ts END) AS purchase_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY 1, 2, 3
+)
+SELECT user_id,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS first_view,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS first_click_after_view,
+       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase_after_click
+FROM s3
+"""
+
+
 # --- dedup cluster resolution + decontamination + sampling -----------------
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,7 +815,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STRATIFIED_SAMPLE = """
 SELECT doc_id, source, n_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 % 100
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
       < 20 + 5 * (CAST(substr(source, 4) AS INTEGER) % 7)
 """
 
@@ -845,6 +912,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "shipping_priority": Query(q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
     "quantity_price_corr": Query(q_quantity_price_corr, ORACLE_CORR),
     "daily_retention": Query(q_daily_retention, ORACLE_RETENTION),
+    "conversion_funnel": Query(q_conversion_funnel, ORACLE_FUNNEL),
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),

@@ -265,3 +265,22 @@ def test_repetition_score_flags_degenerate_doc(spark):
     assert got[1].repetition_ratio == 1.0  # every bigram is "spam spam"
     assert got[1].n_ngrams == 4
     assert got[2].repetition_ratio == 0.25  # 4 distinct bigrams
+
+
+def test_redact_pii_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 is fine"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert "<EMAIL>" in got[1].redacted and "@" not in got[1].redacted
+    assert "<PHONE>" in got[1].redacted and "555" not in got[1].redacted
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[2].redacted == "server at <IP> is fine"
+    assert got[2].n_ips == 1
+    assert got[3].redacted == "nothing sensitive here"
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 0)
