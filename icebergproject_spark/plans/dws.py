@@ -40,12 +40,20 @@ def user_login_wide(
 
 
 def browse_wide(
-    browse: DataFrame, product_info: DataFrame, category: DataFrame
+    browse: DataFrame,
+    product_info: DataFrame,
+    category: DataFrame,
+    keep_full_time: bool = False,
 ) -> DataFrame:
     """DWS_BROWSE_INFO (9 cols, ProduceBrowseLogToDWS.scala:208-218).
 
     Category hierarchy resolved once via self-join (J4,
     ProduceBrowseLogToDWS.scala:169-178) instead of per-record lookups.
+
+    ``keep_full_time=True`` is the wide-TOPIC variant: the reference's DM
+    window job consumes wide rows whose log_time is still the full
+    timestamp (ProduceBrowseLogToDWS.scala:256-261 side output); only the
+    Iceberg DWS write reduces it to the date part (:209).
     """
     cats = flatten_two_level(
         category, "id", "p_id", "name",
@@ -62,8 +70,11 @@ def browse_wide(
         wide, cats, fact_key="browse_product_tpcode", dim_key="cat_id",
         attrs=["first_category_name", "second_category_name"],
     )
+    from pyspark.sql import functions as F
+
+    time_col = F.col("log_time") if keep_full_time else date_part_of("log_time")
     return wide.select(
-        date_part_of("log_time").alias("log_time"),
+        time_col.alias("log_time"),
         "user_id", "user_ip", "product_name", "front_product_url",
         "browse_product_url", "first_category_name", "second_category_name",
         "obtain_points",

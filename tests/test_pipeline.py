@@ -257,3 +257,87 @@ def test_streaming_medallion_e2e(spark, tmp_path):
     assert out["9992"].login_tm == "2022-03-08 12:03:20"
     assert out["9992"].logout_tm == "1970-01-01 00:00:00"
     assert out["9993"].login_tm == "1970-01-01 00:00:00"
+
+
+def test_streaming_full_medallion_browse(spark, tmp_path):
+    """The reference's entire browse pipeline as ONE stream: log envelope
+    → ODS projection (P1/P2) → DWD cleanse (F2) → DWS stream-static dim
+    joins (J3/J4) → DM tumbling-window count (A2), every stage per
+    micro-batch, DWS and DM appended to lakehouse tables. Collapses four
+    reference jobs (log-ODS, DWD, ProduceBrowseLogToDWS,
+    ProcessBrowseLogInfoToDM) into one DAG."""
+    import json
+
+    from icebergproject_spark.plans.dm import dm_product_visit
+    from icebergproject_spark.plans.dwd import cleanse_browselog
+    from icebergproject_spark.plans.dws import browse_wide
+    from icebergproject_spark.plans.ods import ods_browselog
+    from icebergproject_spark.sources import LOG_ENVELOPE_SCHEMA, kafka_json_source
+
+    def frame(log_ms, user, tpcode, code, points):
+        return json.dumps(
+            {"logtype": "browselog",
+             "data": {"logTime": str(log_ms), "userId": user,
+                      "userIp": "10.0.0.1", "frontProductUrl": "",
+                      "browseProductUrl": "/p", "browseProductTpCode": tpcode,
+                      "browseProductCode": code, "obtainPoints": str(points)}}
+        )
+
+    base_ms = 1_650_000_000_000
+    src = tmp_path / "log_src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            [
+                frame(base_ms, "u1", "c1", "p1", 5),
+                frame(base_ms + 3_000, "u2", "c1", "p1", 7),  # same 10 s window
+                frame(base_ms + 14_000, "u1", "c2", "p2", 9),  # next window
+                json.dumps({"logtype": "otherlog", "data": {}}),  # dropped
+            ]
+        )
+        + "\n"
+    )
+
+    product_info = spark.createDataFrame(
+        [("p1", "widget"), ("p2", "gadget")], ["product_id", "product_name"]
+    )
+    category = spark.createDataFrame(
+        [("c1", "c0", "books"), ("c2", "c0", "tools"), ("c0", None, "root")],
+        ["id", "p_id", "name"],
+    )
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="icebergdb")
+    stream = kafka_json_source(spark, LOG_ENVELOPE_SCHEMA, path=str(src))
+    dwd = cleanse_browselog(ods_browselog(stream))
+
+    def sink(batch, _):
+        # DWS table: date-reduced wide rows (ProductBrowseLogToDWS path)
+        catalog.table("DWS_BROWSE_INFO").append(
+            browse_wide(batch, product_info, category)
+        )
+        # DM: window over the wide-topic variant (full timestamp)
+        wide_topic = browse_wide(
+            batch, product_info, category, keep_full_time=True
+        ).withColumn("event_ts", F.to_timestamp("log_time"))
+        catalog.table("DM_PRODUCT_VISIT").append(dm_product_visit(wide_topic))
+
+    q = (
+        dwd.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dws = catalog.table("DWS_BROWSE_INFO").read().collect()
+    assert len(dws) == 3  # otherlog row dropped at ODS
+    assert {(r.user_id, r.product_name) for r in dws} == {
+        ("u1", "widget"), ("u2", "widget"), ("u1", "gadget")
+    }
+    assert all(r.first_category_name == "root" for r in dws)
+    assert all(" " not in r.log_time for r in dws)  # date-reduced
+
+    dm_rows = catalog.table("DM_PRODUCT_VISIT").read().collect()
+    visits = {(r.product, r.product_cnt) for r in dm_rows}
+    assert ("widget", 2) in visits  # two browses in one 10 s window
+    assert ("gadget", 1) in visits
