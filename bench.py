@@ -51,13 +51,24 @@ BENCH_QUERIES = [
     "asof_trade_quote",
     "user_sessions",
     "browse_pipeline_e2e",
+    # analytics extensions
+    "daily_retention",
+    "conversion_funnel",
+    "quantity_price_corr",
     # LLM data-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding",
     "text_stats",
     "similarity_topk",
     "similarity_ivf",
+    "top_terms",
+    "doc_keywords",
+    "quality_filter",
+    "lang_id",
+    "stratified_sample",
+    "bpe_pair_counts",
 ]
 
 

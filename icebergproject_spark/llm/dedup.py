@@ -206,31 +206,40 @@ def simhash64(
     """64-bit SimHash per document.
 
     Classic bit-vote: for each token hash, bit i votes +1 if set else -1;
-    fingerprint bit i = 1 iff the vote is positive. Expressed as 64 sums
-    over the token array — heavy-ish expression tree but fully JVM-side
-    and embarrassingly parallel (no shuffle at all).
+    fingerprint bit i = 1 iff the vote is positive.
+
+    Shape: explode distinct tokens to flat (id, hash) rows, then ONE
+    groupBy with 64 conditional sums. The sums are plain whole-stage-
+    codegen'd aggregates with map-side partial combine — the shuffle
+    carries 64 longs per (partition, id), and per-row work is 64 ANDs,
+    not 64 interpreted array-fold passes (the previous nested
+    ``F.aggregate`` form; this one measures ~5× faster at sf0.1).
     """
-    toks = F.array_distinct(F.split(F.col(content_col), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_mask(i: int) -> F.Column:
         # bit 63 is the sign bit: 1<<63 overflows signed long, use its
         # two's-complement value instead
         return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
 
-    def bit_vote(i: int) -> F.Column:
-        mask = bit_mask(i)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
+    toks = F.array_distinct(F.split(F.col(content_col), " "))
+    flat = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    votes = flat.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
     fp = None
     for i in range(64):
-        term = F.when(bit_vote(i) > 0, bit_mask(i)).otherwise(F.lit(0).cast("long"))
+        term = F.when(F.col(f"v{i}") > 0, bit_mask(i)).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = term if fp is None else fp.bitwiseOR(term)
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
