@@ -202,13 +202,22 @@ def bpe_pair_counts(
     """One counting step of BPE tokenizer training: global frequency of
     adjacent character pairs within words, top-k.
 
-    The corpus explodes to (word) then (char-pair) rows, but both
-    aggregations get map-side partial combine, so the shuffle carries one
-    row per (partition, pair) — pair cardinality is alphabet², tiny. The
-    top-k is TakeOrderedAndProject (no global sort). Iterating real BPE
-    = re-running this with the current merges applied to the splitter.
+    Counted the way real BPE trainers do: reduce the corpus to its
+    VOCABULARY first (groupBy word → frequency; word distributions are
+    Zipfian, so the vocab is orders of magnitude smaller than the token
+    stream), then expand char pairs only for distinct words, weighting
+    each pair by the word's frequency. The big shuffle carries one row
+    per (partition, word) with map-side combine; the char-pair explode
+    touches vocab-sized data. Top-k is TakeOrderedAndProject (no global
+    sort). Iterating real BPE = re-running this with the current merges
+    applied to the splitter.
     """
-    toks = F.explode(_tokens(content_col)).alias("w")
+    vocab = (
+        df.select(F.explode(_tokens(content_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
     # split into chars without the trailing empty string the '' pattern emits
     chars = F.split(F.col("w"), "(?!$)")
     pairs = F.transform(
@@ -219,11 +228,9 @@ def bpe_pair_counts(
         ),
     )
     return (
-        df.select(toks)
-        .filter(F.length("w") >= 2)
-        .select(F.explode(pairs).alias("pair"))
+        vocab.select("wcnt", F.explode(pairs).alias("pair"))
         .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("wcnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_k)
     )
