@@ -102,3 +102,37 @@ def test_str_to_map_roundtrip(spark, batch):
     got = {r.i: r.m for r in df.select("i", str_to_map_expr("s").alias("m")).collect()}
     for i, d in enumerate(batch):
         assert got[i] == d, f"input={encoded[i][1]!r}"
+
+
+@given(
+    batch=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_zvalue_bit_interleave_roundtrip(spark, batch):
+    """zvalue must equal the pure-Python Morton interleave, and the
+    inputs must be recoverable from its bits (no collisions possible)."""
+    from icebergproject_spark.operators.zorder import zvalue
+
+    def model(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(batch, ["a", "b"]).select(
+        "a", "b", zvalue("a", "b", bits=16).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == model(r.a, r.b)
+        # deinterleave recovers both inputs exactly
+        a = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
