@@ -679,6 +679,85 @@ FROM s3
 """
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order. A fact⋈fact self-join on the order key — the shape
+    bucketing exists for (operators/bucketing.py): bucket lineitem by
+    l_orderkey once and this self-join runs with zero shuffle. Dedup to
+    distinct (order, part) first so multi-line items don't inflate pair
+    counts; id_a < id_b halves the pair space."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ORACLE_BASKET_PAIRS = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def q_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's share of its nation's revenue: aggregate once,
+    then a window SUM over the (small) aggregate — the ratio-to-group
+    pattern computed without re-scanning facts. Share is a double ratio
+    of two exact DECIMAL sums, rounded — deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast(DEC4) * (1 - F.col("l_discount").cast(DEC)))
+    per_supp = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(rev).cast(DEC4).alias("supp_rev"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    return per_supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "supp_rev",
+        F.round(
+            F.col("supp_rev").cast("double")
+            / F.sum("supp_rev").over(w).cast("double"),
+            6,
+        ).alias("nation_share"),
+    )
+
+
+ORACLE_SUPPLIER_SHARE = """
+WITH per_supp AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4))
+           AS supp_rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_nationkey, s_suppkey, supp_rev,
+       ROUND(CAST(supp_rev AS DOUBLE)
+             / CAST(SUM(supp_rev) OVER (PARTITION BY s_nationkey) AS DOUBLE), 6)
+         AS nation_share
+FROM per_supp
+"""
+
+
 # --- dedup cluster resolution + decontamination + sampling -----------------
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,6 +992,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     "quantity_price_corr": Query(q_quantity_price_corr, ORACLE_CORR),
     "daily_retention": Query(q_daily_retention, ORACLE_RETENTION),
     "conversion_funnel": Query(q_conversion_funnel, ORACLE_FUNNEL),
+    "basket_pairs": Query(q_basket_pairs, ORACLE_BASKET_PAIRS),
+    "supplier_revenue_share": Query(q_supplier_revenue_share, ORACLE_SUPPLIER_SHARE),
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
