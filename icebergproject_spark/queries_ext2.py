@@ -972,6 +972,71 @@ FROM documents,
 """
 
 
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weight computation: per-source token mass and the
+    up/down-sampling multiplier needed to hit a UNIFORM target mixture
+    (weight = target_share / actual_share). One aggregate over the corpus
+    plus a scalar broadcast — the numbers that feed stratified_sample's
+    rate table; exact integer token counts, one rounded division."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    weight = (F.col("total_tokens").cast("double") / F.col("n_sources")) / F.col(
+        "n_tokens"
+    ).cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("uniform_mix_weight"),
+    )
+
+
+ORACLE_MIXING_WEIGHTS = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src)
+SELECT source, n_docs, n_tokens,
+       ROUND((CAST(total_tokens AS DOUBLE) / n_sources)
+             / CAST(n_tokens AS DOUBLE), 6) AS uniform_mix_weight
+FROM per_src, tot
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying the dedup: keep one representative (min doc_id) per
+    near-dup cluster — the actual corpus-shrinking step downstream of
+    dedup_clusters. Survivor = the node that IS its cluster id."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", "cluster_size"
+    )
+
+
+ORACLE_DEDUP_SURVIVORS = (
+    ORACLE_DEDUP_CLUSTERS.replace(
+        """SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab""",
+        """SELECT doc_id, cluster_size FROM (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lab
+) WHERE doc_id = cluster_id""",
+    )
+)
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -999,6 +1064,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "mixing_weights": Query(q_mixing_weights, ORACLE_MIXING_WEIGHTS),
+    "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),
     "doc_keywords": Query(q_doc_keywords, ORACLE_DOC_KEYWORDS),
