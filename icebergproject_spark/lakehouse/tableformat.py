@@ -164,6 +164,32 @@ class LakehouseTable:
         new_dir = self._write_data(merged)
         return self._commit("merge", [new_dir])
 
+    def merge_additive(self, partials: DataFrame, key_cols: list[str]) -> dict:
+        """Incremental aggregate maintenance: MERGE partial aggregates by
+        ADDING them into the stored totals (WHEN MATCHED THEN UPDATE SET
+        v = t.v + s.v). The streaming serving-table pattern: each
+        micro-batch contributes its partial sums and the table always
+        holds running totals — no re-scan of history, state lives in the
+        table, not the stream.
+
+        All non-key numeric columns are summed; ``partials`` should
+        already be one row per key (a groupBy output).
+        """
+        try:
+            target = self.read()
+        except FileNotFoundError:
+            target = None
+        if target is None:
+            return self.overwrite(partials)
+        val_cols = [c for c in partials.columns if c not in key_cols]
+        merged = (
+            target.unionByName(partials)
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in val_cols])
+        )
+        new_dir = self._write_data(merged)
+        return self._commit("merge_additive", [new_dir])
+
     def read(
         self,
         snapshot_id: int | None = None,

@@ -367,3 +367,50 @@ def test_streaming_update_mode_aggregate(spark, tmp_path):
     assert batches[0] == {"u1": 10, "u2": 5}
     # update mode: only u1 re-emitted, with the superseding total
     assert batches[1] == {"u1": 17}
+
+
+def test_streaming_incremental_aggregate_maintenance(spark, tmp_path):
+    """Serving-table pattern: each micro-batch MERGEs its partial sums
+    additively into a lakehouse DM table, which always holds running
+    totals — the streaming form of the reference's points aggregate
+    without ever re-scanning history."""
+    import os
+    import time as time_mod
+
+    src = str(tmp_path / "pts_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["user_id", "points"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", [("u1", 10), ("u2", 5)], time_mod.time() - 60)
+    write_file("f2", [("u1", 7), ("u3", 2)], time_mod.time())
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="dm")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+
+    def sink(batch, _):
+        partial = batch.groupBy("user_id").agg(F.sum("points").alias("total_points"))
+        catalog.table("DM_USER_POINTS").merge_additive(partial, ["user_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    totals = {r.user_id: r.total_points
+              for r in catalog.table("DM_USER_POINTS").read().collect()}
+    assert totals == {"u1": 17, "u2": 5, "u3": 2}
