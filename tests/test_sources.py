@@ -89,3 +89,28 @@ def test_decode_with_dlq_splits_bad_frames(spark):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1
     assert bad_rows[0].raw_value == "this is not json"
+
+
+def test_csv_jsonl_adapters_roundtrip(spark, sf_dir, tmp_path):
+    """Format adapters: the same relation read back from CSV and JSON
+    lines with explicit schemas must match the parquet original exactly —
+    no inference (schema drift at 100 TB is an outage, not a convenience)."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(500)
+    )
+    csv_path, json_path = str(tmp_path / "o_csv"), str(tmp_path / "o_json")
+    orders.write.mode("overwrite").option("header", True).csv(csv_path)
+    orders.write.mode("overwrite").json(json_path)
+
+    from_csv = (
+        spark.read.schema(orders.schema).option("header", True).csv(csv_path)
+    )
+    from_json = spark.read.schema(orders.schema).json(json_path)
+
+    assert from_csv.schema == orders.schema
+    assert from_json.schema == orders.schema
+    want = {tuple(r) for r in orders.collect()}
+    assert {tuple(r) for r in from_csv.collect()} == want
+    assert {tuple(r) for r in from_json.collect()} == want
