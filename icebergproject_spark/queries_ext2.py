@@ -1037,6 +1037,45 @@ FROM lab""",
 )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, top-5 per
+    source (Efraimidis–Spirakis A-ES: key = u^(1/w), keep the k largest
+    keys; w = n_chars, so longer documents are proportionally likelier).
+    The uniform u derives from a multiplicative hash of doc_id — no RNG,
+    same sample on every run/partitioning/engine; one window shuffle on
+    the stratum, no global pass."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    key = F.pow(u, 1.0 / F.col("n_chars").cast("double"))
+    w = Window.partitionBy("source").orderBy(
+        key.desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id", "n_chars")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT source, rk, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY POWER((CAST((doc_id % 2147483648) * 2654435761 AS BIGINT)
+                           % 4294967296 + 0.5) / 4294967296.0,
+                          1.0 / n_chars) DESC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -1065,6 +1104,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "mixing_weights": Query(q_mixing_weights, ORACLE_MIXING_WEIGHTS),
+    "weighted_sample": Query(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),
