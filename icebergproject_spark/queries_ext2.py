@@ -818,6 +818,22 @@ FROM lab
 """
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition end-to-end: MinHash-LSH candidate
+    pairs (approximate, xxhash-based — rows-only check) resolved into
+    clusters by connected components, singletons included. This is
+    exactly `dedup_clusters` with the exact-Jaccard edge generator
+    swapped for the scalable one; the cluster algebra is shared."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    comp = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: share of a doc's word bigrams taken
     by its most frequent bigram."""
@@ -1100,6 +1116,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "supplier_revenue_share": Query(q_supplier_revenue_share, ORACLE_SUPPLIER_SHARE),
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),

@@ -284,3 +284,16 @@ def test_redact_pii_masks_and_counts(spark):
     assert got[2].n_ips == 1
     assert got[3].redacted == "nothing sensitive here"
     assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 0)
+
+
+def test_connected_components_empty_edges(spark):
+    """No candidate pairs at all: every node is its own singleton."""
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(
+            edges, nodes=nodes, node_col="doc_id"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2}
