@@ -679,6 +679,38 @@ FROM s3
 """
 
 
+def q_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery shape (balance > nation average),
+    decorrelated by hand into one aggregate + join — and the comparison
+    is the exact cross-multiplication ``bal * n > sum`` instead of
+    ``bal > sum/n``, so no float-division boundary can disagree between
+    engines (same trick as the quality-gate thresholds)."""
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_bal"),
+    )
+    j = cust.join(F.broadcast(per_nation), cust["c_nationkey"] == F.col("nk"))
+    above = (F.col("c_acctbal").cast(DEC) * F.col("n_cust")) > F.col("sum_bal")
+    return j.filter(above).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast(DEC).alias("balance"),
+    )
+
+
+ORACLE_ABOVE_AVG = """
+WITH per_nation AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+  FROM customer GROUP BY 1
+)
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+FROM customer JOIN per_nation ON c_nationkey = nk
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_cust > sum_bal
+"""
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top-20 part pairs appearing in the
     same order. A fact⋈fact self-join on the order key — the shape
@@ -1113,6 +1145,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "daily_retention": Query(q_daily_retention, ORACLE_RETENTION),
     "conversion_funnel": Query(q_conversion_funnel, ORACLE_FUNNEL),
     "basket_pairs": Query(q_basket_pairs, ORACLE_BASKET_PAIRS),
+    "above_nation_avg_balance": Query(q_above_nation_avg_balance, ORACLE_ABOVE_AVG),
     "supplier_revenue_share": Query(q_supplier_revenue_share, ORACLE_SUPPLIER_SHARE),
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
