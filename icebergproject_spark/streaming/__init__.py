@@ -5,6 +5,7 @@ from icebergproject_spark.streaming.runner import (
     dynamic_topic_routing,
     file_stream_source,
     foreach_batch_multi_sink,
+    near_dup_filter_batch,
     run_available_now,
     stream_stream_join,
     windowed_count_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "dynamic_topic_routing",
     "file_stream_source",
     "foreach_batch_multi_sink",
+    "near_dup_filter_batch",
     "run_available_now",
     "stream_stream_join",
     "windowed_count_stream",

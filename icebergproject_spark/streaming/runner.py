@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 from pyspark.sql.streaming import DataStreamWriter
 from pyspark.sql.types import StructType
 
@@ -125,6 +126,75 @@ def dedup_stream(
     dedup stage (its Kafka producers are at-least-once, K2/T2); this closes
     that gap for exactly-once-style sinks."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def near_dup_filter_batch(
+    batch: DataFrame,
+    sig_table,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """One micro-batch of streaming near-dup ingestion (call from
+    ``foreachBatch``): MinHash-band the batch, drop documents whose band
+    signature collides with the persistent signature table OR with an
+    earlier in-batch document, then append the surviving signatures.
+
+    State is the lakehouse ``sig_table`` (band, band_sig, doc_id) — it
+    outlives the stream, is shared across restarts without checkpoint
+    surgery, and its growth is one row per (band, new doc), not per pair.
+    The collision join is an equi-join on 16-byte band keys; at scale the
+    signature table is bucketed by band_sig so the probe is co-located.
+    Returns the batch rows that survived (new, non-duplicate documents).
+    """
+    from icebergproject_spark.llm.dedup import _minhash_flat
+
+    rows = num_hashes // bands
+    sigs = _minhash_flat(batch, content_col, id_col, n=3, num_hashes=num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+    try:
+        seen = sig_table.read().select("band", "band_sig")
+        hist_dup = (
+            banded.join(seen, ["band", "band_sig"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+    except FileNotFoundError:
+        hist_dup = banded.select("id").filter(F.lit(False))
+    # in-batch: keep the smallest id per colliding signature group
+    w = Window.partitionBy("band", "band_sig")
+    batch_dup = (
+        banded.withColumn("keep", F.min("id").over(w))
+        .filter(F.col("id") != F.col("keep"))
+        .select("id")
+        .distinct()
+    )
+    dups = hist_dup.union(batch_dup).distinct()
+    survivors = batch.join(
+        dups.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    surv_sigs = banded.join(
+        dups, banded["id"] == dups["id"], "left_anti"
+    ).select(F.col("id").alias("doc_id"), "band", "band_sig")
+    if surv_sigs.take(1):
+        sig_table.append(surv_sigs)
+    return survivors
 
 
 def stream_stream_join(

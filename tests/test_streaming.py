@@ -414,3 +414,62 @@ def test_streaming_incremental_aggregate_maintenance(spark, tmp_path):
     totals = {r.user_id: r.total_points
               for r in catalog.table("DM_USER_POINTS").read().collect()}
     assert totals == {"u1": 17, "u2": 5, "u3": 2}
+
+
+def test_streaming_near_dup_ingestion(spark, tmp_path):
+    """Streaming near-dup filter with lakehouse-backed signature state:
+    batch 1 admits two distinct docs; batch 2's near-copy of doc 1 is
+    rejected against the PERSISTED signatures while its novel doc is
+    admitted; an in-batch duplicate pair keeps one survivor."""
+    import os
+    import time as time_mod
+
+    from icebergproject_spark.streaming import near_dup_filter_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten"
+    other = "red orange yellow green blue indigo violet umber ochre teal"
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", [(1, base), (2, other)], time_mod.time() - 60)
+    # 3 ≈ doc 1 (one word changed); 4 novel; 5 exact copy of 4 (in-batch dup)
+    write_file(
+        "f2",
+        [(3, base.replace("kappa", "lambda")), (4, novel), (5, novel)],
+        time_mod.time(),
+    )
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="dd")
+    sig_table = catalog.table("DOC_SIGNATURES")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    admitted = []
+
+    def sink(batch, _):
+        admitted.extend(
+            r.doc_id for r in near_dup_filter_batch(batch, sig_table).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(admitted) == [1, 2, 4]  # 3 near-dups 1; 5 in-batch dups 4
