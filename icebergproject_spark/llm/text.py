@@ -305,6 +305,25 @@ def redact_pii(
     )
 
 
+def normalize_text(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization before dedup/tokenization: lowercase,
+    strip control characters, collapse whitespace runs, trim. Pure
+    column expressions, zero shuffle. (Unicode NFC/NFKC needs a Pandas
+    UDF — out of scope here since the corpus is ASCII; the hook is this
+    function.) Output: (id, norm_text, n_chars_norm)."""
+    col = F.col(content_col)
+    norm = F.lower(col)
+    norm = F.regexp_replace(norm, r"[\x00-\x1F\x7F]", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s{2,}", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
 def fingerprint(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 of the text + first-shingle rolling hash
     (cheap blocking key for near-dup passes)."""

@@ -866,6 +866,25 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass (lowercase, control-strip, whitespace
+    collapse) — the step upstream of every dedup/tokenize stage."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.normalize_text(docs)
+
+
+ORACLE_NORMALIZE = r"""
+SELECT doc_id,
+       TRIM(regexp_replace(regexp_replace(LOWER(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+                           '\s{2,}', ' ', 'g')) AS norm_text,
+       LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+                                  '\s{2,}', ' ', 'g'))) AS n_chars_norm
+FROM documents
+"""
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: share of a doc's word bigrams taken
     by its most frequent bigram."""
@@ -1151,6 +1170,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
+    "normalize_text": Query(q_normalize_text, ORACLE_NORMALIZE),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "mixing_weights": Query(q_mixing_weights, ORACLE_MIXING_WEIGHTS),

@@ -297,3 +297,13 @@ def test_connected_components_empty_edges(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_normalize_text_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [(1, "  HeLLo\tWoRld\x01  from\n\nSPARK  ")],
+        ["doc_id", "text"],
+    )
+    r = text.normalize_text(docs).collect()[0]
+    assert r.norm_text == "hello world from spark"
+    assert r.n_chars_norm == len("hello world from spark")
