@@ -136,3 +136,62 @@ def test_zvalue_bit_interleave_roundtrip(spark, batch):
         a = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+words_st = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(words_st, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_ngram_jaccard_pairs_match_bruteforce(spark, docs):
+    """Inverted-index Jaccard pairs must equal the brute-force all-pairs
+    computation for ANY corpus (threshold 0.3, 2-gram shingles)."""
+    from icebergproject_spark.llm.dedup import ngram_jaccard_pairs
+
+    def shingles(ws, n=2):
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    expected = set()
+    sh = [shingles(d) for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if 10 * inter >= 3 * union:
+                expected.add((i, j))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold_num=3, threshold_den=10
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(docs=st.lists(words_st, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_exact_dedup_keeps_one_rep_per_content(spark, docs):
+    from icebergproject_spark.llm.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    rows = exact_dedup(df).collect()
+    texts = [" ".join(d) for d in docs]
+    # one output row per distinct content; representative = min id;
+    # dup_cnt = multiplicity
+    assert {r.text for r in rows} == set(texts)
+    for r in rows:
+        ids = [i for i, t in enumerate(texts) if t == r.text]
+        assert r.doc_id == min(ids)
+        assert r.dup_cnt == len(ids)
