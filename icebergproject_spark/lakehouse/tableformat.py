@@ -164,6 +164,22 @@ class LakehouseTable:
         new_dir = self._write_data(merged)
         return self._commit("merge", [new_dir])
 
+    def diff(self, from_snapshot_id: int, to_snapshot_id: int) -> DataFrame:
+        """Snapshot-to-snapshot changelog (M3 extended — what Iceberg
+        exposes as the ``changes`` metadata table / Delta as CDF): rows
+        present only in the newer snapshot are inserts, rows present only
+        in the older are deletes. Set-difference both ways on full rows —
+        one shuffle each, no per-snapshot file bookkeeping needed because
+        snapshots are immutable.
+
+        Returns the union with a ``_change_type`` column
+        ('insert' | 'delete')."""
+        old = self.read(snapshot_id=from_snapshot_id)
+        new = self.read(snapshot_id=to_snapshot_id)
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def merge_additive(self, partials: DataFrame, key_cols: list[str]) -> dict:
         """Incremental aggregate maintenance: MERGE partial aggregates by
         ADDING them into the stored totals (WHEN MATCHED THEN UPDATE SET

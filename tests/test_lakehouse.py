@@ -131,3 +131,23 @@ def test_partitioned_merge_and_compact(spark, catalog):
     assert dict((r.id, r.v) for r in t.read().collect()) == {
         "1": "a", "2": "B2", "3": "c"
     }
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    """diff(s1, s2) recovers the changelog between two immutable
+    snapshots: appended rows show as inserts, merge-replaced rows show
+    as delete+insert pairs."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("T")
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]))
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([("c", 3)], ["k", "v"]))
+    t.merge(spark.createDataFrame([("a", 99)], ["k", "v"]), ["k"])
+    s2 = t.current_snapshot()["snapshot_id"]
+
+    changes = {(r.k, r.v, r._change_type) for r in t.diff(s1, s2).collect()}
+    assert changes == {
+        ("c", 3, "insert"),
+        ("a", 99, "insert"),
+        ("a", 1, "delete"),
+    }
