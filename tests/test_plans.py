@@ -66,3 +66,30 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 def test_topk_uses_partial_limits_not_global_sort(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "top_parts_by_revenue")
     assert "WindowGroupLimit" in plan  # per-partition top-k before shuffle
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must prune fact
+    partitions at RUNTIME from the dim filter (dynamicpruning in the
+    scan) — the mechanism that makes star-schema date filters cheap at
+    100 TB without the fact query mentioning dates at all."""
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    fact_path = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(fact_path)
+
+    dim = spark.range(1995, 2002).select(
+        F.col("id").alias("d_year"),
+        F.when(F.col("id") == 1996, "target").otherwise("other").alias("tag"),
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, fact["o_year"] == dim["d_year"]).filter(
+        F.col("tag") == "target"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    want = orders.filter(F.col("o_year") == 1996).count()
+    assert joined.count() == want
