@@ -93,3 +93,37 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     want = orders.filter(F.col("o_year") == 1996).count()
     assert joined.count() == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join handling: a heavily skewed sort-merge join must show
+    skew=true in the final adaptive plan — the runtime answer to hot keys
+    that no static plan can size for."""
+    import pyspark.sql.functions as F
+
+    left = (
+        spark.range(0, 200_000)
+        .select(F.when(F.col("id") % 100 < 99, 0).otherwise(F.col("id")).alias("k"),
+                F.col("id").alias("payload"))
+    )
+    right = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # AQE finalizes per-execution: run THIS Dataset's own plan, then
+        # read it back (a write/count would spawn a fresh QueryExecution)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
