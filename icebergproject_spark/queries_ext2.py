@@ -612,6 +612,46 @@ GROUP BY 1
 """
 
 
+def q_user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` (one
+    aggregate, runs identically under Structured Streaming with a
+    watermark) — same result as the gaps-and-islands `user_sessions`
+    construction, one less window pass. NB boundary semantics: the
+    session ends strictly before last_event + gap, so an event exactly
+    `gap` later starts a NEW session (the oracle breaks on ``>= gap``)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSIONS_NATIVE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel per user: earliest view → first click
     after it → first purchase after that. One shuffle (groupBy user) with
@@ -1163,6 +1203,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "quantity_price_corr": Query(q_quantity_price_corr, ORACLE_CORR),
     "daily_retention": Query(q_daily_retention, ORACLE_RETENTION),
     "conversion_funnel": Query(q_conversion_funnel, ORACLE_FUNNEL),
+    "user_sessions_native": Query(q_user_sessions_native, ORACLE_SESSIONS_NATIVE),
     "basket_pairs": Query(q_basket_pairs, ORACLE_BASKET_PAIRS),
     "above_nation_avg_balance": Query(q_above_nation_avg_balance, ORACLE_ABOVE_AVG),
     "supplier_revenue_share": Query(q_supplier_revenue_share, ORACLE_SUPPLIER_SHARE),
