@@ -1183,6 +1183,41 @@ WHERE rk <= 5
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4× storage-compression pass for vector columns at scale."""
+    from icebergproject_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias(
+            "qvec_csv"
+        ),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END AS raw_scale
+  FROM s
+)
+SELECT vec_id, ROUND(raw_scale, 9) AS scale,
+       array_to_string(list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) / raw_scale) AS INTEGER)), ',')
+         AS qvec_csv
+FROM sc
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -1216,6 +1251,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "stratified_sample": Query(q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "mixing_weights": Query(q_mixing_weights, ORACLE_MIXING_WEIGHTS),
     "weighted_sample": Query(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "embedding_quantize": Query(q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),

@@ -307,3 +307,36 @@ def test_normalize_text_edge_cases(spark):
     r = text.normalize_text(docs).collect()[0]
     assert r.norm_text == "hello world from spark"
     assert r.n_chars_norm == len("hello world from spark")
+
+
+def test_int8_quantization_preserves_topk(spark, embeddings):
+    """Dequantized int8 vectors must give near-identical cosine top-k:
+    ≥80% neighbor overlap with the float baseline (the acceptance bar
+    for a 4x storage cut)."""
+    from icebergproject_spark.llm.similarity import cosine_topk, quantize_int8
+
+    q = quantize_int8(embeddings)
+    deq = q.select(
+        F.col("vec_id"),
+        F.transform("qvec", lambda x: (x.cast("double") * F.col("scale")).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = {
+        r.query_id: set()
+        for r in queries.collect()
+    }
+    for r in cosine_topk(embeddings, queries, k=10).collect():
+        base[r.query_id].add(r.neighbor_id)
+    got = {qid: set() for qid in base}
+    dq_queries = deq.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for r in cosine_topk(deq, dq_queries, k=10).collect():
+        got[r.query_id].add(r.neighbor_id)
+    for qid in base:
+        overlap = len(base[qid] & got[qid]) / len(base[qid])
+        assert overlap >= 0.8, (qid, overlap)
