@@ -1218,6 +1218,18 @@ FROM sc
 """
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA to 8 components: Gram matrix via mapInPandas
+    partial sums (driver collects O(partitions)×33 KB, never data), d×d
+    eigh on the driver, Arrow-batched projection. Rows-only check —
+    eigendecomposition has no SQL oracle; invariants are pytest-verified
+    (orthonormality, variance ordering, match vs local numpy PCA)."""
+    from icebergproject_spark.llm.linalg import pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca(emb, dim=64, k=8)
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -1252,6 +1264,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "mixing_weights": Query(q_mixing_weights, ORACLE_MIXING_WEIGHTS),
     "weighted_sample": Query(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "embedding_quantize": Query(q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
+    "embedding_pca": Query(q_embedding_pca, None),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),

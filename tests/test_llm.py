@@ -340,3 +340,33 @@ def test_int8_quantization_preserves_topk(spark, embeddings):
     for qid in base:
         overlap = len(base[qid] & got[qid]) / len(base[qid])
         assert overlap >= 0.8, (qid, overlap)
+
+
+def test_pca_properties(spark, embeddings):
+    """Distributed Gram-matrix PCA: components orthonormal, explained
+    variance descending, projection matches a local numpy PCA on the
+    collected data (up to fp tolerance)."""
+    import numpy as np
+
+    from icebergproject_spark.llm.linalg import pca_components, pca_project
+
+    comps, var, mean = pca_components(embeddings, dim=64, k=5)
+    assert comps.shape == (5, 64)
+    assert np.allclose(comps @ comps.T, np.eye(5), atol=1e-8)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(4))
+
+    local = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in embeddings.collect()]
+    )
+    lmean = local.mean(axis=0)
+    cov = (local - lmean).T @ (local - lmean) / len(local)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vals[np.argsort(vals)[::-1][:5]]
+    assert np.allclose(np.sort(var), np.sort(top), rtol=1e-6)
+
+    proj = {r.id: np.asarray(r.pc) for r in
+            pca_project(embeddings, comps, mean).collect()}
+    want = (local - lmean) @ comps.T
+    ids = [r.vec_id for r in embeddings.select("vec_id").collect()]
+    for i, vid in enumerate(ids[:10]):
+        assert np.allclose(proj[vid], want[i], atol=1e-6)
