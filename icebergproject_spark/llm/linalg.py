@@ -106,6 +106,86 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(project, out_schema)
 
 
+def kmeans(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray, float]:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Per iteration ONE distributed pass: ``mapInPandas`` assigns each Arrow
+    batch to nearest centroids (vectorized argmin over a broadcast k×d
+    closure array) and emits per-centroid partial (sum, count, sse) rows —
+    O(partitions·k) tiny rows to the driver, which updates centroids.
+    Like the PCA above there is NO shuffle; the iteration state (k×d
+    floats) rides in the UDF closure. Deterministic: init = first k
+    vectors by id order, ties broken by lowest centroid index.
+
+    Returns (assignments DataFrame (id, cluster), centroids k×d, sse).
+    """
+    init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    out_schema = StructType([StructField("partial", ArrayType(DoubleType()))])
+
+    prev_sse = None
+    sse = float("inf")
+    for _ in range(max_iter):
+        c = centroids.copy()
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k)
+            err = 0.0
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                err += d2[np.arange(len(x)), a].sum()
+                for j in range(k):
+                    m = a == j
+                    if m.any():
+                        sums[j] += x[m].sum(axis=0)
+                        counts[j] += m.sum()
+            yield pd.DataFrame(
+                {"partial": [np.concatenate([sums.ravel(), counts, [err]]).tolist()]}
+            )
+
+        rows = df.select(vec_col).mapInPandas(partials, out_schema).collect()
+        tot = np.zeros(k * dim + k + 1)
+        for r in rows:
+            tot += np.asarray(r.partial)
+        sums = tot[: k * dim].reshape(k, dim)
+        counts = tot[k * dim : k * dim + k]
+        sse = float(tot[-1])
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        if prev_sse is not None and abs(prev_sse - sse) <= tol * prev_sse:
+            break
+        prev_sse = sse
+
+    cfinal = centroids.copy()
+    assign_schema = StructType(
+        [StructField("id", LongType()), StructField("cluster", LongType())]
+    )
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((x[:, None, :] - cfinal[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"id": pdf[id_col], "cluster": d2.argmin(axis=1)})
+
+    assignments = df.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    return assignments, centroids, sse
+
+
 def pca(
     df: DataFrame, dim: int, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

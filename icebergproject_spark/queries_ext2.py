@@ -1230,6 +1230,19 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca(emb, dim=64, k=8)
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8): per iteration one shuffle-free
+    mapInPandas pass emitting per-centroid partial sums; centroids update
+    on the driver and ride back in the UDF closure. Deterministic init
+    (first k vectors by id). Rows-only — iterative, no SQL oracle;
+    invariants pytest-verified."""
+    from icebergproject_spark.llm.linalg import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _, _ = kmeans(emb, dim=64, k=8, max_iter=5)
+    return assignments
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -1265,6 +1278,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "weighted_sample": Query(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "embedding_quantize": Query(q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "embedding_pca": Query(q_embedding_pca, None),
+    "embedding_kmeans": Query(q_embedding_kmeans, None),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),

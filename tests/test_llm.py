@@ -370,3 +370,27 @@ def test_pca_properties(spark, embeddings):
     ids = [r.vec_id for r in embeddings.select("vec_id").collect()]
     for i, vid in enumerate(ids[:10]):
         assert np.allclose(proj[vid], want[i], atol=1e-6)
+
+
+def test_kmeans_converges_and_partitions(spark, embeddings):
+    """Distributed Lloyd's: every vector assigned, k clusters used,
+    SSE no worse than the trivial one-cluster solution, assignments
+    deterministic across runs."""
+    import numpy as np
+
+    from icebergproject_spark.llm.linalg import kmeans
+
+    assigns, centroids, sse = kmeans(embeddings, dim=64, k=4, max_iter=5)
+    rows = assigns.collect()
+    n = embeddings.count()
+    assert len(rows) == n
+    assert {r.cluster for r in rows} <= set(range(4))
+
+    local = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in embeddings.collect()]
+    )
+    one_cluster_sse = float(((local - local.mean(axis=0)) ** 2).sum())
+    assert sse < one_cluster_sse
+
+    rows2 = kmeans(embeddings, dim=64, k=4, max_iter=5)[0].collect()
+    assert {r.id: r.cluster for r in rows} == {r.id: r.cluster for r in rows2}
