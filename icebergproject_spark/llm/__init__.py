@@ -7,4 +7,10 @@ shuffle-conscious, designed for the 100 TB case and tested on the harness
 ``documents`` / ``embeddings`` tables.
 """
 
-from icebergproject_spark.llm import dedup, similarity, text, multimodal  # noqa: F401
+from icebergproject_spark.llm import (  # noqa: F401
+    dedup,
+    linalg,
+    multimodal,
+    similarity,
+    text,
+)
