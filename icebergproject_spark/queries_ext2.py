@@ -1243,6 +1243,98 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of orders: count, nulls,
+    exact NDV, min/max per column — all columns in a single aggregate
+    (one scan, one reduce), not a job per column."""
+    from icebergproject_spark.quality import column_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return column_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+ORACLE_ORDERS_PROFILE = """
+SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
+  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         MIN(CAST(o_orderkey AS VARCHAR)) AS min_str,
+         MAX(CAST(o_orderkey AS VARCHAR)) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*),
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_custkey),
+         MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*),
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(CAST(o_orderstatus AS VARCHAR)), MAX(CAST(o_orderstatus AS VARCHAR))
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderpriority),
+         MIN(CAST(o_orderpriority AS VARCHAR)), MAX(CAST(o_orderpriority AS VARCHAR))
+  FROM orders
+)
+"""
+
+
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the star schema: not-null and
+    unique on keys, referential integrity orders→customer and
+    lineitem→orders (anti-join shape), quantity range. One row per rule
+    with its violation count — the dashboardable output."""
+    from icebergproject_spark.quality import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        {"rule": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+        {"rule": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        {"rule": "orders_custkey_fk", "kind": "foreign_key", "col": "o_custkey",
+         "ref": cust, "ref_col": "c_custkey"},
+        {"rule": "lineitem_orderkey_fk", "kind": "foreign_key",
+         "col": "l_orderkey", "ref": orders, "ref_col": "o_orderkey"},
+        {"rule": "quantity_in_1_50", "kind": "in_range", "col": "l_quantity",
+         "lo": 1, "hi": 50},
+    ]
+    li_rules = [r for r in rules if r["rule"].startswith(("lineitem", "quantity"))]
+    o_rules = [r for r in rules if r not in li_rules]
+    return check_constraints(orders, o_rules).unionByName(
+        check_constraints(li, li_rules)
+    )
+
+
+ORACLE_CONSTRAINT_CHECKS = """
+SELECT 'orderkey_not_null' AS rule,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations
+UNION ALL
+SELECT 'orderkey_unique',
+       (SELECT COALESCE(SUM(c - 1), 0) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'quantity_in_1_50',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
@@ -1279,6 +1371,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     "embedding_quantize": Query(q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "embedding_pca": Query(q_embedding_pca, None),
     "embedding_kmeans": Query(q_embedding_kmeans, None),
+    "orders_profile": Query(q_orders_profile, ORACLE_ORDERS_PROFILE),
+    "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),

@@ -191,3 +191,28 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # and the first key still prunes too
     p_touch, p_total = files_touched(zpath, "l_partkey", 0, 20)
     assert p_touch < p_total // 2
+
+
+def test_constraint_checks_catch_violations(spark):
+    """Each rule kind counts its violations on a crafted bad dataset."""
+    from icebergproject_spark.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 10), (None, "c", 99), (3, None, -5)],
+        ["id", "name", "qty"],
+    )
+    ref = spark.createDataFrame([("a",), ("b",)], ["k"])
+    rules = [
+        {"rule": "id_not_null", "kind": "not_null", "col": "id"},
+        {"rule": "id_unique", "kind": "unique", "cols": ["id"]},
+        {"rule": "qty_range", "kind": "in_range", "col": "qty", "lo": 0, "hi": 50},
+        {"rule": "name_fk", "kind": "foreign_key", "col": "name",
+         "ref": ref, "ref_col": "k"},
+    ]
+    got = {r.rule: r.n_violations for r in check_constraints(df, rules).collect()}
+    assert got == {
+        "id_not_null": 1,   # the None id
+        "id_unique": 1,     # id=1 appears twice -> 1 extra row
+        "qty_range": 2,     # 99 and -5
+        "name_fk": 1,       # 'c' not in ref (None fk is not a violation)
+    }
