@@ -258,6 +258,24 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         return self._commit("compact", [new_dir])
 
+    def maybe_compact(
+        self, max_data_dirs: int = 8, target_partitions: int | None = None
+    ) -> dict | None:
+        """Size-aware compaction policy: rewrite only when the current
+        snapshot references more than ``max_data_dirs`` data directories
+        (≙ Iceberg's min-input-files trigger on rewrite_data_files).
+
+        The operational upgrade over the reference's maintenance job,
+        which rewrites every table unconditionally on each run
+        (CombinDataAndRemoveOldSnap.scala:32-41) — at 100 TB an
+        unconditional rewrite IS the workload. Returns the commit dict,
+        or None when the table is already compact enough.
+        """
+        cur = self.current_snapshot()
+        if cur is None or len(cur["data_dirs"]) <= max_data_dirs:
+            return None
+        return self.compact(target_partitions)
+
     def expire_snapshots(self, older_than_ms: int | None = None) -> int:
         """M2: drop snapshots older than ts (keep current); GC unreferenced dirs."""
         snaps = self._snapshots()

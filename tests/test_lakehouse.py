@@ -151,3 +151,20 @@ def test_snapshot_diff_changelog(spark, tmp_path):
         ("a", 99, "insert"),
         ("a", 1, "delete"),
     }
+
+
+def test_maybe_compact_triggers_on_fragmentation(spark, tmp_path):
+    """Compaction fires only past the fragmentation threshold, and the
+    data survives the rewrite unchanged."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("FRAG")
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], ["v"]))
+    assert t.maybe_compact(max_data_dirs=8) is None  # 3 dirs: no-op
+    for i in range(3, 10):
+        t.append(spark.createDataFrame([(i,)], ["v"]))
+    assert len(t.current_snapshot()["data_dirs"]) == 10
+    result = t.maybe_compact(max_data_dirs=8)
+    assert result is not None
+    assert len(t.current_snapshot()["data_dirs"]) == 1
+    assert sorted(r.v for r in t.read().collect()) == list(range(10))
