@@ -242,13 +242,20 @@ class LakehouseTable:
             parts = [self.spark.read.parquet(d) for d in snap["data_dirs"]]
             df = parts[0]
             for p in parts[1:]:
-                df = df.unionByName(p)
+                # allowMissingColumns = additive schema evolution: rows
+                # written before a column existed read back as null
+                df = df.unionByName(p, allowMissingColumns=True)
             if partition_values is not None:
                 df = df.filter(F.col("__p").isin(list(partition_values)))
             return df.drop("__p")
         if partition_values is not None:
             raise ValueError("table is not partitioned")
-        return self.spark.read.parquet(*snap["data_dirs"])
+        # mergeSchema: the union of every file's schema (additive schema
+        # evolution); without it the first file's schema wins and columns
+        # added by later snapshots silently vanish
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *snap["data_dirs"]
+        )
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """M1: rewrite_data_files — many small dirs → one rewritten dir."""

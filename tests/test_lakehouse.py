@@ -168,3 +168,17 @@ def test_maybe_compact_triggers_on_fragmentation(spark, tmp_path):
     assert result is not None
     assert len(t.current_snapshot()["data_dirs"]) == 1
     assert sorted(r.v for r in t.read().collect()) == list(range(10))
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A column added by a later append surfaces on read, null for rows
+    written before it existed — instead of silently vanishing behind the
+    first file's schema."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("EVO")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]))
+    t.append(spark.createDataFrame([(2, "b", "x@y.z")], ["id", "name", "email"]))
+    rows = {r.id: r for r in t.read().collect()}
+    assert set(rows[1].asDict()) == {"id", "name", "email"}
+    assert rows[1].email is None
+    assert rows[2].email == "x@y.z"
