@@ -265,6 +265,28 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         return self._commit("compact", [new_dir])
 
+    def delete_where(self, condition) -> dict:
+        """Copy-on-write DELETE: rewrite the table without matching rows
+        (what Iceberg COW `DELETE FROM t WHERE ...` does). ``condition``
+        is a Column or SQL string. At scale the rewrite touches only
+        files whose min-max stats intersect the predicate — here the
+        snapshot is rewritten whole, the semantics are identical."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        remaining = self.read().filter(~cond)
+        new_dir = self._write_data(remaining)
+        return self._commit("delete", [new_dir])
+
+    def update_where(self, condition, assignments: dict) -> dict:
+        """Copy-on-write UPDATE ... SET: rewrite with ``assignments``
+        (col -> Column/SQL expr) applied to matching rows."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        df = self.read()
+        for col, expr in assignments.items():
+            e = F.expr(expr) if isinstance(expr, str) else expr
+            df = df.withColumn(col, F.when(cond, e).otherwise(F.col(col)))
+        new_dir = self._write_data(df)
+        return self._commit("update", [new_dir])
+
     def maybe_compact(
         self, max_data_dirs: int = 8, target_partitions: int | None = None
     ) -> dict | None:

@@ -182,3 +182,24 @@ def test_additive_schema_evolution(spark, tmp_path):
     assert set(rows[1].asDict()) == {"id", "name", "email"}
     assert rows[1].email is None
     assert rows[2].email == "x@y.z"
+
+
+def test_delete_and_update_where(spark, tmp_path):
+    """Copy-on-write DELETE/UPDATE: predicate rows removed/modified, the
+    rest untouched, and time travel still sees the pre-change snapshot."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("CRUD")
+    t.append(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "v"]))
+    s0 = t.current_snapshot()["snapshot_id"]
+
+    t.delete_where("k = 'b'")
+    assert {r.k for r in t.read().collect()} == {"a", "c"}
+
+    t.update_where("k = 'c'", {"v": "v * 10"})
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {"a": 1, "c": 30}
+    # history intact
+    assert {r.k: r.v for r in t.read(snapshot_id=s0).collect()} == {
+        "a": 1, "b": 2, "c": 3
+    }
