@@ -265,6 +265,37 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         return self._commit("compact", [new_dir])
 
+    def history(self) -> DataFrame:
+        """Iceberg-style ``history``/``snapshots`` metadata table: one row
+        per snapshot (id, timestamp, operation, #data dirs). Driver-side
+        manifest metadata only — never touches data files."""
+        rows = [
+            (
+                s["snapshot_id"],
+                s["timestamp_ms"],
+                s.get("operation", ""),
+                len(s["data_dirs"]),
+            )
+            for s in self._snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, ["snapshot_id", "timestamp_ms", "operation", "n_data_dirs"]
+        )
+
+    def files(self) -> DataFrame:
+        """Iceberg-style ``files`` metadata table for the CURRENT snapshot:
+        one row per data file with its size — what compaction policies and
+        scan planners read."""
+        import glob as _glob
+
+        cur = self.current_snapshot()
+        rows = []
+        if cur:
+            for d in cur["data_dirs"]:
+                for f in _glob.glob(os.path.join(d, "*.parquet")):
+                    rows.append((f, os.path.getsize(f)))
+        return self.spark.createDataFrame(rows, ["file_path", "size_bytes"])
+
     def delete_where(self, condition) -> dict:
         """Copy-on-write DELETE: rewrite the table without matching rows
         (what Iceberg COW `DELETE FROM t WHERE ...` does). ``condition``

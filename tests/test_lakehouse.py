@@ -203,3 +203,17 @@ def test_delete_and_update_where(spark, tmp_path):
     assert {r.k: r.v for r in t.read(snapshot_id=s0).collect()} == {
         "a": 1, "b": 2, "c": 3
     }
+
+
+def test_metadata_tables_history_and_files(spark, tmp_path):
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("META")
+    t.append(spark.createDataFrame([(1,)], ["v"]))
+    t.append(spark.createDataFrame([(2,)], ["v"]))
+    t.compact()
+    hist = t.history().collect()
+    assert [r.operation for r in hist] == ["append", "append", "compact"]
+    assert [r.n_data_dirs for r in hist] == [1, 2, 1]
+    files = t.files().collect()
+    assert len(files) >= 1
+    assert all(r.size_bytes > 0 and r.file_path.endswith(".parquet") for r in files)
