@@ -265,10 +265,11 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         return self._commit("compact", [new_dir])
 
-    def history(self) -> DataFrame:
+    def history_df(self) -> DataFrame:
         """Iceberg-style ``history``/``snapshots`` metadata table: one row
-        per snapshot (id, timestamp, operation, #data dirs). Driver-side
-        manifest metadata only — never touches data files."""
+        per snapshot (id, timestamp, operation, #data dirs) — the
+        DataFrame view of :meth:`history`. Driver-side manifest metadata
+        only — never touches data files."""
         rows = [
             (
                 s["snapshot_id"],

@@ -211,7 +211,7 @@ def test_metadata_tables_history_and_files(spark, tmp_path):
     t.append(spark.createDataFrame([(1,)], ["v"]))
     t.append(spark.createDataFrame([(2,)], ["v"]))
     t.compact()
-    hist = t.history().collect()
+    hist = t.history_df().collect()
     assert [r.operation for r in hist] == ["append", "append", "compact"]
     assert [r.n_data_dirs for r in hist] == [1, 2, 1]
     files = t.files().collect()
