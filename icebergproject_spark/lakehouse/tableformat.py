@@ -101,7 +101,9 @@ class LakehouseTable:
         """Snapshot log: [{snapshot_id, timestamp_ms, operation, data_dirs}]."""
         return self._snapshots()
 
-    def _commit(self, operation: str, data_dirs: list[str]) -> dict:
+    def _commit(
+        self, operation: str, data_dirs: list[str], batch_id: str | None = None
+    ) -> dict:
         cur = self.current_snapshot()
         snap = {
             "snapshot_id": (cur["snapshot_id"] + 1) if cur else 1,
@@ -110,6 +112,8 @@ class LakehouseTable:
             "operation": operation,
             "data_dirs": data_dirs,
         }
+        if batch_id is not None:
+            snap["batch_id"] = batch_id
         path = os.path.join(self.snap_dir, f"snap-{snap['snapshot_id']:09d}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -264,6 +268,23 @@ class LakehouseTable:
             df = df.repartition(target_partitions)
         new_dir = self._write_data(df)
         return self._commit("compact", [new_dir])
+
+    def idempotent_append(self, df: DataFrame, batch_id: str) -> dict | None:
+        """Exactly-once streaming append: skip if a snapshot already
+        recorded this ``batch_id`` (what the Iceberg Spark sink does by
+        stamping queryId/batchId into the snapshot summary). Use from
+        ``foreachBatch`` with ``f"{query_id}-{epoch_id}"`` — a micro-batch
+        retried after a successful append but before the checkpoint commit
+        re-enters here and becomes a no-op instead of a double write.
+
+        Returns the commit dict, or None when the batch was already
+        committed."""
+        if any(s.get("batch_id") == batch_id for s in self._snapshots()):
+            return None
+        new_dir = self._write_data(df)
+        cur = self.current_snapshot()
+        dirs = (cur["data_dirs"] if cur else []) + [new_dir]
+        return self._commit("append", dirs, batch_id=batch_id)
 
     def history_df(self) -> DataFrame:
         """Iceberg-style ``history``/``snapshots`` metadata table: one row

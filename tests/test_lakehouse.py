@@ -217,3 +217,14 @@ def test_metadata_tables_history_and_files(spark, tmp_path):
     files = t.files().collect()
     assert len(files) >= 1
     assert all(r.size_bytes > 0 and r.file_path.endswith(".parquet") for r in files)
+
+
+def test_idempotent_append_skips_replayed_batch(spark, tmp_path):
+    """A retried micro-batch (same batch id) must not double-append."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("IDEMP")
+    df = spark.createDataFrame([(1,), (2,)], ["v"])
+    assert t.idempotent_append(df, "q1-0") is not None
+    assert t.idempotent_append(df, "q1-0") is None  # replay: no-op
+    assert t.idempotent_append(df, "q1-1") is not None  # next batch appends
+    assert t.read().count() == 4
