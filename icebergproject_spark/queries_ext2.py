@@ -1243,6 +1243,74 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
+def q_purchase_with_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 temporal join: turn the per-user event changelog into
+    validity intervals [ts, next_ts) via LEAD (one shuffle on user), then
+    join purchases to the state version valid AT purchase time — the
+    warehouse-history pattern (the reference's dims are Type 1 overwrite,
+    DimDataToHBase.scala:95-110; this preserves history instead). The
+    interval join is an equi-join on user_id plus a range predicate —
+    with the dim bucketed by user at scale it is co-located.
+    Complementary strategy to `asof_trade_quote` (union + last-carry)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    state_hist = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("state_id"),
+            F.round("value", 6).alias("state_value"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("valid_from").asc(), F.col("state_id").asc()
+            )
+        ))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    j = purchases.join(
+        state_hist,
+        (purchases["user_id"] == state_hist["user_id"])
+        & (purchases["pts"] >= state_hist["valid_from"])
+        & (
+            state_hist["valid_to"].isNull()
+            | (purchases["pts"] < state_hist["valid_to"])
+        ),
+    )
+    return j.select(
+        purchases["user_id"],
+        "purchase_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "state_id",
+        "state_value",
+    )
+
+
+ORACLE_SCD2 = """
+WITH hist AS (
+  SELECT user_id, event_id AS state_id, ROUND(value, 6) AS state_value,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM events WHERE event_type = 'signup'
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id,
+       strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       h.state_id, h.state_value
+FROM purchases p JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.pts >= h.valid_from
+ AND (h.valid_to IS NULL OR p.pts < h.valid_to)
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of orders: count, nulls,
     exact NDV, min/max per column — all columns in a single aggregate
@@ -1372,6 +1440,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "embedding_pca": Query(q_embedding_pca, None),
     "embedding_kmeans": Query(q_embedding_kmeans, None),
     "orders_profile": Query(q_orders_profile, ORACLE_ORDERS_PROFILE),
+    "purchase_with_state_scd2": Query(q_purchase_with_state_scd2, ORACLE_SCD2),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
