@@ -1311,6 +1311,55 @@ FROM purchases p JOIN hist h
 """
 
 
+def q_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap aggregation: each event opens a 5-min
+    activity window (clipped to its day); peak concurrency per day = max
+    running sum over (+1 open, -1 close) deltas. One shuffle on day, one
+    in-partition sort — the scalable shape for 'max concurrent X'
+    (sessions, connections, GPU leases). Ties close-before-open so
+    back-to-back windows don't double-count."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    day_end = F.date_add(day, 1).cast("timestamp")
+    start = F.col("ts")
+    end = F.least(F.col("ts") + F.expr("interval 5 minutes"), day_end)
+    iv = ev.select(day.alias("d"), start.alias("s"), end.alias("e"))
+    deltas = iv.select("d", F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("d", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("d").orderBy(F.col("t").asc(), F.col("delta").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = deltas.withColumn("conc", F.sum("delta").over(w))
+    return (
+        running.groupBy("d")
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+    )
+
+
+ORACLE_CONCURRENCY = """
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS d, ts AS s,
+         LEAST(ts + INTERVAL 5 MINUTE,
+               CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS e
+  FROM events
+),
+deltas AS (
+  SELECT d, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d, e AS t, -1 AS delta FROM iv
+),
+running AS (
+  SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t ASC, delta ASC
+                             ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, MAX(conc) AS peak_concurrency
+FROM running GROUP BY d
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of orders: count, nulls,
     exact NDV, min/max per column — all columns in a single aggregate
@@ -1441,6 +1490,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "embedding_kmeans": Query(q_embedding_kmeans, None),
     "orders_profile": Query(q_orders_profile, ORACLE_ORDERS_PROFILE),
     "purchase_with_state_scd2": Query(q_purchase_with_state_scd2, ORACLE_SCD2),
+    "concurrency_peaks": Query(q_concurrency_peaks, ORACLE_CONCURRENCY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
