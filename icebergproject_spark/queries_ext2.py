@@ -1311,6 +1311,63 @@ FROM purchases p JOIN hist h
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure filter + single-cell sum. Every predicate
+    reaches the parquet scan as a pushed filter (date range, discount
+    band, quantity cap); what's left is one map-side partial sum and a
+    1-row reduce. The 'is the scan path clean' canary."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice").cast(DEC4) * F.col("l_discount").cast(DEC))
+    return sel.agg(F.sum(rev).cast(DEC4).alias("revenue"))
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation after a join: per return
+    flag, how many high- vs low-priority orders shipped. CASE/WHEN counts
+    inside one aggregate — no per-branch scans or unions."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_cnt"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_cnt"),
+        )
+    )
+
+
+ORACLE_SHIPMODE_PRIORITY = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_cnt,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_priority_cnt
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
 def q_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval-overlap aggregation: each event opens a 5-min
     activity window (clipped to its day); peak concurrency per day = max
@@ -1491,6 +1548,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     "orders_profile": Query(q_orders_profile, ORACLE_ORDERS_PROFILE),
     "purchase_with_state_scd2": Query(q_purchase_with_state_scd2, ORACLE_SCD2),
     "concurrency_peaks": Query(q_concurrency_peaks, ORACLE_CONCURRENCY),
+    "forecast_revenue": Query(q_forecast_revenue, ORACLE_FORECAST_REVENUE),
+    "shipmode_priority": Query(q_shipmode_priority, ORACLE_SHIPMODE_PRIORITY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
