@@ -1311,6 +1311,95 @@ FROM purchases p JOIN hist h
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment(B in A) = |shingles(A) ∩
+    shingles(B)| / |shingles(B)| ≥ 4/5 — catches quotes/supersets that
+    symmetric Jaccard misses (a long doc quoting a short one has low
+    Jaccard but high containment). Same inverted-index join as the
+    Jaccard path, different integer threshold; both directions emitted."""
+    from icebergproject_spark.llm.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    inv = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("container_id"),
+            F.col("b.id").alias("contained_id"),
+            F.col("b.sz").alias("contained_sz"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.filter(
+        F.col("shared") * 5 >= F.col("contained_sz") * 4
+    ).select("container_id", "contained_id", "shared", "contained_sz")
+
+
+ORACLE_CONTAINMENT = """
+WITH sh AS (
+  SELECT doc_id AS id, sz, UNNEST(grams) AS g FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)]) AS grams,
+           len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)])) AS sz
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+SELECT a.id AS container_id, b.id AS contained_id,
+       COUNT(*) AS shared, ANY_VALUE(b.sz) AS contained_sz
+FROM sh a JOIN sh b ON a.g = b.g AND a.id <> b.id
+GROUP BY 1, 2
+HAVING COUNT(*) * 5 >= ANY_VALUE(b.sz) * 4
+"""
+
+
+def q_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: one row per (user, day) across each
+    user's active span, zero-filled where no events occurred — the
+    densification step before any trailing-window statistic. The day
+    spine comes from `sequence()` per user (no driver-side calendar),
+    exploded and left-joined to the per-day aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    span = per_day.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    filled = spine.join(per_day, ["user_id", "d"], "left").select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    return filled
+
+
+ORACLE_GAPFILL = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM per_day GROUP BY 1
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+  FROM span
+)
+SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+       COALESCE(p.n_events, 0) AS n_events
+FROM spine s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape — pure filter + single-cell sum. Every predicate
     reaches the parquet scan as a pushed filter (date range, discount
@@ -1549,6 +1638,8 @@ EXT2_REGISTRY: dict[str, Query] = {
     "purchase_with_state_scd2": Query(q_purchase_with_state_scd2, ORACLE_SCD2),
     "concurrency_peaks": Query(q_concurrency_peaks, ORACLE_CONCURRENCY),
     "forecast_revenue": Query(q_forecast_revenue, ORACLE_FORECAST_REVENUE),
+    "dedup_containment": Query(q_dedup_containment, ORACLE_CONTAINMENT),
+    "user_daily_gapfill": Query(q_user_daily_gapfill, ORACLE_GAPFILL),
     "shipmode_priority": Query(q_shipmode_priority, ORACLE_SHIPMODE_PRIORITY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
