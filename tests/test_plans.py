@@ -38,6 +38,10 @@ def _count(plan: str, node: str) -> int:
         ("user_points", 1, 0),
         ("product_visit_10s", 1, 0),
         ("dedup_exact", 1, 0),
+        # TPC-H analogs: star joins broadcast their dims
+        ("shipping_priority", 2, 1),
+        ("local_supplier_volume", 2, 2),
+        ("forecast_revenue", 1, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
