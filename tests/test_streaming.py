@@ -473,3 +473,68 @@ def test_streaming_near_dup_ingestion(spark, tmp_path):
     q.awaitTermination()
 
     assert sorted(admitted) == [1, 2, 4]  # 3 near-dups 1; 5 in-batch dups 4
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T4: an event older than the watermark horizon arriving in a later
+    micro-batch is DROPPED from the windowed aggregate (bounded state ⇒
+    late data has a deadline — the documented superset of the reference,
+    which has no late-data story)."""
+    import os
+    import time as time_mod
+
+    base = 1_700_000_000
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["user_id", "epoch"]).withColumn(
+            "ts", F.timestamp_seconds(F.col("epoch"))
+        )
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # batch 0 advances event time far ahead; the watermark it implies is
+    # applied from the NEXT batch on (Spark updates watermarks at batch
+    # boundaries), so batch 1 is a spacer and batch 2 delivers the
+    # 2h-late event that must be dropped
+    write_file("f1", [("u1", base), ("u1", base + 7200)], time_mod.time() - 120)
+    write_file("f2", [("u2", base + 7300)], time_mod.time() - 60)
+    write_file("f3", [("u1", base + 5)], time_mod.time())  # very late
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    results = []
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda b, _: results.extend((r.w.start, r.n) for r in b.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from datetime import datetime, timezone
+
+    first_window = datetime.fromtimestamp(base - base % 60, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    counts = {}
+    for start, n in results:
+        counts[start] = n  # later batches supersede (update mode)
+    # the late event would have bumped the first window to 2 — it stays 1
+    assert counts[first_window] == 1
