@@ -1400,6 +1400,64 @@ FROM spine s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
 """
 
 
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed higher moments: mean, stddev, and skewness per
+    event type from DECIMAL power sums (Σx, Σx², Σx³ — all exact, all
+    map-side combined; one 6-number row per group crosses the shuffle).
+    Final formulas run once on exact inputs, so the result matches any
+    engine bit-for-bit — merged streaming float moments (Welford across
+    partitions) cannot promise that."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum((x * x).cast("decimal(30,4)")).alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,6)")).alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, s3 = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("s3").cast("double"),
+    )
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_pop"),
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
+    )
+
+
+ORACLE_VALUE_MOMENTS = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS s2,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS s3
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+       ROUND(SQRT(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)
+         AS stddev_pop,
+       ROUND((CAST(s3 AS DOUBLE) / n
+              - 3 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE) / n
+              + 2 * POWER(CAST(s1 AS DOUBLE) / n, 3))
+             / POWER(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 6)
+         AS skewness
+FROM s
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape — pure filter + single-cell sum. Every predicate
     reaches the parquet scan as a pushed filter (date range, discount
@@ -1640,6 +1698,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "forecast_revenue": Query(q_forecast_revenue, ORACLE_FORECAST_REVENUE),
     "dedup_containment": Query(q_dedup_containment, ORACLE_CONTAINMENT),
     "user_daily_gapfill": Query(q_user_daily_gapfill, ORACLE_GAPFILL),
+    "value_moments": Query(q_value_moments, ORACLE_VALUE_MOMENTS),
     "shipmode_priority": Query(q_shipmode_priority, ORACLE_SHIPMODE_PRIORITY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
