@@ -200,6 +200,52 @@ def minhash_lsh_candidates(
     )
 
 
+def verified_near_dups(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """The production two-tier near-dup pipeline: MinHash-LSH generates
+    candidate pairs (cheap, possibly false-positive), then EXACT Jaccard
+    is computed for candidates only — shingle sets joined back per pair,
+    intersection via array_intersect, integer threshold test.
+
+    At 100 TB this is the shape that works: the exact inverted-index
+    self-join on the full corpus explodes on frequent shingles, while
+    here the expensive comparison runs on |candidates| pairs (linear-ish
+    in corpus size by LSH design). False positives are eliminated;
+    recall is the LSH recall (pytest-measured vs the exact path).
+    Output: (id_a, id_b, shared, size_a, size_b) like the exact variant.
+    """
+    cand = minhash_lsh_candidates(df, content_col, id_col, n, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    return (
+        joined.select(
+            "id_a", "id_b",
+            shared.alias("shared"),
+            sa.alias("size_a"),
+            sb.alias("size_b"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("shared")
+            >= F.lit(threshold_num)
+            * (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -890,6 +890,17 @@ FROM lab
 """
 
 
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier near-dup: LSH candidates verified by exact Jaccard on
+    candidates only — the 100 TB production pipeline (rows-only: the
+    candidate tier uses xxhash; zero-false-positive property is
+    pytest-proven against the exact path)."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.verified_near_dups(docs)
+
+
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition end-to-end: MinHash-LSH candidate
     pairs (approximate, xxhash-based — rows-only check) resolved into
@@ -1683,6 +1694,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None),
+    "dedup_verified": Query(q_dedup_verified, None),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "normalize_text": Query(q_normalize_text, ORACLE_NORMALIZE),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),

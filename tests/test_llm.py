@@ -394,3 +394,27 @@ def test_kmeans_converges_and_partitions(spark, embeddings):
 
     rows2 = kmeans(embeddings, dim=64, k=4, max_iter=5)[0].collect()
     assert {r.id: r.cluster for r in rows} == {r.id: r.cluster for r in rows2}
+
+
+def test_verified_near_dups_subset_of_exact_no_false_positives(spark, sf_dir):
+    """Two-tier pipeline: every verified pair satisfies the exact Jaccard
+    threshold (zero false positives), and recall vs the full exact path
+    is high (identical pairs always survive banding)."""
+    from icebergproject_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.id_a, r.id_b): (r.shared, r.size_a, r.size_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold_num=3, threshold_den=10
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b): (r.shared, r.size_a, r.size_b)
+        for r in dedup.verified_near_dups(docs).collect()
+    }
+    assert set(verified) <= set(exact)  # no false positives survive
+    for pair, vals in verified.items():
+        assert vals == exact[pair]  # and the exact stats match
+    if exact:
+        assert len(verified) / len(exact) >= 0.5  # LSH recall
