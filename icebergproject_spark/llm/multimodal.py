@@ -77,16 +77,31 @@ def _decode_stub(content: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
-def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_hint: int = 0, quarantine_undecodable: bool = False
+) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     The UDF sees whole Arrow batches (pd.DataFrame), never single rows;
     feature_hash is a deterministic stand-in for an embedding/CLIP call.
+
+    ``quarantine_undecodable=True`` is the production posture: media the
+    codec rejects come out with width/height = -1 instead of killing the
+    job (one corrupt JPEG must not fail a 100 TB pass); filter
+    ``width >= 0`` downstream, route the rest to a DLQ table.
     """
+
+    def decode_one(b) -> tuple[int, int]:
+        if quarantine_undecodable:
+            try:
+                return _decode_stub(bytes(b) if b is not None else None)
+            except NotImplementedError:
+                return (-1, -1)
+        return _decode_stub(bytes(b) if b is not None else None)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["content"].map(lambda b: _decode_stub(bytes(b)))
+            dims = pdf["content"].map(decode_one)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -95,7 +110,7 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                     "width": dims.map(lambda d: d[0]).astype("int32"),
                     "height": dims.map(lambda d: d[1]).astype("int32"),
                     "feature_hash": pdf["content_md5"].map(
-                        lambda h: int(h[:15], 16)
+                        lambda h: int(h[:15], 16) if h is not None else -1
                     ).astype("int64"),
                 }
             )

@@ -418,3 +418,29 @@ def test_verified_near_dups_subset_of_exact_no_false_positives(spark, sf_dir):
         assert vals == exact[pair]  # and the exact stats match
     if exact:
         assert len(verified) / len(exact) >= 0.5  # LSH recall
+
+
+def test_multimodal_quarantine_undecodable(spark):
+    """Corrupt media must not kill the job: quarantine mode marks it with
+    width/height -1 so downstream filters route it to a DLQ table."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ])
+    rows = [
+        (1, "image", b"good bytes", 10, "ab" * 16),
+        (2, "image", None, 0, None),  # undecodable
+    ]
+    media = spark.createDataFrame(rows, schema)
+    out = {r.media_id: r for r in
+           multimodal.extract_features(media, quarantine_undecodable=True).collect()}
+    assert out[1].width > 0 and out[1].height > 0
+    assert (out[2].width, out[2].height, out[2].feature_hash) == (-1, -1, -1)
