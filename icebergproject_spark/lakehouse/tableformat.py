@@ -269,6 +269,19 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         return self._commit("compact", [new_dir])
 
+    def rollback(self, snapshot_id: int) -> dict:
+        """Iceberg-style rollback: make an OLD snapshot current again by
+        committing a new snapshot that references its data dirs (history
+        is preserved — rollback is itself an auditable commit, and the
+        rolled-back-over snapshots remain time-travelable until expiry).
+        Mistake recovery: bad write → ``rollback(last_good)``."""
+        target = next(
+            (s for s in self._snapshots() if s["snapshot_id"] == snapshot_id), None
+        )
+        if target is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        return self._commit("rollback", list(target["data_dirs"]))
+
     def idempotent_append(self, df: DataFrame, batch_id: str) -> dict | None:
         """Exactly-once streaming append: skip if a snapshot already
         recorded this ``batch_id`` (what the Iceberg Spark sink does by

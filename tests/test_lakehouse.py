@@ -228,3 +228,16 @@ def test_idempotent_append_skips_replayed_batch(spark, tmp_path):
     assert t.idempotent_append(df, "q1-0") is None  # replay: no-op
     assert t.idempotent_append(df, "q1-1") is not None  # next batch appends
     assert t.read().count() == 4
+
+
+def test_rollback_restores_old_state_auditable(spark, tmp_path):
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("RB")
+    t.append(spark.createDataFrame([("good", 1)], ["k", "v"]))
+    good = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([("bad", 2)], ["k", "v"]))
+    assert t.read().count() == 2
+    t.rollback(good)
+    assert {r.k for r in t.read().collect()} == {"good"}
+    # history preserved: rollback is a commit, bad snapshot still exists
+    assert [s["operation"] for s in t.history()] == ["append", "append", "rollback"]

@@ -216,3 +216,17 @@ def test_constraint_checks_catch_violations(spark):
         "qty_range": 2,     # 99 and -5
         "name_fk": 1,       # 'c' not in ref (None fk is not a violation)
     }
+
+
+def test_column_profile_approx_mode(spark, sf_dir):
+    """HLL NDV (the 100 TB path) lands within 20% of exact."""
+    from icebergproject_spark.quality import column_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {r.col_name: r.n_distinct
+             for r in column_profile(orders, ["o_orderkey", "o_orderstatus"]).collect()}
+    approx = {r.col_name: r.n_distinct
+              for r in column_profile(orders, ["o_orderkey", "o_orderstatus"],
+                                      approx=True).collect()}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= max(1, exact[c] * 0.2)
