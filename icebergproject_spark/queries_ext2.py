@@ -1411,6 +1411,59 @@ FROM spine s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
 """
 
 
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: parts ranked by revenue with their cumulative
+    share of the total — the 80/20 concentration view. The cumulative
+    window runs over the AGGREGATE (one row per part), never raw facts;
+    total revenue joins in as a broadcast scalar; shares are one double
+    division over exact DECIMAL sums, rounded. Top-50 by rank."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC4) * (1 - F.col("l_discount").cast(DEC)))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).cast(DEC4).alias("part_rev"))
+    total = per_part.agg(F.sum("part_rev").cast(DEC4).alias("total_rev"))
+    # TakeOrderedAndProject the top-50 FIRST — a cumulative prefix only
+    # needs its own rows, so the global single-partition window a naive
+    # ORDER-BY-then-rank plan would run over millions of parts shrinks to
+    # a 50-row window
+    top = per_part.orderBy(F.col("part_rev").desc(), F.col("l_partkey").asc()).limit(50)
+    w = Window.orderBy(F.col("part_rev").desc(), F.col("l_partkey").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_rev",
+        F.sum("part_rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "l_partkey",
+        "part_rev",
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
+ORACLE_PARETO = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4))
+           AS part_rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, part_rev,
+         ROW_NUMBER() OVER (ORDER BY part_rev DESC, l_partkey ASC) AS rank,
+         SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per_part
+)
+SELECT rank, l_partkey, part_rev,
+       ROUND(CAST(cum_rev AS DOUBLE)
+             / CAST((SELECT SUM(part_rev) FROM per_part) AS DOUBLE), 6)
+         AS cum_share
+FROM ranked WHERE rank <= 50
+"""
+
+
 def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed higher moments: mean, stddev, and skewness per
     event type from DECIMAL power sums (Σx, Σx², Σx³ — all exact, all
@@ -1711,6 +1764,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "dedup_containment": Query(q_dedup_containment, ORACLE_CONTAINMENT),
     "user_daily_gapfill": Query(q_user_daily_gapfill, ORACLE_GAPFILL),
     "value_moments": Query(q_value_moments, ORACLE_VALUE_MOMENTS),
+    "revenue_pareto": Query(q_revenue_pareto, ORACLE_PARETO),
     "shipmode_priority": Query(q_shipmode_priority, ORACLE_SHIPMODE_PRIORITY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
