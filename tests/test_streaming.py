@@ -581,3 +581,42 @@ def test_streaming_idempotent_lakehouse_sink(spark, tmp_path):
     replay = t.read().limit(4)
     assert t.idempotent_append(replay, "q-0") is None
     assert t.read().count() == 4
+
+
+def test_progress_collector_captures_batches(spark, tmp_path):
+    """Observability: the listener records input rows per micro-batch."""
+    import json
+    import time as time_mod
+
+    from icebergproject_spark.sources import CDC_ENVELOPE_SCHEMA, kafka_json_source
+    from icebergproject_spark.streaming.monitor import attach_progress_collector
+
+    src = tmp_path / "in"
+    src.mkdir()
+    frames = [
+        {"database": "d", "table": "t", "type": "insert", "ts": "1",
+         "xid": str(i), "commit": "true", "data": {}}
+        for i in range(3)
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(f) for f in frames) + "\n")
+
+    collector = attach_progress_collector(spark)
+    try:
+        stream = kafka_json_source(spark, CDC_ENVELOPE_SCHEMA, path=str(src))
+        q = (
+            stream.writeStream.foreachBatch(lambda b, _: b.count())
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        for _ in range(40):
+            if collector.records:
+                break
+            time_mod.sleep(0.25)
+    finally:
+        spark.streams.removeListener(collector)
+
+    assert any(r["num_input_rows"] == 3 for r in collector.records)
+    assert all(r["batch_id"] is not None for r in collector.records)
