@@ -1411,6 +1411,39 @@ FROM spine s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs per user stream (Markov-chain estimation input). One shuffle on
+    user for the LAG window, then a plain aggregate on the (from, to)
+    pair — sequence analytics without self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    with_prev = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return with_prev.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: parts ranked by revenue with their cumulative
     share of the total — the 80/20 concentration view. The cumulative
@@ -1765,6 +1798,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "user_daily_gapfill": Query(q_user_daily_gapfill, ORACLE_GAPFILL),
     "value_moments": Query(q_value_moments, ORACLE_VALUE_MOMENTS),
     "revenue_pareto": Query(q_revenue_pareto, ORACLE_PARETO),
+    "event_transitions": Query(q_event_transitions, ORACLE_TRANSITIONS),
     "shipmode_priority": Query(q_shipmode_priority, ORACLE_SHIPMODE_PRIORITY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
