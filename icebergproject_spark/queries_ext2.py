@@ -1411,6 +1411,49 @@ FROM spine s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
 """
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for each pair of event types, how many
+    distinct users do both (plus each side's audience size) — the
+    set-similarity view marketers/cohort tools ask for. Distinct
+    (type, user) first so the self-join runs on audience-sized data;
+    ordered pair (a < b) halves the matrix."""
+    ev = _t(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = aud.alias("a"), aud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b").select(
+        "type_a", "type_b", "n_both", "n_a", "n_b"
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM aud GROUP BY 1)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_both,
+       ANY_VALUE(sa.n) AS n_a, ANY_VALUE(sb.n) AS n_b
+FROM aud a
+JOIN aud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN sizes sa ON sa.event_type = a.event_type
+JOIN sizes sb ON sb.event_type = b.event_type
+GROUP BY 1, 2
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral transition matrix: counts of consecutive event-type
     pairs per user stream (Markov-chain estimation input). One shuffle on
@@ -1799,6 +1842,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "value_moments": Query(q_value_moments, ORACLE_VALUE_MOMENTS),
     "revenue_pareto": Query(q_revenue_pareto, ORACLE_PARETO),
     "event_transitions": Query(q_event_transitions, ORACLE_TRANSITIONS),
+    "audience_overlap": Query(q_audience_overlap, ORACLE_AUDIENCE_OVERLAP),
     "shipmode_priority": Query(q_shipmode_priority, ORACLE_SHIPMODE_PRIORITY),
     "constraint_checks": Query(q_constraint_checks, ORACLE_CONSTRAINT_CHECKS),
     "dedup_survivors": Query(q_dedup_survivors, ORACLE_DEDUP_SURVIVORS),
