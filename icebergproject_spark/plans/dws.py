@@ -79,3 +79,37 @@ def browse_wide(
         "browse_product_url", "first_category_name", "second_category_name",
         "obtain_points",
     )
+
+
+def refresh_wide_incremental(
+    wide_table,
+    facts: DataFrame,
+    build_wide,
+    changed_keys: DataFrame,
+    dim_key: str,
+    row_keys: list[str] | None = None,
+) -> dict:
+    """Incremental view maintenance for a DWS wide table after a dim
+    change: re-derive wide rows ONLY for the affected join keys and MERGE
+    them over the stored table.
+
+    ``build_wide(facts_subset) -> DataFrame`` is the same wide-row
+    builder used for the full load — IVM reuses the view definition, it
+    does not fork it. ``changed_keys`` is the dim delta's key set (one
+    column named ``dim_key``). ``row_keys`` is the wide-row identity the
+    MERGE matches on (defaults to [dim_key]; pass the fact PK when a key
+    has many wide rows, otherwise the merge would collapse them).
+
+    Scale math: a dim update touching k keys re-joins only the fact rows
+    with those keys (semi-join pushdown into the fact scan) instead of
+    recomputing facts ⋈ dims over the full corpus — the difference
+    between O(|Δ| · fanout) and O(|facts|) per refresh. The reference has
+    no story for this at all: its wide rows are enriched once at stream
+    time and silently go stale when a dim row later changes
+    (dws/ProcessUserlogInToDWS.scala caches dim lookups for 24 h).
+    """
+    affected_facts = facts.join(
+        changed_keys.select(dim_key).distinct(), dim_key, "left_semi"
+    )
+    fresh = build_wide(affected_facts)
+    return wide_table.merge(fresh, row_keys or [dim_key])

@@ -341,3 +341,74 @@ def test_streaming_full_medallion_browse(spark, tmp_path):
     visits = {(r.product, r.product_cnt) for r in dm_rows}
     assert ("widget", 2) in visits  # two browses in one 10 s window
     assert ("gadget", 1) in visits
+
+
+def test_incremental_wide_refresh_matches_full_rebuild(spark, tmp_path):
+    """IVM: after a dim update, refreshing only affected keys yields the
+    same table as a full rebuild — without re-joining untouched facts."""
+    from icebergproject_spark.plans.dws import refresh_wide_incremental
+
+    facts = spark.createDataFrame(
+        [("u1", "2022-01-01"), ("u2", "2022-01-02"), ("u3", "2022-01-03")],
+        ["user_id", "login_dt"],
+    )
+    dim_v1 = spark.createDataFrame(
+        [("u1", "bronze"), ("u2", "silver"), ("u3", "gold")],
+        ["user_id", "member_level"],
+    )
+
+    def build_wide(f, dim):
+        return f.join(dim, "user_id", "left").select(
+            "user_id", "login_dt", "member_level"
+        )
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="dws")
+    t = catalog.table("WIDE")
+    t.overwrite(build_wide(facts, dim_v1))
+
+    # dim delta: u1 upgraded; u2/u3 untouched
+    dim_v2 = spark.createDataFrame(
+        [("u1", "platinum"), ("u2", "silver"), ("u3", "gold")],
+        ["user_id", "member_level"],
+    )
+    delta_keys = spark.createDataFrame([("u1",)], ["user_id"])
+    refresh_wide_incremental(
+        t, facts, lambda f: build_wide(f, dim_v2), delta_keys,
+        dim_key="user_id", row_keys=["user_id", "login_dt"],
+    )
+
+    got = {r.user_id: r.member_level for r in t.read().collect()}
+    want = {r.user_id: r.member_level
+            for r in build_wide(facts, dim_v2).collect()}
+    assert got == want == {"u1": "platinum", "u2": "silver", "u3": "gold"}
+
+
+def test_incremental_refresh_preserves_multi_row_keys(spark, tmp_path):
+    """A key with several wide rows keeps all of them through an
+    incremental refresh (row identity ≠ dim key)."""
+    from icebergproject_spark.plans.dws import refresh_wide_incremental
+
+    facts = spark.createDataFrame(
+        [("u1", "d1"), ("u1", "d2"), ("u2", "d1")], ["user_id", "login_dt"]
+    )
+    dim = {"u1": "bronze", "u2": "silver"}
+
+    def build(f, d):
+        m = spark.createDataFrame(list(d.items()), ["user_id", "member_level"])
+        return f.join(m, "user_id", "left").select(
+            "user_id", "login_dt", "member_level"
+        )
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="dws")
+    t = catalog.table("WIDE2")
+    t.overwrite(build(facts, dim))
+
+    dim2 = {"u1": "gold", "u2": "silver"}
+    refresh_wide_incremental(
+        t, facts, lambda f: build(f, dim2),
+        spark.createDataFrame([("u1",)], ["user_id"]),
+        dim_key="user_id", row_keys=["user_id", "login_dt"],
+    )
+    rows = {(r.user_id, r.login_dt): r.member_level for r in t.read().collect()}
+    assert rows == {("u1", "d1"): "gold", ("u1", "d2"): "gold",
+                    ("u2", "d1"): "silver"}
