@@ -305,6 +305,40 @@ def redact_pii(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality score: mean unigram log-probability of each
+    document under the corpus's own unigram model (higher = more typical;
+    the tails are the filter candidates — gibberish below, boilerplate
+    above).
+
+    Two aggregates: corpus token frequencies (vocabulary-sized), then a
+    per-doc mean over (token, logprob) joined through a broadcast of the
+    vocabulary. No Python, no O(n²); swapping in a real KenLM scorer
+    replaces only the broadcast model, not the plan.
+    Output: (doc_id, n_tokens, mean_logprob) — floats, rows-only check;
+    ordering properties are pytest-verified.
+    """
+    tok = df.select(F.col(id_col), F.explode(_tokens(content_col)).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        (F.log(F.col("cnt").cast("double")) - F.log(F.col("total").cast("double"))).alias(
+            "logprob"
+        ),
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logprob"), 6).alias("mean_logprob"),
+        )
+    )
+
+
 def normalize_text(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

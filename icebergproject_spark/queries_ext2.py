@@ -901,6 +901,16 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verified_near_dups(docs)
 
 
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score per document (rows-only:
+    float log-sums have no stable SQL-oracle hash; ordering invariants
+    are pytest-verified)."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.unigram_logprob_score(docs)
+
+
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition end-to-end: MinHash-LSH candidate
     pairs (approximate, xxhash-based — rows-only check) resolved into
@@ -1824,6 +1834,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None),
     "dedup_verified": Query(q_dedup_verified, None),
+    "lm_quality_score": Query(q_lm_quality_score, None),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "normalize_text": Query(q_normalize_text, ORACLE_NORMALIZE),
     "decontamination": Query(q_decontamination, ORACLE_DECONTAMINATION),

@@ -444,3 +444,18 @@ def test_multimodal_quarantine_undecodable(spark):
            multimodal.extract_features(media, quarantine_undecodable=True).collect()}
     assert out[1].width > 0 and out[1].height > 0
     assert (out[2].width, out[2].height, out[2].feature_hash) == (-1, -1, -1)
+
+
+def test_unigram_lm_score_orders_typicality(spark):
+    """A doc made of corpus-common words must outscore a doc of rare
+    words; scores are finite and negative (log-probs)."""
+    docs = spark.createDataFrame(
+        [(1, "common common common words words"),
+         (2, "common words common words common"),
+         (3, "zyx qwv jkl")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.mean_logprob for r in
+           text.unigram_logprob_score(docs).collect()}
+    assert all(v < 0 for v in got.values())
+    assert got[1] > got[3] and got[2] > got[3]
