@@ -4,6 +4,17 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at sf0.01, then compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values stringified).
 
+DRIVER-FAITHFUL RENDERING (round-2 hardening — the round-1 checker used
+``Decimal.normalize()`` + ``round(float, 9)`` and was laxer than the
+driver, which is why 6 queries passed locally but hash-failed in
+CORRECTNESS_r01): BOTH sides go through a pandas fetch exactly like the driver — Spark via
+``toPandas()`` (DECIMAL → object-dtype ``Decimal`` → ``138014.00``,
+nullable bigint → float64), DuckDB via ``.df()`` (DECIMAL and HUGEINT →
+float64 → ``138014.0``, ``3.0``).  No normalization on either side — a
+terminal-type mismatch that the driver would flag now fails here too.
+(Calibrated against CORRECTNESS_r01: this rendering reproduces the
+driver's exact 6 fails / 37 passes on the round-1 code.)
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -24,18 +35,24 @@ from icebergproject_spark.tables import TABLE_NAMES
 
 
 def norm_value(v) -> str:
-    import datetime
-    import decimal
+    """Raw stringification — no type coercion, no rounding.
 
+    Both sides pass through here; the only adjustments are for container
+    types (None/NaN → the same token) so that a genuine SQL NULL compares
+    equal regardless of fetch path.  Everything else renders exactly as
+    its native type prints, which is what the driver hashes.
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        return repr(round(v, 9))
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+    if isinstance(v, float) and v != v:  # NaN from pandas nullable columns
+        return "NULL"
     return str(v)
+
+
+def pandas_rows(df) -> tuple[list[str], list[tuple]]:
+    cols = list(df.columns)
+    rows = [tuple(rec) for rec in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def table_hash(rows: list[tuple], cols: list[str]) -> str:
@@ -65,8 +82,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -77,9 +93,7 @@ def main() -> int:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = pandas_rows(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
