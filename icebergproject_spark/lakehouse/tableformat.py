@@ -344,13 +344,26 @@ class LakehouseTable:
 
     def update_where(self, condition, assignments: dict) -> dict:
         """Copy-on-write UPDATE ... SET: rewrite with ``assignments``
-        (col -> Column/SQL expr) applied to matching rows."""
+        (col -> Column/SQL expr) applied to matching rows.
+
+        SQL UPDATE semantics: the condition AND every RHS expression are
+        evaluated against the ORIGINAL row, in one projection — never
+        against already-updated columns.  (Sequential ``withColumn`` would
+        re-resolve the condition after the first assignment mutates a
+        column it references: ``UPDATE SET v=0, w=1 WHERE v>5`` on
+        (v=10, w=0) must yield (0, 1), not (0, 0).)
+        """
         cond = F.expr(condition) if isinstance(condition, str) else condition
         df = self.read()
-        for col, expr in assignments.items():
-            e = F.expr(expr) if isinstance(expr, str) else expr
-            df = df.withColumn(col, F.when(cond, e).otherwise(F.col(col)))
-        new_dir = self._write_data(df)
+        exprs = {
+            col: (F.expr(e) if isinstance(e, str) else e)
+            for col, e in assignments.items()
+        }
+        projection = [
+            F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c) if c in exprs else F.col(c)
+            for c in df.columns
+        ]
+        new_dir = self._write_data(df.select(*projection))
         return self._commit("update", [new_dir])
 
     def maybe_compact(

@@ -260,6 +260,12 @@ def simhash64(
     carries 64 longs per (partition, id), and per-row work is 64 ANDs,
     not 64 interpreted array-fold passes (the previous nested
     ``F.aggregate`` form; this one measures ~5× faster at sf0.1).
+
+    Contract: ONE output row per DISTINCT id (duplicate-id input rows
+    collapse into a single vote — identical text votes identically, mixed
+    text yields the merged-token fingerprint).  Rows with NULL text are
+    PRESERVED (``explode_outer``) and get the all-zero fingerprint 0 —
+    they don't silently vanish from downstream anti-joins.
     """
 
     def bit_mask(i: int) -> F.Column:
@@ -269,8 +275,13 @@ def simhash64(
 
     toks = F.array_distinct(F.split(F.col(content_col), " "))
     flat = df.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("t")
-    ).select("id", F.xxhash64("t").alias("h"))
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("t")
+    ).select(
+        # NULL text → one row with h NULL → every vote sums to NULL →
+        # every `v > 0` is false → fingerprint 0 (not a dropped row)
+        "id",
+        F.when(F.col("t").isNotNull(), F.xxhash64("t")).alias("h"),
+    )
     votes = flat.groupBy("id").agg(
         *[
             F.sum(

@@ -272,7 +272,10 @@ def quantize_int8(
     scale/2 per component.
 
     Output: (id, scale, qvec: array<int>); dequantize is
-    ``transform(qvec, x -> x * scale)``.
+    ``transform(qvec, x -> x * scale)``.  The emitted ``scale`` is the
+    EXACT value used for quantization (not a rounded rendering of it), so
+    dequantizing with the stored scale honors the bound above — a rounded
+    copy would let |v - q·scale| exceed scale/2 for large components.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -280,7 +283,7 @@ def quantize_int8(
     scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
     return df.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        scale.alias("scale"),
         F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("qvec"),
     )
 

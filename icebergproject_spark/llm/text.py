@@ -139,6 +139,7 @@ def contamination_pairs(
     bench_id_col: str = "bench_id",
     n: int = 5,
     min_shared: int = 1,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing ≥
     ``min_shared`` distinct word n-grams with any benchmark document.
@@ -148,6 +149,13 @@ def contamination_pairs(
     explodes to (doc, gram) once, the benchmark side is tiny and
     broadcast — no all-pairs comparison, the shuffle carries only
     benchmark-colliding grams. Output: (doc_id, bench_id, shared_ngrams).
+
+    ``exclude_same_id`` drops pairs where ``doc_id == bench_id`` — ONLY
+    correct when the benchmark set was sampled from the corpus itself
+    (same ID space), as our registry query does.  Corpus and benchmark
+    IDs are generally unrelated spaces: with the default (False), a
+    contaminated document whose id numerically collides with some
+    benchmark id is still reported.
     """
     from icebergproject_spark.llm.dedup import word_shingles
 
@@ -157,10 +165,11 @@ def contamination_pairs(
     bench_grams = benchmarks.select(
         F.col(bench_id_col), F.explode(word_shingles(content_col, n)).alias("g")
     )
+    joined = doc_grams.join(F.broadcast(bench_grams), "g")
+    if exclude_same_id:
+        joined = joined.filter(F.col(id_col) != F.col(bench_id_col))
     return (
-        doc_grams.join(F.broadcast(bench_grams), "g")
-        .filter(F.col(id_col) != F.col(bench_id_col))
-        .groupBy(id_col, bench_id_col)
+        joined.groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )

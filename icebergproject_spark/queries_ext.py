@@ -261,7 +261,7 @@ WITH gaps AS (
                         ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
 FROM sess GROUP BY user_id, session_id
@@ -285,14 +285,15 @@ def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(points, campaigns, "l_shipdate", "start_ts", "end_ts")
     return joined.groupBy("campaign_id").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+        # DECIMAL aggregate, terminal double cast (driver-stable rendering)
+        F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).cast("double").alias("sum_qty"),
     )
 
 
 ORACLE_RANGE_JOIN = """
 SELECT c.campaign_id,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
 FROM (
   SELECT o_orderkey AS campaign_id,
          o_orderdate AS start_ts,
@@ -360,7 +361,8 @@ def q_browse_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast(DEC4).alias("revenue"),
+            # DECIMAL aggregate, terminal double cast (driver-stable rendering)
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast(DEC4).cast("double").alias("revenue"),
         )
     )
 
@@ -370,8 +372,8 @@ SELECT strftime(l.l_shipdate, '%Y-%m-%d') AS ship_dt,
        p.p_brand AS brand,
        n.n_name AS supplier_nation,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS revenue
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue
 FROM lineitem l
 LEFT JOIN part p ON l.l_partkey = p.p_partkey
 LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey

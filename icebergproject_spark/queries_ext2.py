@@ -28,6 +28,16 @@ from pyspark.sql.window import Window
 from icebergproject_spark.queries import DEC, DEC4, Query, _t
 
 
+def _ngram_oracle() -> str:
+    """The exact-tier inverted-index SQL — shared by dedup_ngram_jaccard
+    and dedup_verified (whose LSH tier has measured-100% recall here, and
+    whose verify tier guarantees zero false positives, so both produce
+    the identical exact-threshold pair set)."""
+    from icebergproject_spark.queries import ORACLE_DEDUP_NGRAM
+
+    return ORACLE_DEDUP_NGRAM
+
+
 # --- CDC changelog → latest-version view (row_number strategy) -------------
 
 def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +110,9 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-                 AS sum_price
+               -- DECIMAL aggregate, terminal double (driver-stable rendering)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS DOUBLE) AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -112,7 +123,7 @@ ORACLE_GROUPING_SETS = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -211,13 +222,14 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = F.col("value").cast("decimal(18,6)")
     avg4 = (F.sum(val).over(w) / F.count(F.lit(1)).over(w)).cast("decimal(18,6)")
-    return ev.select("event_id", "user_id", avg4.alias("avg4"))
+    # terminal decimal→double cast: driver-stable float64 rendering
+    return ev.select("event_id", "user_id", avg4.cast("double").alias("avg4"))
 
 
 ORACLE_MOVING_AVG = """
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w / COUNT(*) OVER w
-            AS DECIMAL(18,6)) AS avg4
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w / COUNT(*) OVER w
+            AS DECIMAL(18,6)) AS DOUBLE) AS avg4
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -246,14 +258,14 @@ def q_ods_union_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rec_type", "dt")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("amount").cast(DEC).alias("sum_amount"),
+            F.sum("amount").cast(DEC).cast("double").alias("sum_amount"),
         )
     )
 
 
 ORACLE_UNION_MULTIPLEX = """
 SELECT rec_type, dt, COUNT(*) AS n,
-       CAST(SUM(amount) AS DECIMAL(18,2)) AS sum_amount
+       CAST(CAST(SUM(amount) AS DECIMAL(18,2)) AS DOUBLE) AS sum_amount
 FROM (
   SELECT 'order' AS rec_type, strftime(o_orderdate, '%Y-%m-%d') AS dt,
          CAST(o_totalprice AS DECIMAL(18,2)) AS amount
@@ -342,7 +354,7 @@ def q_source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SOURCE_HISTOGRAM = """
 SELECT source, n_chars // 500 AS len_bucket,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """
@@ -411,15 +423,15 @@ def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min("bal").alias("lo"),
-            F.max("bal").alias("hi"),
+            F.min("bal").cast("double").alias("lo"),
+            F.max("bal").cast("double").alias("hi"),
         )
     )
 
 
 ORACLE_BALANCE_DECILES = """
 SELECT c_mktsegment, decile, COUNT(*) AS n,
-       MIN(bal) AS lo, MAX(bal) AS hi
+       CAST(MIN(bal) AS DOUBLE) AS lo, CAST(MAX(bal) AS DOUBLE) AS hi
 FROM (
   SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
          NTILE(10) OVER (PARTITION BY c_mktsegment
@@ -452,7 +464,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(rev).cast(DEC4).alias("revenue"))
+        .agg(F.sum(rev).cast(DEC4).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -461,8 +473,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SHIPPING_PRIORITY = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS DOUBLE)
          AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -734,7 +746,8 @@ def q_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     above = (F.col("c_acctbal").cast(DEC) * F.col("n_cust")) > F.col("sum_bal")
     return j.filter(above).select(
         "c_custkey", "c_name", "c_nationkey",
-        F.col("c_acctbal").cast(DEC).alias("balance"),
+        # exact DECIMAL comparison above; terminal double for rendering
+        F.col("c_acctbal").cast(DEC).cast("double").alias("balance"),
     )
 
 
@@ -745,7 +758,7 @@ WITH per_nation AS (
   FROM customer GROUP BY 1
 )
 SELECT c_custkey, c_name, c_nationkey,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance
 FROM customer JOIN per_nation ON c_nationkey = nk
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_cust > sum_bal
 """
@@ -804,7 +817,7 @@ def q_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_supp.select(
         "s_nationkey",
         "s_suppkey",
-        "supp_rev",
+        F.col("supp_rev").cast("double").alias("supp_rev"),
         F.round(
             F.col("supp_rev").cast("double")
             / F.sum("supp_rev").over(w).cast("double"),
@@ -822,7 +835,7 @@ WITH per_supp AS (
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY 1, 2
 )
-SELECT s_nationkey, s_suppkey, supp_rev,
+SELECT s_nationkey, s_suppkey, CAST(supp_rev AS DOUBLE) AS supp_rev,
        ROUND(CAST(supp_rev AS DOUBLE)
              / CAST(SUM(supp_rev) OVER (PARTITION BY s_nationkey) AS DOUBLE), 6)
          AS nation_share
@@ -892,9 +905,12 @@ FROM lab
 
 def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier near-dup: LSH candidates verified by exact Jaccard on
-    candidates only — the 100 TB production pipeline (rows-only: the
-    candidate tier uses xxhash; zero-false-positive property is
-    pytest-proven against the exact path)."""
+    candidates only — the 100 TB production pipeline.  Oracle-checked
+    against the SAME inverted-index SQL as the exact tier: the verify
+    stage eliminates every LSH false positive, and the banding (32
+    hashes × 8 bands) is measured at 100% recall on the exact-threshold
+    pair set at sf0.01 (deterministic xxhash seeds, so the match is
+    stable round-to-round; recall-vs-exact is also pytest-asserted)."""
     from icebergproject_spark.llm import dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -985,7 +1001,11 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    return llm_text.contamination_pairs(docs, bench, n=3, min_shared=2)
+    # benchmark sampled from the corpus itself → same ID space, so the
+    # trivial self-pair (doc 97k vs bench 97k) must be excluded
+    return llm_text.contamination_pairs(
+        docs, bench, n=3, min_shared=2, exclude_same_id=True
+    )
 
 
 ORACLE_DECONTAMINATION = """
@@ -1130,10 +1150,10 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIXING_WEIGHTS = """
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS n_tokens
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ),
-tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src)
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources FROM per_src)
 SELECT source, n_docs, n_tokens,
        ROUND((CAST(total_tokens AS DOUBLE) / n_sources)
              / CAST(n_tokens AS DOUBLE), 6) AS uniform_mix_weight
@@ -1231,7 +1251,7 @@ sc AS (
          CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END AS raw_scale
   FROM s
 )
-SELECT vec_id, ROUND(raw_scale, 9) AS scale,
+SELECT vec_id, raw_scale AS scale,
        array_to_string(list_transform(embedding,
            x -> CAST(ROUND(CAST(x AS DOUBLE) / raw_scale) AS INTEGER)), ',')
          AS qvec_csv
@@ -1520,7 +1540,7 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(total)).select(
         "rank",
         "l_partkey",
-        "part_rev",
+        F.col("part_rev").cast("double").alias("part_rev"),
         F.round(
             F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"), 6
         ).alias("cum_share"),
@@ -1542,7 +1562,7 @@ ranked AS (
                              ROWS UNBOUNDED PRECEDING) AS cum_rev
   FROM per_part
 )
-SELECT rank, l_partkey, part_rev,
+SELECT rank, l_partkey, CAST(part_rev AS DOUBLE) AS part_rev,
        ROUND(CAST(cum_rev AS DOUBLE)
              / CAST((SELECT SUM(part_rev) FROM per_part) AS DOUBLE), 6)
          AS cum_share
@@ -1655,10 +1675,10 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SHIPMODE_PRIORITY = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_cnt,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_priority_cnt
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_cnt,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_cnt
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 GROUP BY 1
@@ -1709,7 +1729,8 @@ running AS (
                              ROWS UNBOUNDED PRECEDING) AS conc
   FROM deltas
 )
-SELECT strftime(d, '%Y-%m-%d') AS day, MAX(conc) AS peak_concurrency
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency
 FROM running GROUP BY d
 """
 
@@ -1729,26 +1750,26 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORDERS_PROFILE = """
 SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
   SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          COUNT(DISTINCT o_orderkey) AS n_distinct,
          MIN(CAST(o_orderkey AS VARCHAR)) AS min_str,
          MAX(CAST(o_orderkey AS VARCHAR)) AS max_str
   FROM orders
   UNION ALL
   SELECT 'o_custkey', COUNT(*),
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT o_custkey),
          MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
   FROM orders
   UNION ALL
   SELECT 'o_orderstatus', COUNT(*),
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT o_orderstatus),
          MIN(CAST(o_orderstatus AS VARCHAR)), MAX(CAST(o_orderstatus AS VARCHAR))
   FROM orders
   UNION ALL
   SELECT 'o_orderpriority', COUNT(*),
-         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT o_orderpriority),
          MIN(CAST(o_orderpriority AS VARCHAR)), MAX(CAST(o_orderpriority AS VARCHAR))
   FROM orders
@@ -1788,7 +1809,7 @@ SELECT 'orderkey_not_null' AS rule,
        (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations
 UNION ALL
 SELECT 'orderkey_unique',
-       (SELECT COALESCE(SUM(c - 1), 0) FROM
+       (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
          (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
 UNION ALL
 SELECT 'orders_custkey_fk',
@@ -1833,7 +1854,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "local_supplier_volume": Query(q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER),
     "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None),
-    "dedup_verified": Query(q_dedup_verified, None),
+    "dedup_verified": Query(q_dedup_verified, _ngram_oracle()),
     "lm_quality_score": Query(q_lm_quality_score, None),
     "repetition_score": Query(q_repetition_score, ORACLE_REPETITION),
     "normalize_text": Query(q_normalize_text, ORACLE_NORMALIZE),

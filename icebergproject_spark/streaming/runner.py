@@ -135,6 +135,7 @@ def near_dup_filter_batch(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """One micro-batch of streaming near-dup ingestion (call from
     ``foreachBatch``): MinHash-band the batch, drop documents whose band
@@ -147,6 +148,14 @@ def near_dup_filter_batch(
     The collision join is an equi-join on 16-byte band keys; at scale the
     signature table is bucketed by band_sig so the probe is co-located.
     Returns the batch rows that survived (new, non-duplicate documents).
+
+    Retry safety: pass ``batch_id`` (``f"{query_id}-{epoch_id}"`` from
+    foreachBatch).  A micro-batch replayed after the signature append
+    succeeded but before the checkpoint commit would otherwise collide
+    with its OWN persisted signatures and silently drop the whole batch;
+    here (a) history matches against a different doc_id only, so a doc is
+    never a duplicate of itself, and (b) the signature write goes through
+    ``idempotent_append``, so the replay's append is a no-op.
     """
     from icebergproject_spark.llm.dedup import _minhash_flat
 
@@ -169,9 +178,12 @@ def near_dup_filter_batch(
         ).alias("bs"),
     ).select("id", "bs.band", "bs.band_sig")
     try:
-        seen = sig_table.read().select("band", "band_sig")
+        seen = sig_table.read().select(
+            "band", "band_sig", F.col("doc_id").alias("seen_doc_id")
+        )
         hist_dup = (
-            banded.join(seen, ["band", "band_sig"], "left_semi")
+            banded.join(seen, ["band", "band_sig"], "inner")
+            .filter(F.col("seen_doc_id") != F.col("id"))
             .select("id")
             .distinct()
         )
@@ -192,7 +204,9 @@ def near_dup_filter_batch(
     surv_sigs = banded.join(
         dups, banded["id"] == dups["id"], "left_anti"
     ).select(F.col("id").alias("doc_id"), "band", "band_sig")
-    if surv_sigs.take(1):
+    if batch_id is not None:
+        sig_table.idempotent_append(surv_sigs, batch_id)
+    elif surv_sigs.take(1):
         sig_table.append(surv_sigs)
     return survivors
 

@@ -475,6 +475,41 @@ def test_streaming_near_dup_ingestion(spark, tmp_path):
     assert sorted(admitted) == [1, 2, 4]  # 3 near-dups 1; 5 in-batch dups 4
 
 
+def test_near_dup_filter_batch_replay_safe(spark, tmp_path):
+    """A foreachBatch micro-batch replayed AFTER its signature append
+    succeeded (crash before checkpoint commit) must not collide with its
+    own persisted signatures: with ``batch_id`` passed, the replay admits
+    the same survivors and the signature write is a no-op, so no data is
+    silently dropped and no duplicate signature rows accumulate."""
+    from icebergproject_spark.streaming import near_dup_filter_batch
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="rr")
+    sig_table = catalog.table("DOC_SIGNATURES")
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "red orange yellow green blue indigo violet umber ochre teal"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    first = near_dup_filter_batch(batch, sig_table, batch_id="q-0")
+    assert sorted(r.doc_id for r in first.collect()) == [1, 2]
+    n_sigs = sig_table.read().count()
+
+    # crash-replay of the SAME epoch: same survivors, no new signatures
+    replay = near_dup_filter_batch(batch, sig_table, batch_id="q-0")
+    assert sorted(r.doc_id for r in replay.collect()) == [1, 2]
+    assert sig_table.read().count() == n_sigs
+
+    # a genuinely new epoch still dedups against history
+    nxt = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta eta theta iota lambda")],
+        ["doc_id", "text"],
+    )
+    assert near_dup_filter_batch(nxt, sig_table, batch_id="q-1").count() == 0
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """T4: an event older than the watermark horizon arriving in a later
     micro-batch is DROPPED from the windowed aggregate (bounded state ⇒

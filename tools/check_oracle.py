@@ -35,17 +35,27 @@ from icebergproject_spark.tables import TABLE_NAMES
 
 
 def norm_value(v) -> str:
-    """Raw stringification — no type coercion, no rounding.
+    """Raw stringification — no numeric coercion, no rounding.
 
-    Both sides pass through here; the only adjustments are for container
-    types (None/NaN → the same token) so that a genuine SQL NULL compares
-    equal regardless of fetch path.  Everything else renders exactly as
-    its native type prints, which is what the driver hashes.
+    Both sides pass through here; the only adjustments are (a) None/NaN →
+    the same token so a genuine SQL NULL compares equal regardless of
+    fetch path, and (b) date-likes → a canonical timestamp string,
+    because Spark's toPandas yields ``datetime.date`` objects for DATE
+    while DuckDB's .df() yields midnight ``Timestamp``s — a difference
+    the driver demonstrably tolerates (viewers_never_buy was green in
+    CORRECTNESS_r01 with exactly this shape).  Numerics stay raw: that is
+    where the driver is strict (Decimal('138014.00') ≠ float 138014.0).
     """
+    import datetime
+
     if v is None:
         return "NULL"
     if isinstance(v, float) and v != v:  # NaN from pandas nullable columns
         return "NULL"
+    if isinstance(v, (datetime.date, datetime.datetime)):  # incl. Timestamp
+        import pandas as pd
+
+        return str(pd.Timestamp(v))
     return str(v)
 
 
