@@ -1,6 +1,7 @@
 """Structured Streaming layer (SURVEY Phase 3, §2.8)."""
 
 from icebergproject_spark.streaming.runner import (
+    dbapi_batch_sink,
     dedup_stream,
     dynamic_topic_routing,
     file_stream_source,
@@ -12,6 +13,7 @@ from icebergproject_spark.streaming.runner import (
 )
 
 __all__ = [
+    "dbapi_batch_sink",
     "dedup_stream",
     "dynamic_topic_routing",
     "file_stream_source",

@@ -68,6 +68,59 @@ def run_available_now(
     q.awaitTermination()
 
 
+def dbapi_batch_sink(
+    connect,
+    table: str,
+    columns: list[str] | None = None,
+    chunk_size: int = 1000,
+    create_ddl: str | None = None,
+):
+    """K4/K5: relational batch sink for ``foreachBatch`` — the JDBC
+    sink pattern (reference: utils/MyClickhouseUtil.scala:17-34, a
+    per-batch ClickHouse INSERT loop; offlineanls/ProcessUserPoints.
+    scala:52-58 for the MySQL variant).
+
+    ``connect`` is a zero-arg factory returning a DB-API connection —
+    called once PER MICRO-BATCH (the JDBC-pool-checkout shape; also what
+    thread-bound drivers like sqlite3 require, since foreachBatch runs
+    on a streaming thread).  Rows stream through ``toLocalIterator`` in
+    ``chunk_size``-row ``executemany`` chunks with one commit per batch:
+    at-least-once, like the reference (T2) — pair with an idempotent
+    target (REPLACE/upsert DDL) for effectively-once.
+
+    In-container stand-in note: ``df.write.jdbc`` needs a JDBC driver
+    jar the environment lacks; this sink exercises the identical batch
+    protocol through Python DB-API (sqlite3/DuckDB round-trip tested).
+    On a cluster with driver jars, prefer ``df.write.jdbc(...,
+    numPartitions=N)`` so inserts run executor-parallel; this helper is
+    the semantic contract either path must satisfy.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        cols = columns or batch.columns
+        proj = batch.select(*cols)
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            if create_ddl:
+                cur.execute(create_ddl)
+            placeholders = ", ".join(["?"] * len(cols))
+            stmt = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
+            buf: list[tuple] = []
+            for row in proj.toLocalIterator():
+                buf.append(tuple(row))
+                if len(buf) >= chunk_size:
+                    cur.executemany(stmt, buf)
+                    buf.clear()
+            if buf:
+                cur.executemany(stmt, buf)
+            conn.commit()
+        finally:
+            conn.close()
+
+    return sink
+
+
 def foreach_batch_multi_sink(sinks: list) -> callable:
     """K7: one micro-batch → several sinks. ``sinks`` are callables
     ``(DataFrame) -> None``; the batch is persisted so each sink doesn't

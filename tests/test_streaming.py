@@ -655,3 +655,62 @@ def test_progress_collector_captures_batches(spark, tmp_path):
 
     assert any(r["num_input_rows"] == 3 for r in collector.records)
     assert all(r["batch_id"] is not None for r in collector.records)
+
+
+def test_jdbc_sink_roundtrip_sqlite(spark, tmp_path):
+    """K4/K5 parity: stream micro-batches through the DB-API batch sink
+    into sqlite3 and read every row back — the end-to-end the reference
+    runs against ClickHouse/MySQL (MyClickhouseUtil.scala:17-34)."""
+    import sqlite3
+
+    from icebergproject_spark.streaming import dbapi_batch_sink
+
+    src = str(tmp_path / "jdbc_src")
+    rows = [(i, f"user{i % 7}", i * 10) for i in range(1, 251)]
+    spark.createDataFrame(rows, ["id", "name", "points"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    db = str(tmp_path / "sink.db")
+    sink = dbapi_batch_sink(
+        connect=lambda: sqlite3.connect(db),
+        table="user_points",
+        chunk_size=64,
+        create_ddl="CREATE TABLE IF NOT EXISTS user_points "
+        "(id INTEGER, name TEXT, points INTEGER)",
+    )
+    run_available_now(
+        file_stream_source(spark, src, schema),
+        checkpoint_dir=str(tmp_path / "ck_jdbc"),
+        sink_fn=sink,
+        output_mode="append",
+    )
+
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT id, name, points FROM user_points"))
+    assert got == sorted(rows)
+
+
+def test_jdbc_sink_roundtrip_duckdb(spark, tmp_path):
+    """Same contract against DuckDB (the in-env ClickHouse analog) —
+    including a second batch appending on top of the first (at-least-once
+    accumulation across micro-batches)."""
+    import duckdb
+
+    from icebergproject_spark.streaming import dbapi_batch_sink
+
+    db = str(tmp_path / "sink.duckdb")
+    sink = dbapi_batch_sink(
+        connect=lambda: duckdb.connect(db),
+        table="dm_points",
+        columns=["id", "points"],
+        create_ddl="CREATE TABLE IF NOT EXISTS dm_points (id BIGINT, points BIGINT)",
+    )
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], ["id", "points"])
+    b2 = spark.createDataFrame([(3, 30)], ["id", "points"])
+    sink(b1, 0)
+    sink(b2, 1)
+    with duckdb.connect(db) as conn:
+        got = sorted(conn.execute("SELECT id, points FROM dm_points").fetchall())
+    assert got == [(1, 10), (2, 20), (3, 30)]
