@@ -57,8 +57,11 @@ BENCH_QUERIES = [
     "quantity_price_corr",
     # LLM data-pipeline
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_verified",
+    "dedup_clusters",
     "dedup_embedding",
     "text_stats",
     "similarity_topk",
