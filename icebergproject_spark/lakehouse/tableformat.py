@@ -78,11 +78,51 @@ class LakehouseTable:
         with open(self.props_path, "w") as f:
             json.dump({"partition": {"column": column, "transform": transform}}, f)
 
+    def evolve_partitioning(self, column: str, transform: str = "day") -> None:
+        """Iceberg-style PARTITION EVOLUTION: change the spec on a table
+        that already has data.  The new spec applies to FUTURE writes
+        only; existing data directories keep the layout they were written
+        with (each dir is stamped with its spec at write time), exactly
+        like Iceberg spec-id-per-manifest.  Reads remain correct across
+        the mix: dirs whose spec matches the current one are pruned at
+        the directory level, older dirs get the equivalent residual ROW
+        filter ``transform(column) IN (values)`` — same semantics, no
+        directory pruning (what Iceberg does for files under old specs).
+        """
+        if transform not in _TRANSFORMS:
+            raise ValueError(f"transform must be one of {sorted(_TRANSFORMS)}")
+        props = {}
+        if os.path.exists(self.props_path):
+            with open(self.props_path) as f:
+                props = json.load(f)
+        history = props.get("spec_history", [])
+        if props.get("partition"):
+            history.append(props["partition"])
+        props["partition"] = {"column": column, "transform": transform}
+        props["spec_history"] = history
+        with open(self.props_path, "w") as f:
+            json.dump(props, f)
+
     def _partition_spec(self) -> dict | None:
         if not os.path.exists(self.props_path):
             return None
         with open(self.props_path) as f:
             return json.load(f).get("partition")
+
+    def _dir_spec(self, d: str) -> dict | None:
+        """Partition spec a data directory was WRITTEN with (stamped by
+        ``_write_data``).  Pre-stamp directories: infer from layout —
+        ``__p=`` subdirs mean the (then-current) spec, else unpartitioned."""
+        spec_path = os.path.join(d, "_spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                return json.load(f) or None
+        try:
+            if any(e.startswith("__p=") for e in os.listdir(d)):
+                return self._partition_spec()
+        except FileNotFoundError:
+            pass
+        return None
 
     # -- snapshot metadata ------------------------------------------------
     def _snapshots(self) -> list[dict]:
@@ -131,6 +171,10 @@ class LakehouseTable:
             ).parquet(d)
         else:
             df.write.mode("overwrite").parquet(d)
+        # stamp the spec the dir was written with (partition evolution:
+        # readers must know each dir's layout, not just the current spec)
+        with open(os.path.join(d, "_spec.json"), "w") as f:
+            json.dump(spec, f)
         return d
 
     # -- operations -------------------------------------------------------
@@ -145,12 +189,30 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         return self._commit("overwrite", [new_dir])
 
-    def merge(self, updates: DataFrame, key_cols: list[str]) -> dict:
-        """K6: MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.
+    def merge(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_condition=None,
+        drop_cols: list[str] | None = None,
+    ) -> dict:
+        """K6: MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT —
+        plus Iceberg's delete clause::
+
+            WHEN MATCHED AND <delete_condition> THEN DELETE
+            WHEN MATCHED                        THEN UPDATE SET *
+            WHEN NOT MATCHED AND NOT <delete_condition> THEN INSERT *
 
         Last-writer-wins per key within ``updates`` (the reference's Phoenix
         upsert applies CDC records in order; in a micro-batch the latest
         record per key wins — dedup keeps that one).
+
+        ``delete_condition`` (Column or SQL string, evaluated on the
+        UPDATE row — e.g. ``"op = 'D'"`` for a CDC stream, T8): matching
+        target rows are removed; a delete for an absent key is a no-op
+        (never inserted).  ``drop_cols`` drops CDC metadata columns (op,
+        ts) from the applied rows AFTER the condition is evaluated, so
+        the table schema stays clean.
         """
         w_last = F.row_number().over(
             Window.partitionBy(*key_cols).orderBy(F.monotonically_increasing_id().desc())
@@ -158,13 +220,30 @@ class LakehouseTable:
         deduped = (
             updates.withColumn("__rn", w_last).filter(F.col("__rn") == 1).drop("__rn")
         )
+        if delete_condition is not None:
+            cond = (
+                F.expr(delete_condition)
+                if isinstance(delete_condition, str)
+                else delete_condition
+            )
+            upserts = deduped.filter(~cond)
+        else:
+            upserts = deduped
+        if drop_cols:
+            # keys stay; only metadata payload columns are dropped
+            deduped = deduped.drop(*[c for c in drop_cols if c not in key_cols])
+            upserts = upserts.drop(*[c for c in drop_cols if c not in key_cols])
         try:
             target = self.read()
         except FileNotFoundError:
             target = None
         if target is None:
-            return self.overwrite(deduped)
-        merged = target.join(deduped, key_cols, "left_anti").unionByName(deduped)
+            return self.overwrite(upserts)
+        # anti-join against EVERY touched key (updates and deletes) wipes
+        # the old versions; only the non-delete rows come back in
+        merged = target.join(
+            deduped.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(upserts)
         new_dir = self._write_data(merged)
         return self._commit("merge", [new_dir])
 
@@ -239,19 +318,34 @@ class LakehouseTable:
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             snap = eligible[-1]
-        if self._partition_spec():
+        spec = self._partition_spec()
+        if spec:
             # one scan per snapshot dir (each is its own partitioned root —
             # Spark refuses mixed partition discovery across roots); the
-            # partition filter pushes through the union into every scan
-            parts = [self.spark.read.parquet(d) for d in snap["data_dirs"]]
+            # partition filter pushes through the union into every scan.
+            # Partition evolution: a dir written under the CURRENT spec is
+            # pruned via its __p directory column; a dir under an older
+            # (or no) spec gets the equivalent residual row filter —
+            # identical semantics, it just can't skip directories.
+            vals = list(partition_values) if partition_values is not None else None
+            parts = []
+            for d in snap["data_dirs"]:
+                p = self.spark.read.parquet(d)
+                if vals is not None:
+                    if self._dir_spec(d) == spec:
+                        p = p.filter(F.col("__p").isin(vals))
+                    else:
+                        expr = _TRANSFORMS[spec["transform"]](spec["column"])
+                        p = p.filter(expr.isin(vals))
+                if "__p" in p.columns:
+                    p = p.drop("__p")
+                parts.append(p)
             df = parts[0]
             for p in parts[1:]:
                 # allowMissingColumns = additive schema evolution: rows
                 # written before a column existed read back as null
                 df = df.unionByName(p, allowMissingColumns=True)
-            if partition_values is not None:
-                df = df.filter(F.col("__p").isin(list(partition_values)))
-            return df.drop("__p")
+            return df
         if partition_values is not None:
             raise ValueError("table is not partitioned")
         # mergeSchema: the union of every file's schema (additive schema
@@ -402,6 +496,32 @@ class LakehouseTable:
             if full not in live_dirs:
                 shutil.rmtree(full, ignore_errors=True)
         return len(expired)
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
+        """Iceberg ``remove_orphan_files``: delete data directories that
+        NO snapshot references — the debris of writes that finished
+        ``_write_data`` but crashed before ``_commit`` (expiry GC never
+        touches these because it only walks committed snapshots).
+
+        ``older_than_ms`` is the safety cutoff (directories modified at
+        or after it survive) so a write in flight RIGHT NOW — data
+        written, commit pending — is not swept; Iceberg's action defaults
+        this to now-3d for the same reason.  Defaults to "now".
+        Returns the number of directories removed.
+        """
+        if older_than_ms is None:
+            older_than_ms = int(time.time() * 1000)
+        referenced = {d for s in self._snapshots() for d in s["data_dirs"]}
+        removed = 0
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if full in referenced:
+                continue
+            if os.path.getmtime(full) * 1000 >= older_than_ms:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+        return removed
 
 
 class LakehouseCatalog:

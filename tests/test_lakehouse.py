@@ -241,3 +241,101 @@ def test_rollback_restores_old_state_auditable(spark, tmp_path):
     assert {r.k for r in t.read().collect()} == {"good"}
     # history preserved: rollback is a commit, bad snapshot still exists
     assert [s["operation"] for s in t.history()] == ["append", "append", "rollback"]
+
+
+def test_partition_evolution_mixed_layout_reads(spark, tmp_path):
+    """Iceberg-style partition evolution: data written BEFORE the spec
+    change keeps its layout; the new spec applies to new writes only; a
+    partition_values read stays correct across the mix (old dirs get the
+    residual row filter, new dirs prune at the directory level)."""
+    import pyspark.sql.functions as F
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="pe")
+    t = catalog.table("EVOLVE")
+
+    def day_df(rows):
+        return spark.createDataFrame(rows, ["id", "s"]).withColumn(
+            "ts", F.col("s").cast("timestamp")
+        ).drop("s")
+
+    # unpartitioned era
+    t.append(day_df([("1", "2022-06-15 06:00:00"), ("2", "2022-06-16 07:00:00")]))
+    # evolve to day partitioning; new write lands partitioned
+    t.evolve_partitioning("ts", "day")
+    t.append(day_df([("3", "2022-06-15 08:00:00"), ("4", "2022-06-17 09:00:00")]))
+
+    full = t.read()
+    assert set(full.columns) == {"id", "ts"}
+    assert full.count() == 4
+
+    pruned = t.read(partition_values=["2022-06-15"])
+    assert {r.id for r in pruned.collect()} == {"1", "3"}
+
+    # the post-evolution dir prunes at the scan; the pre-evolution dir
+    # contributes via the residual filter (no __p directories to prune)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_remove_orphan_files_sweeps_uncommitted_only(spark, tmp_path):
+    """A crash between _write_data and _commit leaves an unreferenced
+    data dir; orphan GC removes exactly that dir — committed dirs and
+    fresh (in-flight) dirs survive."""
+    import os
+    import time as time_mod
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="og")
+    t = catalog.table("ORPHANS")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+
+    # simulate a crashed write: data materialized, commit never happened
+    orphan = t._write_data(spark.createDataFrame([(9, "zz")], ["id", "v"]))
+    assert os.path.exists(orphan)
+
+    # age guard: a cutoff BEFORE the write leaves the orphan alone
+    assert t.remove_orphan_files(older_than_ms=int(time_mod.time() * 1000) - 60_000) == 0
+    assert os.path.exists(orphan)
+
+    # real sweep: orphan gone, committed data intact, table still reads
+    assert t.remove_orphan_files() == 1
+    assert not os.path.exists(orphan)
+    assert t.read().count() == 1
+
+
+def test_merge_with_delete_clause_cdc(spark, tmp_path):
+    """MERGE with Iceberg's delete clause over a CDC batch: insert,
+    update, and delete ops apply in one merge; a delete for an absent
+    key is a no-op; CDC metadata columns stay out of the table schema."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="mc")
+    t = catalog.table("DIM_CDC")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+
+    cdc = spark.createDataFrame(
+        [
+            (2, "B2", "U"),   # update
+            (3, None, "D"),   # delete existing
+            (4, "d", "I"),    # insert
+            (99, None, "D"),  # delete absent key -> no-op
+        ],
+        ["id", "v", "op"],
+    )
+    t.merge(cdc, key_cols=["id"], delete_condition="op = 'D'", drop_cols=["op"])
+
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out == {1: "a", 2: "B2", 4: "d"}
+    assert set(t.read().columns) == {"id", "v"}
+
+
+def test_merge_delete_clause_last_writer_wins(spark, tmp_path):
+    """Within one CDC micro-batch the LATEST record per key decides:
+    an earlier delete superseded by a later upsert re-inserts the row."""
+    import pyspark.sql.functions as F
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="mc2")
+    t = catalog.table("DIM_CDC2")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    cdc = spark.createDataFrame(
+        [(1, None, "D"), (1, "a2", "U")], ["id", "v", "op"]
+    )
+    t.merge(cdc, key_cols=["id"], delete_condition=F.col("op") == "D", drop_cols=["op"])
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a2")}
