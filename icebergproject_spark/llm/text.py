@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -202,6 +203,52 @@ def stratified_sample(
         df.join(F.broadcast(rates), strata_col)
         .filter(h % 100 < F.col(rate_col))
         .drop(rate_col)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int = 2048,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in deterministic
+    (stratum, doc_id) order and chop the token stream at fixed
+    ``context_len`` boundaries — the pre-training batch-prep step that
+    keeps a 2048-token context from being 90% padding.
+
+    Concat-and-chop (docs MAY straddle a boundary and continue in the
+    next pack) is the semantics GPT-2/3-lineage pipelines actually use,
+    and unlike greedy no-split bin packing it is a closed form over one
+    PREFIX SUM: a doc starting at global token offset ``prev_cum`` lands
+    in pack ``floor(prev_cum / L)`` at offset ``prev_cum % L`` and spans
+    ``floor((cum-1)/L) - floor(prev_cum/L) + 1`` packs.  One window
+    cumsum per stratum (one shuffle + in-partition sort), no iteration,
+    no UDF, deterministic across engines and partitionings.  (Greedy
+    no-split packing is a sequential recurrence — each shift depends on
+    all previous shifts — so it can't be a single window expression;
+    when padding-free no-split packing is required, run this per
+    stratum inside ``applyInPandas``.)
+
+    Output: (id, n_tokens, pack_id, pack_offset, n_packs_spanned);
+    pack_id = "<stratum>-<window index>" of the doc's FIRST token.
+    """
+    n_tok = F.size(_tokens(content_col))
+    strat = F.col(strata_col) if strata_col else F.lit("all")
+    w = Window.partitionBy(strat).orderBy(F.col(id_col).asc())
+    cum = F.sum(n_tok).over(w)  # inclusive prefix sum of the token stream
+    prev_cum = cum - n_tok
+    first_pack = F.floor(prev_cum / context_len)
+    last_pack = F.floor((cum - 1) / context_len)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        F.concat_ws("-", strat.cast("string"), first_pack.cast("string")).alias(
+            "pack_id"
+        ),
+        (prev_cum % context_len).cast("long").alias("pack_offset"),
+        (last_pack - first_pack + 1).cast("long").alias("n_packs_spanned"),
     )
 
 

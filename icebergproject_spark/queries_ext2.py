@@ -1161,6 +1161,38 @@ FROM per_src, tot
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the corpus: per-source token
+    streams chopped into 512-token context windows via one window
+    cumsum — the padding-elimination step of pre-training batch prep."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.pack_sequences(
+        docs, context_len=512, strata_col="source"
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id AS id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       source || '-' || CAST(CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR)
+         AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset,
+       CAST(FLOOR((cum - 1) / 512) - FLOOR((cum - n_tokens) / 512) + 1 AS BIGINT)
+         AS n_packs_spanned
+FROM c
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Applying the dedup: keep one representative (min doc_id) per
     near-dup cluster — the actual corpus-shrinking step downstream of
@@ -1881,4 +1913,5 @@ EXT2_REGISTRY: dict[str, Query] = {
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIRS),
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),
     "doc_keywords": Query(q_doc_keywords, ORACLE_DOC_KEYWORDS),
+    "pack_sequences": Query(q_pack_sequences, ORACLE_PACK_SEQUENCES),
 }

@@ -514,3 +514,45 @@ def test_unigram_lm_score_orders_typicality(spark):
            text.unigram_logprob_score(docs).collect()}
     assert all(v < 0 for v in got.values())
     assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_pack_sequences_gpt_style_chop(spark):
+    """Concat-and-chop packing: known token counts land at the exact
+    prefix-sum offsets; straddling docs span the right number of packs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens
+            (2, "a b c d"),        # 4
+            (3, "a b"),            # 2
+            (4, "a b c d e"),      # 5
+            (5, "a"),              # 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: (r.n_tokens, r.pack_id, r.pack_offset, r.n_packs_spanned)
+        for r in text.pack_sequences(docs, context_len=4).collect()
+    }
+    assert got == {
+        1: (3, "all-0", 0, 1),
+        2: (4, "all-0", 3, 2),   # crosses the 4-token boundary
+        3: (2, "all-1", 3, 2),
+        4: (5, "all-2", 1, 2),   # longer than one window
+        5: (1, "all-3", 2, 1),
+    }
+
+
+def test_pack_sequences_strata_isolated(spark):
+    """Streams pack independently per stratum — a doc in source B never
+    shares a pack with source A."""
+    docs = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x y z", "B"), (3, "x", "A")],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r.id: r.pack_id
+        for r in text.pack_sequences(
+            docs, context_len=4, strata_col="source"
+        ).collect()
+    }
+    assert got == {1: "A-0", 2: "B-0", 3: "A-0"}
