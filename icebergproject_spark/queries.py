@@ -759,3 +759,8 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in DRIVER_WINDOW},
     **{n: q for n, q in REGISTRY.items() if n not in DRIVER_WINDOW},
 }
+
+# TPC-H analog batch 2 — outside the driver window, locally oracle-gated
+from icebergproject_spark.queries_tpch import TPCH_REGISTRY  # noqa: E402
+
+REGISTRY.update(TPCH_REGISTRY)
