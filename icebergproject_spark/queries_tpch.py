@@ -60,8 +60,10 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).isin("NATION_1", "NATION_2")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        # customer/supplier scale with SF: no forced broadcast — AQE
+        # broadcasts them while they fit and shuffle-joins beyond that
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair & (F.col("supp_nation") != F.col("cust_nation")))
@@ -109,7 +111,8 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        # customer scales with SF — AQE decides; nation is bounded (25)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast(DEC4).cast("double").alias("lost_revenue"))
@@ -243,9 +246,11 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast(DEC) * F.lit(5) * F.col("qty_n")
     ) < F.col("qty_sum")
     return (
-        li.join(F.broadcast(per_part), li["l_partkey"] == F.col("pk"))
+        # per_part/part are one row per part — they scale with SF, so no
+        # forced broadcast (AQE handles the small-SF case)
+        li.join(per_part, li["l_partkey"] == F.col("pk"))
         .filter(below)
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small_lines"),
@@ -290,7 +295,7 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
@@ -371,7 +376,7 @@ def q_blame_last_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt dates): on orders served by MULTIPLE suppliers, count how
     often each supplier shipped strictly LAST — the multi-EXISTS blame
     self-join.  Decorrelated into one per-order aggregate (max ship
-    date + distinct-supplier count) broadcast back onto the fact; both
+    date + distinct-supplier count) joined back onto the fact; both
     EXISTS become predicates on that aggregate.  Top-20 suppliers."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -380,7 +385,8 @@ def q_blame_last_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supp"),
     )
     last_lines = (
-        li.join(F.broadcast(per_order), li["l_orderkey"] == F.col("ok"))
+        # per_order scales with SF (one row per order): no forced broadcast
+        li.join(per_order, li["l_orderkey"] == F.col("ok"))
         .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
         .select("l_orderkey", "l_suppkey")
         .distinct()
