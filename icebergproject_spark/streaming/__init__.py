@@ -7,6 +7,7 @@ from icebergproject_spark.streaming.runner import (
     file_stream_source,
     foreach_batch_multi_sink,
     near_dup_filter_batch,
+    rocksdb_state_conf,
     run_available_now,
     stream_stream_join,
     windowed_count_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "file_stream_source",
     "foreach_batch_multi_sink",
     "near_dup_filter_batch",
+    "rocksdb_state_conf",
     "run_available_now",
     "stream_stream_join",
     "windowed_count_stream",

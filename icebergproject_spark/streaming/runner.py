@@ -290,6 +290,37 @@ def stream_stream_join(
     return lw.join(rw, cond, how)
 
 
+def rocksdb_state_conf(
+    local_dir: str | None = None,
+    changelog_checkpointing: bool = True,
+) -> dict[str, str]:
+    """Config block for the RocksDB state store provider — the setting
+    that makes stateful streaming viable at 100 TB.
+
+    The default HDFSBackedStateStoreProvider keeps EVERY key of every
+    stateful operator on the executor HEAP: a dedup/sessionization state
+    of a few hundred GB per executor is an OOM, not a tuning problem.
+    RocksDB spills state to local SSD with bounded block-cache memory,
+    and changelog checkpointing ships per-batch deltas instead of full
+    SST snapshots (Spark 3.5+/4.x), collapsing checkpoint time on large
+    state.  Apply via ``spark.conf.set`` per setting, or pass into the
+    session builder — the provider is part of OSS Spark, no extra jar.
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            "true" if changelog_checkpointing else "false",
+        # bound RocksDB native memory per executor (block cache + memtables
+        # + filters) so state size can't eat the JVM overhead headroom
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    }
+    if local_dir:
+        conf["spark.sql.streaming.stateStore.rocksdb.localDir"] = local_dir
+    return conf
+
+
 def dynamic_topic_routing(df: DataFrame, topic_col: str, payload_cols: list[str]) -> DataFrame:
     """K3: shape a stream for Spark's Kafka sink with per-record topics —
     (topic, value) columns; the sink honors the ``topic`` column when no
