@@ -1193,6 +1193,118 @@ FROM c
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix: predicted language (the n-gram
+    marker vote) vs the corpus gold label — the quality gate you run
+    before trusting lang-ID for corpus filtering.  One scan, the vote is
+    pure column expressions, one (gold, pred) aggregate."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = llm_text.language_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("gold_lang"))
+        .join(pred, "doc_id")
+        .groupBy("gold_lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from icebergproject_spark.queries import _lang_oracle
+
+    inner = _lang_oracle().strip()
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang AS gold_lang, pred.lang_pred, COUNT(*) AS n_docs
+FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + cohort size — the class-prototype
+    computation behind semantic label audit / nearest-centroid
+    classification.  Components are cast to DECIMAL(18,9) BEFORE the
+    mean so the sums are exact and merge-order-independent (float sums
+    would drift by partitioning); centroids emit as a rounded CSV string.
+    One aggregate via posexplode — shuffle carries (label, dim_idx)
+    partial sums, 64 rows per (partition, label)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("idx", "c")
+    ).select("label", "idx", F.col("c").cast("decimal(18,9)").alias("c"))
+    per_dim = flat.groupBy("label", "idx").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = (F.col("s") / F.col("n")).cast("decimal(18,9)").cast("double")
+    return (
+        per_dim.select("label", "idx", F.round(mean, 6).alias("m"), "n")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                                 # %.6f: fixed-point rendering — a bare
+                                 # string cast flips to scientific
+                                 # notation below 1e-3 and DuckDB doesn't
+                                 lambda s: F.format_string("%.6f", s["m"]))
+            ).alias("centroid_csv"),
+        )
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH flat AS (
+  SELECT label, i - 1 AS idx,
+         CAST(embedding[i] AS DECIMAL(18,9)) AS c
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+per_dim AS (
+  SELECT label, idx, SUM(c) AS s, COUNT(*) AS n
+  FROM flat GROUP BY 1, 2
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       string_agg(
+         printf('%.6f', ROUND(CAST(CAST(s / n AS DECIMAL(18,9)) AS DOUBLE), 6)),
+         ',' ORDER BY idx) AS centroid_csv
+FROM per_dim
+GROUP BY label
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (JSON parse) on the events stream: extract the ``k`` field
+    from the JSON props payload and profile it per event type — the
+    schema-on-read path every log pipeline needs.  get_json_object stays
+    JVM-side; the aggregate is exact integer math."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY 1
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Applying the dedup: keep one representative (min doc_id) per
     near-dup cluster — the actual corpus-shrinking step downstream of
@@ -1914,4 +2026,7 @@ EXT2_REGISTRY: dict[str, Query] = {
     "multimodal_chunks": Query(q_multimodal_chunks, ORACLE_MULTIMODAL_CHUNKS),
     "doc_keywords": Query(q_doc_keywords, ORACLE_DOC_KEYWORDS),
     "pack_sequences": Query(q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "lang_confusion": Query(q_lang_confusion, _lang_confusion_oracle()),
+    "label_centroids": Query(q_label_centroids, ORACLE_LABEL_CENTROIDS),
+    "events_json_props": Query(q_events_json_props, ORACLE_EVENTS_JSON),
 }
