@@ -351,9 +351,21 @@ class LakehouseTable:
         # mergeSchema: the union of every file's schema (additive schema
         # evolution); without it the first file's schema wins and columns
         # added by later snapshots silently vanish
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *snap["data_dirs"]
-        )
+        try:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *snap["data_dirs"]
+            )
+        except Exception:
+            # CANNOT_MERGE_SCHEMAS: parquet footer merge refuses numeric
+            # TYPE WIDENING (int→long, float→double) that Iceberg schema
+            # evolution allows. Union coercion promotes to the common
+            # wider type, so route per-dir scans through unionByName —
+            # same rows, widened schema.
+            parts = [self.spark.read.parquet(d) for d in snap["data_dirs"]]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            return df
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """M1: rewrite_data_files — many small dirs → one rewritten dir."""

@@ -339,3 +339,21 @@ def test_merge_delete_clause_last_writer_wins(spark, tmp_path):
     )
     t.merge(cdc, key_cols=["id"], delete_condition=F.col("op") == "D", drop_cols=["op"])
     assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a2")}
+
+
+def test_numeric_type_widening_read(spark, tmp_path):
+    """Iceberg-style type widening: a column written as INT in one
+    snapshot and BIGINT in a later one reads back as the wider type
+    (parquet footer merge refuses this; the union-coercion fallback
+    handles it)."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="tw")
+    t = catalog.table("WIDEN")
+    t.append(
+        spark.createDataFrame([(1, 10)], ["id", "v"]).selectExpr(
+            "id", "cast(v as int) v"
+        )
+    )
+    t.append(spark.createDataFrame([(2, 2**40)], ["id", "v"]))
+    out = t.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, 10), (2, 2**40)]

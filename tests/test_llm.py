@@ -236,7 +236,9 @@ def test_connected_components_adversarial_path_graph(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 10_000)], ["id_a", "id_b"]
     )
-    labels = dedup.connected_components(edges, max_iter=15)
+    # driver_threshold=0 forces the DISTRIBUTED star contraction — the
+    # path under test (the driver union-find fast path would swallow it)
+    labels = dedup.connected_components(edges, max_iter=15, driver_threshold=0)
     assert labels.filter(F.col("cluster_id") == 1).count() == 10_000
     assert labels.count() == 10_000  # exactly one row per node
 
@@ -275,11 +277,16 @@ def test_connected_components_matches_union_find(spark):
 
     e = spark.createDataFrame(edges, ["id_a", "id_b"])
     nd = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
-    got = {
-        r.node: r.cluster_id
-        for r in dedup.connected_components(e, nodes=nd, node_col="doc_id").collect()
-    }
-    assert got == expected
+    # both implementations must agree with the reference: the driver
+    # union-find fast path (default) and the distributed star contraction
+    for thresh in (2_000_000, 0):
+        got = {
+            r.node: r.cluster_id
+            for r in dedup.connected_components(
+                e, nodes=nd, node_col="doc_id", driver_threshold=thresh
+            ).collect()
+        }
+        assert got == expected
 
 
 def test_contamination_pairs_detects_verbatim_overlap(spark):
