@@ -34,11 +34,22 @@ def file_stream_source(
     schema: StructType,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: str | None = None,
 ) -> DataFrame:
-    """S1/S2 stand-in: file source streaming DataFrame."""
+    """S1/S2 stand-in: file source streaming DataFrame.
+
+    Trigger pacing: ``max_files_per_trigger`` bounds micro-batches by
+    FILE COUNT (deterministic replay in tests), ``max_bytes_per_trigger``
+    by admitted BYTES (e.g. ``"128m"``) — the backpressure knob for
+    uneven file sizes: a batch never admits a multi-GB backlog just
+    because it is few files.  Kafka's equivalent is
+    ``maxOffsetsPerTrigger``; both map to the reference's source-side
+    rate limiting."""
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return reader.load(path)
 
 

@@ -821,3 +821,44 @@ def test_stream_stream_left_join_emits_unmatched_after_expiry(spark, tmp_path):
             by_user[r.user_id] = r.buy_ts
     assert by_user.get("u1") is not None      # matched inside the bound
     assert "u2" in by_user and by_user["u2"] is None  # expired → null-extended
+
+
+def test_sessionizer_idle_timeout_evicts_state(spark, tmp_path):
+    """idle_timeout=True: a key that stops sending events has its open
+    session FLUSHED by the processing-time timeout (and its state
+    dropped) instead of lingering forever — the state-TTL contract for
+    continuous deployments."""
+    import os
+    import time as time_mod
+
+    from icebergproject_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "ttl_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    df = spark.createDataFrame(
+        [("u1", base), ("u1", base + 1)], ["user_id", "epoch"]
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=2,
+                                 idle_timeout=True)
+    results = []
+    q = (
+        sessions.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time_mod.time() + 60
+        while time_mod.time() < deadline and not results:
+            time_mod.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(results) == 1
+    r = results[0]
+    assert (r.key, r.session_start, r.session_end, r.n_events) == ("u1", base, base + 1, 2)
