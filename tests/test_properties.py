@@ -195,3 +195,32 @@ def test_exact_dedup_keeps_one_rep_per_content(spark, docs):
         ids = [i for i, t in enumerate(texts) if t == r.text]
         assert r.doc_id == min(ids)
         assert r.dup_cnt == len(ids)
+
+
+# --- sequence packing invariants -------------------------------------------
+
+pack_counts_st = st.lists(
+    st.integers(min_value=1, max_value=40), min_size=1, max_size=30
+)
+
+
+@given(counts=pack_counts_st, ctx=st.integers(min_value=2, max_value=16))
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_model(spark, counts, ctx):
+    """pack id / offset / span must equal the pure-Python concat-and-chop
+    model for arbitrary token-count sequences and context lengths."""
+    from icebergproject_spark.llm.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: (r.n_tokens, r.pack_id, r.pack_offset, r.n_packs_spanned)
+        for r in pack_sequences(docs, context_len=ctx).collect()
+    }
+    cum = 0
+    for i, n in enumerate(counts):
+        first, last = cum // ctx, (cum + n - 1) // ctx
+        assert got[i] == (n, f"all-{first}", cum % ctx, last - first + 1)
+        cum += n

@@ -78,7 +78,12 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session("oracle-check", master="local[8]", shuffle_partitions=8)
+    # adversarial-parallelism runs: ORACLE_MASTER=local[3] ORACLE_SHUFFLE=7
+    # — results must be partitioning-independent, so the gate must pass
+    # under ANY parallelism, not just the default
+    master = os.environ.get("ORACLE_MASTER", "local[8]")
+    shuffle = int(os.environ.get("ORACLE_SHUFFLE", "8"))
+    spark = build_session("oracle-check", master=master, shuffle_partitions=shuffle)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
