@@ -1305,6 +1305,42 @@ GROUP BY 1
 """
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance report: per-source exact-duplicate rate — the
+    number every dataset card quotes.  Group by (source, content digest)
+    then re-aggregate; the digest groupBy shuffles 16-byte keys, the
+    second aggregate is one row per distinct text.  dup_pct is a rounded
+    ratio of exact integers (deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_text = docs.groupBy(
+        "source", F.md5(F.col("text")).alias("digest")
+    ).agg(F.count(F.lit(1)).alias("copies"))
+    return per_text.groupBy("source").agg(
+        F.sum("copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            (F.sum("copies") - F.count(F.lit(1))).cast("double")
+            / F.sum("copies").cast("double"),
+            6,
+        ).alias("dup_pct"),
+    )
+
+
+ORACLE_DEDUP_RATE = """
+WITH per_text AS (
+  SELECT source, md5(text) AS digest, COUNT(*) AS copies
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       ROUND(CAST(SUM(copies) - COUNT(*) AS DOUBLE)
+             / CAST(SUM(copies) AS DOUBLE), 6) AS dup_pct
+FROM per_text
+GROUP BY 1
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Applying the dedup: keep one representative (min doc_id) per
     near-dup cluster — the actual corpus-shrinking step downstream of
@@ -2029,4 +2065,5 @@ EXT2_REGISTRY: dict[str, Query] = {
     "lang_confusion": Query(q_lang_confusion, _lang_confusion_oracle()),
     "label_centroids": Query(q_label_centroids, ORACLE_LABEL_CENTROIDS),
     "events_json_props": Query(q_events_json_props, ORACLE_EVENTS_JSON),
+    "dedup_rate_by_source": Query(q_dedup_rate_by_source, ORACLE_DEDUP_RATE),
 }
