@@ -564,7 +564,9 @@ class LakehouseCatalog:
         return sorted(os.listdir(db_dir))
 
     def maintain_all(self, older_than_ms: int | None = None) -> dict[str, int]:
-        """CombinDataAndRemoveOldSnap: compact + expire every table."""
+        """CombinDataAndRemoveOldSnap: compact + expire + orphan-sweep
+        every table (the reference's maintenance job, plus the orphan GC
+        Iceberg runs as a separate action)."""
         out = {}
         for name in self.list_tables():
             t = self.table(name)
@@ -572,4 +574,5 @@ class LakehouseCatalog:
                 continue
             t.compact()
             out[name] = t.expire_snapshots(older_than_ms)
+            t.remove_orphan_files(older_than_ms)
         return out
