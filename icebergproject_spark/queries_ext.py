@@ -45,7 +45,8 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast(DEC)
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(price).cast(DEC).alias("sum_base_price"),
+        # DECIMAL aggregate, terminal double cast (driver-stable rendering)
+        .agg(F.sum(price).cast(DEC).cast("double").alias("sum_base_price"),
              F.count(F.lit(1)).alias("n_items"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -59,7 +60,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLUP = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)

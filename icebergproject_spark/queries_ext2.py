@@ -513,14 +513,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(rev).cast(DEC4).alias("revenue"))
+        # DECIMAL aggregate, terminal double cast (driver-stable rendering)
+        .agg(F.sum(rev).cast(DEC4).cast("double").alias("revenue"))
     )
 
 
 ORACLE_LOCAL_SUPPLIER = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS DOUBLE)
          AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1822,12 +1823,13 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     rev = (F.col("l_extendedprice").cast(DEC4) * F.col("l_discount").cast(DEC))
-    return sel.agg(F.sum(rev).cast(DEC4).alias("revenue"))
+    # DECIMAL aggregate, terminal double cast (driver-stable rendering)
+    return sel.agg(F.sum(rev).cast(DEC4).cast("double").alias("revenue"))
 
 
 ORACLE_FORECAST_REVENUE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
