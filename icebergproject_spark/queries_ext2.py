@@ -197,6 +197,26 @@ def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantity_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: `approx_percentile` (KLL/t-digest-
+    family sketch, constant memory per group, mergeable partials) for the
+    same p25/p50/p75 — rows-only (sketch internals differ from DuckDB's);
+    the error bound vs the exact path is pytest-pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            "n",
+        )
+    )
+
+
 ORACLE_QUANTILES = """
 SELECT l_returnflag,
        ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
@@ -2068,4 +2088,5 @@ EXT2_REGISTRY: dict[str, Query] = {
     "label_centroids": Query(q_label_centroids, ORACLE_LABEL_CENTROIDS),
     "events_json_props": Query(q_events_json_props, ORACLE_EVENTS_JSON),
     "dedup_rate_by_source": Query(q_dedup_rate_by_source, ORACLE_DEDUP_RATE),
+    "quantity_quantiles_approx": Query(q_quantity_quantiles_approx, None),
 }

@@ -73,3 +73,23 @@ def test_union_multiplex_counts_add_up(spark, sf_dir):
               out.groupBy("rec_type").agg(F.sum("n").alias("n")).collect()}
     assert totals["order"] == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert totals["ship"] == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """The sketch path must track the exact path: with accuracy=10000 on
+    ~60k rows the rank error is tiny — assert each approx percentile is
+    within 1 quantity unit of exact."""
+    from icebergproject_spark.queries import REGISTRY
+
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in REGISTRY["quantity_quantiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in REGISTRY["quantity_quantiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag in exact:
+        for e, a in zip(exact[flag], approx[flag]):
+            assert abs(e - a) <= 1.0, (flag, exact[flag], approx[flag])

@@ -862,3 +862,60 @@ def test_sessionizer_idle_timeout_evicts_state(spark, tmp_path):
     assert len(results) == 1
     r = results[0]
     assert (r.key, r.session_start, r.session_end, r.n_events) == ("u1", base, base + 1, 2)
+
+
+def test_stream_static_dim_refresh_between_batches(spark, tmp_path):
+    """T6 parity (broadcast state refresh): the STATIC side of a
+    stream-static join is re-resolved every micro-batch, so a dimension
+    row upserted between batches enriches later batches — the Spark
+    equivalent of the reference pushing new routing rules into broadcast
+    state mid-stream."""
+    import os
+    import time as time_mod
+
+    src = str(tmp_path / "dimref_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["user_id", "v"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for r, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(r, f), (mtime, mtime))
+        return df.schema
+
+    schema = write_file("f1", [("u1", 1)], time_mod.time() - 60)
+    write_file("f2", [("u2", 2)], time_mod.time())
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="dr")
+    dim = catalog.table("USER_DIM")
+    dim.append(spark.createDataFrame([("u1", "gold")], ["user_id", "tier"]))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    enriched = []
+
+    def sink(batch, batch_id):
+        # static side resolved NOW — reads the dim's current snapshot
+        out = batch.join(dim.read(), "user_id", "left").collect()
+        enriched.extend(out)
+        if batch_id == 0:
+            # between batches: a new dim row arrives (CDC upsert)
+            dim.merge(
+                spark.createDataFrame([("u2", "silver")], ["user_id", "tier"]),
+                key_cols=["user_id"],
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dimref_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tiers = {r.user_id: r.tier for r in enriched}
+    assert tiers == {"u1": "gold", "u2": "silver"}  # u2 saw the refreshed dim
