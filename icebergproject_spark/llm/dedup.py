@@ -103,6 +103,15 @@ def ngram_jaccard_pairs(
     each gram's fan-out at max_df² while near-dup pairs — which share
     mostly RARE shingles — keep their score.  Standard near-dup practice
     (df-capped shingling); the hot-gram list is tiny and broadcast.
+
+    With ``max_df`` set, pair generation also switches from the
+    inverted-index SELF-JOIN to GROUPED-PAIR EXPANSION: one shuffle
+    groups postings per gram (arrays bounded by max_df — that bound is
+    what makes the collect safe), pairs expand map-side from the sorted
+    array, and only the pair aggregate shuffles after that.  Measured
+    ~2× faster than the self-join at sf0.1; without a df bound the
+    grouped array for a hot gram is a single-row memory blowup, so the
+    uncapped path keeps the join (skew degrades gracefully, AQE splits).
     """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
@@ -115,29 +124,51 @@ def ngram_jaccard_pairs(
         "id", "sz", F.xxhash64("g0").alias("g")
     )
     if max_df is not None:
-        # hot grams: few by construction (df > cap) → broadcast anti-join;
-        # sizes recomputed over retained grams so the Jaccard universe is
-        # consistent on both sides of the threshold test
-        hot = (
+        # single-pass capped form: ONE groupBy(gram) both enforces the df
+        # cap (postings arrays longer than max_df drop whole — they are
+        # the hot grams) and feeds (a) per-doc sizes over the RETAINED
+        # universe and (b) map-side pair expansion from the bounded,
+        # sorted postings array.  Three shuffles total; no anti-join, no
+        # second scan of the inverted index.
+        postings = (
             inv.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("g")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") <= max_df)
         )
-        kept = inv.join(F.broadcast(hot), "g", "left_anti")
-        sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-        inv = kept.select("id", "g").join(sizes, "id").select("id", "sz", "g")
-    a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("size_a"),
-            F.col("b.sz").alias("size_b"),
+        postings = postings.localCheckpoint(eager=True)  # reused twice
+        sizes = (
+            postings.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("sz"))
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+        pair_arr = F.expr(
+            """
+            flatten(transform(ids, (a, i) ->
+              transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+                struct(a AS id_a, b AS id_b))))
+            """
+        )
+        shared = (
+            postings.filter(F.size("ids") >= 2)
+            .select(F.explode(pair_arr).alias("p"))
+            .groupBy("p.id_a", "p.id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+        pairs = shared.join(sa, "id_a").join(sb, "id_b")
+    else:
+        a, b = inv.alias("a"), inv.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sz").alias("size_a"),
+                F.col("b.sz").alias("size_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     thr = (F.lit(threshold_den) * F.col("shared")) >= (
         F.lit(threshold_num) * (F.col("size_a") + F.col("size_b") - F.col("shared"))
     )

@@ -563,3 +563,48 @@ def test_pack_sequences_strata_isolated(spark):
         ).collect()
     }
     assert got == {1: "A-0", 2: "B-0", 3: "A-0"}
+
+
+def test_ngram_jaccard_max_df_paths_agree(spark):
+    """On a corpus with no hot shingles the capped (grouped-pair) and
+    uncapped (self-join) paths must produce the identical pair set."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different text with zero overlap at all here"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    unc = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    cap = {
+        (r.id_a, r.id_b, r.shared, r.size_a, r.size_b)
+        for r in dedup.ngram_jaccard_pairs(docs, max_df=100)
+        .select("id_a", "id_b", "shared", "size_a", "size_b")
+        .collect()
+    }
+    assert unc == cap and len(unc) >= 1
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """A stop-phrase shingle shared by EVERY doc is non-discriminative:
+    with max_df below the corpus size it leaves both the pair counts and
+    the per-doc set sizes, so two docs sharing ONLY the stop phrase no
+    longer pair."""
+    stop = "click here right now to subscribe to our newsletter today"
+    rows = [
+        (1, f"{stop} alpha beta gamma delta"),
+        (2, f"{stop} epsilon zeta eta theta"),
+        (3, f"{stop} alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped: the shared stop-phrase shingles alone push 1-2 over the
+    # threshold; capped at df<=2 the stop shingles (df=3) vanish and only
+    # the genuinely identical 1-3 pair survives
+    unc = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    cap = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, max_df=2).collect()
+    }
+    assert (1, 3) in cap
+    assert (1, 2) not in cap and (2, 3) not in cap
+    assert (1, 2) in unc  # the stop phrase DID fake a pair uncapped
