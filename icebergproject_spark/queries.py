@@ -763,7 +763,9 @@ REGISTRY = {
     **{n: q for n, q in REGISTRY.items() if n not in DRIVER_WINDOW},
 }
 
-# TPC-H analog batch 2 — outside the driver window, locally oracle-gated
+# TPC-H analog batches 2-3 — outside the driver window, locally oracle-gated
 from icebergproject_spark.queries_tpch import TPCH_REGISTRY  # noqa: E402
+from icebergproject_spark.queries_tpch3 import TPCH3_REGISTRY  # noqa: E402
 
 REGISTRY.update(TPCH_REGISTRY)
+REGISTRY.update(TPCH3_REGISTRY)
