@@ -3,11 +3,14 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each under ``<sf_dir>/``.
 
-``events.parquet`` stores TIMESTAMP(NANOS), which Spark reads as a long
-under ``spark.sql.legacy.parquet.nanosAsLong``; ``load_events`` converts it
-to a proper microsecond timestamp column so every downstream operator sees
-``ts: timestamp`` (truncation ns→us matches DuckDB's cast behavior for the
-sub-second values the oracle compares).
+``events.parquet``'s ``ts`` encoding has varied across harness
+generations — TIMESTAMP(NANOS) (Spark reads it as a long under
+``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS,
+isAdjustedToUTC=false) (Spark reads ``timestamp_ntz``).
+``normalize_events`` maps every encoding to a plain session-TZ
+``ts: timestamp`` so downstream operators and the DuckDB oracle (which
+reads both as naive wall-clock) always agree; the session TZ is pinned
+UTC (session.build_session), so the NTZ→TZ cast is value-preserving.
 """
 
 from __future__ import annotations
@@ -42,9 +45,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """ns-epoch long → timestamp (keeps name ``ts``)."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Any harness ``ts`` encoding → session-TZ timestamp (keeps name ``ts``)."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong: ns-epoch long
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif t == "timestamp_ntz":  # TIMESTAMP(MICROS) naive: same wall clock in UTC
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
