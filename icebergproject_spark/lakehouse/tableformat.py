@@ -20,8 +20,11 @@ Scale notes: metadata here is a flat JSON list of data *directories* (not
 files) per snapshot — driver-side and O(snapshots). Data-plane operations
 (append/merge/compact) are pure Spark jobs. MERGE is implemented as a
 key-deduped full-outer join + snapshot overwrite — on a real cluster this is
-exactly what Iceberg's copy-on-write MERGE does under the hood; Iceberg's
-merge-on-read would only change the write amplification, not semantics.
+exactly what Iceberg's copy-on-write MERGE does under the hood. DELETE and
+UPDATE additionally support Iceberg v2 MERGE-ON-READ: positional delete
+files addressed by (file, pos) via Spark's ``_metadata`` struct, subtracted
+at read time by an anti-join, folded back by ``rewrite_position_deletes`` /
+``compact`` — O(matched) write cost for hot-churn tables (CDC, GDPR).
 """
 
 from __future__ import annotations
@@ -59,9 +62,11 @@ class LakehouseTable:
         self.root = os.path.join(warehouse, db, name)
         self.snap_dir = os.path.join(self.root, "snapshots")
         self.data_dir = os.path.join(self.root, "data")
+        self.deletes_root = os.path.join(self.root, "deletes")
         self.props_path = os.path.join(self.root, "properties.json")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.deletes_root, exist_ok=True)
 
     # -- partition spec ---------------------------------------------------
     def set_partitioning(self, column: str, transform: str = "day") -> None:
@@ -142,7 +147,11 @@ class LakehouseTable:
         return self._snapshots()
 
     def _commit(
-        self, operation: str, data_dirs: list[str], batch_id: str | None = None
+        self,
+        operation: str,
+        data_dirs: list[str],
+        batch_id: str | None = None,
+        delete_dirs: list[str] | None = None,
     ) -> dict:
         cur = self.current_snapshot()
         snap = {
@@ -151,6 +160,11 @@ class LakehouseTable:
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "data_dirs": data_dirs,
+            # Iceberg v2 merge-on-read: directories of positional delete
+            # files (file_path, pos) that readers of THIS snapshot must
+            # subtract. Snapshots predating the feature lack the key —
+            # read with .get(..., []).
+            "delete_dirs": delete_dirs or [],
         }
         if batch_id is not None:
             snap["batch_id"] = batch_id
@@ -179,11 +193,15 @@ class LakehouseTable:
 
     # -- operations -------------------------------------------------------
     def append(self, df: DataFrame) -> dict:
-        """K1: streaming/batch append — new snapshot = parent dirs + new dir."""
+        """K1: streaming/batch append — new snapshot = parent dirs + new dir.
+        Parent positional deletes carry forward: data files are immutable,
+        so (file, pos) addresses stay valid across appends."""
         new_dir = self._write_data(df)
         cur = self.current_snapshot()
         dirs = (cur["data_dirs"] if cur else []) + [new_dir]
-        return self._commit("append", dirs)
+        return self._commit(
+            "append", dirs, delete_dirs=list(cur.get("delete_dirs", [])) if cur else []
+        )
 
     def overwrite(self, df: DataFrame) -> dict:
         new_dir = self._write_data(df)
@@ -289,13 +307,36 @@ class LakehouseTable:
         new_dir = self._write_data(merged)
         return self._commit("merge_additive", [new_dir])
 
+    @staticmethod
+    def _address(df: DataFrame) -> DataFrame:
+        """Prefix a scan with the Iceberg v2 row address: (file, pos) from
+        Spark's hidden ``_metadata`` struct — constant-time per row, no
+        shuffle, stable for immutable parquet files."""
+        return df.select(
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.row_index").cast("long").alias("__pos"),
+            "*",
+        )
+
     def read(
         self,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_values: list | None = None,
+        with_address: bool = False,
     ) -> DataFrame:
         """S5 + M3: batch scan, optionally time-travelling.
+
+        Merge-on-read: if the selected snapshot carries positional delete
+        files (``delete_where(mode="merge-on-read")``), the scan subtracts
+        them by (file, pos) anti-join. Delete files are tiny relative to
+        data (one 2-column row per deleted record), so AQE plans the
+        anti-join as a broadcast — the distributed equivalent of Iceberg
+        readers applying position deletes file-locally, with zero shuffle
+        of the data side.
+
+        ``with_address=True`` keeps the ``__file``/``__pos`` address
+        columns in the output (internal: MOR delete/update write path).
 
         ``partition_values``: for a partitioned table, scan only these
         partition values (e.g. ``["2022-06-15", "2022-06-16"]`` for a
@@ -318,6 +359,8 @@ class LakehouseTable:
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             snap = eligible[-1]
+        delete_dirs = snap.get("delete_dirs", [])
+        need_addr = with_address or bool(delete_dirs)
         spec = self._partition_spec()
         if spec:
             # one scan per snapshot dir (each is its own partitioned root —
@@ -331,6 +374,8 @@ class LakehouseTable:
             parts = []
             for d in snap["data_dirs"]:
                 p = self.spark.read.parquet(d)
+                if need_addr:
+                    p = self._address(p)
                 if vals is not None:
                     if self._dir_spec(d) == spec:
                         p = p.filter(F.col("__p").isin(vals))
@@ -345,16 +390,18 @@ class LakehouseTable:
                 # allowMissingColumns = additive schema evolution: rows
                 # written before a column existed read back as null
                 df = df.unionByName(p, allowMissingColumns=True)
-            return df
+            return self._apply_deletes(df, delete_dirs, with_address)
         if partition_values is not None:
             raise ValueError("table is not partitioned")
         # mergeSchema: the union of every file's schema (additive schema
         # evolution); without it the first file's schema wins and columns
         # added by later snapshots silently vanish
         try:
-            return self.spark.read.option("mergeSchema", "true").parquet(
+            df = self.spark.read.option("mergeSchema", "true").parquet(
                 *snap["data_dirs"]
             )
+            if need_addr:
+                df = self._address(df)
         except Exception:
             # CANNOT_MERGE_SCHEMAS: parquet footer merge refuses numeric
             # TYPE WIDENING (int→long, float→double) that Iceberg schema
@@ -362,10 +409,28 @@ class LakehouseTable:
             # wider type, so route per-dir scans through unionByName —
             # same rows, widened schema.
             parts = [self.spark.read.parquet(d) for d in snap["data_dirs"]]
+            if need_addr:
+                parts = [self._address(p) for p in parts]
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-            return df
+        return self._apply_deletes(df, delete_dirs, with_address)
+
+    def _apply_deletes(
+        self, df: DataFrame, delete_dirs: list[str], with_address: bool
+    ) -> DataFrame:
+        """Subtract positional delete files from an addressed scan."""
+        if delete_dirs:
+            # no forced broadcast: delete files are usually tiny (AQE
+            # broadcasts them), but after heavy churn without
+            # rewrite_position_deletes() the set can grow past the
+            # threshold — then a shuffled anti-join is the correct plan,
+            # not an OOM
+            dels = self.spark.read.parquet(*delete_dirs).select("__file", "__pos")
+            df = df.join(dels, ["__file", "__pos"], "left_anti")
+        if not with_address and "__file" in df.columns:
+            df = df.drop("__file", "__pos")
+        return df
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """M1: rewrite_data_files — many small dirs → one rewritten dir."""
@@ -386,7 +451,11 @@ class LakehouseTable:
         )
         if target is None:
             raise ValueError(f"unknown snapshot {snapshot_id}")
-        return self._commit("rollback", list(target["data_dirs"]))
+        return self._commit(
+            "rollback",
+            list(target["data_dirs"]),
+            delete_dirs=list(target.get("delete_dirs", [])),
+        )
 
     def idempotent_append(self, df: DataFrame, batch_id: str) -> dict | None:
         """Exactly-once streaming append: skip if a snapshot already
@@ -403,7 +472,12 @@ class LakehouseTable:
         new_dir = self._write_data(df)
         cur = self.current_snapshot()
         dirs = (cur["data_dirs"] if cur else []) + [new_dir]
-        return self._commit("append", dirs, batch_id=batch_id)
+        return self._commit(
+            "append",
+            dirs,
+            batch_id=batch_id,
+            delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+        )
 
     def history_df(self) -> DataFrame:
         """Iceberg-style ``history``/``snapshots`` metadata table: one row
@@ -437,20 +511,50 @@ class LakehouseTable:
                     rows.append((f, os.path.getsize(f)))
         return self.spark.createDataFrame(rows, ["file_path", "size_bytes"])
 
-    def delete_where(self, condition) -> dict:
-        """Copy-on-write DELETE: rewrite the table without matching rows
-        (what Iceberg COW `DELETE FROM t WHERE ...` does). ``condition``
-        is a Column or SQL string. At scale the rewrite touches only
-        files whose min-max stats intersect the predicate — here the
-        snapshot is rewritten whole, the semantics are identical."""
+    def delete_where(self, condition, mode: str = "copy-on-write") -> dict:
+        """DELETE FROM t WHERE …, in either Iceberg write mode.
+
+        ``copy-on-write`` (v1 semantics, default): rewrite the table
+        without matching rows. At scale the rewrite touches only files
+        whose min-max stats intersect the predicate — here the snapshot
+        is rewritten whole, the semantics are identical. Best when
+        deletes are rare and reads are hot.
+
+        ``merge-on-read`` (v2 semantics): write a POSITIONAL DELETE file
+        — (file, pos) addresses of matching rows, from Spark's
+        ``_metadata`` struct — and commit the SAME data dirs plus the
+        delete file. Write cost is O(matched rows), not O(table); readers
+        subtract the deletes with an anti-join (see :meth:`read`). Best
+        for frequent small deletes (CDC, GDPR erasure); run
+        :meth:`rewrite_position_deletes` / :meth:`compact` periodically
+        to fold deletes back into data files.
+        """
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "merge-on-read":
+            cur = self.current_snapshot()
+            if cur is None:
+                raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
+            matched = (
+                self.read(with_address=True).filter(cond).select("__file", "__pos")
+            )
+            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+            matched.write.mode("overwrite").parquet(del_dir)
+            return self._commit(
+                "delete",
+                list(cur["data_dirs"]),
+                delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+            )
+        if mode != "copy-on-write":
+            raise ValueError("mode must be 'copy-on-write' or 'merge-on-read'")
         remaining = self.read().filter(~cond)
         new_dir = self._write_data(remaining)
         return self._commit("delete", [new_dir])
 
-    def update_where(self, condition, assignments: dict) -> dict:
-        """Copy-on-write UPDATE ... SET: rewrite with ``assignments``
-        (col -> Column/SQL expr) applied to matching rows.
+    def update_where(
+        self, condition, assignments: dict, mode: str = "copy-on-write"
+    ) -> dict:
+        """UPDATE ... SET with ``assignments`` (col -> Column/SQL expr)
+        applied to matching rows, in either Iceberg write mode.
 
         SQL UPDATE semantics: the condition AND every RHS expression are
         evaluated against the ORIGINAL row, in one projection — never
@@ -458,19 +562,68 @@ class LakehouseTable:
         re-resolve the condition after the first assignment mutates a
         column it references: ``UPDATE SET v=0, w=1 WHERE v>5`` on
         (v=10, w=0) must yield (0, 1), not (0, 0).)
+
+        ``merge-on-read``: Iceberg v2 MOR UPDATE = one positional delete
+        file for the matched rows' old versions + one data file with
+        their new versions. Write cost O(matched), not O(table); the
+        unmatched rows are never rewritten.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        df = self.read()
         exprs = {
             col: (F.expr(e) if isinstance(e, str) else e)
             for col, e in assignments.items()
         }
+        if mode == "merge-on-read":
+            cur = self.current_snapshot()
+            if cur is None:
+                raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
+            matched = self.read(with_address=True).filter(cond)
+            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+            matched.select("__file", "__pos").write.mode("overwrite").parquet(del_dir)
+            data_cols = [c for c in matched.columns if c not in ("__file", "__pos")]
+            updated = matched.select(
+                *[
+                    (exprs[c].alias(c) if c in exprs else F.col(c))
+                    for c in data_cols
+                ]
+            )
+            new_dir = self._write_data(updated)
+            return self._commit(
+                "update",
+                list(cur["data_dirs"]) + [new_dir],
+                delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+            )
+        if mode != "copy-on-write":
+            raise ValueError("mode must be 'copy-on-write' or 'merge-on-read'")
+        df = self.read()
         projection = [
             F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c) if c in exprs else F.col(c)
             for c in df.columns
         ]
         new_dir = self._write_data(df.select(*projection))
         return self._commit("update", [new_dir])
+
+    def rewrite_position_deletes(self) -> dict | None:
+        """Iceberg ``rewrite_position_deletes``: fold the accumulated
+        positional delete files into ONE deduplicated delete file so the
+        reader-side anti-join probes a single small relation again. Data
+        files are untouched (that's :meth:`compact`, which materializes
+        deletes entirely). No-op (returns None) without deletes."""
+        cur = self.current_snapshot()
+        if not cur or not cur.get("delete_dirs"):
+            return None
+        dels = (
+            self.spark.read.parquet(*cur["delete_dirs"])
+            .select("__file", "__pos")
+            .distinct()
+        )
+        del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+        dels.write.mode("overwrite").parquet(del_dir)
+        return self._commit(
+            "rewrite_position_deletes",
+            list(cur["data_dirs"]),
+            delete_dirs=[del_dir],
+        )
 
     def maybe_compact(
         self, max_data_dirs: int = 8, target_partitions: int | None = None
@@ -501,12 +654,14 @@ class LakehouseTable:
         keep_ids = {s["snapshot_id"] for s in keep}
         expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
         live_dirs = {d for s in keep for d in s["data_dirs"]}
+        live_dirs |= {d for s in keep for d in s.get("delete_dirs", [])}
         for s in expired:
             os.remove(os.path.join(self.snap_dir, f"snap-{s['snapshot_id']:09d}.json"))
-        for d in os.listdir(self.data_dir):
-            full = os.path.join(self.data_dir, d)
-            if full not in live_dirs:
-                shutil.rmtree(full, ignore_errors=True)
+        for root in (self.data_dir, self.deletes_root):
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if full not in live_dirs:
+                    shutil.rmtree(full, ignore_errors=True)
         return len(expired)
 
     def remove_orphan_files(self, older_than_ms: int | None = None) -> int:
@@ -523,16 +678,19 @@ class LakehouseTable:
         """
         if older_than_ms is None:
             older_than_ms = int(time.time() * 1000)
-        referenced = {d for s in self._snapshots() for d in s["data_dirs"]}
+        snaps = self._snapshots()
+        referenced = {d for s in snaps for d in s["data_dirs"]}
+        referenced |= {d for s in snaps for d in s.get("delete_dirs", [])}
         removed = 0
-        for d in os.listdir(self.data_dir):
-            full = os.path.join(self.data_dir, d)
-            if full in referenced:
-                continue
-            if os.path.getmtime(full) * 1000 >= older_than_ms:
-                continue
-            shutil.rmtree(full, ignore_errors=True)
-            removed += 1
+        for root in (self.data_dir, self.deletes_root):
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if full in referenced:
+                    continue
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
         return removed
 
 

@@ -357,3 +357,91 @@ def test_numeric_type_widening_read(spark, tmp_path):
     out = t.read()
     assert dict(out.dtypes)["v"] == "bigint"
     assert sorted((r.id, r.v) for r in out.collect()) == [(1, 10), (2, 2**40)]
+
+
+def test_merge_on_read_delete_positional(spark, tmp_path):
+    """Iceberg v2 MOR DELETE: data dirs untouched, a positional delete
+    file subtracts rows at read, time travel sees pre-delete state, and
+    later appends are unaffected by existing delete files."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("MOR")
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]))
+    t.append(spark.createDataFrame([("c", 3), ("d", 4)], ["k", "v"]))
+    pre = t.current_snapshot()
+    snap = t.delete_where("v % 2 = 0", mode="merge-on-read")
+    # O(matched) write: the data dirs are the parent's, plus one delete dir
+    assert snap["data_dirs"] == pre["data_dirs"]
+    assert len(snap["delete_dirs"]) == 1
+    assert {r.k for r in t.read().collect()} == {"a", "c"}
+    # time travel: the pre-delete snapshot still reads all four rows
+    assert t.read(snapshot_id=pre["snapshot_id"]).count() == 4
+    # appends carry deletes forward; new rows are never masked by them
+    t.append(spark.createDataFrame([("e", 6)], ["k", "v"]))
+    assert {r.k for r in t.read().collect()} == {"a", "c", "e"}
+
+
+def test_merge_on_read_matches_copy_on_write(spark, tmp_path):
+    """Same predicate, both write modes → identical remaining rows."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    rows = [(i, f"r{i}") for i in range(100)]
+    cow, mor = catalog.table("COW"), catalog.table("MOR2")
+    cow.append(spark.createDataFrame(rows, ["id", "s"]))
+    mor.append(spark.createDataFrame(rows, ["id", "s"]))
+    cow.delete_where("id % 7 = 0")
+    mor.delete_where("id % 7 = 0", mode="merge-on-read")
+    a = sorted((r.id, r.s) for r in cow.read().collect())
+    b = sorted((r.id, r.s) for r in mor.read().collect())
+    assert a == b and len(a) == 100 - 15
+
+
+def test_merge_on_read_update_original_row_semantics(spark, tmp_path):
+    """MOR UPDATE: delete file for old versions + data file with new
+    versions; condition and RHS evaluate against the ORIGINAL row
+    (UPDATE SET v=0, w=1 WHERE v>5 on (10,0) yields (0,1), never (0,0))."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("MORU")
+    t.append(spark.createDataFrame([("x", 10, 0), ("y", 3, 7)], ["k", "v", "w"]))
+    snap = t.update_where("v > 5", {"v": "0", "w": "1"}, mode="merge-on-read")
+    assert len(snap["delete_dirs"]) == 1
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {"x": (0, 1), "y": (3, 7)}
+
+
+def test_rewrite_position_deletes_and_compact_materializes(spark, tmp_path):
+    """rewrite_position_deletes folds N delete files into one (rows
+    unchanged); compact() materializes deletes entirely; expiry then GCs
+    the unreferenced delete dirs."""
+    import os as _os
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("RPD")
+    t.append(spark.createDataFrame([(i,) for i in range(20)], ["id"]))
+    t.delete_where("id < 3", mode="merge-on-read")
+    t.delete_where("id >= 17", mode="merge-on-read")
+    assert len(t.current_snapshot()["delete_dirs"]) == 2
+    snap = t.rewrite_position_deletes()
+    assert len(snap["delete_dirs"]) == 1
+    assert {r.id for r in t.read().collect()} == set(range(3, 17))
+    t.compact()
+    assert t.current_snapshot()["delete_dirs"] == []
+    assert {r.id for r in t.read().collect()} == set(range(3, 17))
+    # expire everything but current → all delete dirs are unreferenced
+    t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 1)
+    assert _os.listdir(t.deletes_root) == []
+
+
+def test_merge_on_read_delete_partitioned(spark, tmp_path):
+    """MOR deletes compose with hidden partitioning + partition pruning."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("MORP")
+    t.set_partitioning("day", transform="identity")
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+            ["day", "n"],
+        )
+    )
+    t.delete_where("n = 2", mode="merge-on-read")
+    assert {r.n for r in t.read().collect()} == {1, 3}
+    pruned = t.read(partition_values=["2024-01-01"])
+    assert {r.n for r in pruned.collect()} == {1}
