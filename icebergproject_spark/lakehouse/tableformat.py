@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -40,6 +41,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from icebergproject_spark.lakehouse.catalog import CATALOG_NAME, DEFAULT_WAREHOUSE, iceberg_available
+
+
+#: simple comparison conjunct: ``col OP literal`` (the grammar min-max
+#: pruning can reason about — same subset Iceberg evaluates against
+#: manifest bounds; everything else is left to the row filter)
+_PRED_RE = re.compile(
+    r"^\s*(\w+)\s*(>=|<=|==|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Best-effort split of a WHERE string into prunable conjuncts.
+
+    Sound by construction: with OR / parens / NOT present, AND-splitting
+    is not a valid decomposition → return [] (prune nothing). Otherwise
+    each parsable ``col OP literal`` conjunct independently narrows the
+    result, so pruning on any SUBSET of them is conservative — an
+    unparsable conjunct is simply ignored, never guessed at."""
+    if re.search(r"\bOR\b|\bNOT\b|\(", where, re.IGNORECASE):
+        return []
+    out: list[tuple[str, str, object]] = []
+    for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        m = _PRED_RE.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        else:
+            val = float(lit) if "." in lit else int(lit)
+        out.append((col, op, val))
+    return out
 
 
 #: hidden-partition transforms (Iceberg-style: the user never sees the
@@ -189,7 +223,51 @@ class LakehouseTable:
         # readers must know each dir's layout, not just the current spec)
         with open(os.path.join(d, "_spec.json"), "w") as f:
             json.dump(spec, f)
+        self._write_dir_stats(d)
         return d
+
+    def _write_dir_stats(self, d: str) -> None:
+        """Iceberg-manifest-style column bounds for a data directory:
+        per-column min/max aggregated from the parquet FOOTERS the write
+        just produced (no second pass over the data — the stats already
+        exist in every row-group header). ``read(where=...)`` prunes
+        whole directories against these at PLANNING time, before any
+        Spark job runs — the fallback's equivalent of Iceberg skipping
+        manifests/files by their value ranges. Only JSON-exact types
+        (int / float / str / bool) are kept; anything else is simply not
+        prunable on (correct, never wrong)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            try:
+                meta = _pq.ParquetFile(f).metadata
+            except Exception:
+                return  # unreadable footer → no stats for this dir
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if st is None or not st.has_min_max or "." in name:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes) or isinstance(mx, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except Exception:
+                            continue
+                    if not isinstance(mn, (int, float, str, bool)):
+                        continue
+                    lo[name] = mn if name not in lo else min(lo[name], mn)
+                    hi[name] = mx if name not in hi else max(hi[name], mx)
+        if lo:
+            with open(os.path.join(d, "_stats.json"), "w") as f:
+                json.dump({c: [lo[c], hi[c]] for c in lo}, f)
 
     # -- operations -------------------------------------------------------
     def append(self, df: DataFrame) -> dict:
@@ -324,8 +402,20 @@ class LakehouseTable:
         as_of_ms: int | None = None,
         partition_values: list | None = None,
         with_address: bool = False,
+        where: str | None = None,
     ) -> DataFrame:
         """S5 + M3: batch scan, optionally time-travelling.
+
+        ``where`` (SQL string): row predicate, applied in full as a scan
+        filter (pushed to parquet row-group skipping by Catalyst) — AND
+        additionally used for MANIFEST-STYLE DIRECTORY PRUNING: each data
+        dir carries per-column min/max bounds harvested from its parquet
+        footers at write time (``_stats.json``); directories whose bounds
+        provably cannot satisfy a conjunct are dropped at PLANNING time,
+        before Spark lists a single file — the fallback's equivalent of
+        Iceberg pruning manifests/data files by value ranges. Pruning is
+        conservative: unparsable or non-prunable predicates (OR, NOT,
+        functions, missing stats) skip nothing and rely on the row filter.
 
         Merge-on-read: if the selected snapshot carries positional delete
         files (``delete_where(mode="merge-on-read")``), the scan subtracts
@@ -361,6 +451,14 @@ class LakehouseTable:
             snap = eligible[-1]
         delete_dirs = snap.get("delete_dirs", [])
         need_addr = with_address or bool(delete_dirs)
+        data_dirs = list(snap["data_dirs"])
+        if where:
+            conjuncts = _parse_conjuncts(where)
+            if conjuncts:
+                kept = [d for d in data_dirs if self._dir_may_match(d, conjuncts)]
+                # all pruned: keep one dir for the schema — the row filter
+                # empties it via row-group skipping without a full scan
+                data_dirs = kept or data_dirs[:1]
         spec = self._partition_spec()
         if spec:
             # one scan per snapshot dir (each is its own partitioned root —
@@ -372,7 +470,7 @@ class LakehouseTable:
             # identical semantics, it just can't skip directories.
             vals = list(partition_values) if partition_values is not None else None
             parts = []
-            for d in snap["data_dirs"]:
+            for d in data_dirs:
                 p = self.spark.read.parquet(d)
                 if need_addr:
                     p = self._address(p)
@@ -390,16 +488,14 @@ class LakehouseTable:
                 # allowMissingColumns = additive schema evolution: rows
                 # written before a column existed read back as null
                 df = df.unionByName(p, allowMissingColumns=True)
-            return self._apply_deletes(df, delete_dirs, with_address)
+            return self._apply_deletes(df, delete_dirs, with_address, where)
         if partition_values is not None:
             raise ValueError("table is not partitioned")
         # mergeSchema: the union of every file's schema (additive schema
         # evolution); without it the first file's schema wins and columns
         # added by later snapshots silently vanish
         try:
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *snap["data_dirs"]
-            )
+            df = self.spark.read.option("mergeSchema", "true").parquet(*data_dirs)
             if need_addr:
                 df = self._address(df)
         except Exception:
@@ -408,18 +504,53 @@ class LakehouseTable:
             # evolution allows. Union coercion promotes to the common
             # wider type, so route per-dir scans through unionByName —
             # same rows, widened schema.
-            parts = [self.spark.read.parquet(d) for d in snap["data_dirs"]]
+            parts = [self.spark.read.parquet(d) for d in data_dirs]
             if need_addr:
                 parts = [self._address(p) for p in parts]
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-        return self._apply_deletes(df, delete_dirs, with_address)
+        return self._apply_deletes(df, delete_dirs, with_address, where)
+
+    def _dir_may_match(self, d: str, conjuncts: list[tuple[str, str, object]]) -> bool:
+        """Can any row in directory ``d`` satisfy every conjunct? False
+        only on PROOF of emptiness from the dir's min/max bounds."""
+        stats_path = os.path.join(d, "_stats.json")
+        if not os.path.exists(stats_path):
+            return True  # pre-stats dir: not prunable
+        with open(stats_path) as f:
+            stats = json.load(f)
+        for col, op, val in conjuncts:
+            if col not in stats:
+                continue
+            mn, mx = stats[col]
+            if isinstance(val, str) != isinstance(mn, str):
+                continue  # type mismatch: don't reason, don't prune
+            if op in ("=", "==") and (val < mn or val > mx):
+                return False
+            if op == ">" and mx <= val:
+                return False
+            if op == ">=" and mx < val:
+                return False
+            if op == "<" and mn >= val:
+                return False
+            if op == "<=" and mn > val:
+                return False
+        return True
 
     def _apply_deletes(
-        self, df: DataFrame, delete_dirs: list[str], with_address: bool
+        self,
+        df: DataFrame,
+        delete_dirs: list[str],
+        with_address: bool,
+        where: str | None = None,
     ) -> DataFrame:
-        """Subtract positional delete files from an addressed scan."""
+        """Row filter + positional-delete subtraction for a scan."""
+        if where:
+            # the FULL predicate always runs as a row filter (pruning is
+            # only an accelerator); filtering before the anti-join keeps
+            # the delete probe small and commutes with the subtraction
+            df = df.filter(F.expr(where))
         if delete_dirs:
             # no forced broadcast: delete files are usually tiny (AQE
             # broadcasts them), but after heavy churn without

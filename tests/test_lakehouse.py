@@ -445,3 +445,53 @@ def test_merge_on_read_delete_partitioned(spark, tmp_path):
     assert {r.n for r in t.read().collect()} == {1, 3}
     pruned = t.read(partition_values=["2024-01-01"])
     assert {r.n for r in pruned.collect()} == {1}
+
+
+def test_minmax_scan_pruning(spark, tmp_path):
+    """read(where=...) prunes whole data dirs via footer min/max bounds
+    at planning time, and always applies the full row filter."""
+    from icebergproject_spark.lakehouse.tableformat import _parse_conjuncts
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("PRUNE")
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"k{i:04d}") for i in range(lo, lo + 10)], ["id", "k"]
+            )
+        )
+    dirs = t.current_snapshot()["data_dirs"]
+    assert len(dirs) == 3
+
+    # planning-time proof: exactly one dir can satisfy id >= 200
+    conj = _parse_conjuncts("id >= 200")
+    assert [t._dir_may_match(d, conj) for d in dirs] == [False, False, True]
+    assert {r.id for r in t.read(where="id >= 200").collect()} == set(range(200, 210))
+
+    # string bounds prune too (parquet keeps BYTE_ARRAY min/max)
+    conj_s = _parse_conjuncts("k <= 'k0099'")
+    assert [t._dir_may_match(d, conj_s) for d in dirs] == [True, False, False]
+    assert t.read(where="k <= 'k0099'").count() == 10
+
+    # row filter still narrows INSIDE the kept dir
+    assert {r.id for r in t.read(where="id >= 205 AND id < 208").collect()} == {
+        205, 206, 207
+    }
+
+    # OR is not AND-decomposable: nothing pruned, rows still correct
+    assert _parse_conjuncts("id < 5 OR id >= 205") == []
+    assert t.read(where="id < 5 OR id >= 205").count() == 10
+
+    # every dir pruned: schema survives, zero rows
+    out = t.read(where="id > 99999")
+    assert out.columns == ["id", "k"] and out.count() == 0
+
+
+def test_scan_pruning_composes_with_mor_deletes(spark, tmp_path):
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("PRUNEMOR")
+    t.append(spark.createDataFrame([(i,) for i in range(10)], ["id"]))
+    t.append(spark.createDataFrame([(i,) for i in range(100, 110)], ["id"]))
+    t.delete_where("id = 105", mode="merge-on-read")
+    got = {r.id for r in t.read(where="id >= 100").collect()}
+    assert got == set(range(100, 110)) - {105}
