@@ -90,7 +90,10 @@ def main() -> None:
         .count()
     )
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: the shared host shows 2-3× run-to-run variance on an
+    # otherwise idle VM (same query 0.8-2.5 s across minutes); min over
+    # three runs keeps the reported number close to true steady-state
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")

@@ -200,6 +200,19 @@ class LakehouseTable:
             # read with .get(..., []).
             "delete_dirs": delete_dirs or [],
         }
+        # Iceberg snapshot summary: record/file deltas from dir stats
+        # stamps (footer metadata, not data scans) — what `snapshots`
+        # exposes as added-records / total-records / position-deletes
+        parent_dirs = set(cur["data_dirs"]) if cur else set()
+        added = [d for d in data_dirs if d not in parent_dirs]
+        snap["summary"] = {
+            "added-data-dirs": len(added),
+            "added-records": sum(self._dir_rows(d) for d in added),
+            "total-records": sum(self._dir_rows(d) for d in data_dirs),
+            "total-position-deletes": sum(
+                self._dir_rows(d) for d in (delete_dirs or [])
+            ),
+        }
         if batch_id is not None:
             snap["batch_id"] = batch_id
         path = os.path.join(self.snap_dir, f"snap-{snap['snapshot_id']:09d}.json")
@@ -242,11 +255,15 @@ class LakehouseTable:
 
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
+        n_rows = 0
+        n_files = 0
         for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
             try:
                 meta = _pq.ParquetFile(f).metadata
             except Exception:
                 return  # unreadable footer → no stats for this dir
+            n_rows += meta.num_rows
+            n_files += 1
             for rg in range(meta.num_row_groups):
                 g = meta.row_group(rg)
                 for ci in range(g.num_columns):
@@ -265,9 +282,37 @@ class LakehouseTable:
                         continue
                     lo[name] = mn if name not in lo else min(lo[name], mn)
                     hi[name] = mx if name not in hi else max(hi[name], mx)
-        if lo:
-            with open(os.path.join(d, "_stats.json"), "w") as f:
-                json.dump({c: [lo[c], hi[c]] for c in lo}, f)
+        with open(os.path.join(d, "_stats.json"), "w") as f:
+            json.dump(
+                {
+                    "num_rows": n_rows,
+                    "num_files": n_files,
+                    "cols": {c: [lo[c], hi[c]] for c in lo},
+                },
+                f,
+            )
+
+    def _dir_rows(self, d: str) -> int:
+        """Record count of a data/delete directory — from its stats stamp
+        when present, else summed from parquet footers (metadata read,
+        never a data scan)."""
+        stats_path = os.path.join(d, "_stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                stats = json.load(f)
+            if "num_rows" in stats:
+                return stats["num_rows"]
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        total = 0
+        for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            try:
+                total += _pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                return -1
+        return total
 
     # -- operations -------------------------------------------------------
     def append(self, df: DataFrame) -> dict:
@@ -519,11 +564,11 @@ class LakehouseTable:
         if not os.path.exists(stats_path):
             return True  # pre-stats dir: not prunable
         with open(stats_path) as f:
-            stats = json.load(f)
+            bounds = json.load(f).get("cols", {})
         for col, op, val in conjuncts:
-            if col not in stats:
+            if col not in bounds:
                 continue
-            mn, mx = stats[col]
+            mn, mx = bounds[col]
             if isinstance(val, str) != isinstance(mn, str):
                 continue  # type mismatch: don't reason, don't prune
             if op in ("=", "==") and (val < mn or val > mx):
@@ -621,11 +666,17 @@ class LakehouseTable:
                 s["timestamp_ms"],
                 s.get("operation", ""),
                 len(s["data_dirs"]),
+                s.get("summary", {}).get("added-records"),
+                s.get("summary", {}).get("total-records"),
+                s.get("summary", {}).get("total-position-deletes"),
             )
             for s in self._snapshots()
         ]
         return self.spark.createDataFrame(
-            rows, ["snapshot_id", "timestamp_ms", "operation", "n_data_dirs"]
+            rows,
+            "snapshot_id long, timestamp_ms long, operation string, "
+            "n_data_dirs int, added_records long, total_records long, "
+            "total_position_deletes long",
         )
 
     def files(self) -> DataFrame:

@@ -495,3 +495,20 @@ def test_scan_pruning_composes_with_mor_deletes(spark, tmp_path):
     t.delete_where("id = 105", mode="merge-on-read")
     got = {r.id for r in t.read(where="id >= 100").collect()}
     assert got == set(range(100, 110)) - {105}
+
+
+def test_snapshot_summary_counts(spark, tmp_path):
+    """Iceberg-style snapshot summary: added/total records from footer
+    metadata, position-delete counts tracked, visible in history_df."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    t = catalog.table("SUMM")
+    t.append(spark.createDataFrame([(i,) for i in range(7)], ["id"]))
+    t.append(spark.createDataFrame([(i,) for i in range(5)], ["id"]))
+    t.delete_where("id = 0", mode="merge-on-read")
+    snaps = t.history()
+    assert [s["summary"]["added-records"] for s in snaps] == [7, 5, 0]
+    assert [s["summary"]["total-records"] for s in snaps] == [7, 12, 12]
+    # MOR delete: data records unchanged, 2 delete entries (id=0 twice)
+    assert snaps[-1]["summary"]["total-position-deletes"] == 2
+    h = {r.snapshot_id: r for r in t.history_df().collect()}
+    assert h[2].total_records == 12 and h[3].total_position_deletes == 2
