@@ -336,6 +336,7 @@ class LakehouseTable:
         key_cols: list[str],
         delete_condition=None,
         drop_cols: list[str] | None = None,
+        mode: str = "copy-on-write",
     ) -> dict:
         """K6: MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT —
         plus Iceberg's delete clause::
@@ -354,6 +355,14 @@ class LakehouseTable:
         (never inserted).  ``drop_cols`` drops CDC metadata columns (op,
         ts) from the applied rows AFTER the condition is evaluated, so
         the table schema stays clean.
+
+        ``mode="merge-on-read"`` (Iceberg v2 MOR MERGE): instead of
+        rewriting the whole table, write ONE positional delete file for
+        the target rows whose key appears in ``updates`` (semi-join on
+        the addressed scan) plus ONE data file with the applied rows —
+        write cost O(matched + updates), the CDC steady-state shape.
+        Semantics identical to copy-on-write; compaction folds the
+        deletes back in.
         """
         w_last = F.row_number().over(
             Window.partitionBy(*key_cols).orderBy(F.monotonically_increasing_id().desc())
@@ -374,12 +383,27 @@ class LakehouseTable:
             # keys stay; only metadata payload columns are dropped
             deduped = deduped.drop(*[c for c in drop_cols if c not in key_cols])
             upserts = upserts.drop(*[c for c in drop_cols if c not in key_cols])
-        try:
-            target = self.read()
-        except FileNotFoundError:
-            target = None
-        if target is None:
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError("mode must be 'copy-on-write' or 'merge-on-read'")
+        cur = self.current_snapshot()
+        if cur is None:
             return self.overwrite(upserts)
+        if mode == "merge-on-read":
+            # old versions of every touched key (updates AND deletes)
+            # become positional delete entries; applied rows append
+            touched = deduped.select(*key_cols).distinct()
+            matched = self.read(with_address=True).join(
+                touched, key_cols, "left_semi"
+            )
+            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+            matched.select("__file", "__pos").write.mode("overwrite").parquet(del_dir)
+            new_dir = self._write_data(upserts)
+            return self._commit(
+                "merge",
+                list(cur["data_dirs"]) + [new_dir],
+                delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+            )
+        target = self.read()
         # anti-join against EVERY touched key (updates and deletes) wipes
         # the old versions; only the non-delete rows come back in
         merged = target.join(

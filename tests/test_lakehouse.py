@@ -512,3 +512,36 @@ def test_snapshot_summary_counts(spark, tmp_path):
     assert snaps[-1]["summary"]["total-position-deletes"] == 2
     h = {r.snapshot_id: r for r in t.history_df().collect()}
     assert h[2].total_records == 12 and h[3].total_position_deletes == 2
+
+
+def test_merge_on_read_merge_matches_cow(spark, tmp_path):
+    """MOR MERGE (delete file + applied-rows append) is semantically
+    identical to COW MERGE for updates, inserts, and CDC deletes."""
+    import pyspark.sql.functions as F
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="d")
+    base = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    cdc = [
+        (2, "b2", 21, "U"),   # update
+        (4, "d", 40, "U"),    # insert
+        (3, "c", 0, "D"),     # delete
+    ]
+    cow, mor = catalog.table("MCOW"), catalog.table("MMOR")
+    for t in (cow, mor):
+        t.append(spark.createDataFrame(base, ["id", "k", "v"]))
+    updates = spark.createDataFrame(cdc, ["id", "k", "v", "op"])
+    cow.merge(updates, ["id"], delete_condition=F.col("op") == "D", drop_cols=["op"])
+    mor.merge(
+        updates, ["id"], delete_condition=F.col("op") == "D", drop_cols=["op"],
+        mode="merge-on-read",
+    )
+    a = sorted((r.id, r.k, r.v) for r in cow.read().collect())
+    b = sorted((r.id, r.k, r.v) for r in mor.read().collect())
+    assert a == b == [(1, "a", 10), (2, "b2", 21), (4, "d", 40)]
+    # MOR wrote O(matched): parent data dirs still referenced
+    snaps = mor.history()
+    assert snaps[0]["data_dirs"][0] in snaps[-1]["data_dirs"]
+    assert len(snaps[-1]["delete_dirs"]) == 1
+    # compaction materializes and the result is unchanged
+    mor.compact()
+    assert sorted((r.id, r.k, r.v) for r in mor.read().collect()) == a
