@@ -8,9 +8,11 @@ shuffle-conscious, designed for the 100 TB case and tested on the harness
 """
 
 from icebergproject_spark.llm import (  # noqa: F401
+    bpe,
     dedup,
     linalg,
     multimodal,
+    sharding,
     similarity,
     text,
 )

@@ -670,3 +670,89 @@ def embedding_near_pairs_lsh(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication profile: for every document, how many
+    of its rolling k-token windows also appear (verbatim) in at least
+    ``min_docs - 1`` OTHER documents — the exact-substring-dedup shape of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., ACL 2022; their suffix-array ExactSubstr at 50-token spans),
+    re-expressed as a window-fingerprint aggregation.  Extension beyond
+    the reference surface (the reference has no text analytics at all);
+    complements the document-level dedup family: `exact_dedup` kills
+    whole-doc copies, this finds boilerplate/quotation overlap INSIDE
+    otherwise-distinct documents.
+
+    Plan shape (100 TB-safe): windows keep their POSITIONS (coverage is
+    per-occurrence, duplicate windows inside one doc each count), built
+    from n shifted slices zip_with'd in O(L); the exploded stream carries
+    ``xxhash64(window)`` 8-byte keys, never window text.  One shuffle
+    reduces the stream to (id, hash, occurrences) with map-side combine;
+    totals, the shared-fingerprint set (a plain row count per hash —
+    rows are distinct in id), and per-doc duplicate counts all derive
+    from that small relation.  No self-join — cost is linear in corpus
+    token count.
+
+    Output: (doc_id, total_windows, dup_windows, dup_ratio) for every
+    doc with at least one full window (len >= k tokens); dup_ratio =
+    round(dup/total, 6).
+    """
+    toks = F.split(F.col(content_col), " ")
+    # hash each token ONCE, then fingerprint each window by chaining
+    # xxhash64 over the k shifted slices of the token-hash array — all
+    # integer ops after the initial per-token hash.  (Building the
+    # window as a concat_ws string and hashing that is O(L·k) character
+    # copying; this form measured ~2× faster at sf0.1.)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(toks) - (k - 1)
+    zipped = F.slice(th, 1, m)
+    for j in range(1, k):
+        zipped = F.zip_with(
+            zipped, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y)
+        )
+    wins = (
+        df.filter(F.size(F.split(F.col(content_col), " ")) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("h"))
+    )
+    # ONE shuffle of the exploded stream — (id, h) occurrence counts —
+    # then every downstream aggregate runs over this (much smaller)
+    # relation: per-doc totals are sum(cnt), the shared-fingerprint test
+    # is a plain row count per h (rows are already distinct in id), and
+    # the window build itself runs once, not once per consumer.
+    wc = (
+        wins.groupBy("id", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = wc.groupBy("id").agg(F.sum("cnt").alias("total_windows"))
+    shared = (
+        wc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup = (
+        wc.join(shared, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("cnt").alias("dup_windows"))
+    )
+    return (
+        tot.join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "total_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", F.lit(0)).cast("double")
+                / F.col("total_windows").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -769,3 +769,9 @@ from icebergproject_spark.queries_tpch3 import TPCH3_REGISTRY  # noqa: E402
 
 REGISTRY.update(TPCH_REGISTRY)
 REGISTRY.update(TPCH3_REGISTRY)
+
+# LLM-pipeline batch 3 (substring dedup, shard layout, curriculum, BPE
+# training) — outside the driver window, locally oracle-gated
+from icebergproject_spark.queries_llm2 import LLM2_REGISTRY  # noqa: E402
+
+REGISTRY.update(LLM2_REGISTRY)

@@ -1,0 +1,117 @@
+"""Third LLM-pipeline registry batch: substring-level dedup, training
+shard layout, curriculum binning, and full BPE merge training.
+
+These continue the training-data-pipeline surface (extension beyond the
+reference — /root/reference stops at the serving layer): the steps
+between "corpus is deduplicated" and "trainer reads shards".  All but
+``bpe_merges`` carry DuckDB oracles; the BPE training loop is iterative
+(argmax per round) and has no SQL twin, so it is rows-only + pytest
+against a pure-Python Sennrich-reference implementation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F  # noqa: F401  (parity with sibling modules)
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergproject_spark.queries import Query, _t
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated k-token-window profile (Lee et al. 2022
+    ExactSubstr shape): which docs contain spans repeated verbatim
+    elsewhere in the corpus. k=8 keeps the window count per doc high
+    enough to be discriminative on the harness corpus."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, k=8, min_docs=2)
+
+
+# group by the window STRING here vs xxhash64 on the Spark side: counts
+# are equal unless two distinct 8-token windows collide in 64 bits
+# (~|windows|²/2⁶⁴ — vanishing, and the key never surfaces in output)
+ORACLE_DUPLICATE_SPANS = """
+WITH wins AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(toks[i:i+7], ' ')
+                 FOR i IN range(1, GREATEST(len(toks) - 8 + 1, 0) + 1)]) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 8
+),
+tot AS (SELECT doc_id, COUNT(*) AS total_windows FROM wins GROUP BY doc_id),
+shared AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT doc_id, COUNT(*) AS dup_windows
+  FROM wins JOIN shared USING (w) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.total_windows,
+       COALESCE(d.dup_windows, 0) AS dup_windows,
+       ROUND(CAST(COALESCE(d.dup_windows, 0) AS DOUBLE)
+             / CAST(t.total_windows AS DOUBLE), 6) AS dup_ratio
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: md5-keyed global shuffle,
+    16 shards, round-robin deal (portable mode — the oracle-equal form;
+    the scale path is sharding.global_shuffle(mode='scale'))."""
+    from icebergproject_spark.llm import sharding
+
+    docs = _t(spark, sf_dir, "documents")
+    return sharding.global_shuffle(docs, num_shards=16, salt="seed0")
+
+
+ORACLE_GLOBAL_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id,
+       CAST((rn - 1) % 16 AS BIGINT) AS shard,
+       CAST(rn - 1 AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum: NTILE(10) over (token count, id)."""
+    from icebergproject_spark.llm import sharding
+
+    docs = _t(spark, sf_dir, "documents")
+    return sharding.curriculum_bins(docs, num_bins=10)
+
+
+ORACLE_CURRICULUM_BINS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(NTILE(10) OVER (
+         ORDER BY len(string_split(text, ' ')) ASC, doc_id ASC
+       ) AS INTEGER) AS bin
+FROM documents
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-training loop (Sennrich et al. 2016), 12 rounds.
+    Iterative distributed argmax — no SQL oracle (rows-only); the merge
+    table is pytest-pinned against a pure-Python reference trainer."""
+    from icebergproject_spark.llm import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_train_df(docs, num_merges=12)
+
+
+LLM2_REGISTRY = {
+    "duplicate_spans": Query(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
+    "global_shuffle": Query(q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
+    "curriculum_bins": Query(q_curriculum_bins, ORACLE_CURRICULUM_BINS),
+    "bpe_merges": Query(q_bpe_merges, None),
+}

@@ -1,0 +1,189 @@
+"""Tests for LLM-pipeline batch 3: substring-level dedup, shard layout,
+curriculum binning, BPE merge training."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from icebergproject_spark.llm import bpe, dedup, sharding
+
+
+# --- duplicate_spans -------------------------------------------------------
+
+def test_duplicate_spans_flags_shared_window(spark):
+    shared = "a b c d e f g h"  # exactly one 8-token window
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y z p q r s t"),
+            (2, "u v w j k l m n " + shared),
+            (3, "q w e r t y u i o p a s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_spans(docs, k=8, min_docs=2).collect()
+    }
+    # doc1: 9 windows (16 tokens), the first ("a..h") is shared with doc2
+    assert out[1]["total_windows"] == 9
+    assert out[1]["dup_windows"] == 1
+    assert out[2]["dup_windows"] == 1
+    assert out[3]["dup_windows"] == 0
+    assert abs(out[1]["dup_ratio"] - round(1 / 9, 6)) < 1e-9
+
+
+def test_duplicate_spans_counts_positions_not_distinct(spark):
+    # the same 8-token window twice in one doc: both POSITIONS count
+    w = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, w + " " + w), (2, w + " z z z z z z z z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_spans(docs, k=8, min_docs=2).collect()
+    }
+    # doc1 has 9 windows; positions 1 and 9 are the shared window
+    assert out[1]["total_windows"] == 9
+    assert out[1]["dup_windows"] == 2
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    rows = dedup.duplicate_spans(docs, k=8).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert rows[0]["dup_windows"] == 0
+
+
+# --- global_shuffle / curriculum_bins --------------------------------------
+
+def test_global_shuffle_deterministic_and_balanced(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(160)], "doc_id long, text string"
+    )
+    a = sharding.global_shuffle(docs, num_shards=16, salt="s1").collect()
+    b = sharding.global_shuffle(docs, num_shards=16, salt="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    by_shard = Counter(r["shard"] for r in a)
+    assert len(by_shard) == 16
+    assert all(c == 10 for c in by_shard.values())  # round-robin deal
+    # positions are a permutation of 0..n-1
+    assert sorted(r["pos"] for r in a) == list(range(160))
+    # a different salt yields a different permutation
+    c = sharding.global_shuffle(docs, num_shards=16, salt="s2").collect()
+    assert {r["doc_id"]: r["pos"] for r in c} != {r["doc_id"]: r["pos"] for r in a}
+
+
+def test_global_shuffle_scale_mode(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    out = sharding.global_shuffle(docs, num_shards=8, mode="scale").collect()
+    assert len(out) == 400
+    by_shard = Counter(r["shard"] for r in out)
+    # range partitioning on uniform md5 keys: every shard non-empty and
+    # no shard grossly oversized
+    assert len(by_shard) == 8
+    assert max(by_shard.values()) < 400 * 0.5
+    # per-shard positions are dense from 0
+    for s, cnt in by_shard.items():
+        assert sorted(r["pos"] for r in out if r["shard"] == s) == list(range(cnt))
+
+
+def test_curriculum_bins_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = sharding.curriculum_bins(docs, num_bins=5).collect()
+    assert len(rows) == 50
+    # equal-depth bins; token counts never decrease across bin order
+    by_bin = Counter(r["bin"] for r in rows)
+    assert all(by_bin[b] == 10 for b in range(1, 6))
+    ordered = sorted(rows, key=lambda r: (r["bin"], r["n_tokens"]))
+    toks = [r["n_tokens"] for r in ordered]
+    assert toks == sorted(toks)
+
+
+# --- BPE training ----------------------------------------------------------
+
+def _ref_bpe(texts: list[str], num_merges: int, min_freq: int = 2):
+    """Pure-Python Sennrich-reference trainer (greedy left-to-right
+    merge application, freq-desc/lex-asc tie-break)."""
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    sym_vocab = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in sym_vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_freq:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in sym_vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            sym_vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe.bpe_train(docs, num_merges=8)
+    want = _ref_bpe(texts, num_merges=8)
+    assert got == want
+    assert len(got) == 8  # corpus is rich enough for all 8 rounds
+
+
+def test_bpe_train_stops_below_min_freq(spark):
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    # every pair occurs once — below min_freq=2 — so zero merges learned
+    assert bpe.bpe_train(docs, num_merges=5, min_freq=2) == []
+
+
+def test_bpe_train_df_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaab"), (2, "aaab aab")], "doc_id long, text string"
+    )
+    out = bpe.bpe_train_df(docs, num_merges=3)
+    rows = out.collect()
+    assert out.columns == ["rank", "left", "right", "freq"]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # first merge must be the most frequent pair: ("a","a")
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "a")
+
+
+def test_bpe_merge_batch_overlapping_runs():
+    import pandas as pd
+
+    apply = bpe._merge_batch("a", "a")
+    pdf = pd.DataFrame({"syms": [list("aaaa"), list("aaa")], "wcnt": [1, 1]})
+    out = list(apply(iter([pdf])))[0]
+    assert list(out["syms"][0]) == ["aa", "aa"]
+    assert list(out["syms"][1]) == ["aa", "a"]
