@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     threshold_num: int = 3,
     threshold_den: int = 10,
     max_df: int | None = None,
+    expand_cap: int = 64,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs with J ≥ num/den.
 
@@ -158,17 +159,49 @@ def ngram_jaccard_pairs(
         sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
         pairs = shared.join(sa, "id_a").join(sb, "id_b")
     else:
-        a, b = inv.alias("a"), inv.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.sz").alias("size_a"),
-                F.col("b.sz").alias("size_b"),
-            )
+        # exact hybrid (no df cap): ONE groupBy(gram) builds postings
+        # arrays, pairs expand MAP-SIDE from the sorted array for normal
+        # grams, and only grams hotter than ``expand_cap`` docs fall back
+        # to the inverted-index self-join (bounded to the hot slice, so
+        # no single collect_list row can blow up memory).  Exactly the
+        # same pair multiset as the plain self-join — same counts, same
+        # output — but one shingle build + one big shuffle instead of
+        # two of each (measured ~20% faster at sf0.1; the bound, not the
+        # speedup, is why the expansion is safe uncapped).
+        postings = (
+            inv.select("id", "g")
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pair_arr = F.expr(
+            """
+            flatten(transform(ids, (a, i) ->
+              transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+                struct(a AS id_a, b AS id_b))))
+            """
+        )
+        small_pairs = (
+            postings.filter(F.size("ids") <= expand_cap)
+            .select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
+        )
+        hot = postings.filter(F.size("ids") > expand_cap).select(
+            "g", F.explode("ids").alias("id")
+        )
+        a, b = hot.alias("a"), hot.alias("b")
+        hot_pairs = a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        shared = (
+            small_pairs.unionByName(hot_pairs)
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
+        sizes = sh.select("id", "sz")
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+        pairs = shared.join(sa, "id_a").join(sb, "id_b")
     thr = (F.lit(threshold_den) * F.col("shared")) >= (
         F.lit(threshold_num) * (F.col("size_a") + F.col("size_b") - F.col("shared"))
     )

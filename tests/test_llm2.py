@@ -187,3 +187,30 @@ def test_bpe_merge_batch_overlapping_runs():
     out = list(apply(iter([pdf])))[0]
     assert list(out["syms"][0]) == ["aa", "aa"]
     assert list(out["syms"][1]) == ["aa", "a"]
+
+
+# --- exact hybrid pair generation (hot-gram join arm) ----------------------
+
+def test_ngram_pairs_hot_arm_matches_expansion(spark):
+    from icebergproject_spark.llm import dedup
+
+    # 6 docs sharing one hot shingle run plus per-pair overlap; with
+    # expand_cap=1 EVERY gram takes the join arm, with the default every
+    # gram expands map-side — the outputs must be identical
+    texts = [
+        ("common run here p%d q%d r%d s%d t%d u%d" % (i, i, i, i, i, i))
+        for i in range(6)
+    ]
+    texts[1] = texts[0] + " extra tail words"  # a genuine near-dup pair
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(threshold_num=1, threshold_den=10)
+    via_join = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, expand_cap=1, **kw).collect())
+    )
+    via_expand = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, **kw).collect())
+    )
+    assert via_join == via_expand
+    assert via_join  # non-empty — the shared run produces pairs
