@@ -98,6 +98,7 @@ class LakehouseTable:
         self.data_dir = os.path.join(self.root, "data")
         self.deletes_root = os.path.join(self.root, "deletes")
         self.props_path = os.path.join(self.root, "properties.json")
+        self.refs_path = os.path.join(self.root, "refs.json")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.deletes_root, exist_ok=True)
@@ -172,8 +173,16 @@ class LakehouseTable:
                     snaps.append(json.load(f))
         return sorted(snaps, key=lambda s: s["snapshot_id"])
 
+    def _mainline(self) -> list[dict]:
+        """Snapshots on the main branch (no ``branch`` stamp) — what
+        ``current_snapshot``/``read`` resolve against.  Branch snapshots
+        share the id space and snapshot dir but are invisible to main
+        until published (Iceberg's refs model: ``main`` is just the
+        default branch ref)."""
+        return [s for s in self._snapshots() if "branch" not in s]
+
     def current_snapshot(self) -> dict | None:
-        snaps = self._snapshots()
+        snaps = self._mainline()
         return snaps[-1] if snaps else None
 
     def history(self) -> list[dict]:
@@ -186,10 +195,13 @@ class LakehouseTable:
         data_dirs: list[str],
         batch_id: str | None = None,
         delete_dirs: list[str] | None = None,
+        branch: str | None = None,
     ) -> dict:
-        cur = self.current_snapshot()
+        cur = self.branch_head(branch) if branch else self.current_snapshot()
+        all_snaps = self._snapshots()
+        next_id = (all_snaps[-1]["snapshot_id"] + 1) if all_snaps else 1
         snap = {
-            "snapshot_id": (cur["snapshot_id"] + 1) if cur else 1,
+            "snapshot_id": next_id,
             "parent_id": cur["snapshot_id"] if cur else None,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
@@ -215,6 +227,8 @@ class LakehouseTable:
         }
         if batch_id is not None:
             snap["batch_id"] = batch_id
+        if branch is not None:
+            snap["branch"] = branch
         path = os.path.join(self.snap_dir, f"snap-{snap['snapshot_id']:09d}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -315,15 +329,22 @@ class LakehouseTable:
         return total
 
     # -- operations -------------------------------------------------------
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame, branch: str | None = None) -> dict:
         """K1: streaming/batch append — new snapshot = parent dirs + new dir.
         Parent positional deletes carry forward: data files are immutable,
-        so (file, pos) addresses stay valid across appends."""
+        so (file, pos) addresses stay valid across appends.
+
+        ``branch``: commit to a named branch (created with
+        :meth:`create_branch`) instead of main — Iceberg's
+        ``toBranch(...)`` write, the staging half of write-audit-publish."""
         new_dir = self._write_data(df)
-        cur = self.current_snapshot()
+        cur = self.branch_head(branch) if branch else self.current_snapshot()
         dirs = (cur["data_dirs"] if cur else []) + [new_dir]
         return self._commit(
-            "append", dirs, delete_dirs=list(cur.get("delete_dirs", [])) if cur else []
+            "append",
+            dirs,
+            delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+            branch=branch,
         )
 
     def overwrite(self, df: DataFrame) -> dict:
@@ -472,6 +493,7 @@ class LakehouseTable:
         partition_values: list | None = None,
         with_address: bool = False,
         where: str | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """S5 + M3: batch scan, optionally time-travelling.
 
@@ -507,14 +529,30 @@ class LakehouseTable:
         snaps = self._snapshots()
         if not snaps:
             raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
-        snap = snaps[-1]
+        mainline = self._mainline()
+        snap = mainline[-1] if mainline else None
+        if ref is not None:
+            # named ref: branch head (staged state) or tag target
+            refs = self._refs()
+            if ref in refs["branches"]:
+                snap = self.branch_head(ref)
+                if snap is None:
+                    raise FileNotFoundError(f"branch {ref} has no snapshots")
+            elif ref in refs["tags"]:
+                snapshot_id = refs["tags"][ref]["snapshot_id"]
+            else:
+                raise ValueError(f"unknown ref {ref}")
+        if snap is None and snapshot_id is None and as_of_ms is None:
+            raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
         if snapshot_id is not None:
             matching = [s for s in snaps if s["snapshot_id"] == snapshot_id]
             if not matching:
                 raise ValueError(f"snapshot {snapshot_id} not found (expired?)")
             snap = matching[0]
         elif as_of_ms is not None:
-            eligible = [s for s in snaps if s["timestamp_ms"] <= as_of_ms]
+            # timestamp travel resolves along MAIN only (branch snapshots
+            # were never the table state at any wall-clock time)
+            eligible = [s for s in mainline if s["timestamp_ms"] <= as_of_ms]
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             snap = eligible[-1]
@@ -656,6 +694,121 @@ class LakehouseTable:
             list(target["data_dirs"]),
             delete_dirs=list(target.get("delete_dirs", [])),
         )
+
+    # -- refs: branches, tags, write-audit-publish ------------------------
+    def _refs(self) -> dict:
+        if not os.path.exists(self.refs_path):
+            return {"branches": {}, "tags": {}}
+        with open(self.refs_path) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self.refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self.refs_path)
+
+    def create_branch(self, name: str) -> None:
+        """Named branch forked from the CURRENT main snapshot (Iceberg
+        ``createBranch``).  Branch commits share main's id space and
+        snapshot log but stay invisible to main readers until
+        :meth:`fast_forward` publishes them."""
+        refs = self._refs()
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name} already exists")
+        cur = self.current_snapshot()
+        refs["branches"][name] = {
+            "base_snapshot_id": cur["snapshot_id"] if cur else None
+        }
+        self._write_refs(refs)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named pointer to a snapshot (Iceberg ``createTag``) —
+        e.g. tag the audited snapshot a training run consumed, so the
+        exact corpus stays addressable after later appends."""
+        refs = self._refs()
+        if name in refs["tags"]:
+            raise ValueError(f"tag {name} already exists")
+        if snapshot_id is None:
+            cur = self.current_snapshot()
+            if cur is None:
+                raise FileNotFoundError("table has no snapshots to tag")
+            snapshot_id = cur["snapshot_id"]
+        elif all(s["snapshot_id"] != snapshot_id for s in self._snapshots()):
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        refs["tags"][name] = {"snapshot_id": snapshot_id}
+        self._write_refs(refs)
+
+    def branch_head(self, name: str) -> dict | None:
+        """Latest snapshot on a branch: its newest own commit, else the
+        main snapshot it forked from, else None (branch off empty)."""
+        refs = self._refs()
+        if name not in refs["branches"]:
+            raise ValueError(f"unknown branch {name}")
+        own = [s for s in self._snapshots() if s.get("branch") == name]
+        if own:
+            return own[-1]
+        base = refs["branches"][name]["base_snapshot_id"]
+        if base is None:
+            return None
+        return next(s for s in self._snapshots() if s["snapshot_id"] == base)
+
+    def drop_branch(self, name: str) -> int:
+        """Delete a branch ref and its snapshots (abandoned staging data
+        becomes unreferenced; ``remove_orphan_files`` reclaims it).
+        Returns the number of snapshots dropped."""
+        refs = self._refs()
+        if name not in refs["branches"]:
+            raise ValueError(f"unknown branch {name}")
+        own = [s for s in self._snapshots() if s.get("branch") == name]
+        for s in own:
+            os.remove(os.path.join(self.snap_dir, f"snap-{s['snapshot_id']:09d}.json"))
+        del refs["branches"][name]
+        self._write_refs(refs)
+        return len(own)
+
+    def fast_forward(self, branch: str) -> dict:
+        """Publish a branch to main (Iceberg ``fast_forward`` — the
+        publish half of write-audit-publish).  Requires main not to have
+        advanced past the branch's fork point (a true fast-forward);
+        otherwise raises — rebase by re-staging against current main.
+        The publish is itself an auditable main commit referencing the
+        branch head's exact data dirs."""
+        refs = self._refs()
+        if branch not in refs["branches"]:
+            raise ValueError(f"unknown branch {branch}")
+        head = self.branch_head(branch)
+        if head is None:
+            raise ValueError(f"branch {branch} has no snapshots")
+        cur = self.current_snapshot()
+        base = refs["branches"][branch]["base_snapshot_id"]
+        cur_id = cur["snapshot_id"] if cur else None
+        if cur_id != base:
+            raise ValueError(
+                f"main advanced past branch fork point ({base} -> {cur_id}); "
+                "not a fast-forward"
+            )
+        return self._commit(
+            "publish",
+            list(head["data_dirs"]),
+            delete_dirs=list(head.get("delete_dirs", [])),
+        )
+
+    def write_audit_publish(self, df: DataFrame, audit_fn) -> tuple[bool, dict]:
+        """The WAP pattern end-to-end: stage ``df`` as an append on an
+        anonymous branch, run ``audit_fn(staged_read_df) -> bool`` against
+        the WOULD-BE table state, and publish to main only on approval.
+        Failed audits leave main untouched and the staged branch in place
+        for inspection (drop it to reclaim).  Returns
+        (published, staged_or_published_snapshot)."""
+        branch = f"wap-{uuid.uuid4().hex[:12]}"
+        self.create_branch(branch)
+        staged = self.append(df, branch=branch)
+        if not audit_fn(self.read(ref=branch)):
+            return False, staged
+        published = self.fast_forward(branch)
+        self.drop_branch(branch)
+        return True, published
 
     def idempotent_append(self, df: DataFrame, batch_id: str) -> dict | None:
         """Exactly-once streaming append: skip if a snapshot already
@@ -856,7 +1009,26 @@ class LakehouseTable:
             return 0
         if older_than_ms is None:
             older_than_ms = int(time.time() * 1000)
-        keep = [snaps[-1]] + [s for s in snaps[:-1] if s["timestamp_ms"] >= older_than_ms]
+        # refs pin snapshots regardless of age (Iceberg: expiry never
+        # breaks a named ref): tag targets, branch bases, and every live
+        # branch's own chain survive until the ref is dropped
+        refs = self._refs()
+        pinned = {t["snapshot_id"] for t in refs["tags"].values()}
+        pinned |= {
+            b["base_snapshot_id"]
+            for b in refs["branches"].values()
+            if b["base_snapshot_id"] is not None
+        }
+        live_branches = set(refs["branches"])
+        cur = self.current_snapshot()
+        keep = [
+            s
+            for s in snaps
+            if s["timestamp_ms"] >= older_than_ms
+            or s["snapshot_id"] in pinned
+            or s.get("branch") in live_branches
+            or (cur is not None and s["snapshot_id"] == cur["snapshot_id"])
+        ]
         keep_ids = {s["snapshot_id"] for s in keep}
         expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
         live_dirs = {d for s in keep for d in s["data_dirs"]}

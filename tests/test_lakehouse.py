@@ -545,3 +545,85 @@ def test_merge_on_read_merge_matches_cow(spark, tmp_path):
     # compaction materializes and the result is unchanged
     mor.compact()
     assert sorted((r.id, r.k, r.v) for r in mor.read().collect()) == a
+
+
+# --- refs: branches / tags / write-audit-publish ---------------------------
+
+def test_branch_commits_invisible_until_publish(spark, catalog):
+    t = catalog.table("DWS_BROWSE_INFO")
+    t.append(df_of(spark, [("1", "a")]))
+    t.create_branch("audit")
+    t.append(df_of(spark, [("2", "b")]), branch="audit")
+    assert t.read().count() == 1                 # main untouched
+    assert t.read(ref="audit").count() == 2      # staged state visible via ref
+    t.fast_forward("audit")
+    assert t.read().count() == 2
+    assert t.history()[-1]["operation"] == "publish"
+
+
+def test_fast_forward_rejects_diverged_main(spark, catalog):
+    t = catalog.table("DWS_BROWSE_INFO")
+    t.append(df_of(spark, [("1", "a")]))
+    t.create_branch("stage")
+    t.append(df_of(spark, [("2", "b")]), branch="stage")
+    t.append(df_of(spark, [("3", "c")]))         # main advances past fork
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("stage")
+
+
+def test_tag_pins_snapshot_across_appends_and_expiry(spark, catalog):
+    t = catalog.table("DWS_USER_LOGIN")
+    t.append(df_of(spark, [("1", "a")]))
+    t.create_tag("corpus-v1")
+    time.sleep(0.01)
+    t.append(df_of(spark, [("2", "b")]))
+    assert t.read(ref="corpus-v1").count() == 1
+    # expiry would drop the old snapshot by age, but the tag pins it
+    t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 10_000)
+    assert t.read(ref="corpus-v1").count() == 1
+    assert t.read().count() == 2
+
+
+def test_drop_branch_reclaims_staged_data(spark, catalog):
+    t = catalog.table("ODS_USER_LOGIN")
+    t.append(df_of(spark, [("1", "a")]))
+    t.create_branch("bad")
+    t.append(df_of(spark, [("2", "junk")]), branch="bad")
+    assert t.drop_branch("bad") == 1
+    assert t.read().count() == 1
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.read(ref="bad")
+    # staged dir is unreferenced now; orphan GC sweeps it
+    assert t.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 10_000) >= 1
+    assert t.read().count() == 1
+
+
+def test_write_audit_publish_approve_and_reject(spark, catalog):
+    t = catalog.table("DWD_BROWSELOG")
+    t.append(df_of(spark, [("1", "a")]))
+
+    ok, snap = t.write_audit_publish(
+        df_of(spark, [("2", "b")]), lambda df: df.count() == 2
+    )
+    assert ok and t.read().count() == 2
+    assert t.history()[-1]["operation"] == "publish"
+
+    # failing audit: main untouched, staged branch left for inspection
+    ok, staged = t.write_audit_publish(
+        df_of(spark, [("3", "c")]), lambda df: False
+    )
+    assert not ok and t.read().count() == 2
+    staged_branch = staged["branch"]
+    assert t.read(ref=staged_branch).count() == 3
+    t.drop_branch(staged_branch)
+
+
+def test_branch_append_does_not_shift_time_travel(spark, catalog):
+    t = catalog.table("ODS_MEMBER_INFO")
+    t.append(df_of(spark, [("1", "a")]))
+    t.create_branch("s")
+    t.append(df_of(spark, [("2", "b")]), branch="s")
+    t.append(df_of(spark, [("3", "c")]))
+    # as-of "now" resolves along main only: 2 rows, not the branch's 2+1
+    rows = t.read(as_of_ms=int(time.time() * 1000) + 1000).count()
+    assert rows == 2
