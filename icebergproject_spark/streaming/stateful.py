@@ -121,3 +121,95 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# --- transformWithState: streaming exact dedup with state TTL --------------
+#
+# The Spark 4 StatefulProcessor API (transformWithStateInPandas) is the
+# successor to applyInPandasWithState: typed named state, per-state TTL,
+# timers. Used here for the LLM-ingest shape applyInPandasWithState can't
+# express cleanly: EXACT streaming dedup whose per-key state expires after
+# a TTL — dropDuplicates needs a watermark column and unbounded state
+# otherwise; TTL'd value state is the production pattern for "dedup
+# against the recent past with bounded state".
+
+try:  # pragma: no cover - import surface differs across minor versions
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    # the state-server protocol between the Python worker and the JVM is
+    # protobuf-framed; without google.protobuf the driver worker crashes
+    # at init (observed in-env), so gate on BOTH imports
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+DEDUP_OUTPUT = StructType(
+    [
+        StructField("digest", StringType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+class SeenDigestProcessor(StatefulProcessor):
+    """Keyed by content digest: the FIRST document bearing a digest is
+    emitted as the survivor; later arrivals (same batch or later batches)
+    are dropped while the digest stays in state.  ``ttl_ms`` bounds state:
+    a digest idle past the TTL is forgotten and its next arrival survives
+    again — the deliberate accuracy/state tradeoff."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._seen = handle.getValueState(
+            "seen", "first_id long", ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        best = None
+        for pdf in rows:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is not None:
+            self._seen.update((best,))
+            yield pd.DataFrame({"digest": [key[0]], "doc_id": [best]})
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_stream_ttl(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ttl_ms: int | None = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming exact dedup via content digest with TTL'd state: emits
+    (digest, doc_id) survivors; duplicates within the TTL horizon are
+    dropped. State is one long per live digest, hash-partitioned on the
+    digest — the same shuffle a streaming aggregate pays."""
+    import pyspark.sql.functions as F
+
+    prepared = docs.select(
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("digest"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return prepared.groupBy("digest").transformWithStateInPandas(
+        SeenDigestProcessor(ttl_ms),
+        outputStructType=DEDUP_OUTPUT,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
