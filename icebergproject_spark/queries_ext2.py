@@ -2029,7 +2029,58 @@ SELECT 'quantity_in_1_50',
 """
 
 
+def q_part_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy walk (WITH RECURSIVE — new in Spark 4's
+    parser; Catalyst plans it as UnionLoop).  The harness tables have no
+    deep hierarchy (nation→region is two levels — J4), so the taxonomy
+    is DERIVED: parent(k) = floor(k/10) over part keys forms a 10-ary
+    forest ~5 levels deep at sf0.1.  Per part: ancestor count and root.
+    The recursion itself — iterate a join until the frontier empties —
+    is the operator under test; the per-round frontier shrinks 10×, so
+    total work is ~1.1 scans of part.  Unbounded-depth hierarchies at
+    scale should checkpoint per round instead (see
+    llm/dedup.connected_components for the O(log² n) alternative)."""
+    part = _t(spark, sf_dir, "part")
+    part.select("p_partkey").createOrReplaceTempView("part_keys_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS id, p_partkey AS anc_id FROM part_keys_rec
+          UNION ALL
+          SELECT a.id, p.p_partkey AS anc_id
+          FROM anc a
+          JOIN part_keys_rec p
+            ON p.p_partkey = CAST(FLOOR(a.anc_id / 10.0) AS BIGINT)
+          WHERE a.anc_id >= 10
+        )
+        SELECT id AS p_partkey,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_ancestors,
+               CAST(MIN(anc_id) AS BIGINT) AS root_key
+        FROM anc
+        GROUP BY id
+        """
+    )
+
+
+ORACLE_PART_TAXONOMY = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS id, p_partkey AS anc_id FROM part
+  UNION ALL
+  SELECT a.id, p.p_partkey AS anc_id
+  FROM anc a
+  JOIN part p ON p.p_partkey = CAST(FLOOR(a.anc_id / 10.0) AS BIGINT)
+  WHERE a.anc_id >= 10
+)
+SELECT id AS p_partkey,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_ancestors,
+       CAST(MIN(anc_id) AS BIGINT) AS root_key
+FROM anc
+GROUP BY id
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
+    "part_taxonomy": Query(q_part_taxonomy, ORACLE_PART_TAXONOMY),
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
     "orders_grouping_sets": Query(q_orders_grouping_sets, ORACLE_GROUPING_SETS),
