@@ -51,12 +51,14 @@ BENCH_QUERIES = [
     "asof_trade_quote",
     "user_sessions",
     "browse_pipeline_e2e",
+    "part_taxonomy",
     # analytics extensions
     "daily_retention",
     "conversion_funnel",
     "quantity_price_corr",
     # LLM data-pipeline
     "dedup_exact",
+    "duplicate_spans",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

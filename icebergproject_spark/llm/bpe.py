@@ -122,3 +122,58 @@ def bpe_train_df(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, freq bigint",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: per document, the BPE token count
+    under the trained vocabulary — the number the packing/budgeting
+    stages (pack_sequences, mixing_weights) consume.
+
+    The merge table is bounded (len = num_merges), shipped in the UDF
+    closure; encoding is Arrow-batched ``mapInPandas`` with a per-batch
+    word→length memo (Zipf again: most words in a batch repeat, so the
+    merge loop runs once per DISTINCT word).  Words shorter than 2 chars
+    are single tokens by construction (they cannot contain a pair).
+    """
+    ranked = [(m[0], m[1]) for m in merges]
+
+    def encode(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def word_len(w: str) -> int:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            for a, b in ranked:
+                if len(syms) < 2:
+                    break
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = len(syms)
+            return memo[w]
+
+        for pdf in batches:
+            counts = [
+                sum(word_len(w) for w in t.split(" ") if w)
+                for t in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "n_tokens_bpe": counts})
+
+    return df.select(id_col, content_col).mapInPandas(
+        encode, f"{id_col} long, n_tokens_bpe bigint"
+    )

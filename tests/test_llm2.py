@@ -214,3 +214,30 @@ def test_ngram_pairs_hot_arm_matches_expansion(spark):
     )
     assert via_join == via_expand
     assert via_join  # non-empty — the shared run produces pairs
+
+
+def test_bpe_encode_counts(spark):
+    texts = ["low lower low", "newest low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(docs, num_merges=3, min_freq=2)
+    out = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.bpe_encode(docs, merges).collect()}
+
+    # pure-python re-encode with the same greedy-in-rank-order semantics
+    def enc(w):
+        syms = list(w)
+        for a, b, _ in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b); i += 2
+                else:
+                    res.append(syms[i]); i += 1
+            syms = res
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        assert out[i] == sum(enc(w) for w in t.split(" "))
+    # merges compress: fewer tokens than characters
+    assert out[0] < sum(len(w) for w in texts[0].split(" "))
