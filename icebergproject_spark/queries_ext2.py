@@ -2079,8 +2079,89 @@ GROUP BY id
 """
 
 
+def q_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per order, the
+    customer's rolling 30-day order total.  A ROWS frame counts
+    neighbors; the RANGE frame bounds by ORDER-BY VALUE distance — gaps
+    and ties behave differently, and the registry had only ROWS frames
+    (events_moving_avg).  Ordered by integer day number so Spark and the
+    oracle share frame semantics exactly.  One shuffle (hash by
+    customer), in-partition sort — per-key history is shallow, fine at
+    scale."""
+    orders = _t(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day_no.cast("int").alias("day_no"),
+        F.round(F.sum("o_totalprice").over(w).cast("double"), 2).alias(
+            "rolling_30d"
+        ),
+    )
+
+
+ORACLE_ROLLING_30D = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INTEGER) AS day_no,
+       ROUND(CAST(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS rolling_30d
+FROM orders
+"""
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with LIMIT — the top-N-per-group
+    shape written the SQL-standard way (Spark plans it as a
+    LateralJoin + per-group WindowGroupLimit, no full sort).  Top-2
+    orders per market-segment-BUILDING customer; deterministic
+    tie-break on orderkey."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS price
+        FROM cust_lat c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM ord_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+ORACLE_LATERAL_TOP = """
+SELECT c.c_custkey, t.o_orderkey,
+       ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 EXT2_REGISTRY: dict[str, Query] = {
     "part_taxonomy": Query(q_part_taxonomy, ORACLE_PART_TAXONOMY),
+    "rolling_30d_revenue": Query(q_rolling_30d_revenue, ORACLE_ROLLING_30D),
+    "lateral_top_orders": Query(q_lateral_top_orders, ORACLE_LATERAL_TOP),
     "cdc_latest": Query(q_cdc_latest, ORACLE_CDC_LATEST),
     "user_last_state": Query(q_user_last_state, ORACLE_USER_LAST_STATE),
     "orders_grouping_sets": Query(q_orders_grouping_sets, ORACLE_GROUPING_SETS),
