@@ -793,3 +793,73 @@ def duplicate_spans(
             ).alias("dup_ratio"),
         )
     )
+
+
+def semantic_near_pairs(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means partition the
+    embedding space, then compute exact pairwise cosine ONLY within each
+    cluster — semantic duplicates are near each other, so the cross-
+    cluster pairs k-means prunes are overwhelmingly below threshold.
+    Approximate by design (a near-dup pair split across a cluster
+    boundary is missed — same recall bet every SemDeDup deployment
+    makes); `embedding_near_pairs` is the exact baseline it is measured
+    against in tests.
+
+    Scale shape: the k-means stage is the zero-shuffle partial-sums
+    implementation (llm/linalg.py); the pair stage shuffles each vector
+    ONCE (hash by cluster) and runs one BLAS gram per cluster inside
+    ``applyInPandas``. Work is Σ|cluster|² instead of n² — at 100 TB, k
+    grows with the corpus so clusters stay bounded (SemDeDup used 25k
+    clusters for LAION); skewed clusters split by raising k, the same
+    lever the paper uses.
+
+    Output: (id_a, id_b, score) with id_a < id_b, rounded-cosine ≥
+    threshold — same contract as `embedding_near_pairs`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from icebergproject_spark.llm.linalg import kmeans
+
+    assignments, _, _ = kmeans(
+        df, dim, k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
+    )
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assignments, "id"
+    )
+    cut = threshold - 1e-7  # kernel-side cut; Spark re-rounds at the end
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "score": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        s = (x / norms[:, None]) @ (x / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = s[iu, ju] >= cut
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "score": s[iu[keep], ju[keep]]}
+        )
+
+    pairs = tagged.groupBy("cluster").applyInPandas(
+        tile, "id_a long, id_b long, score double"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
+    ).filter(F.col("score") >= threshold)

@@ -109,7 +109,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train_df(docs, num_merges=12)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-partitioned semantic
+    near-dup pairs — Σ|cluster|² work instead of n². Iterative k-means
+    has no SQL twin (rows-only); recall vs the exact all-pairs tier is
+    pytest-pinned on separable data."""
+    from icebergproject_spark.llm import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_near_pairs(emb, dim=64, k=8, threshold=0.35)
+
+
 LLM2_REGISTRY = {
+    "dedup_semantic": Query(q_dedup_semantic, None),
     "duplicate_spans": Query(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "global_shuffle": Query(q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
     "curriculum_bins": Query(q_curriculum_bins, ORACLE_CURRICULUM_BINS),

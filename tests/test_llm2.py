@@ -241,3 +241,48 @@ def test_bpe_encode_counts(spark):
         assert out[i] == sum(enc(w) for w in t.split(" "))
     # merges compress: fewer tokens than characters
     assert out[0] < sum(len(w) for w in texts[0].split(" "))
+
+
+# --- SemDeDup: cluster-then-pairwise semantic dedup ------------------------
+
+def test_semantic_near_pairs_recall_vs_exact(spark):
+    import random
+
+    from icebergproject_spark.llm.dedup import embedding_near_pairs, semantic_near_pairs
+
+    rng = random.Random(7)
+    dim = 8
+    # three well-separated anchor directions, each with a jittered near-dup
+    anchors = [[0.0] * dim for _ in range(3)]
+    for g in range(3):
+        anchors[g][g] = 1.0
+    rows = []
+    vid = 0
+    for g in range(3):
+        for _ in range(6):
+            v = [a + rng.uniform(-0.02, 0.02) for a in anchors[g]]
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(emb, threshold=0.95).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b)
+        for r in semantic_near_pairs(emb, dim=dim, k=3, threshold=0.95).collect()
+    }
+    # clusters align with anchor groups here, so SemDeDup finds the full
+    # exact pair set with zero false positives
+    assert sem == exact
+    assert len(exact) == 3 * 15  # 6 choose 2 per group
+
+
+def test_semantic_near_pairs_no_cross_cluster_false_positives(spark):
+    from icebergproject_spark.llm.dedup import semantic_near_pairs
+
+    # orthogonal vectors: nothing should pair at any threshold
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert semantic_near_pairs(emb, dim=4, k=2, threshold=0.5).count() == 0
