@@ -424,3 +424,76 @@ def fingerprint(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
         F.md5(F.col(content_col)).alias("content_md5"),
         F.xxhash64(F.element_at(word_shingles(content_col, 3), 1)).alias("block_key"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_filter,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much its hashed n-gram profile resembles a TARGET slice of the
+    corpus (``target_filter``, e.g. ``col("lang") == "en"`` or a curated
+    high-quality source) versus the raw distribution.  Downstream,
+    sampling ∝ exp(weight) (Gumbel top-k) selects pretraining data — the
+    step after dedup/quality filtering in the LLM pipeline.
+
+    Features are word uni+bigrams hashed into ``buckets`` counts (the
+    paper's hashed generative model); both distributions get Laplace
+    ``smoothing``; weight = Σ_grams log p_target(bucket) − log p_raw(bucket).
+
+    Scale shape: the two distribution estimates are bucket-count
+    aggregates (map-side combine; ``buckets`` rows each — driver-bounded
+    like the PCA partials), the log-ratio table broadcasts, and the
+    per-doc score is one more aggregate over the exploded gram stream.
+    Nothing quadratic, no vocabulary materialized: hashing fixes the
+    feature space regardless of corpus size.  Float log-sums → rows-only
+    in the driver gate; exactness is pytest-pinned against numpy.
+
+    Output: (doc_id, n_feats, weight) — weight rounded to 6 places.
+    """
+    toks = _tokens(content_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    grams = F.when(F.size(toks) >= 2, F.concat(toks, bigrams)).otherwise(toks)
+    feats = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("g")
+    ).select("id", F.pmod(F.xxhash64("g"), F.lit(buckets)).alias("b"))
+    tgt_ids = df.filter(target_filter).select(F.col(id_col).alias("id"))
+    tgt = (
+        feats.join(tgt_ids, "id", "left_semi")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    # totals: two scalars — a bounded driver reduction
+    totals = raw.agg(F.sum("rc")).collect()[0][0] or 0
+    t_totals = tgt.agg(F.sum("tc")).collect()[0][0] or 0
+    denom_t = float(t_totals + smoothing * buckets)
+    denom_r = float(totals + smoothing * buckets)
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + smoothing) / denom_t)
+                - F.log((F.col("rc") + smoothing) / denom_r)
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "weight")
+    )

@@ -120,8 +120,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_near_pairs(emb, dim=64, k=8, threshold=0.35)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with lang='en' as the
+    target slice — the data-selection scorer upstream of importance
+    resampling. Float log-sums → rows-only; exactness pytest-pinned."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.dsir_importance_weights(docs, F.col("lang") == "en")
+
+
 LLM2_REGISTRY = {
     "dedup_semantic": Query(q_dedup_semantic, None),
+    "dsir_weights": Query(q_dsir_weights, None),
     "duplicate_spans": Query(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
     "global_shuffle": Query(q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
     "curriculum_bins": Query(q_curriculum_bins, ORACLE_CURRICULUM_BINS),

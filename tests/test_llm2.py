@@ -286,3 +286,66 @@ def test_semantic_near_pairs_no_cross_cluster_false_positives(spark):
     rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert semantic_near_pairs(emb, dim=4, k=2, threshold=0.5).count() == 0
+
+
+# --- DSIR importance weights ----------------------------------------------
+
+def test_dsir_weights_match_numpy_reference(spark):
+    import math
+    from collections import Counter
+
+    from icebergproject_spark.llm.text import dsir_importance_weights
+
+    texts = {
+        1: "alpha beta alpha gamma",
+        2: "alpha beta delta",
+        3: "zeta eta theta iota",
+        4: "eta theta zeta zeta",
+    }
+    is_target = {1: True, 2: True, 3: False, 4: False}
+    docs = spark.createDataFrame(
+        [(i, t, is_target[i]) for i, t in texts.items()],
+        "doc_id long, text string, tgt boolean",
+    )
+    B, S = 64, 1.0
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, F.col("tgt"), buckets=B, smoothing=S
+        ).collect()
+    }
+
+    # numpy-free exact reference with the same hashed buckets via Spark's
+    # xxhash64 (fetch bucket ids once so the hash function is identical)
+    def grams(t):
+        ws = t.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    all_grams = sorted({g for t in texts.values() for g in grams(t)})
+    gdf = spark.createDataFrame([(g,) for g in all_grams], "g string")
+    bucket = {
+        r["g"]: r["b"]
+        for r in gdf.select(
+            "g", F.pmod(F.xxhash64("g"), F.lit(B)).alias("b")
+        ).collect()
+    }
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for i, t in texts.items():
+        for g in grams(t):
+            raw[bucket[g]] += 1
+            if is_target[i]:
+                tgt[bucket[g]] += 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    for i, t in texts.items():
+        want = sum(
+            math.log((tgt[bucket[g]] + S) / (T + S * B))
+            - math.log((raw[bucket[g]] + S) / (R + S * B))
+            for g in grams(t)
+        )
+        assert abs(out[i]["weight"] - round(want, 6)) < 1e-5
+        assert out[i]["n_feats"] == len(grams(t))
+    # target-family docs score higher than the off-target family
+    assert min(out[1]["weight"], out[2]["weight"]) > max(
+        out[3]["weight"], out[4]["weight"]
+    )
