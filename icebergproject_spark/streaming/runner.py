@@ -341,3 +341,32 @@ def dynamic_topic_routing(df: DataFrame, topic_col: str, payload_cols: list[str]
         F.col(topic_col).alias("topic"),
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("value"),
     )
+
+
+def wap_batch_sink(table, audit_fn, on_reject=None):
+    """Write-audit-publish as a streaming sink: each micro-batch is
+    STAGED on an anonymous lakehouse branch, audited against the
+    would-be table state, and published to main only on approval —
+    a rejected batch never reaches readers of main.
+
+    The quality gate the reference's pipeline lacks entirely: its DWD
+    cleanse (ProcessODSDataToDWD.scala:81-113) drops bad ROWS in-flight;
+    this gates whole COMMITS (schema drift, volume anomalies, failed
+    expectations — checks that need the batch in table context).
+
+    ``audit_fn(staged_df) -> bool`` sees main + the staged batch;
+    ``on_reject(batch_df, batch_id, staged_snapshot)`` (optional) routes
+    rejected batches (e.g. to a quarantine table) — the staged branch is
+    dropped either way, so retries of a rejected batch re-stage cleanly.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        published, snap = table.write_audit_publish(batch, audit_fn)
+        if not published:
+            try:
+                if on_reject is not None:
+                    on_reject(batch, batch_id, snap)
+            finally:
+                table.drop_branch(snap["branch"])
+
+    return sink

@@ -1014,3 +1014,62 @@ def test_seen_digest_processor_logic():
         p.handleInputRows(("d1",), iter([pd.DataFrame({"doc_id": [20]})]), None)
     )
     assert again == []
+
+
+def test_wap_batch_sink_gates_commits(spark, tmp_path):
+    """Streaming write-audit-publish: good micro-batches publish to
+    main, a batch failing the audit never becomes visible and lands in
+    quarantine instead."""
+    import os
+    import time
+
+    from icebergproject_spark.streaming.runner import wap_batch_sink
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="wapdb")
+    table = catalog.table("DWS_GATED")
+    src = str(tmp_path / "wap_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["id", "v"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", [("1", "ok"), ("2", "ok")], time.time() - 60)
+    write_file("f2", [("3", "BAD"), ("4", "ok")], time.time())
+
+    rejected = []
+
+    def audit(staged_df):
+        # expectation: no BAD values anywhere in the would-be state
+        return staged_df.filter(F.col("v") == "BAD").count() == 0
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            wap_batch_sink(
+                table,
+                audit,
+                on_reject=lambda b, bid, snap: rejected.append(
+                    (bid, sorted(r.id for r in b.collect()))
+                ),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "wap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(r.id for r in table.read().collect()) == ["1", "2"]
+    assert len(rejected) == 1 and rejected[0][1] == ["3", "4"]
+    # rejected branch dropped: no stray refs, orphan GC can reclaim
+    assert table._refs()["branches"] == {}
