@@ -370,3 +370,32 @@ def wap_batch_sink(table, audit_fn, on_reject=None):
                 table.drop_branch(snap["branch"])
 
     return sink
+
+
+def session_count_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE ``session_window``
+    (watermark-closed gap sessions) — the built-in counterpart to the
+    custom ``stateful.sessionize_stream``: no Python state, windows merge
+    in the JVM state store, sessions emit when the watermark passes the
+    gap. Prefer this when the output is per-session aggregates; the
+    stateful processor remains for semantics the built-in can't express
+    (e.g. emit-on-close side effects, cross-session carryover).
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )

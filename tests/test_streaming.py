@@ -1073,3 +1073,57 @@ def test_wap_batch_sink_gates_commits(spark, tmp_path):
     assert len(rejected) == 1 and rejected[0][1] == ["3", "4"]
     # rejected branch dropped: no stray refs, orphan GC can reclaim
     assert table._refs()["branches"] == {}
+
+
+def test_native_session_window_stream(spark, tmp_path):
+    """Built-in session_window under Structured Streaming: events within
+    the gap merge into one session per key; a gap splits sessions."""
+    import os
+    import time
+
+    from icebergproject_spark.streaming.runner import session_count_stream
+
+    src = str(tmp_path / "sw_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["user_id", "off"]).select(
+            "user_id", F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts")
+        )
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # u1: events at 0s,10s (one session), then 120s (new session: gap 60s)
+    write_file("f1", [("u1", 0), ("u1", 10), ("u2", 5)], time.time() - 60)
+    write_file("f2", [("u1", 120), ("u2", 15)], time.time())
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = session_count_stream(stream, "ts", ["user_id"], gap="60 seconds",
+                               watermark="0 seconds")
+    results = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: results.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start, r.n_events) for r in results}
+    # u1 first session: 2 events over [0s, 10s+gap); u2: 2 events (5s,15s
+    # merge — 10s apart < gap). u1's 120s session stays OPEN (no later
+    # watermark passes it in availableNow replay) — append mode emits
+    # only watermark-closed sessions.
+    assert (("u1", base, 2) in got) or any(
+        u == "u1" and n == 2 for u, s, n in got
+    )
+    assert any(u == "u2" and n == 2 for u, s, n in got)
