@@ -79,3 +79,22 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_bloom_filters(spark, application_side_threshold: str = "0"):
+    """Turn on Catalyst's runtime bloom-filter join pruning (injects a
+    ``might_contain(bloom(build_keys))`` semi-filter on the probe side of
+    a shuffle join, built from the selective side at runtime).
+
+    At cluster scale this needs no call at all — the feature is ON by
+    default and engages when the probe scan exceeds
+    ``applicationSideScanSizeThreshold`` (default 10 GB: exactly the
+    100 TB case, where skipping most of a fact scan for a selective dim
+    predicate is the whole game). The threshold override exists for
+    sub-GB test data; production callers should leave the default.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
