@@ -224,3 +224,74 @@ def test_pack_sequences_matches_python_model(spark, counts, ctx):
         first, last = cum // ctx, (cum + n - 1) // ctx
         assert got[i] == (n, f"all-{first}", cum % ctx, last - first + 1)
         cum += n
+
+
+# --- round-2 continuation: duplicate_spans / global_shuffle / BPE ----------
+
+span_docs_st = st.lists(
+    st.lists(token_st, min_size=1, max_size=14).map(lambda ws: " ".join(ws)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=span_docs_st, k=st.integers(min_value=2, max_value=5))
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_bruteforce(spark, docs, k):
+    from collections import Counter
+
+    from icebergproject_spark.llm.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["total_windows"], r["dup_windows"])
+        for r in duplicate_spans(df, k=k, min_docs=2).collect()
+    }
+
+    wins = {
+        i: [
+            " ".join(t.split(" ")[j : j + k])
+            for j in range(len(t.split(" ")) - k + 1)
+        ]
+        for i, t in enumerate(docs)
+    }
+    by_win = Counter()
+    for i, ws in wins.items():
+        for w in set(ws):
+            by_win[w] += 1
+    for i, ws in wins.items():
+        if not ws:
+            assert i not in got
+            continue
+        dup = sum(1 for w in ws if by_win[w] >= 2)
+        assert got[i] == (len(ws), dup)
+
+
+@given(n=st.integers(min_value=1, max_value=60), shards=st.integers(min_value=1, max_value=9))
+@settings(**SETTINGS)
+def test_global_shuffle_is_permutation(spark, n, shards):
+    from icebergproject_spark.llm.sharding import global_shuffle
+
+    df = spark.createDataFrame([(i, "x") for i in range(n)], "doc_id long, text string")
+    rows = global_shuffle(df, num_shards=shards).collect()
+    assert sorted(r["pos"] for r in rows) == list(range(n))
+    assert all(r["shard"] == r["pos"] % shards for r in rows)
+
+
+@given(docs=span_docs_st)
+@settings(**SETTINGS)
+def test_bpe_encode_bounds(spark, docs):
+    from icebergproject_spark.llm.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=3, min_freq=2)
+    out = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(docs):
+        words = [w for w in t.split(" ") if w]
+        n_chars = sum(len(w) for w in words)
+        # token count bounded by [#words, #chars]; merges only shrink
+        assert len(words) <= out[i] <= n_chars
