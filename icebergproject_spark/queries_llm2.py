@@ -132,7 +132,39 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_text.dsir_importance_weights(docs, F.col("lang") == "en")
 
 
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing on Spark 4's VARIANT type: parse the
+    JSON props payload once into a variant column (binary-encoded,
+    shredded access — the engine-native successor to repeated
+    get_json_object calls), extract a typed path, aggregate. The variant
+    is internal only — output columns are plain types, so DuckDB's JSON
+    functions oracle-check the result exactly."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("k").alias("k_distinct"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+    )
+
+
+ORACLE_EVENTS_VARIANT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS k_distinct,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+
 LLM2_REGISTRY = {
+    "events_props_variant": Query(q_events_props_variant, ORACLE_EVENTS_VARIANT),
     "dedup_semantic": Query(q_dedup_semantic, None),
     "dsir_weights": Query(q_dsir_weights, None),
     "duplicate_spans": Query(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
