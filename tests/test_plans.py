@@ -42,6 +42,16 @@ def _count(plan: str, node: str) -> int:
         ("shipping_priority", 2, 1),
         ("local_supplier_volume", 2, 2),
         ("forecast_revenue", 1, 0),
+        # round-2 continuation: substring dedup is 3 aggregates + 2
+        # broadcast-sized side relations over a checkpointed (id, hash)
+        # stream; a 4th Exchange means the window build leaked a shuffle
+        ("duplicate_spans", 3, 2),
+        # variant path: 2 shuffles is the floor for a COUNT(DISTINCT)
+        # (partial on (grp, k), then re-aggregate on grp); a 3rd means
+        # the variant parse stopped pushing into the first projection
+        ("events_props_variant", 2, 0),
+        # value-RANGE window: single hash shuffle by customer
+        ("rolling_30d_revenue", 1, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
