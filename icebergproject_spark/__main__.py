@@ -49,7 +49,28 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_sql.add_argument("--show", type=int, default=20)
 
+    p_maint = sub.add_parser(
+        "maintain",
+        help="compact + expire + orphan-sweep every lakehouse table "
+        "(the reference's CombinDataAndRemoveOldSnap job)",
+    )
+    p_maint.add_argument("--warehouse", required=True)
+    p_maint.add_argument("--db", default="icebergdb")
+    p_maint.add_argument(
+        "--older-than-ms", type=int, default=None,
+        help="expiry/orphan cutoff (default: now)",
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "maintain":
+        from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+
+        spark = _session()
+        catalog = LakehouseCatalog(spark, warehouse=args.warehouse, db=args.db)
+        for name, expired in catalog.maintain_all(args.older_than_ms).items():
+            print(f"{name}: expired {expired} snapshot(s)")
+        return 0
 
     from icebergproject_spark.queries import REGISTRY
 

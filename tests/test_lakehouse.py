@@ -627,3 +627,33 @@ def test_branch_append_does_not_shift_time_travel(spark, catalog):
     # as-of "now" resolves along main only: 2 rows, not the branch's 2+1
     rows = t.read(as_of_ms=int(time.time() * 1000) + 1000).count()
     assert rows == 2
+
+
+def test_cli_maintain_command(spark, tmp_path, capsys, monkeypatch):
+    """`python -m icebergproject_spark maintain --warehouse W` runs the
+    reference's maintenance job over every table in the warehouse."""
+    import time as _time
+
+    from icebergproject_spark import __main__ as cli
+
+    wh = str(tmp_path / "wh")
+    catalog = LakehouseCatalog(spark, warehouse=wh, db="icebergdb")
+    t = catalog.table("ODS_BROWSELOG")
+    t.append(df_of(spark, [("1", "a")]))
+    _time.sleep(0.01)
+    t.append(df_of(spark, [("2", "b")]))
+
+    monkeypatch.setattr(cli, "_session", lambda: spark)
+    rc = cli.main(
+        [
+            "maintain",
+            "--warehouse", wh,
+            "--older-than-ms", str(int(_time.time() * 1000) + 10_000),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ODS_BROWSELOG" in out
+    # both pre-compaction snapshots expired; the compacted state survives
+    assert t.read().count() == 2
+    assert len(t.history()) == 1
