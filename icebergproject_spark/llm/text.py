@@ -497,3 +497,37 @@ def dsir_importance_weights(
         )
         .select(F.col("id").alias(id_col), "n_feats", "weight")
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): rank
+    documents by LM quality score and cut into equal-depth buckets —
+    CCNet trains on "head", inspects "middle", drops "tail".  Bucket 1 =
+    highest mean log-probability.  num_buckets=3 gives the canonical
+    labels; any k works (curriculum over quality = larger k).
+
+    The NTILE over a global score order is the oracle-parity form; at
+    100 TB the same split comes from one approx-quantile pass over the
+    score column (k-1 cut points, then a broadcast range lookup).
+    Output: (doc_id, n_tokens, mean_logprob, bucket, bucket_label).
+    """
+    scored = unigram_logprob_score(df, content_col, id_col)
+    w = Window.orderBy(F.col("mean_logprob").desc(), F.col(id_col).asc())
+    bucket = F.ntile(num_buckets).over(w)
+    label = (
+        F.when(bucket == 1, "head")
+        .when(bucket == num_buckets, "tail")
+        .otherwise("middle")
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "mean_logprob",
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
+    )

@@ -163,7 +163,17 @@ GROUP BY event_type
 """
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split by LM quality score (rows-only:
+    float score ordering; bucket invariants pytest-pinned)."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.quality_buckets(docs)
+
+
 LLM2_REGISTRY = {
+    "quality_buckets": Query(q_quality_buckets, None),
     "events_props_variant": Query(q_events_props_variant, ORACLE_EVENTS_VARIANT),
     "dedup_semantic": Query(q_dedup_semantic, None),
     "dsir_weights": Query(q_dsir_weights, None),

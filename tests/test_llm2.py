@@ -349,3 +349,31 @@ def test_dsir_weights_match_numpy_reference(spark):
     assert min(out[1]["weight"], out[2]["weight"]) > max(
         out[3]["weight"], out[4]["weight"]
     )
+
+
+def test_quality_buckets_ccnet_split(spark):
+    from icebergproject_spark.llm.text import quality_buckets
+
+    # 9 docs: three families of typicality — common words, mixed, rare
+    texts = (
+        ["the cat sat on the mat"] * 2
+        + ["the the the cat cat mat"]
+        + ["the cat zq on xv mat", "cat qq the ww mat zz", "the xx cat yy on zz"]
+        + ["zzq qqz xvq wvx", "qqq zzz xxx vvv", "vxq qxv zvx xzv"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = quality_buckets(docs, num_buckets=3).collect()
+    assert len(rows) == 9
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # equal-depth split with canonical labels
+    assert {b: len(v) for b, v in by_bucket.items()} == {1: 3, 2: 3, 3: 3}
+    assert {r["bucket_label"] for r in by_bucket[1]} == {"head"}
+    assert {r["bucket_label"] for r in by_bucket[3]} == {"tail"}
+    # score ordering: every head doc >= every tail doc
+    assert min(r["mean_logprob"] for r in by_bucket[1]) >= max(
+        r["mean_logprob"] for r in by_bucket[3]
+    )
