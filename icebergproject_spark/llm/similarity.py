@@ -298,3 +298,52 @@ def embedding_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         F.round(F.array_min(v), 6).alias("min_c"),
         F.round(F.array_max(v), 6).alias("max_c"),
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over an embedding column: every
+    node's top-k cosine neighbors — the structure diversity sampling,
+    semantic-cluster analysis, and graph-based dedup consume.
+
+    Built on the blocked-gemm all-pairs scorer (`dedup.embedding_near_
+    pairs` with the threshold released): symmetric pair scores expand to
+    directed edges, one window per source node keeps the top k.  Ranking
+    uses the ROUNDED score (ties broken by neighbor id) so the graph is
+    bit-stable across engines.  This is the exact baseline tier —
+    O(n²/blocks) tiles; at 100 TB build the graph from IVF/LSH buckets
+    instead (top-k within each probe set, same window), trading recall
+    for the linear-ish candidate volume the ANN paths already provide.
+
+    Output: (query_id, neighbor_id, score, rank), rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    from icebergproject_spark.llm.dedup import embedding_near_pairs
+
+    pairs = embedding_near_pairs(
+        df, threshold=-1.0, vec_col=vec_col, id_col=id_col, n_blocks=n_blocks
+    )
+    fwd = pairs.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "score",
+    )
+    rev = pairs.select(
+        F.col("id_b").alias("query_id"),
+        F.col("id_a").alias("neighbor_id"),
+        "score",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -172,7 +172,38 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_text.quality_buckets(docs)
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN graph over the embeddings table (blocked-gemm scoring,
+    per-node window top-k; rank on the rounded score for engine-stable
+    ties)."""
+    from icebergproject_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5)
+
+
+ORACLE_KNN_GRAPH = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 LLM2_REGISTRY = {
+    "knn_graph": Query(q_knn_graph, ORACLE_KNN_GRAPH),
     "quality_buckets": Query(q_quality_buckets, None),
     "events_props_variant": Query(q_events_props_variant, ORACLE_EVENTS_VARIANT),
     "dedup_semantic": Query(q_dedup_semantic, None),

@@ -377,3 +377,29 @@ def test_quality_buckets_ccnet_split(spark):
     assert min(r["mean_logprob"] for r in by_bucket[1]) >= max(
         r["mean_logprob"] for r in by_bucket[3]
     )
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    import numpy as np
+
+    from icebergproject_spark.llm.similarity import knn_graph
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(12, 6)
+    emb = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = knn_graph(emb, k=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    s = np.round(xn @ xn.T, 6)
+    for q in range(12):
+        order = sorted(
+            ((-s[q, j], j) for j in range(12) if j != q)
+        )[:3]
+        want = [(i + 1, j) for i, (_, j) in enumerate(order)]
+        assert sorted(got[q]) == want
