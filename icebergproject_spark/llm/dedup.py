@@ -868,3 +868,85 @@ def semantic_near_pairs(
     return pairs.select(
         "id_a", "id_b", F.round("score", 6).alias("score")
     ).filter(F.col("score") >= threshold)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al., ACL 2022 — the active half of
+    `duplicate_spans`): every k-token window occurring more than once in
+    the corpus keeps exactly ONE occurrence (the lexicographically first
+    (doc, pos)); all other occurrences have their k token positions
+    deleted from their documents.  Overlapping duplicated spans merge
+    through the covered-position set, exactly like the paper's span
+    merging.
+
+    Deterministic across engines: the survivor is argmin over the
+    combined key ``doc_id·2²⁰ + pos`` (documents here are far below 2²⁰
+    tokens — assert-guarded), windows are compared by content (hashed
+    Spark-side; the key never surfaces), and the rebuilt text is the
+    pos-ordered join of uncovered tokens.
+
+    Scale shape: linear like `duplicate_spans` — one shuffle to window
+    occurrence lists, one to covered positions, one groupBy(doc) to
+    rebuild. The rebuild carries each doc's tokens once (array_sort of
+    (pos, token) structs, JVM-side); no self-join, no text in join keys.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(content_col), " ").alias("toks")
+    )
+    tcol = F.col("toks")
+    th = F.transform(tcol, lambda t: F.xxhash64(t))
+    m = F.size(tcol) - (k - 1)
+    zipped = F.slice(th, 1, m)
+    for j in range(1, k):
+        zipped = F.zip_with(
+            zipped, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y)
+        )
+    wins = (
+        base.filter(F.size("toks") >= k)
+        .select("id", F.posexplode(zipped).alias("pos", "h"))
+        .select("id", "pos", "h")
+    )
+    # one shuffle: per-hash occurrence count + survivor key
+    key = F.col("id") * F.lit(1 << 20) + F.col("pos")
+    occ = wins.select("id", "pos", "h", key.alias("k"))
+    agg = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("k").alias("surv")
+    )
+    doomed = (
+        occ.join(agg.filter(F.col("cnt") >= 2), "h")
+        .filter(F.col("k") != F.col("surv"))
+        .select("id", "pos")
+    )
+    covered = doomed.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos")
+    ).distinct()
+    tokens = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokens.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+        ).alias("ordered"),
+    )
+    totals = base.select("id", F.size("toks").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(
+                F.concat_ws(
+                    " ", F.transform(F.col("ordered"), lambda s: s.getField("tok"))
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

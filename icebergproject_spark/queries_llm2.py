@@ -56,6 +56,61 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): duplicated 8-token windows
+    keep one global survivor occurrence; every other occurrence's tokens
+    are deleted and documents are rebuilt."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, k=8)
+
+
+ORACLE_REMOVE_SPANS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+wins AS (
+  SELECT doc_id,
+         UNNEST([{'pos': i, 'w': array_to_string(toks[i+1:i+8], ' ')}
+                 FOR i IN range(0, GREATEST(len(toks) - 8 + 1, 0))],
+                recursive := true)
+  FROM t
+),
+occ AS (
+  SELECT doc_id, pos, w, CAST(doc_id AS BIGINT) * 1048576 + pos AS k FROM wins
+),
+agg AS (SELECT w, COUNT(*) AS cnt, MIN(k) AS surv FROM occ GROUP BY w),
+doomed AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN agg a USING (w)
+  WHERE a.cnt >= 2 AND o.k <> a.surv
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM doomed, UNNEST(range(0, 8)) AS u(j)
+),
+tokens AS (
+  SELECT doc_id,
+         UNNEST([{'pos': i, 'tok': toks[i+1]} FOR i IN range(0, len(toks))],
+                recursive := true)
+  FROM t
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk ANTI JOIN covered c
+    ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard layout: md5-keyed global shuffle,
     16 shards, round-robin deal (portable mode — the oracle-equal form;
@@ -209,6 +264,7 @@ LLM2_REGISTRY = {
     "dedup_semantic": Query(q_dedup_semantic, None),
     "dsir_weights": Query(q_dsir_weights, None),
     "duplicate_spans": Query(q_duplicate_spans, ORACLE_DUPLICATE_SPANS),
+    "remove_duplicate_spans": Query(q_remove_duplicate_spans, ORACLE_REMOVE_SPANS),
     "global_shuffle": Query(q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
     "curriculum_bins": Query(q_curriculum_bins, ORACLE_CURRICULUM_BINS),
     "bpe_merges": Query(q_bpe_merges, None),

@@ -295,3 +295,34 @@ def test_bpe_encode_bounds(spark, docs):
         n_chars = sum(len(w) for w in words)
         # token count bounded by [#words, #chars]; merges only shrink
         assert len(words) <= out[i] <= n_chars
+
+
+@given(docs=span_docs_st, k=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_remove_duplicate_spans_matches_model(spark, docs, k):
+    from icebergproject_spark.llm.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, k=k).collect()
+    }
+
+    # model: survivor = first (doc, pos) occurrence of each duplicated
+    # window; other occurrences cover their k positions
+    occs: dict = {}
+    toks = {i: t.split(" ") for i, t in enumerate(docs)}
+    for i, ts in sorted(toks.items()):
+        for p in range(len(ts) - k + 1):
+            occs.setdefault(" ".join(ts[p : p + k]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for w, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        for (i, p) in lst[1:]:  # lst is already in (doc, pos) order
+            covered[i].update(range(p, p + k))
+    for i, ts in toks.items():
+        keep = [t for p, t in enumerate(ts) if p not in covered[i]]
+        assert got[i] == (" ".join(keep), len(ts), len(ts) - len(keep))
