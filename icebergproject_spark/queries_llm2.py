@@ -257,7 +257,51 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_lineitem_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape — the inverse of user_type_pivot's
+    PIVOT): melt lineitem's four numeric measures into (metric, value)
+    rows, then profile each metric. The melt is a zero-shuffle
+    projection (Expand node); only the profile aggregate shuffles —
+    metric cardinality is 4, so the reduced relation is tiny at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        *[F.col(c).cast("double").alias(c)
+          for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")]
+    ).unpivot([], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+              "metric", "value")
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH melted AS (
+  UNPIVOT (
+    SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(l_discount AS DOUBLE) AS l_discount,
+           CAST(l_tax AS DOUBLE) AS l_tax
+    FROM lineitem
+  ) ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME metric VALUE value
+)
+SELECT metric,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total,
+       ROUND(MIN(value), 2) AS vmin,
+       ROUND(MAX(value), 2) AS vmax
+FROM melted
+GROUP BY metric
+"""
+
+
 LLM2_REGISTRY = {
+    "lineitem_unpivot_profile": Query(
+        q_lineitem_unpivot_profile, ORACLE_UNPIVOT
+    ),
     "knn_graph": Query(q_knn_graph, ORACLE_KNN_GRAPH),
     "quality_buckets": Query(q_quality_buckets, None),
     "events_props_variant": Query(q_events_props_variant, ORACLE_EVENTS_VARIANT),
