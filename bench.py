@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     # LLM data-pipeline
     "dedup_exact",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -74,6 +75,8 @@ BENCH_QUERIES = [
     "lang_id",
     "stratified_sample",
     "bpe_pair_counts",
+    "dsir_weights",
+    "knn_graph",
 ]
 
 
