@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "dsir_weights",
     "knn_graph",
+    "corpus_pipeline_e2e",
 ]
 
 

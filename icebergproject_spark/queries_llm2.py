@@ -234,7 +234,10 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergproject_spark.llm import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(emb, k=5)
+    # n_blocks=6 → 21 independent gemm tiles: the harness tables are far
+    # below the ~25k-vectors-per-block default (which would yield ONE
+    # tile = one task); at real scale leave n_blocks to the heuristic
+    return similarity.knn_graph(emb, k=5, n_blocks=6)
 
 
 ORACLE_KNN_GRAPH = """
@@ -298,7 +301,80 @@ GROUP BY metric
 """
 
 
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM preprocessing pipeline as ONE Catalyst DAG (the
+    training-data counterpart of browse_pipeline_e2e's medallion flow):
+    normalize → exact-dedup survivors → quality gate → token budget →
+    deterministic shard assignment.  Where a production stack runs four
+    jobs with intermediate materializations, this is one declarative
+    plan — Catalyst fuses the normalize/gate projections into the scan,
+    and the only shuffles are the dedup groupBy and the shard window.
+    Output: (doc_id, shard, n_tokens, n_chars_norm) for surviving docs.
+    """
+    from pyspark.sql.window import Window
+
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = llm_text.normalize_text(docs)
+    surv = norm.groupBy(F.md5("norm_text").alias("__d")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("norm_text").alias("norm_text"),
+        F.first("n_chars_norm").alias("n_chars_norm"),
+    )
+    toks = F.split("norm_text", " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_punct = F.length(F.regexp_replace("norm_text", "[^.,!?;:]", ""))
+    gated = surv.filter(
+        (n_tok >= 50)
+        & (n_distinct * 3 >= n_tok)
+        & (n_punct * 20 <= F.col("n_chars_norm"))
+    ).select("doc_id", n_tok.alias("n_tokens"), "n_chars_norm")
+    key = F.md5(F.concat_ws("-", F.lit("seed0"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.orderBy(key, F.col("doc_id")))
+    return gated.select(
+        "doc_id",
+        ((rn - 1) % 16).cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
+ORACLE_CORPUS_PIPELINE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(regexp_replace(LOWER(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+                             '\s{2,}', ' ', 'g')) AS norm_text
+  FROM documents
+),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id, norm_text, LENGTH(norm_text) AS n_chars_norm
+  FROM norm GROUP BY norm_text
+),
+gated AS (
+  SELECT doc_id,
+         len(string_split(norm_text, ' ')) AS n_tokens,
+         n_chars_norm
+  FROM surv
+  WHERE len(string_split(norm_text, ' ')) >= 50
+    AND len(list_distinct(string_split(norm_text, ' '))) * 3
+        >= len(string_split(norm_text, ' '))
+    AND LENGTH(regexp_replace(norm_text, '[^.,!?;:]', '', 'g')) * 20
+        <= n_chars_norm
+)
+SELECT doc_id,
+       CAST((ROW_NUMBER() OVER (
+         ORDER BY md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1) % 16 AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars_norm AS BIGINT) AS n_chars_norm
+FROM gated
+"""
+
+
 LLM2_REGISTRY = {
+    "corpus_pipeline_e2e": Query(q_corpus_pipeline_e2e, ORACLE_CORPUS_PIPELINE),
     "lineitem_unpivot_profile": Query(
         q_lineitem_unpivot_profile, ORACLE_UNPIVOT
     ),
