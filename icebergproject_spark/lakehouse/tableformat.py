@@ -199,7 +199,22 @@ class LakehouseTable:
     ) -> dict:
         cur = self.branch_head(branch) if branch else self.current_snapshot()
         all_snaps = self._snapshots()
-        next_id = (all_snaps[-1]["snapshot_id"] + 1) if all_snaps else 1
+        # snapshot ids must be monotonic over the table's LIFETIME, not
+        # just over the currently-present snapshot files: drop_branch and
+        # expiry DELETE snapshot files, and reusing a dropped id would
+        # silently re-point tags / snapshot_id time travel / parent
+        # chains at unrelated data. A persisted high-water mark
+        # (seq.json, updated on every commit) rules that out.
+        seq_path = os.path.join(self.root, "seq.json")
+        issued = 0
+        if os.path.exists(seq_path):
+            with open(seq_path) as f:
+                issued = json.load(f)["last_snapshot_id"]
+        next_id = max(issued, all_snaps[-1]["snapshot_id"] if all_snaps else 0) + 1
+        tmp_seq = seq_path + ".tmp"
+        with open(tmp_seq, "w") as f:
+            json.dump({"last_snapshot_id": next_id}, f)
+        os.replace(tmp_seq, seq_path)
         snap = {
             "snapshot_id": next_id,
             "parent_id": cur["snapshot_id"] if cur else None,
@@ -788,11 +803,18 @@ class LakehouseTable:
                 f"main advanced past branch fork point ({base} -> {cur_id}); "
                 "not a fast-forward"
             )
-        return self._commit(
+        published = self._commit(
             "publish",
             list(head["data_dirs"]),
             delete_dirs=list(head.get("delete_dirs", [])),
         )
+        # advance the ref to the publish point (Iceberg's fast_forward
+        # moves the ref): the branch stays usable for the next
+        # stage→publish cycle instead of being permanently stale
+        refs = self._refs()
+        refs["branches"][branch]["base_snapshot_id"] = published["snapshot_id"]
+        self._write_refs(refs)
+        return published
 
     def write_audit_publish(self, df: DataFrame, audit_fn) -> tuple[bool, dict]:
         """The WAP pattern end-to-end: stage ``df`` as an append on an
@@ -803,8 +825,16 @@ class LakehouseTable:
         (published, staged_or_published_snapshot)."""
         branch = f"wap-{uuid.uuid4().hex[:12]}"
         self.create_branch(branch)
-        staged = self.append(df, branch=branch)
-        if not audit_fn(self.read(ref=branch)):
+        try:
+            staged = self.append(df, branch=branch)
+            ok = bool(audit_fn(self.read(ref=branch)))
+        except BaseException:
+            # a crashing audit (vs a rejecting one) must not leak the
+            # anonymous branch: the caller never learns its name, and a
+            # leaked live branch pins its snapshots from expiry forever
+            self.drop_branch(branch)
+            raise
+        if not ok:
             return False, staged
         published = self.fast_forward(branch)
         self.drop_branch(branch)

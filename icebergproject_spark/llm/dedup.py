@@ -714,6 +714,24 @@ def embedding_near_pairs_lsh(
     )
 
 
+def _window_hashes(toks: F.Column, k: int) -> F.Column:
+    """Rolling k-token window fingerprints of a token array: hash each
+    token ONCE, then chain xxhash64 across the k shifted slices of the
+    token-hash array — all integer ops after the initial per-token hash.
+    (Building each window as a concat_ws STRING and hashing that is
+    O(L·k) character copying — measured ~2× slower at sf0.1.)  Shared by
+    `duplicate_spans` (profiling) and `remove_duplicate_spans` (removal)
+    so both always operate on the identical window universe."""
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(toks) - (k - 1)
+    zipped = F.slice(th, 1, m)
+    for j in range(1, k):
+        zipped = F.zip_with(
+            zipped, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y)
+        )
+    return zipped
+
+
 def duplicate_spans(
     df: DataFrame,
     content_col: str = "text",
@@ -747,21 +765,9 @@ def duplicate_spans(
     round(dup/total, 6).
     """
     toks = F.split(F.col(content_col), " ")
-    # hash each token ONCE, then fingerprint each window by chaining
-    # xxhash64 over the k shifted slices of the token-hash array — all
-    # integer ops after the initial per-token hash.  (Building the
-    # window as a concat_ws string and hashing that is O(L·k) character
-    # copying; this form measured ~2× faster at sf0.1.)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    m = F.size(toks) - (k - 1)
-    zipped = F.slice(th, 1, m)
-    for j in range(1, k):
-        zipped = F.zip_with(
-            zipped, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y)
-        )
     wins = (
         df.filter(F.size(F.split(F.col(content_col), " ")) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("h"))
+        .select(F.col(id_col).alias("id"), F.explode(_window_hashes(toks, k)).alias("h"))
     )
     # ONE shuffle of the exploded stream — (id, h) occurrence counts —
     # then every downstream aggregate runs over this (much smaller)
@@ -885,8 +891,9 @@ def remove_duplicate_spans(
     merging.
 
     Deterministic across engines: the survivor is argmin over the
-    combined key ``doc_id·2²⁰ + pos`` (documents here are far below 2²⁰
-    tokens — assert-guarded), windows are compared by content (hashed
+    combined key ``doc_id·2²⁰ + pos`` (valid for docs under 2²⁰ tokens
+    and ids under 2⁴³ — enforced per row with ``assert_true``, so
+    out-of-domain inputs fail loudly), windows are compared by content (hashed
     Spark-side; the key never surfaces), and the rebuilt text is the
     pos-ordered join of uncovered tokens.
 
@@ -900,21 +907,23 @@ def remove_duplicate_spans(
     base = df.select(
         F.col(id_col).alias("id"), F.split(F.col(content_col), " ").alias("toks")
     )
-    tcol = F.col("toks")
-    th = F.transform(tcol, lambda t: F.xxhash64(t))
-    m = F.size(tcol) - (k - 1)
-    zipped = F.slice(th, 1, m)
-    for j in range(1, k):
-        zipped = F.zip_with(
-            zipped, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y)
-        )
     wins = (
         base.filter(F.size("toks") >= k)
-        .select("id", F.posexplode(zipped).alias("pos", "h"))
+        .select(
+            "id", F.posexplode(_window_hashes(F.col("toks"), k)).alias("pos", "h")
+        )
         .select("id", "pos", "h")
     )
-    # one shuffle: per-hash occurrence count + survivor key
-    key = F.col("id") * F.lit(1 << 20) + F.col("pos")
+    # one shuffle: per-hash occurrence count + survivor key.  The
+    # combined key packs pos into the low 20 bits — guarded per row, so
+    # an out-of-domain doc (≥2²⁰ tokens or id ≥2⁴³) fails loudly instead
+    # of silently electing the wrong survivor
+    guard = F.assert_true(
+        (F.col("pos") < F.lit(1 << 20)) & (F.col("id") < F.lit(1 << 43)),
+        F.lit("remove_duplicate_spans: doc too long or id too large for "
+              "the packed survivor key"),
+    )
+    key = F.when(guard.isNull(), F.col("id") * F.lit(1 << 20) + F.col("pos"))
     occ = wins.select("id", "pos", "h", key.alias("k"))
     agg = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("k").alias("surv")

@@ -463,9 +463,15 @@ def dsir_importance_weights(
         lambda x, y: F.concat_ws(" ", x, y),
     )
     grams = F.when(F.size(toks) >= 2, F.concat(toks, bigrams)).otherwise(toks)
-    feats = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("g")
-    ).select("id", F.pmod(F.xxhash64("g"), F.lit(buckets)).alias("b"))
+    # materialize the exploded gram stream ONCE: it feeds the raw
+    # distribution, the target distribution, two scalar totals, and the
+    # final per-doc aggregate — without the checkpoint each consumer
+    # re-scans the corpus and re-explodes (~5 scans measured)
+    feats = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.pmod(F.xxhash64("g"), F.lit(buckets)).alias("b"))
+        .localCheckpoint(eager=True)
+    )
     tgt_ids = df.filter(target_filter).select(F.col(id_col).alias("id"))
     tgt = (
         feats.join(tgt_ids, "id", "left_semi")

@@ -331,7 +331,11 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_distinct * 3 >= n_tok)
         & (n_punct * 20 <= F.col("n_chars_norm"))
     ).select("doc_id", n_tok.alias("n_tokens"), "n_chars_norm")
-    key = F.md5(F.concat_ws("-", F.lit("seed0"), F.col("doc_id").cast("string")))
+    # the canonical shard key — shared with sharding.global_shuffle so
+    # the e2e layout always matches the standalone operator's
+    from icebergproject_spark.llm.sharding import shuffle_key
+
+    key = shuffle_key("doc_id", "seed0")
     rn = F.row_number().over(Window.orderBy(key, F.col("doc_id")))
     return gated.select(
         "doc_id",

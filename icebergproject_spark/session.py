@@ -81,7 +81,7 @@ def build_session(
     return spark
 
 
-def enable_runtime_bloom_filters(spark, application_side_threshold: str = "0"):
+def enable_runtime_bloom_filters(spark, application_side_threshold: str | None = None):
     """Turn on Catalyst's runtime bloom-filter join pruning (injects a
     ``might_contain(bloom(build_keys))`` semi-filter on the probe side of
     a shuffle join, built from the selective side at runtime).
@@ -90,11 +90,14 @@ def enable_runtime_bloom_filters(spark, application_side_threshold: str = "0"):
     default and engages when the probe scan exceeds
     ``applicationSideScanSizeThreshold`` (default 10 GB: exactly the
     100 TB case, where skipping most of a fact scan for a selective dim
-    predicate is the whole game). The threshold override exists for
-    sub-GB test data; production callers should leave the default.
+    predicate is the whole game). Pass ``application_side_threshold="0"``
+    only for sub-GB test data; the default (None) leaves Spark's 10 GB
+    threshold untouched, so production callers calling this with no args
+    get exactly the stock behavior plus the feature flag.
     """
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        application_side_threshold,
-    )
+    if application_side_threshold is not None:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            application_side_threshold,
+        )

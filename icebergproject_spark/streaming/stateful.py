@@ -162,8 +162,10 @@ class SeenDigestProcessor(StatefulProcessor):
     """Keyed by content digest: the FIRST document bearing a digest is
     emitted as the survivor; later arrivals (same batch or later batches)
     are dropped while the digest stays in state.  ``ttl_ms`` bounds state:
-    a digest idle past the TTL is forgotten and its next arrival survives
-    again — the deliberate accuracy/state tradeoff."""
+    a digest IDLE past the TTL is forgotten and its next arrival survives
+    again — the deliberate accuracy/state tradeoff.  Idle means no
+    arrivals at all: duplicates re-write the state value, which resets
+    the TTL clock, so a continuously-arriving digest never expires."""
 
     def __init__(self, ttl_ms: int | None = None):
         self.ttl_ms = ttl_ms
@@ -177,6 +179,10 @@ class SeenDigestProcessor(StatefulProcessor):
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
     ) -> Iterator[pd.DataFrame]:
         if self._seen.exists():
+            # refresh the TTL clock: state TTL runs from the last WRITE,
+            # so re-writing the surviving id keeps an actively-duplicated
+            # digest alive (only truly idle digests expire)
+            self._seen.update(tuple(self._seen.get()))
             return
         best = None
         for pdf in rows:

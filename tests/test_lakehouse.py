@@ -657,3 +657,50 @@ def test_cli_maintain_command(spark, tmp_path, capsys, monkeypatch):
     # both pre-compaction snapshots expired; the compacted state survives
     assert t.read().count() == 2
     assert len(t.history()) == 1
+
+
+def test_snapshot_ids_never_reused_after_drop_branch(spark, catalog):
+    """Snapshot ids are monotonic over the table's LIFETIME: dropping a
+    branch (which deletes its snapshot files) must not let the next
+    commit reuse the dropped id — a tag pointing at the dropped id must
+    fail loudly, never silently resolve to unrelated data."""
+    t = catalog.table("IDS")
+    t.append(df_of(spark, [("1", "a")]))           # snap 1
+    t.create_branch("stage")
+    staged = t.append(df_of(spark, [("2", "b")]), branch="stage")  # snap 2
+    t.create_tag("pin", snapshot_id=staged["snapshot_id"])
+    t.drop_branch("stage")
+    after = t.append(df_of(spark, [("3", "c")]))   # must NOT take id 2
+    assert after["snapshot_id"] > staged["snapshot_id"]
+    # the tag's target is gone (dropped with the branch): loud failure,
+    # not silent re-pointing at the new append
+    with pytest.raises(Exception):
+        t.read(ref="pin").collect()
+
+
+def test_fast_forward_branch_reusable_for_next_cycle(spark, catalog):
+    """Publishing advances the branch ref (Iceberg fast_forward moves
+    refs): the same branch supports repeated stage -> publish cycles."""
+    t = catalog.table("CYCLES")
+    t.append(df_of(spark, [("1", "a")]))
+    t.create_branch("audit")
+    t.append(df_of(spark, [("2", "b")]), branch="audit")
+    t.fast_forward("audit")
+    assert t.read().count() == 2
+    t.append(df_of(spark, [("3", "c")]), branch="audit")
+    t.fast_forward("audit")                        # second cycle works
+    assert t.read().count() == 3
+
+
+def test_wap_drops_branch_when_audit_crashes(spark, catalog):
+    """A CRASHING audit (vs a rejecting one) must not leak the anonymous
+    staged branch — leaked live branches pin snapshots from expiry."""
+    t = catalog.table("CRASH")
+    t.append(df_of(spark, [("1", "a")]))
+    with pytest.raises(RuntimeError, match="audit exploded"):
+        t.write_audit_publish(
+            df_of(spark, [("2", "b")]),
+            lambda df: (_ for _ in ()).throw(RuntimeError("audit exploded")),
+        )
+    assert t._refs()["branches"] == {}
+    assert t.read().count() == 1

@@ -152,7 +152,7 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
 
     from icebergproject_spark.session import enable_runtime_bloom_filters
 
-    enable_runtime_bloom_filters(spark)
+    enable_runtime_bloom_filters(spark, application_side_threshold="0")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
