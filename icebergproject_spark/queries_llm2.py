@@ -377,7 +377,77 @@ FROM gated
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each vector,
+    its nearest neighbors (cosine, from the exact k-NN graph) that carry
+    a DIFFERENT label — the semantically-close-but-wrong examples a
+    contrastive/embedding objective learns the most from.  One broadcast
+    label join on each side of the 10-NN graph, then keep cross-label
+    edges re-ranked per query.  Scale path inherits knn_graph's: swap
+    the exact graph for the IVF/LSH-bucketed one."""
+    from pyspark.sql.window import Window
+
+    from icebergproject_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = similarity.knn_graph(emb, k=10, n_blocks=6)
+    labels = emb.select("vec_id", "label")
+    ql = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label")
+    )
+    crossed = (
+        graph.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        crossed.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "score", "neg_rank",
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.label AS query_label, b.label AS neighbor_label,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS rank
+  FROM p
+),
+crossed AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, score
+  FROM knn WHERE rank <= 10 AND query_label <> neighbor_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+       ) AS INTEGER) AS neg_rank
+FROM crossed
+QUALIFY neg_rank <= 3
+"""
+
+
 LLM2_REGISTRY = {
+    "hard_negatives": Query(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_pipeline_e2e": Query(q_corpus_pipeline_e2e, ORACLE_CORPUS_PIPELINE),
     "lineitem_unpivot_profile": Query(
         q_lineitem_unpivot_profile, ORACLE_UNPIVOT
