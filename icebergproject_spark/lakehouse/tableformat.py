@@ -1032,8 +1032,16 @@ class LakehouseTable:
             return None
         return self.compact(target_partitions)
 
-    def expire_snapshots(self, older_than_ms: int | None = None) -> int:
-        """M2: drop snapshots older than ts (keep current); GC unreferenced dirs."""
+    def expire_snapshots(
+        self, older_than_ms: int | None = None, retain_last: int = 1
+    ) -> int:
+        """M2: drop snapshots older than ts; GC unreferenced dirs.
+
+        ``retain_last``: keep at least the newest N MAIN snapshots
+        regardless of age (Iceberg ``expire_snapshots(retain_last => N)``
+        — the knob that preserves a rollback/time-travel horizon through
+        aggressive age-based expiry). Default 1 = the current snapshot,
+        the previous behavior."""
         snaps = self._snapshots()
         if not snaps:
             return 0
@@ -1050,14 +1058,16 @@ class LakehouseTable:
             if b["base_snapshot_id"] is not None
         }
         live_branches = set(refs["branches"])
-        cur = self.current_snapshot()
+        retained = {
+            s["snapshot_id"] for s in self._mainline()[-max(retain_last, 1):]
+        }
         keep = [
             s
             for s in snaps
             if s["timestamp_ms"] >= older_than_ms
             or s["snapshot_id"] in pinned
             or s.get("branch") in live_branches
-            or (cur is not None and s["snapshot_id"] == cur["snapshot_id"])
+            or s["snapshot_id"] in retained
         ]
         keep_ids = {s["snapshot_id"] for s in keep}
         expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]

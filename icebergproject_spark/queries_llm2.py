@@ -446,7 +446,56 @@ QUALIFY neg_rank <= 3
 """
 
 
+def q_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/multilingual-sampling
+    rule: sample source i ∝ p_i^alpha, alpha=0.3 — flattens the Zipfian
+    source skew without going fully uniform like mixing_weights' target).
+    One aggregate + a scalar normalizer; pow/division rounded to 6 on
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.3)).alias("z"),
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    p = F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    q = F.pow(F.col("n_tokens").cast("double"), 0.3) / F.col("z")
+    return j.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(p, 6).alias("natural_share"),
+        F.round(q, 6).alias("temperature_share"),
+        F.round(q / p, 6).alias("boost"),
+    )
+
+
+ORACLE_MIXING_TEMPERATURE = """
+WITH per_src AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total_tokens,
+         SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) AS z
+  FROM per_src
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS natural_share,
+       ROUND(POW(CAST(n_tokens AS DOUBLE), 0.3) / z, 6) AS temperature_share,
+       ROUND((POW(CAST(n_tokens AS DOUBLE), 0.3) / z)
+             / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 6)
+         AS boost
+FROM per_src CROSS JOIN tot
+"""
+
+
 LLM2_REGISTRY = {
+    "mixing_temperature": Query(q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
     "hard_negatives": Query(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_pipeline_e2e": Query(q_corpus_pipeline_e2e, ORACLE_CORPUS_PIPELINE),
     "lineitem_unpivot_profile": Query(

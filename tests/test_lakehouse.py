@@ -704,3 +704,22 @@ def test_wap_drops_branch_when_audit_crashes(spark, catalog):
         )
     assert t._refs()["branches"] == {}
     assert t.read().count() == 1
+
+
+def test_expire_retain_last_keeps_time_travel_horizon(spark, catalog):
+    """retain_last keeps the newest N main snapshots through age-based
+    expiry — the rollback horizon survives an aggressive cutoff."""
+    import time as _time
+
+    t = catalog.table("RETAIN")
+    ids = []
+    for v in ("a", "b", "c", "d"):
+        ids.append(t.append(df_of(spark, [(v, v)]))["snapshot_id"])
+        _time.sleep(0.01)
+    cutoff = int(_time.time() * 1000) + 10_000  # everything is "old"
+    expired = t.expire_snapshots(older_than_ms=cutoff, retain_last=3)
+    assert expired == 1
+    remaining = [s["snapshot_id"] for s in t.history()]
+    assert remaining == ids[1:]                   # newest 3 survive
+    assert t.read(snapshot_id=ids[1]).count() == 2  # horizon still travels
+    assert t.read().count() == 4
