@@ -1042,6 +1042,8 @@ class LakehouseTable:
         — the knob that preserves a rollback/time-travel horizon through
         aggressive age-based expiry). Default 1 = the current snapshot,
         the previous behavior."""
+        if retain_last < 1:
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
         snaps = self._snapshots()
         if not snaps:
             return 0
@@ -1058,9 +1060,7 @@ class LakehouseTable:
             if b["base_snapshot_id"] is not None
         }
         live_branches = set(refs["branches"])
-        retained = {
-            s["snapshot_id"] for s in self._mainline()[-max(retain_last, 1):]
-        }
+        retained = {s["snapshot_id"] for s in self._mainline()[-retain_last:]}
         keep = [
             s
             for s in snaps

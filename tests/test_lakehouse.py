@@ -723,3 +723,10 @@ def test_expire_retain_last_keeps_time_travel_horizon(spark, catalog):
     assert remaining == ids[1:]                   # newest 3 survive
     assert t.read(snapshot_id=ids[1]).count() == 2  # horizon still travels
     assert t.read().count() == 4
+
+
+def test_expire_rejects_invalid_retain_last(spark, catalog):
+    t = catalog.table("RETAIN2")
+    t.append(df_of(spark, [("1", "a")]))
+    with pytest.raises(ValueError, match="retain_last"):
+        t.expire_snapshots(retain_last=0)
