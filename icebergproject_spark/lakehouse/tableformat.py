@@ -464,6 +464,53 @@ class LakehouseTable:
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    def incremental_batches(
+        self, from_snapshot_id: int | None = None
+    ) -> list[tuple[int, str, DataFrame]]:
+        """Table-as-a-SOURCE: the append feed since ``from_snapshot_id``
+        (exclusive) — Iceberg's incremental append scan, the counterpart
+        of the pipeline's sinks.  Where the reference chains stages
+        through Kafka topics, stages here can chain through lakehouse
+        tables: a consumer remembers the last snapshot id it processed
+        (its "offset") and drains one DataFrame per newer MAIN snapshot.
+
+        Reading cost is O(new data): an append's delta is exactly its
+        added data dirs (snapshots are immutable, dirs append-only), so
+        no diffing scan touches history.  Non-append snapshots
+        (compact / publish / rewrite_position_deletes) REORGANIZE
+        existing rows and are emitted as empty placeholders (op recorded,
+        no rows) so consumers advance their offset past them; content-
+        CHANGING ops (overwrite / delete / merge / rollback) are not
+        expressible as an append feed — consumers needing those use
+        :meth:`diff` (full CDF semantics) between their offset and the
+        head.
+
+        Returns [(snapshot_id, operation, batch_df), ...] in commit
+        order; empty list when already caught up.  Like any log
+        consumer, the offset must not outlive retention: if
+        ``from_snapshot_id`` has been expired, the feed restarts from
+        the oldest retained snapshot (emitting its full state as the
+        first batch) — size ``expire_snapshots(retain_last=...)`` to
+        cover the slowest consumer.
+        """
+        out: list[tuple[int, str, DataFrame]] = []
+        prev_dirs: set | None = None
+        for s in self._mainline():
+            if from_snapshot_id is not None and s["snapshot_id"] <= from_snapshot_id:
+                prev_dirs = set(s["data_dirs"])
+                continue
+            op = s.get("operation", "")
+            added = [
+                d for d in s["data_dirs"] if prev_dirs is None or d not in prev_dirs
+            ]
+            if op == "append" and added:
+                batch = self.spark.read.parquet(*added)
+            else:
+                batch = self.read(snapshot_id=s["snapshot_id"]).limit(0)
+            out.append((s["snapshot_id"], op, batch))
+            prev_dirs = set(s["data_dirs"])
+        return out
+
     def merge_additive(self, partials: DataFrame, key_cols: list[str]) -> dict:
         """Incremental aggregate maintenance: MERGE partial aggregates by
         ADDING them into the stored totals (WHEN MATCHED THEN UPDATE SET

@@ -730,3 +730,32 @@ def test_expire_rejects_invalid_retain_last(spark, catalog):
     t.append(df_of(spark, [("1", "a")]))
     with pytest.raises(ValueError, match="retain_last"):
         t.expire_snapshots(retain_last=0)
+
+
+def test_incremental_batches_append_feed(spark, catalog):
+    """Table-as-a-source: a consumer drains one batch per append since
+    its offset; compaction emits an empty placeholder (offset advances,
+    no rows re-delivered)."""
+    t = catalog.table("FEED")
+    s1 = t.append(df_of(spark, [("1", "a"), ("2", "b")]))["snapshot_id"]
+    s2 = t.append(df_of(spark, [("3", "c")]))["snapshot_id"]
+
+    # cold start: both appends, in order, exactly their own rows
+    feed = t.incremental_batches()
+    assert [(sid, op) for sid, op, _ in feed] == [(s1, "append"), (s2, "append")]
+    assert sorted(r.id for r in feed[0][2].collect()) == ["1", "2"]
+    assert [r.id for r in feed[1][2].collect()] == ["3"]
+
+    # offset-based resume: only the new append after s1
+    resumed = t.incremental_batches(from_snapshot_id=s1)
+    assert [(sid, op) for sid, op, _ in resumed] == [(s2, "append")]
+
+    # compaction reorganizes, it must not re-deliver rows
+    t.compact()
+    t.append(df_of(spark, [("4", "d")]))
+    tail = t.incremental_batches(from_snapshot_id=s2)
+    assert [op for _, op, _ in tail] == ["compact", "append"]
+    assert tail[0][2].count() == 0
+    assert [r.id for r in tail[1][2].collect()] == ["4"]
+    # caught up: empty
+    assert t.incremental_batches(from_snapshot_id=tail[-1][0]) == []
