@@ -399,3 +399,21 @@ def session_count_stream(
             F.col("n_events"),
         )
     )
+
+
+def drain_table_feed(table, fn, from_snapshot_id: int | None = None) -> int | None:
+    """Drive a consumer over a lakehouse table's append feed
+    (:meth:`LakehouseTable.incremental_batches`): call
+    ``fn(batch_df, snapshot_id)`` once per new snapshot — the
+    foreachBatch signature, so the same sink functions work on Kafka
+    streams and on table feeds — and return the new offset (the caller
+    persists it; pairing with ``idempotent_append`` on the producing
+    side makes the whole chain effectively-once).  Stages chained
+    table→table this way replace the reference's Kafka-topic hops
+    (ODS topic → DWD topic → ... , ProcessODSDataToDWD.scala:143-148)
+    with snapshot-offset consumption."""
+    last = from_snapshot_id
+    for sid, _op, batch in table.incremental_batches(from_snapshot_id):
+        fn(batch, sid)
+        last = sid
+    return last

@@ -1127,3 +1127,35 @@ def test_native_session_window_stream(spark, tmp_path):
         u == "u1" and n == 2 for u, s, n in got
     )
     assert any(u == "u2" and n == 2 for u, s, n in got)
+
+
+def test_medallion_chained_through_table_feeds(spark, tmp_path):
+    """ODS → DWS chained through LAKEHOUSE TABLES instead of Kafka
+    topics: the upstream stage appends to ODS, the downstream consumer
+    drains the ODS append feed from its saved offset, enriches, and
+    appends to DWS — incremental (only new rows move), resumable (offset
+    survives between drains), no re-delivery."""
+    from icebergproject_spark.streaming.runner import drain_table_feed
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="chain")
+    ods, dws = catalog.table("ODS_EVENTS"), catalog.table("DWS_EVENTS")
+    dim = spark.createDataFrame([("u1", "gold"), ("u2", "base")], ["uid", "tier"])
+
+    def enrich_to_dws(batch, sid):
+        if batch.count():
+            dws.idempotent_append(batch.join(F.broadcast(dim), "uid", "left"),
+                                  batch_id=f"ods-{sid}")
+
+    ods.append(spark.createDataFrame([("u1", 5)], ["uid", "v"]))
+    off = drain_table_feed(ods, enrich_to_dws)
+    assert dws.read().count() == 1
+
+    ods.append(spark.createDataFrame([("u2", 7), ("u3", 9)], ["uid", "v"]))
+    off = drain_table_feed(ods, enrich_to_dws, from_snapshot_id=off)
+    rows = {r.uid: (r.v, r.tier) for r in dws.read().collect()}
+    assert rows == {"u1": (5, "gold"), "u2": (7, "base"), "u3": (9, None)}
+
+    # re-draining from the same offset is a no-op end to end: the feed
+    # yields nothing new, so no duplicate DWS rows
+    drain_table_feed(ods, enrich_to_dws, from_snapshot_id=off)
+    assert dws.read().count() == 3
