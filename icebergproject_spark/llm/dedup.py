@@ -959,3 +959,52 @@ def remove_duplicate_spans(
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def window_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bench_content_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Span-level benchmark decontamination, GPT-3 style (Brown et al.
+    2020, appendix C: training docs sharing any 13-gram with an eval
+    example are flagged): a corpus document is contaminated if ANY of
+    its rolling k-token windows appears verbatim in the benchmark set.
+    Complements `contamination_pairs` (llm/text.py), which counts
+    n-gram OVERLAP mass per (doc, bench) pair — this one answers the
+    binary production question "which docs must I drop", at the span
+    granularity the GPT-3 pipeline used.
+
+    Shape: both sides reduce to window fingerprints via the shared
+    `_window_hashes` kernel; the benchmark side is DISTINCT hashes
+    (benchmark sets are small — the join side broadcasts); one semi-ish
+    inner join + groupBy(doc) counts colliding window positions.
+    Linear in corpus tokens, no text in join keys.
+
+    Output: (doc_id, n_hits) — corpus docs with >= 1 colliding window
+    and how many of their window positions collide.
+    """
+    c_toks = F.split(F.col(content_col), " ")
+    c_wins = (
+        corpus.filter(F.size(c_toks) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_window_hashes(c_toks, k)).alias("h"),
+        )
+    )
+    b_toks = F.split(F.col(bench_content_col), " ")
+    b_wins = (
+        benchmark.filter(F.size(b_toks) >= k)
+        .select(F.explode(_window_hashes(b_toks, k)).alias("h"))
+        .distinct()
+    )
+    return (
+        c_wins.join(b_wins, "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )

@@ -494,7 +494,45 @@ FROM per_src CROSS JOIN tot
 """
 
 
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination, GPT-3 style (any shared k-token
+    window flags the doc — Brown et al. 2020 used 13-grams; k=8 here
+    for the short synthetic docs). Benchmark stand-in: every 97th doc,
+    which trivially self-collides — those rows prove the detector and
+    the interesting rows are the OTHER docs sharing its spans."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup.window_contamination(docs, bench, k=8)
+
+
+ORACLE_CONTAMINATION_SPANS = """
+WITH cw AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(toks[i+1:i+8], ' ')
+                 FOR i IN range(0, GREATEST(len(toks) - 8 + 1, 0))]) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 8
+),
+bw AS (
+  SELECT DISTINCT
+         UNNEST([array_to_string(toks[i+1:i+8], ' ')
+                 FOR i IN range(0, GREATEST(len(toks) - 8 + 1, 0))]) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 97 = 0)
+  WHERE len(toks) >= 8
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM cw JOIN bw USING (w)
+GROUP BY doc_id
+"""
+
+
 LLM2_REGISTRY = {
+    "contamination_spans": Query(q_contamination_spans, ORACLE_CONTAMINATION_SPANS),
     "mixing_temperature": Query(q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
     "hard_negatives": Query(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "corpus_pipeline_e2e": Query(q_corpus_pipeline_e2e, ORACLE_CORPUS_PIPELINE),

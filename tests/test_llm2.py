@@ -403,3 +403,22 @@ def test_knn_graph_matches_bruteforce(spark):
         )[:3]
         want = [(i + 1, j) for i, (_, j) in enumerate(order)]
         assert sorted(got[q]) == want
+
+
+def test_window_contamination_cross_table(spark):
+    from icebergproject_spark.llm.dedup import window_contamination
+
+    span = "q w e r t y u i"
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c " + span + " x y"),   # contains the bench span
+            (2, "totally clean document with other words here"),
+            (3, span + " " + span),          # two colliding positions
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "zz " + span + " kk")], "bench_id long, text string"
+    )
+    out = {r.doc_id: r.n_hits for r in window_contamination(corpus, bench, k=8).collect()}
+    assert out == {1: 1, 3: 2}
