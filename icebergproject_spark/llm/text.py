@@ -537,3 +537,59 @@ def quality_buckets(
         bucket.alias("bucket"),
         label.alias("bucket_label"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window document chunking with overlap — the RAG/embedding
+    prep step (split long docs into ``chunk_tokens``-token windows whose
+    starts advance by ``chunk_tokens - overlap``; the final, possibly
+    short, chunk keeps the tail).  Complements `multimodal.chunk_binary`
+    (bytes) on the text side.
+
+    Arrow-batched ``mapInPandas`` rather than array expressions: a
+    transform-over-starts into a derived token array re-tokenizes the
+    doc once per chunk under Catalyst's projection collapse (the
+    documented O(L²) trap, llm/dedup.word_shingles), while the pandas
+    kernel moves each document's text exactly once and is embarrassingly
+    parallel across docs.  Deterministic output → DuckDB-oracle-checkable
+    even though the kernel is Python.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text); chunk_id is the
+    0-based window index.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cids, ns, texts = [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[content_col]):
+                toks = t.split(" ")
+                cid = 0
+                for s in range(0, len(toks), stride):
+                    piece = toks[s : s + chunk_tokens]
+                    ids.append(did)
+                    cids.append(cid)
+                    ns.append(len(piece))
+                    texts.append(" ".join(piece))
+                    cid += 1
+                    if s + chunk_tokens >= len(toks):
+                        break
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_id": cids, "n_tokens": ns,
+                 "chunk_text": texts}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        chunk,
+        f"{id_col} long, chunk_id int, n_tokens long, chunk_text string",
+    )

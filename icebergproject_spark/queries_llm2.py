@@ -531,7 +531,35 @@ GROUP BY doc_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: 64-token windows, 16-token overlap, tail kept.
+    Arrow-batched kernel, deterministic → DuckDB-oracle-checked."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+# stride = 64 - 16 = 48; starts at 0,48,96,... until a window reaches
+# the end (the first start with start+64 >= len emits the tail and stops)
+ORACLE_CHUNK_DOCUMENTS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         UNNEST([s FOR s IN range(0, GREATEST(len(toks), 1), 48)
+                 IF s = 0 OR s - 48 + 64 < len(toks)]) AS s
+  FROM t
+)
+SELECT doc_id,
+       CAST(s / 48 AS INTEGER) AS chunk_id,
+       CAST(LEAST(64, len(toks) - s) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s+1:s+64], ' ') AS chunk_text
+FROM starts
+"""
+
+
 LLM2_REGISTRY = {
+    "chunk_documents": Query(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "contamination_spans": Query(q_contamination_spans, ORACLE_CONTAMINATION_SPANS),
     "mixing_temperature": Query(q_mixing_temperature, ORACLE_MIXING_TEMPERATURE),
     "hard_negatives": Query(q_hard_negatives, ORACLE_HARD_NEGATIVES),

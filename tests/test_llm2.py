@@ -422,3 +422,33 @@ def test_window_contamination_cross_table(spark):
     )
     out = {r.doc_id: r.n_hits for r in window_contamination(corpus, bench, k=8).collect()}
     assert out == {1: 1, 3: 2}
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from icebergproject_spark.llm.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in rows if r.doc_id == 1]
+    # stride 3: windows at 0,3,6 then the tail at 9
+    assert d1 == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 1, "t9"),
+    ]
+    d2 = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in rows if r.doc_id == 2]
+    assert d2 == [(0, 2, "a b")]  # short doc: one chunk, no duplicates
+
+    # overlap reconstruction property: stripping each chunk's leading
+    # `overlap` tokens (except chunk 0) rebuilds the doc exactly
+    rebuilt = " ".join(
+        c if i == 0 else " ".join(c.split(" ")[1:]) for i, (_, _, c) in enumerate(d1)
+    )
+    assert rebuilt == " ".join(toks)
