@@ -436,12 +436,12 @@ def test_chunk_documents_windows_and_tail(spark):
         key=lambda r: (r.doc_id, r.chunk_id),
     )
     d1 = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in rows if r.doc_id == 1]
-    # stride 3: windows at 0,3,6 then the tail at 9
+    # stride 3: windows at 0, 3, 6 — the window at 6 reaches the end,
+    # so iteration stops there (no degenerate tail chunk)
     assert d1 == [
         (0, 4, "t0 t1 t2 t3"),
         (1, 4, "t3 t4 t5 t6"),
         (2, 4, "t6 t7 t8 t9"),
-        (3, 1, "t9"),
     ]
     d2 = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in rows if r.doc_id == 2]
     assert d2 == [(0, 2, "a b")]  # short doc: one chunk, no duplicates
