@@ -112,8 +112,8 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
             for f in files:
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
-    write_file("f1", [(1, "u1"), (2, "u2")], time.time() - 60)
-    write_file("f2", [(2, "u2"), (3, "u3")], time.time())  # 2 is a replay
+    write_file("f1", [(1, "u1"), (2, "u2")], 1_700_000_060)
+    write_file("f2", [(2, "u2"), (3, "u3")], 1_700_000_120)  # 2 is a replay
 
     schema = spark.read.parquet(f"{src}/f1").schema
     stream = (
@@ -193,10 +193,10 @@ def test_stateful_sessionize_stream(spark, tmp_path):
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
     # batch 1: u1 two events 10s apart; u2 one event
-    write_file("f1", [("u1", base), ("u1", base + 10), ("u2", base)], time.time() - 60)
+    write_file("f1", [("u1", base), ("u1", base + 10), ("u2", base)], 1_700_000_060)
     # batch 2 (later mtime): u1 event past the 30s gap → closes session 1;
     # u2 event within gap → extends, stays open (not emitted)
-    write_file("f2", [("u1", base + 100), ("u2", base + 20)], time.time())
+    write_file("f2", [("u1", base + 100), ("u2", base + 20)], 1_700_000_120)
 
     schema = spark.read.parquet(f"{src}/f1").schema
     stream = (
@@ -951,10 +951,10 @@ def test_transform_with_state_dedup_ttl(spark, tmp_path):
     write_file(
         "f1",
         [(10, "alpha beta gamma"), (11, "delta epsilon zeta"), (12, "alpha beta gamma")],
-        time.time() - 60,
+        1_700_000_060,
     )
     # batch 2: replay of doc 10's content under a new id, plus a new doc
-    write_file("f2", [(20, "alpha beta gamma"), (21, "eta theta iota")], time.time())
+    write_file("f2", [(20, "alpha beta gamma"), (21, "eta theta iota")], 1_700_000_120)
 
     schema = spark.read.parquet(f"{src}/f1").schema
     stream = (
@@ -1038,8 +1038,8 @@ def test_wap_batch_sink_gates_commits(spark, tmp_path):
             for f in files:
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
-    write_file("f1", [("1", "ok"), ("2", "ok")], time.time() - 60)
-    write_file("f2", [("3", "BAD"), ("4", "ok")], time.time())
+    write_file("f1", [("1", "ok"), ("2", "ok")], 1_700_000_060)
+    write_file("f2", [("3", "BAD"), ("4", "ok")], 1_700_000_120)
 
     rejected = []
 
@@ -1098,8 +1098,8 @@ def test_native_session_window_stream(spark, tmp_path):
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
     # u1: events at 0s,10s (one session), then 120s (new session: gap 60s)
-    write_file("f1", [("u1", 0), ("u1", 10), ("u2", 5)], time.time() - 60)
-    write_file("f2", [("u1", 120), ("u2", 15)], time.time())
+    write_file("f1", [("u1", 0), ("u1", 10), ("u2", 5)], 1_700_000_060)
+    write_file("f2", [("u1", 120), ("u2", 15)], 1_700_000_120)
 
     schema = spark.read.parquet(f"{src}/f1").schema
     stream = (
