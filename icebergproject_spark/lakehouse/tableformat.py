@@ -205,12 +205,31 @@ class LakehouseTable:
         # silently re-point tags / snapshot_id time travel / parent
         # chains at unrelated data. A persisted high-water mark
         # (seq.json, updated on every commit) rules that out.
+        # Concurrency: the read-modify-write on seq.json alone cannot
+        # arbitrate two concurrent committers (both could read the same
+        # high-water mark and mint the same id — silently cross-pointing
+        # tags/parents).  The actual arbiter is an O_CREAT|O_EXCL claim
+        # file per id: exactly one committer can create
+        # ``snap-<id>.json.lock``; a loser re-mints with the next id.
+        # (Iceberg arbitrates the same way via its atomic metadata swap.)
+        # A claim leaked by a crash just skips that id — ids are unique,
+        # not dense.  seq.json remains the persisted high-water mark so
+        # expiry/drop_branch can never cause id REUSE across the table's
+        # lifetime.
         seq_path = os.path.join(self.root, "seq.json")
         issued = 0
         if os.path.exists(seq_path):
             with open(seq_path) as f:
                 issued = json.load(f)["last_snapshot_id"]
-        next_id = max(issued, all_snaps[-1]["snapshot_id"] if all_snaps else 0) + 1
+        next_id = max(issued, all_snaps[-1]["snapshot_id"] if all_snaps else 0)
+        while True:
+            next_id += 1
+            claim = os.path.join(self.snap_dir, f"snap-{next_id:09d}.json.lock")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                continue  # another committer holds this id
         tmp_seq = seq_path + ".tmp"
         with open(tmp_seq, "w") as f:
             json.dump({"last_snapshot_id": next_id}, f)
@@ -500,13 +519,21 @@ class LakehouseTable:
                 prev_dirs = set(s["data_dirs"])
                 continue
             op = s.get("operation", "")
-            added = [
-                d for d in s["data_dirs"] if prev_dirs is None or d not in prev_dirs
-            ]
-            if op == "append" and added:
-                batch = self.spark.read.parquet(*added)
+            if prev_dirs is None:
+                # Cold start, or the offset outlived retention (it never
+                # matched a retained snapshot): the docstring's promise is
+                # "full state as the first batch" — and that must hold even
+                # when the oldest retained snapshot is a non-append
+                # (compact/publish after maintain), which would otherwise
+                # emit an empty placeholder and silently drop the table's
+                # existing rows from the feed.
+                batch = self.read(snapshot_id=s["snapshot_id"])
             else:
-                batch = self.read(snapshot_id=s["snapshot_id"]).limit(0)
+                added = [d for d in s["data_dirs"] if d not in prev_dirs]
+                if op == "append" and added:
+                    batch = self.spark.read.parquet(*added)
+                else:
+                    batch = self.read(snapshot_id=s["snapshot_id"]).limit(0)
             out.append((s["snapshot_id"], op, batch))
             prev_dirs = set(s["data_dirs"])
         return out
@@ -588,6 +615,16 @@ class LakehouseTable:
         ``.explain``: the filter shows under PartitionFilters, not as a
         row-level predicate).
         """
+        if ref is not None and (snapshot_id is not None or as_of_ms is not None):
+            # Iceberg treats VERSION AS OF / TIMESTAMP AS OF and branch/tag
+            # refs as mutually exclusive selectors; silently resolving
+            # snapshot_id/as_of_ms along main while ignoring the ref would
+            # return data from the wrong ref with no error.
+            raise ValueError(
+                "ref is mutually exclusive with snapshot_id/as_of_ms; "
+                "travel within a branch by picking the snapshot id from "
+                "its chain explicitly"
+            )
         snaps = self._snapshots()
         if not snaps:
             raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
@@ -1138,11 +1175,17 @@ class LakehouseTable:
         ``older_than_ms`` is the safety cutoff (directories modified at
         or after it survive) so a write in flight RIGHT NOW — data
         written, commit pending — is not swept; Iceberg's action defaults
-        this to now-3d for the same reason.  Defaults to "now".
+        this to now-3d for the same reason.  Defaults to "now" —
+        implemented as ``floor(now_ms) + 1`` so a directory whose mtime
+        lands in the *same millisecond tick* as the sweep still counts as
+        "before now" (comparing the int-truncated cutoff against the
+        float-ms mtime used to race: ``mtime*1000 >= int(now*1000)``
+        could be true within one tick and the orphan survived).  Both
+        sides compare as integer milliseconds for the same reason.
         Returns the number of directories removed.
         """
         if older_than_ms is None:
-            older_than_ms = int(time.time() * 1000)
+            older_than_ms = int(time.time() * 1000) + 1
         snaps = self._snapshots()
         referenced = {d for s in snaps for d in s["data_dirs"]}
         referenced |= {d for s in snaps for d in s.get("delete_dirs", [])}
@@ -1152,7 +1195,7 @@ class LakehouseTable:
                 full = os.path.join(root, d)
                 if full in referenced:
                     continue
-                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                if int(os.path.getmtime(full) * 1000) >= older_than_ms:
                     continue
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1

@@ -302,6 +302,31 @@ def test_remove_orphan_files_sweeps_uncommitted_only(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_remove_orphan_files_millisecond_boundary(spark, tmp_path):
+    """Integer-ms boundary semantics, pinned deterministically with
+    os.utime: cutoff == floor(mtime_ms) → the dir counts as "modified at
+    the cutoff" and survives; cutoff == floor(mtime_ms)+1 → swept.
+    Regression for the round-2 flake where the float-ms mtime raced the
+    int-truncated default cutoff within one millisecond tick."""
+    import os
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="ogms")
+    t = catalog.table("ORPHANS_MS")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+
+    orphan = t._write_data(spark.createDataFrame([(9, "zz")], ["id", "v"]))
+    # force a fractional mtime inside a known millisecond tick (ns-exact)
+    ns = 1_700_000_000_000_500_000  # 1_700_000_000_000 ms + 0.5 ms
+    os.utime(orphan, ns=(ns, ns))
+    tick_ms = 1_700_000_000_000
+
+    assert t.remove_orphan_files(older_than_ms=tick_ms) == 0
+    assert os.path.exists(orphan)
+    assert t.remove_orphan_files(older_than_ms=tick_ms + 1) == 1
+    assert not os.path.exists(orphan)
+    assert t.read().count() == 1
+
+
 def test_merge_with_delete_clause_cdc(spark, tmp_path):
     """MERGE with Iceberg's delete clause over a CDC batch: insert,
     update, and delete ops apply in one merge; a delete for an absent
@@ -759,3 +784,56 @@ def test_incremental_batches_append_feed(spark, catalog):
     assert [r.id for r in tail[1][2].collect()] == ["4"]
     # caught up: empty
     assert t.incremental_batches(from_snapshot_id=tail[-1][0]) == []
+
+
+def test_incremental_batches_full_state_after_retention(spark, catalog):
+    """Cold start (or an offset that outlived retention) must receive the
+    table's FULL STATE as the first batch even when the oldest retained
+    snapshot is a non-append (compact after maintain) — previously the
+    compact emitted an empty placeholder and the consumer silently never
+    saw the existing rows."""
+    t = catalog.table("FEED_RET")
+    s1 = t.append(df_of(spark, [("1", "a"), ("2", "b")]))["snapshot_id"]
+    t.append(df_of(spark, [("3", "c")]))
+    t.compact()
+    # expire everything but the compact snapshot: the feed's oldest
+    # retained entry is now op='compact'
+    t.expire_snapshots(retain_last=1)
+    assert [s["operation"] for s in t._mainline()] == ["compact"]
+
+    # cold start: first (only) batch carries the full 3-row state
+    feed = t.incremental_batches()
+    assert [op for _, op, _ in feed] == ["compact"]
+    assert sorted(r.id for r in feed[0][2].collect()) == ["1", "2", "3"]
+
+    # an offset that outlived retention (s1 is gone) also restarts full
+    stale = t.incremental_batches(from_snapshot_id=s1)
+    assert sorted(r.id for r in stale[0][2].collect()) == ["1", "2", "3"]
+
+
+def test_read_ref_conflicts_with_time_travel(spark, catalog):
+    """read(ref=...) combined with snapshot_id/as_of_ms is ambiguous
+    (Iceberg treats them as mutually exclusive selectors) — must raise,
+    not silently resolve along main and ignore the ref."""
+    t = catalog.table("REFX")
+    s1 = t.append(df_of(spark, [("1", "a")]))["snapshot_id"]
+    t.create_branch("b1")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.read(ref="b1", snapshot_id=s1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.read(ref="b1", as_of_ms=10**15)
+
+
+def test_commit_id_minting_skips_claimed_ids(spark, catalog):
+    """The O_EXCL claim file is the commit arbiter: an id already claimed
+    by a concurrent committer is skipped, never minted twice."""
+    import os
+
+    t = catalog.table("CLAIMS")
+    s1 = t.append(df_of(spark, [("1", "a")]))["snapshot_id"]
+    # simulate a concurrent committer holding the next id
+    claim = os.path.join(t.snap_dir, f"snap-{s1 + 1:09d}.json.lock")
+    open(claim, "x").close()
+    s2 = t.append(df_of(spark, [("2", "b")]))["snapshot_id"]
+    assert s2 == s1 + 2  # claimed id skipped
+    assert sorted(r.id for r in t.read().collect()) == ["1", "2"]
