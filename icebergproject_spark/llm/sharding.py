@@ -24,6 +24,23 @@ def shuffle_key(id_col: str, salt: str) -> F.Column:
     return F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string")))
 
 
+def hash_shard(id_col: str, salt: str, num_shards: int) -> F.Column:
+    """Map-side deterministic shard assignment: the first 16 bits of the
+    md5 shuffle key, modulo ``num_shards``.  Unlike the round-robin
+    deal over a global order (``global_shuffle``), this needs NO window,
+    no sort, and no shuffle at all — shard is a pure projection, so it
+    survives any scale — at the cost of multinomial rather than exactly
+    equal shard sizes (relative imbalance ~sqrt(shards/rows), negligible
+    for training shards of millions of rows; modulo bias ≤ num_shards/65536).
+
+    Renders identically in ANSI SQL (hex chars → integer via position in
+    the hex alphabet), so hash-sharded outputs stay oracle-checkable.
+    """
+    key = shuffle_key(id_col, salt)
+    word = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    return (word % num_shards).cast("long")
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -77,19 +94,37 @@ def curriculum_bins(
     content_col: str = "text",
     id_col: str = "doc_id",
     num_bins: int = 10,
+    mode: str = "portable",
 ) -> DataFrame:
     """Length-based curriculum binning: rank documents by token count
     (shortest first — the classic easy→hard proxy) and cut the ranking
-    into ``num_bins`` equal-depth bins with NTILE.  A curriculum
-    scheduler then drains bin 1 before bin 2, etc.
+    into ``num_bins`` equal-depth bins.  A curriculum scheduler then
+    drains bin 1 before bin 2, etc.
 
-    Deterministic total order (n_tokens, then id) makes the binning
-    hash-stable across engines.  NTILE over a global order is a full
-    sort; at 100 TB the same bins come from one pass over a token-count
-    histogram (bin edges = approximate quantiles) — ``num_bins`` stays
-    small so edge error, not sort cost, is the tradeoff there.
+    ``mode="portable"``: NTILE over the deterministic total order
+    (n_tokens, then id) — exact equal-depth and hash-stable across
+    engines (the oracle form), but a one-partition global sort.
+
+    ``mode="scale"`` is the 100 TB path: one distributed
+    ``approxQuantile`` pass over the token counts yields num_bins-1 cut
+    points (bounded O(k) driver reduction), and bin assignment becomes a
+    map-side comparison against the broadcast cut points — no window, no
+    global sort, no shuffle at all (token counting is per-row).  Bins
+    are equal-depth up to sketch error; ties on length share a bin
+    (value-cut semantics — fine for a curriculum, which orders by the
+    VALUE anyway).
     """
     n_tok = F.size(F.split(F.col(content_col), " "))
+    if mode == "scale":
+        scored = df.select(
+            F.col(id_col), n_tok.cast("long").alias("n_tokens")
+        )
+        probs = [i / num_bins for i in range(1, num_bins)]
+        cuts = scored.stat.approxQuantile("n_tokens", probs, 1e-3)
+        b = F.lit(1)
+        for c in cuts:  # ascending; bin 1 = shortest documents
+            b = b + F.when(F.col("n_tokens") > F.lit(c), 1).otherwise(0)
+        return scored.select(id_col, "n_tokens", b.cast("int").alias("bin"))
     w = Window.orderBy(n_tok.asc(), F.col(id_col).asc())
     return df.select(
         F.col(id_col),

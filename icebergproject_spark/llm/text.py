@@ -510,6 +510,7 @@ def quality_buckets(
     content_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 3,
+    mode: str = "portable",
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): rank
     documents by LM quality score and cut into equal-depth buckets —
@@ -517,14 +518,34 @@ def quality_buckets(
     highest mean log-probability.  num_buckets=3 gives the canonical
     labels; any k works (curriculum over quality = larger k).
 
-    The NTILE over a global score order is the oracle-parity form; at
-    100 TB the same split comes from one approx-quantile pass over the
-    score column (k-1 cut points, then a broadcast range lookup).
+    ``mode="portable"``: NTILE over the global score order — exact
+    equal-depth, ANSI-SQL-expressible (the oracle form), but a
+    one-partition sort in Spark, so for modest data only.
+
+    ``mode="scale"`` is the 100 TB path: one distributed
+    ``approxQuantile`` pass yields k-1 score cut points (a bounded,
+    O(k) driver reduction), then bucket assignment is a MAP-SIDE
+    expression against the broadcast cut points — no window, no global
+    sort, no extra shuffle beyond the scoring aggregates.  Buckets are
+    equal-depth up to quantile-sketch error (1e-3 relative) and ties
+    land in one bucket together (value-cut vs rank-cut semantics — the
+    CCNet-faithful behavior: equal scores get equal treatment).
     Output: (doc_id, n_tokens, mean_logprob, bucket, bucket_label).
     """
     scored = unigram_logprob_score(df, content_col, id_col)
-    w = Window.orderBy(F.col("mean_logprob").desc(), F.col(id_col).asc())
-    bucket = F.ntile(num_buckets).over(w)
+    if mode == "scale":
+        # one materialization feeds both the quantile pass and the output
+        # (the documented no-exchange-reuse trap for twice-consumed plans)
+        scored = scored.localCheckpoint(eager=True)
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        cuts = scored.stat.approxQuantile("mean_logprob", probs, 1e-3)
+        bucket = F.lit(1)
+        for c in cuts:  # ascending quantiles; bucket 1 = highest scores
+            bucket = bucket + F.when(F.col("mean_logprob") <= F.lit(c), 1).otherwise(0)
+        bucket = bucket.cast("int")
+    else:
+        w = Window.orderBy(F.col("mean_logprob").desc(), F.col(id_col).asc())
+        bucket = F.ntile(num_buckets).over(w)
     label = (
         F.when(bucket == 1, "head")
         .when(bucket == num_buckets, "tail")

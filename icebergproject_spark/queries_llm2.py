@@ -308,11 +308,14 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic shard assignment.  Where a production stack runs four
     jobs with intermediate materializations, this is one declarative
     plan — Catalyst fuses the normalize/gate projections into the scan,
-    and the only shuffles are the dedup groupBy and the shard window.
+    and the ONLY shuffle is the dedup groupBy: shard assignment is the
+    map-side ``hash_shard`` (md5-prefix modulo), not a round-robin deal
+    over a global row_number — the pipeline emits no per-shard position,
+    so it never needs a total order, and the single-partition window the
+    portable ``global_shuffle`` form would cost is simply absent at any
+    scale.
     Output: (doc_id, shard, n_tokens, n_chars_norm) for surviving docs.
     """
-    from pyspark.sql.window import Window
-
     from icebergproject_spark.llm import text as llm_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -331,15 +334,13 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_distinct * 3 >= n_tok)
         & (n_punct * 20 <= F.col("n_chars_norm"))
     ).select("doc_id", n_tok.alias("n_tokens"), "n_chars_norm")
-    # the canonical shard key — shared with sharding.global_shuffle so
-    # the e2e layout always matches the standalone operator's
-    from icebergproject_spark.llm.sharding import shuffle_key
+    # the canonical shard key — shared with sharding.hash_shard so the
+    # e2e layout always matches the standalone operator's
+    from icebergproject_spark.llm.sharding import hash_shard
 
-    key = shuffle_key("doc_id", "seed0")
-    rn = F.row_number().over(Window.orderBy(key, F.col("doc_id")))
     return gated.select(
         "doc_id",
-        ((rn - 1) % 16).cast("long").alias("shard"),
+        hash_shard("doc_id", "seed0", 16).alias("shard"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
     )
@@ -368,9 +369,12 @@ gated AS (
         <= n_chars_norm
 )
 SELECT doc_id,
-       CAST((ROW_NUMBER() OVER (
-         ORDER BY md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), doc_id
-       ) - 1) % 16 AS BIGINT) AS shard,
+       CAST((
+           (instr('0123456789abcdef', substr(md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+       ) % 16 AS BIGINT) AS shard,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars_norm AS BIGINT) AS n_chars_norm
 FROM gated

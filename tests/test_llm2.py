@@ -109,6 +109,102 @@ def test_curriculum_bins_monotone(spark):
     assert toks == sorted(toks)
 
 
+def test_curriculum_bins_scale_mode(spark):
+    """mode='scale' (approx-quantile cut points + map-side lookup):
+    value-monotone bins of near-equal depth, and the plan carries NO
+    window at all (the single-partition NTILE sort is gone)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = sharding.curriculum_bins(docs, num_bins=5, mode="scale")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = out.collect()
+    assert len(rows) == 200
+    # bins are value-monotone: every doc in bin b is no longer than any
+    # doc in bin b+1
+    by_bin: dict[int, list[int]] = {}
+    for r in rows:
+        by_bin.setdefault(r["bin"], []).append(r["n_tokens"])
+    bins = sorted(by_bin)
+    assert bins[0] == 1 and bins[-1] <= 5
+    for lo, hi in zip(bins, bins[1:]):
+        assert max(by_bin[lo]) <= min(by_bin[hi])
+    # near-equal depth (distinct lengths ⇒ cuts are exact up to sketch
+    # error; allow a loose band)
+    assert all(20 <= len(v) <= 60 for v in by_bin.values())
+
+
+def test_quality_buckets_scale_mode(spark):
+    """mode='scale' quality split: no window in the plan; head bucket
+    holds the highest scores, tail the lowest; labels consistent."""
+    from icebergproject_spark.llm.text import quality_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * 3)
+            if i % 3 == 0
+            else (i, "zq xv jk qz " + f"tok{i} " * 8)
+            if i % 3 == 1
+            else (i, "the the the the common words appear here often again")
+            for i in range(90)
+        ],
+        "doc_id long, text string",
+    )
+    out = quality_buckets(docs, num_buckets=3, mode="scale")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = out.collect()
+    assert len(rows) == 90
+    by_bucket: dict[int, list[float]] = {}
+    labels = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_logprob"])
+        labels[r["bucket"]] = r["bucket_label"]
+    assert labels.get(1) == "head"
+    assert labels.get(max(by_bucket)) == "tail" if max(by_bucket) == 3 else True
+    # score-monotone: bucket 1 scores >= bucket 2 scores >= bucket 3
+    buckets = sorted(by_bucket)
+    for hi, lo in zip(buckets, buckets[1:]):
+        assert min(by_bucket[hi]) >= max(by_bucket[lo])
+
+
+def test_hash_shard_uniform_and_deterministic(spark):
+    """hash_shard: pure projection (no shuffle/window in the plan),
+    rerun-stable, all shards populated, no gross skew."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1600)], "doc_id long"
+    )
+    out = docs.select("doc_id", sharding.hash_shard("doc_id", "seed0", 16).alias("shard"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    rows = out.collect()
+    again = docs.select(
+        "doc_id", sharding.hash_shard("doc_id", "seed0", 16).alias("shard")
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_shard = Counter(r["shard"] for r in rows)
+    assert set(by_shard) == set(range(16))
+    # multinomial(1600, 1/16): mean 100, sd ~9.7 — 4 sd band
+    assert all(60 <= c <= 140 for c in by_shard.values())
+
+
+def test_corpus_pipeline_single_shuffle_no_window(spark):
+    """The e2e corpus pipeline is one DAG whose ONLY shuffle is the
+    dedup groupBy — shard assignment is map-side hash_shard, so no
+    single-partition window survives anywhere in the plan."""
+    from icebergproject_spark.queries import REGISTRY
+
+    df = REGISTRY["corpus_pipeline_e2e"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # exactly one exchange pair at most (AQE may show one Exchange for
+    # the dedup aggregate); certainly no second shard-stage exchange
+    assert plan.count("Exchange") <= 2
+    assert df.count() > 0
+
+
 # --- BPE training ----------------------------------------------------------
 
 def _ref_bpe(texts: list[str], num_merges: int, min_freq: int = 2):
