@@ -146,6 +146,81 @@ def lsh_topk(
     )
 
 
+def multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bit_idx: tuple[int, ...] = (1, 17, 33, 49),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multiprobe sign-LSH approximate top-k with EXACT re-scoring — the
+    oracle-checkable ANN tier.
+
+    Cells are axis-aligned hyperplanes: bit_j = [component bit_idx[j] of
+    the vector >= 0], cell = the 4-bit pattern (16 cells).  Each corpus
+    vector lives in its own cell; each query probes its cell plus the 4
+    cells at Hamming distance 1 (multiprobe LSH, Lv et al., VLDB 2007),
+    then candidates are re-scored with the exact double-precision cosine
+    and ranked.  Probing 5/16 cells cuts scored pairs ~3.2× versus brute
+    force; recall follows hyperplane-LSH collision odds (pytest-measured
+    vs cosine_topk).
+
+    Unlike the k-means IVF index (``ivf_topk``, whose centroid training
+    is iterative and engine-specific), EVERY step here — sign bits, cell
+    id, Hamming-1 probe expansion, exact cosine, ranking — renders
+    identically in ANSI SQL, so the full approximate output is
+    DuckDB-hash-checkable, not merely rows-only.  Output matches
+    cosine_topk: (query_id, neighbor_id, score, rank).
+    """
+    nbits = len(bit_idx)
+
+    def cell_of(col: Column) -> Column:
+        cell = F.lit(0)
+        for i in bit_idx:
+            bit = F.when(F.element_at(col, i).cast("double") >= 0, 1).otherwise(0)
+            cell = cell * 2 + bit
+        return cell
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        cell_of(F.col(vec_col)).alias("__cell"),
+    )
+    qcell = cell_of(F.col(vec_col))
+    probes = F.array(
+        qcell, *[qcell.bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        F.explode(probes).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

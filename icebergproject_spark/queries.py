@@ -730,49 +730,64 @@ REGISTRY.update(EXT2_REGISTRY)
 # hold a driver-window slot
 REGISTRY.update(LLM2_REGISTRY)
 
+# round-3 batch: oracle-backed companions for the approximate ops
+# (strict verified near-dup, multiprobe sign-LSH ANN) — imported before
+# the window reorder so they can hold driver-window slots
+from icebergproject_spark.queries_r3 import R3_REGISTRY  # noqa: E402
+
+REGISTRY.update(R3_REGISTRY)
+
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision: put the reference-parity core, the
-# TPC-H-analog joins, the LLM-pipeline operators, and the strongest
-# relational/temporal shapes inside the window — 48 of the 50 carry DuckDB
-# oracles (the 2 rows-only entries are the approximate ops whose estimators
-# have no SQL twin: MinHash-LSH candidates and IVF ANN).
-# Everything else stays registered (and locally gated) after position 50.
+# ordering is a visibility decision.  Round-3 rotation (VERDICT r2 ask):
+# 15 rows that went driver-green in BOTH r01 and r02 (scalar_suite,
+# dm_user_login_info, events_cube, orders_grouping_sets, cdc_latest,
+# user_last_state, hierarchy_flatten, product_visit_10s, shipmode_priority,
+# customers_without_orders, priority_with_returns, conversion_funnel,
+# daily_retention, plus the two rows-only approximate ops) yield their
+# slots to the strongest never-driver-checked oracles — and the two
+# approximate ops are replaced by their oracle-backed companions
+# (dedup_verified_strict, similarity_multiprobe), making the window
+# 50/50 DuckDB-oracle-backed.  Rotated-out queries stay registered and
+# locally gated after position 50.
 DRIVER_WINDOW = [
-    # reference parity (SURVEY §2) — the medallion pipeline
+    # reference parity (SURVEY §2) — the medallion pipeline core
     "user_points", "ods_browselog", "dwd_cleanse", "route_dim", "route_fact",
-    "user_login_wide", "hierarchy_flatten", "browse_wide", "product_visit_10s",
-    "dm_user_login_info",
+    "user_login_wide", "browse_wide",
     # TPC-H-analog relational core
-    "pricing_summary", "top_parts_by_revenue", "priority_with_returns",
-    "customers_without_orders", "shipping_priority", "local_supplier_volume",
-    "shipmode_priority",
-    # LLM pipeline: dedup family (duplicate_spans = substring-level tier)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_verified", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_survivors", "decontamination", "duplicate_spans",
-    # LLM pipeline: text analysis (lm_quality_score is rows-only — it
-    # yields its window slot to the oracle-checked substring dedup and
-    # stays locally gated + pytest-pinned past position 50)
+    "pricing_summary", "top_parts_by_revenue", "shipping_priority",
+    "local_supplier_volume", "nation_volume_shipping", "small_quantity_revenue",
+    "blame_last_supplier", "revenue_pareto", "quantity_price_corr",
+    "basket_pairs",
+    # advanced SQL surface (recursive / lateral / frames / variant / unpivot)
+    "part_taxonomy", "rolling_30d_revenue", "lateral_top_orders",
+    "events_props_variant", "lineitem_unpivot_profile",
+    # LLM pipeline: dedup family (span tier + both verified compositions)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_verified",
+    "dedup_verified_strict", "dedup_clusters", "dedup_survivors",
+    "decontamination", "duplicate_spans", "remove_duplicate_spans",
+    # LLM pipeline: text analysis
     "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "quality_filter", "repetition_score",
     # LLM pipeline: embeddings / similarity / multimodal
-    "similarity_topk", "similarity_ivf", "embedding_stats", "dedup_embedding",
-    "embedding_quantize", "mixing_weights", "stratified_sample", "multimodal_meta",
+    "similarity_topk", "similarity_multiprobe", "knn_graph",
+    "embedding_stats", "dedup_embedding", "embedding_quantize",
+    "mixing_weights", "stratified_sample", "multimodal_meta",
     # relational / temporal / windowed
-    "conversion_funnel", "daily_retention", "user_sessions", "asof_trade_quote",
-    "range_join_shipments", "events_cube", "orders_grouping_sets", "cdc_latest",
-    "user_last_state", "browse_pipeline_e2e", "scalar_suite",
+    "user_sessions", "asof_trade_quote", "range_join_shipments",
+    "browse_pipeline_e2e",
 ]
+# TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
+# r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
+from icebergproject_spark.queries_tpch import TPCH_REGISTRY  # noqa: E402
+from icebergproject_spark.queries_tpch3 import TPCH3_REGISTRY  # noqa: E402
+
+REGISTRY.update(TPCH_REGISTRY)
+REGISTRY.update(TPCH3_REGISTRY)
+
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)
 REGISTRY = {
     **{n: REGISTRY[n] for n in DRIVER_WINDOW},
     **{n: q for n, q in REGISTRY.items() if n not in DRIVER_WINDOW},
 }
-
-# TPC-H analog batches 2-3 — outside the driver window, locally oracle-gated
-from icebergproject_spark.queries_tpch import TPCH_REGISTRY  # noqa: E402
-from icebergproject_spark.queries_tpch3 import TPCH3_REGISTRY  # noqa: E402
-
-REGISTRY.update(TPCH_REGISTRY)
-REGISTRY.update(TPCH3_REGISTRY)
