@@ -273,6 +273,14 @@ def minhash_lsh_candidates(
     rows = num_hashes / bands per band; J ≈ (1/bands)^(1/rows) detection
     knee. Output: distinct (id_a, id_b) candidate pairs, id_a < id_b.
     At scale the only shuffle is groupBy(band, band_sig) on 16-byte keys.
+
+    Pair generation stays a banded SELF-join on purpose: both sides are
+    the IDENTICAL canonical plan, so Spark's ReusedExchange computes the
+    signature stream once (A/B-measured round 3 — a grouped-bucket
+    rewrite with an eager checkpoint was ~0.4 s SLOWER at sf0.1 than the
+    join it replaced; the ngram case needed grouped postings only
+    because its two branches carry different filters, which defeats
+    exchange reuse).
     """
     rows = num_hashes // bands
     sigs = _minhash_flat(df, content_col, id_col, n, num_hashes)
@@ -326,10 +334,18 @@ def verified_near_dups(
     in corpus size by LSH design). False positives are eliminated;
     recall is the LSH recall (pytest-measured vs the exact path).
     Output: (id_a, id_b, shared, size_a, size_b) like the exact variant.
+
+    The verify joins carry xxhash64'd shingle arrays (8-byte longs), not
+    the shingle strings: the two enrichment joins shuffle ~n·8 bytes per
+    doc instead of the full n-gram text, and array_intersect compares
+    longs.  Jaccard over hashed shingles equals Jaccard over shingles
+    modulo 64-bit collisions (~|shingles|²/2⁶⁴ — the same vanishing-odds
+    convention as the inverted index's hashed gram keys).
     """
     cand = minhash_lsh_candidates(df, content_col, id_col, n, num_hashes, bands)
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(content_col, n), lambda g: F.xxhash64(g)).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -499,9 +515,7 @@ def connected_components(
     Returns (node, cluster_id): cluster_id = min node id in the component.
     Nodes absent from any edge (if ``nodes`` given) are singletons.
     """
-    # canonical directed form: u > v, self-loops dropped, deduped; the
-    # eager checkpoint also keeps the (possibly expensive) upstream pair
-    # generator from being recomputed every round
+    # canonical directed form: u > v, self-loops dropped, deduped
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -509,9 +523,19 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    if e.count() <= driver_threshold:
+    # ONE job decides the path AND fetches the edges when small: collect
+    # through a threshold+1 limit — if the limit wasn't hit we already
+    # hold the full edge set (bounded by construction), else fall through
+    # to the distributed contraction.  No checkpoint on this path: the
+    # (possibly expensive) upstream pair generator runs exactly once,
+    # inside this collect — materializing it first would pay an extra
+    # write+read for nothing.  The distributed path below checkpoints
+    # before iterating (there the generator WOULD rerun every round).
+    edge_rows = e.limit(driver_threshold + 1).collect() if driver_threshold else None
+    if edge_rows is not None and len(edge_rows) <= driver_threshold:
+        from pyspark.sql.types import StructField, StructType
+
         spark = edges.sparkSession
         parent: dict = {}
 
@@ -524,7 +548,7 @@ def connected_components(
             return root
 
         touched: set = set()
-        for row in e.toLocalIterator():
+        for row in edge_rows:
             touched.add(row.u)
             touched.add(row.v)
             ru, rv = find(row.u), find(row.v)
@@ -533,8 +557,12 @@ def connected_components(
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in touched]
+        id_type = e.schema["u"].dataType  # skip schema inference sampling
+        schema = StructType(
+            [StructField("node", id_type), StructField("cluster_id", id_type)]
+        )
         out = (
-            spark.createDataFrame(rows, ["node", "cluster_id"])
+            spark.createDataFrame(rows, schema)
             if rows
             else e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
         )
@@ -544,6 +572,9 @@ def connected_components(
                 "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
             )
         return out
+    # distributed path: pin the canonical edge set so the upstream pair
+    # generator does not recompute every contraction round
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         # -- large-star: neighbors bigger than u attach to u's min ------
