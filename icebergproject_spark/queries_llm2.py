@@ -303,46 +303,75 @@ GROUP BY metric
 
 def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM preprocessing pipeline as ONE Catalyst DAG (the
-    training-data counterpart of browse_pipeline_e2e's medallion flow):
-    normalize → exact-dedup survivors → quality gate → token budget →
-    deterministic shard assignment.  Where a production stack runs four
-    jobs with intermediate materializations, this is one declarative
-    plan — Catalyst fuses the normalize/gate projections into the scan,
-    and the ONLY shuffle is the dedup groupBy: shard assignment is the
-    map-side ``hash_shard`` (md5-prefix modulo), not a round-robin deal
-    over a global row_number — the pipeline emits no per-shard position,
-    so it never needs a total order, and the single-partition window the
-    portable ``global_shuffle`` form would cost is simply absent at any
-    scale.
-    Output: (doc_id, shard, n_tokens, n_chars_norm) for surviving docs.
+    training-data counterpart of browse_pipeline_e2e's medallion flow),
+    v2 — now exercising the span tier it ships:
+
+      normalize → exact-dedup survivors → ExactSubstr span removal
+      (Lee et al. 2022, k=8) → benchmark decontamination (drop held-out
+      docs AND docs sharing ≥2 distinct 3-grams with them) → quality
+      gate on the CLEANED text → deterministic map-side shard.
+
+    Where a production stack runs six jobs with intermediate
+    materializations, this is one declarative plan.  Shuffle census:
+    dedup groupBy, span-window groupBy + covered-position distinct +
+    rebuild groupBy (the span tier's three — linear, no self-join),
+    contamination gram join (benchmark side broadcast).  Shard
+    assignment stays the map-side ``hash_shard`` — no global order, no
+    single-partition window at any scale.
+    Output: (doc_id, shard, n_tokens, n_removed, n_chars_clean) for
+    surviving docs; n_tokens counts the CLEANED text's tokens and
+    n_removed is how many original tokens the span tier deleted.
     """
+    from icebergproject_spark.llm import dedup as llm_dedup
     from icebergproject_spark.llm import text as llm_text
+    from icebergproject_spark.llm.sharding import hash_shard
 
     docs = _t(spark, sf_dir, "documents")
     norm = llm_text.normalize_text(docs)
     surv = norm.groupBy(F.md5("norm_text").alias("__d")).agg(
         F.min("doc_id").alias("doc_id"),
         F.first("norm_text").alias("norm_text"),
-        F.first("n_chars_norm").alias("n_chars_norm"),
     )
-    toks = F.split("norm_text", " ")
-    n_tok = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_punct = F.length(F.regexp_replace("norm_text", "[^.,!?;:]", ""))
-    gated = surv.filter(
-        (n_tok >= 50)
-        & (n_distinct * 3 >= n_tok)
-        & (n_punct * 20 <= F.col("n_chars_norm"))
-    ).select("doc_id", n_tok.alias("n_tokens"), "n_chars_norm")
-    # the canonical shard key — shared with sharding.hash_shard so the
-    # e2e layout always matches the standalone operator's
-    from icebergproject_spark.llm.sharding import hash_shard
-
+    # span tier over the deduped corpus: (doc_id, clean_text, n_tokens,
+    # n_removed)
+    clean = llm_dedup.remove_duplicate_spans(
+        surv, content_col="norm_text", id_col="doc_id", k=8
+    )
+    # decontamination: every 97th doc is the held-out benchmark stand-in;
+    # bench docs leave the training set, and so does anything sharing
+    # ≥2 distinct 3-grams of CLEANED text with them
+    bench = clean.filter((F.col("doc_id") % 97) == 0).select(
+        F.col("doc_id").alias("bench_id"), "clean_text"
+    )
+    contaminated = (
+        llm_text.contamination_pairs(
+            clean.select("doc_id", "clean_text"),
+            bench,
+            content_col="clean_text",
+            n=3,
+            min_shared=2,
+            exclude_same_id=True,
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    kept = clean.filter((F.col("doc_id") % 97) != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    ctoks = F.split("clean_text", " ")
+    n_tok = F.size(ctoks)
+    n_distinct = F.size(F.array_distinct(ctoks))
+    n_punct = F.length(F.regexp_replace("clean_text", "[^.,!?;:]", ""))
+    n_chars = F.length("clean_text")
+    gated = kept.filter(
+        (n_tok >= 50) & (n_distinct * 3 >= n_tok) & (n_punct * 20 <= n_chars)
+    )
     return gated.select(
         "doc_id",
         hash_shard("doc_id", "seed0", 16).alias("shard"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        n_chars.cast("long").alias("n_chars_clean"),
     )
 
 
@@ -354,19 +383,81 @@ WITH norm AS (
   FROM documents
 ),
 surv AS (
-  SELECT MIN(doc_id) AS doc_id, norm_text, LENGTH(norm_text) AS n_chars_norm
+  SELECT MIN(doc_id) AS doc_id, norm_text
   FROM norm GROUP BY norm_text
+),
+t AS (SELECT doc_id, string_split(norm_text, ' ') AS toks FROM surv),
+wins AS (
+  SELECT doc_id,
+         UNNEST([{'pos': i, 'w': array_to_string(toks[i+1:i+8], ' ')}
+                 FOR i IN range(0, GREATEST(len(toks) - 8 + 1, 0))],
+                recursive := true)
+  FROM t
+),
+occ AS (
+  SELECT doc_id, pos, w, CAST(doc_id AS BIGINT) * 1048576 + pos AS k FROM wins
+),
+agg AS (SELECT w, COUNT(*) AS cnt, MIN(k) AS surv FROM occ GROUP BY w),
+doomed AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN agg a USING (w)
+  WHERE a.cnt >= 2 AND o.k <> a.surv
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM doomed, UNNEST(range(0, 8)) AS u(j)
+),
+tokens AS (
+  SELECT doc_id,
+         UNNEST([{'pos': i, 'tok': toks[i+1]} FOR i IN range(0, len(toks))],
+                recursive := true)
+  FROM t
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk ANTI JOIN covered c
+    ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+clean AS (
+  SELECT t.doc_id,
+         COALESCE(r.clean_text, '') AS clean_text,
+         len(t.toks) - COALESCE(r.n_kept, 0) AS n_removed
+  FROM t LEFT JOIN reb r USING (doc_id)
+),
+grams AS (
+  SELECT doc_id, UNNEST(list_distinct([array_to_string(ctoks[i:i+2], ' ')
+                         FOR i IN range(1, GREATEST(len(ctoks)-2, 1) + 1)])) AS g
+  FROM (SELECT doc_id, string_split(clean_text, ' ') AS ctoks FROM clean)
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id, b.doc_id AS bid
+    FROM grams d JOIN grams b ON d.g = b.g
+    WHERE b.doc_id % 97 = 0 AND d.doc_id <> b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+  ) GROUP BY doc_id
+),
+final AS (
+  SELECT c.doc_id, c.clean_text, c.n_removed,
+         string_split(c.clean_text, ' ') AS ctoks
+  FROM clean c
+  WHERE c.doc_id % 97 <> 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 gated AS (
   SELECT doc_id,
-         len(string_split(norm_text, ' ')) AS n_tokens,
-         n_chars_norm
-  FROM surv
-  WHERE len(string_split(norm_text, ' ')) >= 50
-    AND len(list_distinct(string_split(norm_text, ' '))) * 3
-        >= len(string_split(norm_text, ' '))
-    AND LENGTH(regexp_replace(norm_text, '[^.,!?;:]', '', 'g')) * 20
-        <= n_chars_norm
+         len(ctoks) AS n_tokens,
+         n_removed,
+         LENGTH(clean_text) AS n_chars_clean
+  FROM final
+  WHERE len(ctoks) >= 50
+    AND len(list_distinct(ctoks)) * 3 >= len(ctoks)
+    AND LENGTH(regexp_replace(clean_text, '[^.,!?;:]', '', 'g')) * 20
+        <= LENGTH(clean_text)
 )
 SELECT doc_id,
        CAST((
@@ -376,7 +467,8 @@ SELECT doc_id,
          + (instr('0123456789abcdef', substr(md5('seed0' || '-' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
        ) % 16 AS BIGINT) AS shard,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(n_chars_norm AS BIGINT) AS n_chars_norm
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_chars_clean AS BIGINT) AS n_chars_clean
 FROM gated
 """
 
