@@ -64,11 +64,13 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_verified",
+    "dedup_verified_strict",
     "dedup_clusters",
     "dedup_embedding",
     "text_stats",
     "similarity_topk",
     "similarity_ivf",
+    "similarity_multiprobe",
     "top_terms",
     "doc_keywords",
     "quality_filter",
@@ -79,6 +81,34 @@ BENCH_QUERIES = [
     "knn_graph",
     "corpus_pipeline_e2e",
 ]
+
+# the exact query set BENCH_r02 reported — the round-over-round continuity
+# baseline. Totals across DIFFERENT sets mislead (the set grows every
+# round), so the output splits the r02-comparable subtotal from the
+# genuinely new queries' subtotal (NOTES.md: compare per-query, not totals).
+PREV_ROUND_QUERIES = {
+    "asof_trade_quote", "bpe_pair_counts", "browse_pipeline_e2e",
+    "browse_wide", "conversion_funnel", "corpus_pipeline_e2e",
+    "daily_retention", "dedup_clusters", "dedup_embedding", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_verified", "doc_keywords", "dsir_weights", "duplicate_spans",
+    "dwd_cleanse", "knn_graph", "lang_id", "local_supplier_volume",
+    "ods_browselog", "part_taxonomy", "pricing_summary",
+    "priority_with_returns", "product_visit_10s", "quality_filter",
+    "quantity_price_corr", "remove_duplicate_spans", "route_fact",
+    "shipping_priority", "similarity_ivf", "similarity_topk",
+    "stratified_sample", "text_stats", "top_parts_by_revenue", "top_terms",
+    "user_login_wide", "user_points", "user_sessions",
+}
+
+# queries whose SEMANTICS changed since the previous round — their
+# comparable-subtotal contribution is not apples-to-apples and readers
+# should compare them per-query against the change log instead
+SEMANTICS_CHANGED = {
+    # round 3: v2 pipeline adds the ExactSubstr span tier + benchmark
+    # decontamination on top of v1's normalize/dedup/gate/shard
+    "corpus_pipeline_e2e",
+}
 
 
 def main() -> None:
@@ -111,6 +141,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    comparable = {
+        n: t
+        for n, t in timings.items()
+        if n in PREV_ROUND_QUERIES and n not in SEMANTICS_CHANGED
+    }
+    new = {n: t for n, t in timings.items() if n not in PREV_ROUND_QUERIES}
     print(
         json.dumps(
             {
@@ -119,6 +155,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "comparable_to_prev": {
+                    "total_sec": round(sum(comparable.values()), 3),
+                    "n": len(comparable),
+                },
+                "new_queries": {
+                    "total_sec": round(sum(new.values()), 3),
+                    "n": len(new),
+                    "names": sorted(new),
+                },
+                "semantics_changed": sorted(
+                    SEMANTICS_CHANGED & set(timings)
+                ),
             }
         )
     )
