@@ -326,3 +326,79 @@ def test_remove_duplicate_spans_matches_model(spark, docs, k):
     for i, ts in toks.items():
         keep = [t for p, t in enumerate(ts) if p not in covered[i]]
         assert got[i] == (" ".join(keep), len(ts), len(ts) - len(keep))
+
+
+# --- round 3: dedup tier boundaries (VERDICT r2 ask #9) ---------------------
+
+# small alphabet forces shared shingles → non-trivial pair sets
+_small_word_st = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+jaccard_docs_st = st.lists(
+    st.lists(_small_word_st, min_size=3, max_size=10).map(lambda ws: " ".join(ws)),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(docs=jaccard_docs_st)
+@settings(max_examples=100, deadline=None)
+def test_ngram_pair_arms_equivalent(spark, docs):
+    """ngram_jaccard_pairs' two pair-generation arms must produce the
+    IDENTICAL 5-column result for any corpus: expand_cap=0 routes every
+    gram through the inverted-index join arm, expand_cap=10**9 expands
+    every gram map-side from grouped postings.  The hybrid's correctness
+    rests on this multiset equality."""
+    from icebergproject_spark.llm.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    cols = ("id_a", "id_b", "shared", "size_a", "size_b")
+    join_arm = sorted(
+        tuple(r[c] for c in cols)
+        for r in ngram_jaccard_pairs(df, n=2, expand_cap=0).collect()
+    )
+    expand_arm = sorted(
+        tuple(r[c] for c in cols)
+        for r in ngram_jaccard_pairs(df, n=2, expand_cap=10**9).collect()
+    )
+    assert join_arm == expand_arm
+
+
+edges_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(edges=edges_st)
+@settings(max_examples=100, deadline=None)
+def test_connected_components_paths_agree(spark, edges):
+    """The driver union-find fast path and the distributed
+    large-star/small-star contraction must assign the IDENTICAL
+    (node, cluster_id) labels for any edge list — including self-loops,
+    duplicates, and both orientations."""
+    from icebergproject_spark.llm.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(16)], "node long"
+    )
+    if edges:
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        e = spark.createDataFrame([], "id_a long, id_b long")
+    fast = {
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            e, nodes=nodes, node_col="node", driver_threshold=10**6
+        ).collect()
+    }
+    dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            e, nodes=nodes, node_col="node", driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
