@@ -268,7 +268,313 @@ class LakehouseTable:
         with open(tmp, "w") as f:
             json.dump(snap, f)
         os.replace(tmp, path)  # atomic commit, like Iceberg's metadata swap
+        self._write_commit_metadata(snap)
         return snap
+
+    # -- Iceberg-spec-shaped metadata layer (manifest lists + vN files) ----
+    #
+    # The fallback mirrors the Iceberg v2 METADATA TREE one level deeper
+    # than the snapshot JSONs (VERDICT r2 ask #7): every commit writes
+    #   metadata/manifest-<dirkey>.json      one manifest PER DATA DIR,
+    #       written once when the dir first appears and REUSED by every
+    #       later snapshot's manifest list — Iceberg's manifest-reuse
+    #       model (unchanged data never gets re-listed);
+    #   metadata/snap-<id>.manifest-list.json  the snapshot's manifest
+    #       list (one entry per manifest, Iceberg field names);
+    #   metadata/v<N>.metadata.json          full table metadata
+    #       (format-version 2 field set) + metadata-log chaining;
+    #   metadata/version-hint.text           latest version pointer
+    #       (HadoopCatalog convention).
+    # JSON stands in for Avro (no Avro writer in-env; field SHAPE is the
+    # spec-parity claim, pinned by tests).  ``read_via_manifests``
+    # resolves a scan purely through this chain to prove it is complete.
+
+    @property
+    def metadata_dir(self) -> str:
+        d = os.path.join(self.root, "metadata")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _manifest_path_for_dir(self, d: str, content: str) -> str:
+        # key by the dir's basename (a uuid for data dirs): stable across
+        # snapshots, so later manifest lists reuse the same manifest file
+        return os.path.join(
+            self.metadata_dir, f"manifest-{content}-{os.path.basename(d)}.json"
+        )
+
+    def _write_manifest_for_dir(
+        self, d: str, snapshot_id: int, content: str
+    ) -> str:
+        """One manifest per data/delete directory, Iceberg v2 entry shape:
+        written when the directory FIRST enters a snapshot, reused by
+        reference afterwards.  Returns the manifest path."""
+        import glob as _glob
+
+        path = self._manifest_path_for_dir(d, content)
+        if os.path.exists(path):
+            return path
+        import pyarrow.parquet as _pq
+
+        entries = []
+        for f in sorted(
+            _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        ):
+            try:
+                nrows = _pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                nrows = None
+            if nrows == 0:
+                # Spark's unused output partitions: Iceberg never lists
+                # empty data files in a manifest
+                continue
+            rel = os.path.relpath(f, d)
+            partition = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    partition[k] = v
+            entries.append(
+                {
+                    "status": 1,  # ADDED (in the manifest that introduced it)
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": snapshot_id,
+                    "data_file": {
+                        "content": 0 if content == "data" else 1,
+                        "file_path": f,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": nrows,
+                        "file_size_in_bytes": os.path.getsize(f),
+                    },
+                }
+            )
+        doc = {
+            "manifest_path": path,
+            "partition_spec_id": 0,
+            "content": content,
+            "added_snapshot_id": snapshot_id,
+            "entries": entries,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+        return path
+
+    def _write_commit_metadata(self, snap: dict) -> None:
+        sid = snap["snapshot_id"]
+        # 1. manifests (one per dir, first-appearance only) + the list
+        lists = []
+        for content, dirs in (
+            ("data", snap["data_dirs"]),
+            ("deletes", snap.get("delete_dirs", [])),
+        ):
+            for d in dirs:
+                mp = self._write_manifest_for_dir(d, sid, content)
+                with open(mp) as f:
+                    m = json.load(f)
+                lists.append(
+                    {
+                        "manifest_path": mp,
+                        "manifest_length": os.path.getsize(mp),
+                        "partition_spec_id": 0,
+                        "content": 0 if content == "data" else 1,
+                        "sequence_number": sid,
+                        "min_sequence_number": m["added_snapshot_id"],
+                        "added_snapshot_id": m["added_snapshot_id"],
+                        "added_files_count": len(m["entries"])
+                        if m["added_snapshot_id"] == sid
+                        else 0,
+                        "existing_files_count": 0
+                        if m["added_snapshot_id"] == sid
+                        else len(m["entries"]),
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            e["data_file"]["record_count"] or 0
+                            for e in m["entries"]
+                        )
+                        if m["added_snapshot_id"] == sid
+                        else 0,
+                        "existing_rows_count": 0
+                        if m["added_snapshot_id"] == sid
+                        else sum(
+                            e["data_file"]["record_count"] or 0
+                            for e in m["entries"]
+                        ),
+                        "deleted_rows_count": 0,
+                    }
+                )
+        ml_path = os.path.join(
+            self.metadata_dir, f"snap-{sid:09d}.manifest-list.json"
+        )
+        tmp = ml_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"manifest_list": lists}, f)
+        os.replace(tmp, ml_path)
+        # 2. v<N>.metadata.json — the format-version-2 field set
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        prev_n = 0
+        prev_meta_path = None
+        if os.path.exists(hint):
+            with open(hint) as f:
+                prev_n = int(f.read().strip() or 0)
+            prev_meta_path = os.path.join(
+                self.metadata_dir, f"v{prev_n}.metadata.json"
+            )
+        n = prev_n + 1
+        prev_meta = {}
+        if prev_meta_path and os.path.exists(prev_meta_path):
+            with open(prev_meta_path) as f:
+                prev_meta = json.load(f)
+        table_uuid = prev_meta.get("table-uuid") or uuid.uuid4().hex
+        metadata_log = prev_meta.get("metadata-log", [])
+        if prev_meta_path and os.path.exists(prev_meta_path):
+            metadata_log = metadata_log + [
+                {
+                    "metadata-file": prev_meta_path,
+                    "timestamp-ms": prev_meta.get("last-updated-ms"),
+                }
+            ]
+        spec = self._partition_spec()
+        fields = (
+            [
+                {
+                    "source-id": 1,
+                    "field-id": 1000,
+                    "name": f"{spec['column']}_{spec['transform']}",
+                    "transform": spec["transform"],
+                }
+            ]
+            if spec
+            else []
+        )
+        mainline = self._mainline()
+        refs = self._refs()
+        meta = {
+            "format-version": 2,
+            "table-uuid": table_uuid,
+            "location": self.root,
+            "last-sequence-number": sid,
+            "last-updated-ms": snap["timestamp_ms"],
+            "last-column-id": 0,  # column ids tracked by parquet schema
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 if fields else 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {},
+            "current-snapshot-id": mainline[-1]["snapshot_id"]
+            if mainline
+            else -1,
+            "snapshots": [
+                {
+                    "snapshot-id": s["snapshot_id"],
+                    "parent-snapshot-id": s.get("parent_id"),
+                    "sequence-number": s["snapshot_id"],
+                    "timestamp-ms": s["timestamp_ms"],
+                    "manifest-list": os.path.join(
+                        self.metadata_dir,
+                        f"snap-{s['snapshot_id']:09d}.manifest-list.json",
+                    ),
+                    "summary": {
+                        "operation": s.get("operation", ""),
+                        **{
+                            k: str(v)
+                            for k, v in (s.get("summary") or {}).items()
+                        },
+                    },
+                }
+                for s in self._snapshots()
+            ],
+            "snapshot-log": [
+                {
+                    "snapshot-id": s["snapshot_id"],
+                    "timestamp-ms": s["timestamp_ms"],
+                }
+                for s in mainline
+            ],
+            "metadata-log": metadata_log,
+            "refs": {
+                **(
+                    {
+                        "main": {
+                            "snapshot-id": mainline[-1]["snapshot_id"],
+                            "type": "branch",
+                        }
+                    }
+                    if mainline
+                    else {}
+                ),
+                **{
+                    name: {
+                        "snapshot-id": (self.branch_head(name) or {}).get(
+                            "snapshot_id"
+                        ),
+                        "type": "branch",
+                    }
+                    for name in refs.get("branches", {})
+                },
+                **{
+                    name: {"snapshot-id": t["snapshot_id"], "type": "tag"}
+                    for name, t in refs.get("tags", {}).items()
+                },
+            },
+        }
+        meta_path = os.path.join(self.metadata_dir, f"v{n}.metadata.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        tmp_hint = hint + ".tmp"
+        with open(tmp_hint, "w") as f:
+            f.write(str(n))
+        os.replace(tmp_hint, hint)
+
+    def read_via_manifests(self, snapshot_id: int | None = None) -> DataFrame:
+        """Resolve a snapshot scan PURELY through the Iceberg-shaped
+        metadata chain: version-hint → v<N>.metadata.json → the
+        snapshot's manifest list → manifests → data file paths.  Proves
+        the metadata tree is complete (test-asserted equal to ``read``).
+        Positional deletes are applied exactly like ``read`` by routing
+        content=1 manifests to the delete side."""
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        with open(hint) as f:
+            n = int(f.read().strip())
+        with open(os.path.join(self.metadata_dir, f"v{n}.metadata.json")) as f:
+            meta = json.load(f)
+        sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+        snap_entry = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        with open(snap_entry["manifest-list"]) as f:
+            ml = json.load(f)["manifest_list"]
+        data_files: list[str] = []
+        delete_files: list[str] = []
+        for entry in ml:
+            with open(entry["manifest_path"]) as f:
+                man = json.load(f)
+            for e in man["entries"]:
+                (data_files if e["data_file"]["content"] == 0 else delete_files).append(
+                    e["data_file"]["file_path"]
+                )
+        if not data_files:
+            # every file was empty (manifests skip zero-row files): the
+            # snapshot's state is an empty table with the current schema
+            return self.read(snapshot_id=sid).limit(0)
+        df = self.spark.read.parquet(*data_files)
+        if "__p" in df.columns:
+            df = df.drop("__p")
+        if delete_files:
+            dels = self.spark.read.parquet(*delete_files).select("__file", "__pos")
+            addressed = self._address(self.spark.read.parquet(*data_files))
+            df = addressed.join(
+                F.broadcast(dels), ["__file", "__pos"], "left_anti"
+            ).drop("__file", "__pos")
+            if "__p" in df.columns:
+                df = df.drop("__p")
+        return df
 
     def _write_data(self, df: DataFrame) -> str:
         d = os.path.join(self.data_dir, uuid.uuid4().hex)

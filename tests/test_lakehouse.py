@@ -837,3 +837,127 @@ def test_commit_id_minting_skips_claimed_ids(spark, catalog):
     s2 = t.append(df_of(spark, [("2", "b")]))["snapshot_id"]
     assert s2 == s1 + 2  # claimed id skipped
     assert sorted(r.id for r in t.read().collect()) == ["1", "2"]
+
+
+# --- Iceberg-spec-shaped metadata tree (round 3, VERDICT ask #7) -----------
+
+def test_manifest_list_chain_resolves_scan(spark, catalog):
+    """version-hint -> vN.metadata.json -> manifest list -> manifests ->
+    data files must resolve the same rows as the snapshot read, for the
+    current AND a historical snapshot."""
+    import json
+    import os
+
+    t = catalog.table("MLIST")
+    s1 = t.append(df_of(spark, [("1", "a"), ("2", "b")]))["snapshot_id"]
+    t.append(df_of(spark, [("3", "c")]))
+
+    via = {r.id for r in t.read_via_manifests().collect()}
+    assert via == {r.id for r in t.read().collect()} == {"1", "2", "3"}
+    old = {r.id for r in t.read_via_manifests(snapshot_id=s1).collect()}
+    assert old == {"1", "2"}
+
+    # layout: hint + versioned metadata + one manifest list per snapshot
+    md = t.metadata_dir
+    names = sorted(os.listdir(md))
+    assert "version-hint.text" in names
+    with open(os.path.join(md, "version-hint.text")) as f:
+        n = int(f.read())
+    assert n == 2  # two commits -> v1, v2
+    assert f"v{n}.metadata.json" in names
+    assert sum(1 for x in names if x.endswith(".manifest-list.json")) == 2
+    # metadata-log chains v1 under v2
+    with open(os.path.join(md, f"v{n}.metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["metadata-log"] and meta["metadata-log"][0]["metadata-file"].endswith(
+        "v1.metadata.json"
+    )
+
+
+def test_manifest_reuse_across_snapshots(spark, catalog):
+    """A data dir's manifest is written ONCE (at first appearance) and
+    later snapshots' manifest lists reference it as existing files —
+    Iceberg's manifest-reuse model: unchanged data is never re-listed."""
+    import json
+    import os
+
+    t = catalog.table("MREUSE")
+    s1 = t.append(df_of(spark, [("1", "a")]))["snapshot_id"]
+    s2 = t.append(df_of(spark, [("2", "b")]))["snapshot_id"]
+
+    md = t.metadata_dir
+    manifests = [x for x in os.listdir(md) if x.startswith("manifest-data-")]
+    assert len(manifests) == 2  # one per data dir, not per (snapshot, dir)
+
+    with open(os.path.join(md, f"snap-{s2:09d}.manifest-list.json")) as f:
+        ml = json.load(f)["manifest_list"]
+    assert len(ml) == 2
+    by_added = {e["added_snapshot_id"]: e for e in ml}
+    # the dir from s1 appears as EXISTING in s2's list, the new one as ADDED
+    assert by_added[s1]["existing_files_count"] >= 1
+    assert by_added[s1]["added_files_count"] == 0
+    assert by_added[s2]["added_files_count"] >= 1
+    assert by_added[s2]["added_rows_count"] == 1
+
+
+def test_metadata_field_names_match_iceberg_v2_spec(spark, catalog):
+    """Field-name parity with the Iceberg format-version-2 spec: the
+    table metadata, manifest-list entries, and manifest entries carry
+    the spec's field names (the layout-parity check the fallback
+    promises; JSON stands in for Avro)."""
+    import json
+    import os
+
+    t = catalog.table("MSPEC")
+    t.append(df_of(spark, [("1", "a")]))
+
+    md = t.metadata_dir
+    with open(os.path.join(md, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    required_meta = {
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "last-partition-id",
+        "sort-orders", "default-sort-order-id", "properties",
+        "current-snapshot-id", "snapshots", "snapshot-log", "metadata-log",
+        "refs",
+    }
+    assert required_meta <= set(meta)
+    assert meta["format-version"] == 2
+    snap = meta["snapshots"][0]
+    assert {
+        "snapshot-id", "parent-snapshot-id", "sequence-number",
+        "timestamp-ms", "manifest-list", "summary",
+    } <= set(snap)
+    assert "operation" in snap["summary"]
+
+    with open(snap["manifest-list"]) as f:
+        entry = json.load(f)["manifest_list"][0]
+    assert {
+        "manifest_path", "manifest_length", "partition_spec_id", "content",
+        "sequence_number", "min_sequence_number", "added_snapshot_id",
+        "added_files_count", "existing_files_count", "deleted_files_count",
+        "added_rows_count", "existing_rows_count", "deleted_rows_count",
+    } <= set(entry)
+
+    with open(entry["manifest_path"]) as f:
+        man = json.load(f)
+    e = man["entries"][0]
+    assert {"status", "snapshot_id", "sequence_number", "data_file"} <= set(e)
+    assert {
+        "content", "file_path", "file_format", "partition", "record_count",
+        "file_size_in_bytes",
+    } <= set(e["data_file"])
+    assert e["data_file"]["file_format"] == "PARQUET"
+    assert e["data_file"]["record_count"] == 1
+
+
+def test_read_via_manifests_applies_position_deletes(spark, catalog):
+    """content=1 (delete) manifests route through the chain and the
+    metadata-only scan subtracts them like read() does."""
+    t = catalog.table("MDEL")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+    t.delete_where("id = '2'", mode="merge-on-read")
+
+    assert {r.id for r in t.read_via_manifests().collect()} == {"1", "3"}
+    assert {r.id for r in t.read().collect()} == {"1", "3"}
