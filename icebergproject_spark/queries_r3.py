@@ -106,6 +106,162 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass matrix across sources: for every source pair
+    (a <= b), how many NEAR-duplicate document pairs (verified exact
+    Jaccard >= 3/10) span them — off-diagonal entries catch one crawl
+    re-ingesting (a lightly edited copy of) another, the diagonal
+    profiles each source's internal duplication.  The dataset-mixing
+    audit upstream of per-source sampling weights.
+
+    Pair generation is the LSH-banded verified tier (candidates exact-
+    verified — the 100 TB shape); the source enrichment is two broadcast
+    joins on doc ids, and the matrix aggregate groups on the tiny
+    (source, source) key space."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH sh AS (
+  SELECT doc_id AS id, sz, UNNEST(grams) AS g FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)]) AS grams,
+           len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)])) AS sz
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING 10 * COUNT(*) >= 3 * (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*))
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-audit op: documents whose STORED language tag disagrees
+    with the n-gram language-ID prediction — the label-noise sweep every
+    multilingual corpus needs before per-language mixing.  One broadcast
+    of the marker vote, no extra shuffle beyond language_id's own."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = llm_text.language_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .filter(F.col("lang") != F.col("lang_pred"))
+        .select("doc_id", "lang", "lang_pred")
+    )
+
+
+def _lang_mismatch_oracle() -> str:
+    from icebergproject_spark.queries import _lang_oracle
+
+    return f"""
+WITH pred AS ({_lang_oracle()})
+SELECT d.doc_id, d.lang, p.lang_pred
+FROM documents d JOIN pred p USING (doc_id)
+WHERE d.lang <> p.lang_pred
+"""
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel detection over the embedding space (cleanlab-style): for
+    every vector, how many of its 5 exact nearest neighbors share its
+    label.  Low agreement flags candidate labeling errors — the
+    embedding-side audit twin of ``lang_mismatch``.  Builds on the
+    blocked-gemm k-NN graph; the label enrichment is two broadcast
+    joins, and the agreement aggregate groups on vec_id only."""
+    from icebergproject_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = similarity.knn_graph(emb, k=5, n_blocks=6)
+    labels = emb.select("vec_id", "label")
+    ql = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    return (
+        graph.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .groupBy(F.col("query_id").alias("vec_id"))
+        .agg(
+            F.first("label").alias("label"),
+            F.sum(
+                F.when(F.col("label") == F.col("neighbor_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same_label"),
+            F.round(
+                F.avg(
+                    F.when(F.col("label") == F.col("neighbor_label"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("agreement"),
+        )
+    )
+
+
+ORACLE_LABEL_AGREEMENT = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS rank
+  FROM p
+)
+SELECT r.query_id AS vec_id,
+       ANY_VALUE(q.label) AS label,
+       CAST(SUM(CASE WHEN q.label = n.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       ROUND(AVG(CASE WHEN q.label = n.label THEN 1.0 ELSE 0.0 END), 6)
+         AS agreement
+FROM ranked r
+JOIN v q ON q.vec_id = r.query_id
+JOIN v n ON n.vec_id = r.neighbor_id
+WHERE r.rank <= 5
+GROUP BY r.query_id
+"""
+
+
 R3_REGISTRY: dict[str, Query] = {
     "dedup_verified_strict": Query(
         q_dedup_verified_strict, ORACLE_DEDUP_VERIFIED_STRICT
@@ -113,4 +269,7 @@ R3_REGISTRY: dict[str, Query] = {
     "similarity_multiprobe": Query(
         q_similarity_multiprobe, ORACLE_SIMILARITY_MULTIPROBE
     ),
+    "source_overlap": Query(q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    "lang_mismatch": Query(q_lang_mismatch, _lang_mismatch_oracle()),
+    "label_agreement": Query(q_label_agreement, ORACLE_LABEL_AGREEMENT),
 }
