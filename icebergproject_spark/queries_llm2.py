@@ -332,11 +332,19 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.first("norm_text").alias("norm_text"),
     )
+    # LAZY checkpoints (eager=False — no job at build time) pin the two
+    # relations the DAG consumes from several branches: the span tier
+    # reads `surv` three ways (windows, tokens, totals) and the
+    # decontamination + gate read `clean` three more.  Without the pins
+    # Catalyst recomputes every branch from the parquet scan (the plan
+    # audit showed 12 corpus scans); with them each tier materializes
+    # once — at 100 TB that trade is decisively right.
+    surv = surv.localCheckpoint(eager=False)
     # span tier over the deduped corpus: (doc_id, clean_text, n_tokens,
     # n_removed)
     clean = llm_dedup.remove_duplicate_spans(
         surv, content_col="norm_text", id_col="doc_id", k=8
-    )
+    ).localCheckpoint(eager=False)
     # decontamination: every 97th doc is the held-out benchmark stand-in;
     # bench docs leave the training set, and so does anything sharing
     # ≥2 distinct 3-grams of CLEANED text with them
