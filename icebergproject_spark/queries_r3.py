@@ -262,32 +262,6 @@ GROUP BY r.query_id
 """
 
 
-def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT distributed percentiles (p50/p90/p99 of account balance per
-    market segment) via Spark's ``percentile`` aggregate — linear
-    interpolation identical to DuckDB's ``quantile_cont``, so the result
-    is hash-checkable cross-engine (probed before registration: equal at
-    round-6 on this data).  Complements ``balance_deciles`` (equal-depth
-    NTILE) and the scale-mode approxQuantile cut points: this is the
-    exact-tier percentile, one aggregate shuffle, no window."""
-    cust = _t(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        F.expr("round(percentile(c_acctbal, 0.5), 6)").alias("p50"),
-        F.expr("round(percentile(c_acctbal, 0.9), 6)").alias("p90"),
-        F.expr("round(percentile(c_acctbal, 0.99), 6)").alias("p99"),
-    )
-
-
-ORACLE_BALANCE_PERCENTILES = """
-SELECT c_mktsegment,
-       ROUND(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 6) AS p50,
-       ROUND(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.9), 6) AS p90,
-       ROUND(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.99), 6) AS p99
-FROM customer
-GROUP BY c_mktsegment
-"""
-
-
 R3_REGISTRY: dict[str, Query] = {
     "dedup_verified_strict": Query(
         q_dedup_verified_strict, ORACLE_DEDUP_VERIFIED_STRICT
@@ -298,7 +272,4 @@ R3_REGISTRY: dict[str, Query] = {
     "source_overlap": Query(q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "lang_mismatch": Query(q_lang_mismatch, _lang_mismatch_oracle()),
     "label_agreement": Query(q_label_agreement, ORACLE_LABEL_AGREEMENT),
-    "balance_percentiles": Query(
-        q_balance_percentiles, ORACLE_BALANCE_PERCENTILES
-    ),
 }
