@@ -12,9 +12,84 @@ partitionings (and therefore DuckDB-oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_exprs: list[Column],
+    num_parts: int | None = None,
+    rank_col: str = "__rn",
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` over a total order WITHOUT the
+    single-partition global-window sort — the distributed form of
+    ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+    Shape: ``repartitionByRange`` on the order expressions (distributed
+    range sort — partition *i*'s rows all precede partition *i+1*'s in
+    the total order), one bounded driver reduction of per-partition row
+    counts (``num_parts`` rows) turned into cumulative offsets, then a
+    per-partition ``row_number`` window (partitioned by the physical
+    partition id, so every partition sorts independently) plus the
+    broadcast offset.  Result is byte-identical to the global window —
+    which is exactly what keeps the ANSI-SQL oracles green while the
+    executed plan stays 100 TB-safe: no stage ever sees more than one
+    range partition of rows.
+
+    ``order_exprs`` must define a TOTAL order (include a unique tiebreak
+    column) — otherwise ranks of tied rows are partition-placement-
+    dependent.  Returns ``(df_with_rank, total_row_count)`` — the count
+    is a free by-product of the offset reduction, so callers needing
+    ``n`` (e.g. exact NTILE) don't pay another job.
+    """
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # lazy localCheckpoint: the offsets job below materializes the ranged
+    # exchange once; the caller's consumer reuses it instead of
+    # re-shuffling (the documented no-exchange-reuse trap for
+    # twice-consumed plans)
+    parted = (
+        df.repartitionByRange(num_parts, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((int(pid), int(acc)))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    ranked = (
+        parted.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(w)).cast("long"))
+        .drop("__pid", "__off")
+    )
+    return ranked, acc
+
+
+def exact_ntile(rn: Column, n: int, k: int) -> Column:
+    """ANSI ``NTILE(k)`` as a pure expression of the global rank ``rn``
+    (1-based) and the known total row count ``n``: the first ``n % k``
+    buckets take ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — the exact
+    standard semantics, so outputs hash-match NTILE oracles."""
+    if n <= 0:
+        return F.lit(1).cast("int")
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: row i → bucket i
+        return rn.cast("int")
+    thresh = r * (q + 1)
+    return (
+        F.when(rn <= F.lit(thresh), F.floor((rn - 1) / F.lit(q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn - 1 - F.lit(thresh)) / F.lit(q)) + 1)
+        .cast("int")
+    )
 
 
 def shuffle_key(id_col: str, salt: str) -> F.Column:
@@ -46,7 +121,7 @@ def global_shuffle(
     id_col: str = "doc_id",
     num_shards: int = 16,
     salt: str = "seed0",
-    mode: str = "portable",
+    mode: str = "scale",
 ) -> DataFrame:
     """Deterministic global shuffle + shard/position assignment: order
     the corpus by ``md5(salt || id)`` and deal rows round-robin into
@@ -54,31 +129,27 @@ def global_shuffle(
     yields the same layout (the property retry-safe training-data jobs
     need — a rerun must not produce different shards).
 
-    ``mode="portable"`` computes (shard, pos) with ONE global
-    row_number window — a single total order, exact, and expressible in
-    ANSI SQL (the oracle form).  A global window is a one-partition sort
-    in Spark, so this mode is for oracle parity and modest data.
+    ``mode="scale"`` (the DEFAULT — the driver-exercised path is the
+    100 TB path) computes the global rank with ``exact_global_rank``:
+    distributed range sort + per-partition row_number + broadcast
+    cumulative offsets.  Byte-identical layout to the portable form, so
+    the same ANSI-SQL oracle checks it, but no stage ever holds more
+    than one range partition.
 
-    ``mode="scale"`` is the 100 TB path: ``repartitionByRange`` on the
-    md5 key (distributed range sort, no single-partition stage) +
-    ``sortWithinPartitions``; shard = range-partition id, pos = position
-    within shard.  Same statistical properties (md5 keys are uniform, so
-    range shards are balanced), different — but still deterministic up
-    to Spark's range-sampling — shard boundaries; emits the same
-    columns.
+    ``mode="portable"`` is the oracle twin spelled the way the SQL
+    reads: ONE global row_number window (a single-partition sort in
+    Spark — kept only as the semantic specification and for A/B tests;
+    never the default).
     """
     key = shuffle_key(id_col, salt)
     if mode == "scale":
-        parted = (
-            df.withColumn("__k", key)
-            .repartitionByRange(num_shards, "__k")
-            .sortWithinPartitions("__k")
-        )
-        w = Window.partitionBy(F.spark_partition_id()).orderBy("__k")
-        return parted.select(
+        keyed = df.select(F.col(id_col), key.alias("__k"))
+        ranked, _ = exact_global_rank(keyed, [F.col("__k"), F.col(id_col)])
+        rn = F.col("__rn")
+        return ranked.select(
             F.col(id_col),
-            F.spark_partition_id().alias("shard"),
-            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            ((rn - 1) % num_shards).cast("long").alias("shard"),
+            (rn - 1).cast("long").alias("pos"),
         )
     w = Window.orderBy(key, F.col(id_col))
     rn = F.row_number().over(w)
@@ -94,28 +165,41 @@ def curriculum_bins(
     content_col: str = "text",
     id_col: str = "doc_id",
     num_bins: int = 10,
-    mode: str = "portable",
+    mode: str = "scale",
 ) -> DataFrame:
     """Length-based curriculum binning: rank documents by token count
     (shortest first — the classic easy→hard proxy) and cut the ranking
     into ``num_bins`` equal-depth bins.  A curriculum scheduler then
     drains bin 1 before bin 2, etc.
 
-    ``mode="portable"``: NTILE over the deterministic total order
-    (n_tokens, then id) — exact equal-depth and hash-stable across
-    engines (the oracle form), but a one-partition global sort.
+    ``mode="scale"`` (the DEFAULT): exact NTILE computed distributed —
+    ``exact_global_rank`` over (n_tokens, id) gives the global rank and
+    total count without a single-partition sort, and ``exact_ntile``
+    turns (rank, n) into the standard NTILE bucket as a pure
+    expression.  Byte-identical to the NTILE oracle.
 
-    ``mode="scale"`` is the 100 TB path: one distributed
-    ``approxQuantile`` pass over the token counts yields num_bins-1 cut
-    points (bounded O(k) driver reduction), and bin assignment becomes a
-    map-side comparison against the broadcast cut points — no window, no
-    global sort, no shuffle at all (token counting is per-row).  Bins
-    are equal-depth up to sketch error; ties on length share a bin
-    (value-cut semantics — fine for a curriculum, which orders by the
-    VALUE anyway).
+    ``mode="portable"``: NTILE over a global window — the oracle twin
+    spelled the way the SQL reads (one-partition sort; A/B only).
+
+    ``mode="approx"``: one distributed ``approxQuantile`` pass yields
+    num_bins-1 VALUE cut points (bounded O(k) driver reduction) and bin
+    assignment is a map-side comparison — no window, no sort at all.
+    Equal-depth up to sketch error; ties on length share a bin
+    (value-cut semantics).  The cheapest arm when exact rank-cut
+    equal-depth isn't required.
     """
     n_tok = F.size(F.split(F.col(content_col), " "))
     if mode == "scale":
+        scored = df.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+        ranked, n = exact_global_rank(
+            scored, [F.col("n_tokens").asc(), F.col(id_col).asc()]
+        )
+        return ranked.select(
+            id_col,
+            "n_tokens",
+            exact_ntile(F.col("__rn"), n, num_bins).alias("bin"),
+        )
+    if mode == "approx":
         scored = df.select(
             F.col(id_col), n_tok.cast("long").alias("n_tokens")
         )

@@ -510,7 +510,7 @@ def quality_buckets(
     content_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 3,
-    mode: str = "portable",
+    mode: str = "scale",
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): rank
     documents by LM quality score and cut into equal-depth buckets —
@@ -518,22 +518,31 @@ def quality_buckets(
     highest mean log-probability.  num_buckets=3 gives the canonical
     labels; any k works (curriculum over quality = larger k).
 
-    ``mode="portable"``: NTILE over the global score order — exact
-    equal-depth, ANSI-SQL-expressible (the oracle form), but a
-    one-partition sort in Spark, so for modest data only.
+    ``mode="scale"`` (the DEFAULT): exact NTILE computed distributed —
+    ``exact_global_rank`` over (mean_logprob DESC, id ASC) plus the
+    ``exact_ntile`` expression.  Byte-identical to the global-window
+    form with no single-partition stage.
 
-    ``mode="scale"`` is the 100 TB path: one distributed
-    ``approxQuantile`` pass yields k-1 score cut points (a bounded,
-    O(k) driver reduction), then bucket assignment is a MAP-SIDE
-    expression against the broadcast cut points — no window, no global
-    sort, no extra shuffle beyond the scoring aggregates.  Buckets are
-    equal-depth up to quantile-sketch error (1e-3 relative) and ties
-    land in one bucket together (value-cut vs rank-cut semantics — the
-    CCNet-faithful behavior: equal scores get equal treatment).
+    ``mode="portable"``: NTILE over a global window — the semantic
+    specification as the SQL reads it (one-partition sort; A/B only).
+
+    ``mode="approx"``: one distributed ``approxQuantile`` pass yields
+    k-1 score CUT POINTS (bounded O(k) driver reduction) and bucket
+    assignment is a map-side comparison — no window, no sort.  Buckets
+    are equal-depth up to sketch error and ties land in one bucket
+    together (value-cut semantics: equal scores get equal treatment).
     Output: (doc_id, n_tokens, mean_logprob, bucket, bucket_label).
     """
     scored = unigram_logprob_score(df, content_col, id_col)
     if mode == "scale":
+        from icebergproject_spark.llm.sharding import exact_global_rank, exact_ntile
+
+        ranked, n = exact_global_rank(
+            scored, [F.col("mean_logprob").desc(), F.col(id_col).asc()]
+        )
+        bucket = exact_ntile(F.col("__rn"), n, num_buckets)
+        scored = ranked
+    elif mode == "approx":
         # one materialization feeds both the quantile pass and the output
         # (the documented no-exchange-reuse trap for twice-consumed plans)
         scored = scored.localCheckpoint(eager=True)

@@ -113,8 +113,10 @@ FROM t LEFT JOIN reb r USING (doc_id)
 
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard layout: md5-keyed global shuffle,
-    16 shards, round-robin deal (portable mode — the oracle-equal form;
-    the scale path is sharding.global_shuffle(mode='scale'))."""
+    16 shards, round-robin deal.  Runs the DEFAULT mode='scale' path —
+    exact distributed rank (range sort + per-partition row_number +
+    broadcast offsets), byte-identical to the global-window SQL the
+    oracle runs, with no single-partition stage."""
     from icebergproject_spark.llm import sharding
 
     docs = _t(spark, sf_dir, "documents")
@@ -137,7 +139,9 @@ FROM keyed
 
 
 def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-based curriculum: NTILE(10) over (token count, id)."""
+    """Length-based curriculum: NTILE(10) over (token count, id) —
+    DEFAULT mode='scale': exact distributed NTILE (no global window),
+    hash-equal to the NTILE oracle."""
     from icebergproject_spark.llm import sharding
 
     docs = _t(spark, sf_dir, "documents")
@@ -220,7 +224,8 @@ GROUP BY event_type
 
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split by LM quality score (rows-only:
-    float score ordering; bucket invariants pytest-pinned)."""
+    float score ordering; bucket invariants pytest-pinned).  DEFAULT
+    mode='scale': exact distributed NTILE, no global window."""
     from icebergproject_spark.llm import text as llm_text
 
     docs = _t(spark, sf_dir, "documents")

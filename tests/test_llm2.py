@@ -79,19 +79,52 @@ def test_global_shuffle_deterministic_and_balanced(spark):
 
 
 def test_global_shuffle_scale_mode(spark):
+    """mode='scale' (the registry default): byte-identical layout to the
+    portable global-window form — the oracle-parity pin — and the plan
+    carries NO partition-less window (every windowspec is keyed by the
+    physical partition id, i.e. the single-partition sort is gone)."""
+    import re
+
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
     )
-    out = sharding.global_shuffle(docs, num_shards=8, mode="scale").collect()
-    assert len(out) == 400
-    by_shard = Counter(r["shard"] for r in out)
-    # range partitioning on uniform md5 keys: every shard non-empty and
-    # no shard grossly oversized
-    assert len(by_shard) == 8
-    assert max(by_shard.values()) < 400 * 0.5
-    # per-shard positions are dense from 0
-    for s, cnt in by_shard.items():
-        assert sorted(r["pos"] for r in out if r["shard"] == s) == list(range(cnt))
+    out = sharding.global_shuffle(docs, num_shards=8, mode="scale")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,)]*)", plan)
+    assert specs and all(s.startswith("__pid") for s in specs)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            sharding.global_shuffle(
+                docs, num_shards=8, mode="portable"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_exact_global_rank_offsets(spark):
+    """exact_global_rank: the distributed rank is the exact 1..n
+    permutation of the total order, across partition-count settings
+    (exercises the cumulative-offset join, including empty range
+    partitions when num_parts >> rows)."""
+    from icebergproject_spark.llm.sharding import exact_global_rank
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(101)], "id long, v long"
+    )
+    for num_parts in (1, 3, 64):
+        ranked, n = exact_global_rank(
+            df, [F.col("v").asc(), F.col("id").asc()], num_parts=num_parts
+        )
+        assert n == 101
+        rows = ranked.collect()
+        by_rank = sorted(rows, key=lambda r: r["__rn"])
+        assert [r["__rn"] for r in by_rank] == list(range(1, 102))
+        vs = [(r["v"], r["id"]) for r in by_rank]
+        assert vs == sorted(vs)
 
 
 def test_curriculum_bins_monotone(spark):
@@ -109,15 +142,39 @@ def test_curriculum_bins_monotone(spark):
     assert toks == sorted(toks)
 
 
-def test_curriculum_bins_scale_mode(spark):
-    """mode='scale' (approx-quantile cut points + map-side lookup):
+def test_curriculum_bins_scale_equals_portable(spark):
+    """mode='scale' (the registry default): exact distributed NTILE —
+    byte-identical to the portable global-window form, no partition-less
+    window in the plan."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ((i % 23) + 1))) for i in range(217)],
+        "doc_id long, text string",
+    )
+    out = sharding.curriculum_bins(docs, num_bins=7, mode="scale")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,)]*)", plan)
+    assert specs and all(s.startswith("__pid") for s in specs)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            sharding.curriculum_bins(docs, num_bins=7, mode="portable").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_curriculum_bins_approx_mode(spark):
+    """mode='approx' (approx-quantile cut points + map-side lookup):
     value-monotone bins of near-equal depth, and the plan carries NO
     window at all (the single-partition NTILE sort is gone)."""
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * (i + 1))) for i in range(200)],
         "doc_id long, text string",
     )
-    out = sharding.curriculum_bins(docs, num_bins=5, mode="scale")
+    out = sharding.curriculum_bins(docs, num_bins=5, mode="approx")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     rows = out.collect()
@@ -136,8 +193,32 @@ def test_curriculum_bins_scale_mode(spark):
     assert all(20 <= len(v) <= 60 for v in by_bin.values())
 
 
-def test_quality_buckets_scale_mode(spark):
-    """mode='scale' quality split: no window in the plan; head bucket
+def test_quality_buckets_scale_equals_portable(spark):
+    """mode='scale' (the registry default): exact distributed NTILE over
+    (score DESC, id ASC) — byte-identical to the portable global-window
+    form; only __pid-partitioned windows in the plan (exercises the
+    DESC-ordered range partitioning arm of exact_global_rank)."""
+    import re
+
+    from icebergproject_spark.llm.text import quality_buckets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 13}" for j in range((i % 17) + 2))) for i in range(120)],
+        "doc_id long, text string",
+    )
+    out = quality_buckets(docs, num_buckets=3, mode="scale")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,)]*)", plan)
+    assert specs and all(s.startswith("__pid") for s in specs)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(tuple, quality_buckets(docs, num_buckets=3, mode="portable").collect())
+    )
+    assert a == b
+
+
+def test_quality_buckets_approx_mode(spark):
+    """mode='approx' quality split: no window in the plan; head bucket
     holds the highest scores, tail the lowest; labels consistent."""
     from icebergproject_spark.llm.text import quality_buckets
 
@@ -152,7 +233,7 @@ def test_quality_buckets_scale_mode(spark):
         ],
         "doc_id long, text string",
     )
-    out = quality_buckets(docs, num_buckets=3, mode="scale")
+    out = quality_buckets(docs, num_buckets=3, mode="approx")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     rows = out.collect()
