@@ -86,6 +86,14 @@ _TRANSFORMS = {
 }
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent commit moved the branch head between the caller's
+    read and its commit — the analogue of Iceberg's
+    ``CommitFailedException``: the commit is NOT applied and the caller
+    must re-read the new head and retry (recompute its changes on the
+    new base)."""
+
+
 class LakehouseTable:
     """One snapshot-versioned table under ``<warehouse>/<db>/<name>/``."""
 
@@ -189,6 +197,48 @@ class LakehouseTable:
         """Snapshot log: [{snapshot_id, timestamp_ms, operation, data_dirs}]."""
         return self._snapshots()
 
+    _COMMIT_LOCK_STALE_S = 60.0
+
+    def _acquire_commit_lock(self) -> str:
+        """Table-level commit mutex: an O_CREAT|O_EXCL lock file
+        serializes the whole read-head → mint-id → publish sequence, the
+        way Iceberg's HadoopTableOperations serializes via its atomic
+        version-file rename.  A lock left by a crashed committer is
+        stolen once it is older than ``_COMMIT_LOCK_STALE_S`` (the
+        steal itself goes through os.replace of a freshly-claimed
+        token, so two stealers cannot both win)."""
+        lock = os.path.join(self.root, "commit.lock")
+        deadline = time.time() + self._COMMIT_LOCK_STALE_S * 2
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if age > self._COMMIT_LOCK_STALE_S:
+                    # steal atomically: replace wins for exactly one stealer
+                    token = lock + f".steal-{uuid.uuid4().hex}"
+                    with open(token, "w") as f:
+                        f.write(str(os.getpid()))
+                    try:
+                        os.replace(token, lock)
+                        return lock
+                    except OSError:
+                        try:
+                            os.remove(token)
+                        except FileNotFoundError:
+                            pass
+                if time.time() > deadline:
+                    raise CommitConflictError(
+                        f"commit lock {lock} held past deadline"
+                    )
+                time.sleep(0.02)
+
     def _commit(
         self,
         operation: str,
@@ -196,26 +246,60 @@ class LakehouseTable:
         batch_id: str | None = None,
         delete_dirs: list[str] | None = None,
         branch: str | None = None,
+        expected_parent_id=...,
+    ) -> dict:
+        """Publish a snapshot.  Commits are SERIALIZED by a table-level
+        lock file (no two committers interleave the head-read / id-mint /
+        metadata-version steps), and ``expected_parent_id`` adds true CAS
+        semantics on top: pass the snapshot id the change was computed
+        against (None for "expected empty table") and the commit FAILS
+        with :class:`CommitConflictError` if the branch head moved —
+        Iceberg's optimistic-concurrency contract (the loser retries on
+        the new base) rather than last-writer-wins.  The default
+        (ellipsis = no check) keeps single-writer callers unchanged:
+        they read the head inside the lock, so their parent is always
+        the true head."""
+        lock = self._acquire_commit_lock()
+        try:
+            return self._commit_locked(
+                operation, data_dirs, batch_id, delete_dirs, branch,
+                expected_parent_id,
+            )
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass  # stolen after a stall; the stealer owns it now
+
+    def _commit_locked(
+        self,
+        operation: str,
+        data_dirs: list[str],
+        batch_id: str | None,
+        delete_dirs: list[str] | None,
+        branch: str | None,
+        expected_parent_id,
     ) -> dict:
         cur = self.branch_head(branch) if branch else self.current_snapshot()
+        if expected_parent_id is not ...:
+            head_id = cur["snapshot_id"] if cur else None
+            if head_id != expected_parent_id:
+                raise CommitConflictError(
+                    f"branch head moved: expected parent {expected_parent_id}, "
+                    f"found {head_id}; re-read and retry"
+                )
         all_snaps = self._snapshots()
         # snapshot ids must be monotonic over the table's LIFETIME, not
         # just over the currently-present snapshot files: drop_branch and
         # expiry DELETE snapshot files, and reusing a dropped id would
         # silently re-point tags / snapshot_id time travel / parent
         # chains at unrelated data. A persisted high-water mark
-        # (seq.json, updated on every commit) rules that out.
-        # Concurrency: the read-modify-write on seq.json alone cannot
-        # arbitrate two concurrent committers (both could read the same
-        # high-water mark and mint the same id — silently cross-pointing
-        # tags/parents).  The actual arbiter is an O_CREAT|O_EXCL claim
-        # file per id: exactly one committer can create
-        # ``snap-<id>.json.lock``; a loser re-mints with the next id.
-        # (Iceberg arbitrates the same way via its atomic metadata swap.)
-        # A claim leaked by a crash just skips that id — ids are unique,
-        # not dense.  seq.json remains the persisted high-water mark so
-        # expiry/drop_branch can never cause id REUSE across the table's
-        # lifetime.
+        # (seq.json, updated on every commit) rules that out.  The
+        # O_CREAT|O_EXCL claim file per id is a belt-and-braces arbiter
+        # (exactly one committer can create ``snap-<id>.json.lock``)
+        # for ids minted while a stale commit lock is being stolen; a
+        # claim leaked by a crash just skips that id — ids are unique,
+        # not dense.
         seq_path = os.path.join(self.root, "seq.json")
         issued = 0
         if os.path.exists(seq_path):
@@ -230,7 +314,9 @@ class LakehouseTable:
                 break
             except FileExistsError:
                 continue  # another committer holds this id
-        tmp_seq = seq_path + ".tmp"
+        # unique tmp name: a crashed writer's leftover tmp can never be
+        # interleaved into another committer's os.replace
+        tmp_seq = seq_path + f".{uuid.uuid4().hex}.tmp"
         with open(tmp_seq, "w") as f:
             json.dump({"last_snapshot_id": next_id}, f)
         os.replace(tmp_seq, seq_path)
@@ -411,7 +497,11 @@ class LakehouseTable:
         with open(tmp, "w") as f:
             json.dump({"manifest_list": lists}, f)
         os.replace(tmp, ml_path)
-        # 2. v<N>.metadata.json — the format-version-2 field set
+        # 2. v<N>.metadata.json — the format-version-2 field set.
+        # Version minting is a read-modify-write on version-hint.text,
+        # safe because _write_commit_metadata only runs inside the
+        # table-level commit lock (_acquire_commit_lock serializes the
+        # whole commit, so no two committers can read the same prev_n)
         hint = os.path.join(self.metadata_dir, "version-hint.text")
         prev_n = 0
         prev_meta_path = None
@@ -563,12 +653,17 @@ class LakehouseTable:
             # every file was empty (manifests skip zero-row files): the
             # snapshot's state is an empty table with the current schema
             return self.read(snapshot_id=sid).limit(0)
-        df = self.spark.read.parquet(*data_files)
+        # mergeSchema, matching read(): after additive schema evolution
+        # the first file's schema must not win (a plain parquet scan
+        # silently drops columns added by later snapshots)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*data_files)
         if "__p" in df.columns:
             df = df.drop("__p")
         if delete_files:
             dels = self.spark.read.parquet(*delete_files).select("__file", "__pos")
-            addressed = self._address(self.spark.read.parquet(*data_files))
+            addressed = self._address(
+                self.spark.read.option("mergeSchema", "true").parquet(*data_files)
+            )
             df = addressed.join(
                 F.broadcast(dels), ["__file", "__pos"], "left_anti"
             ).drop("__file", "__pos")
@@ -685,6 +780,10 @@ class LakehouseTable:
             dirs,
             delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
             branch=branch,
+            # CAS: dirs were computed against this head — if another
+            # commit lands first, fail (CommitConflictError) instead of
+            # silently dropping its data_dirs from the new snapshot
+            expected_parent_id=cur["snapshot_id"] if cur else None,
         )
 
     def overwrite(self, df: DataFrame) -> dict:
@@ -1250,6 +1349,7 @@ class LakehouseTable:
             dirs,
             batch_id=batch_id,
             delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+            expected_parent_id=cur["snapshot_id"] if cur else None,
         )
 
     def history_df(self) -> DataFrame:
@@ -1478,16 +1578,17 @@ class LakehouseTable:
         ``_write_data`` but crashed before ``_commit`` (expiry GC never
         touches these because it only walks committed snapshots).
 
-        ``older_than_ms`` is the safety cutoff (directories modified at
-        or after it survive) so a write in flight RIGHT NOW — data
-        written, commit pending — is not swept; Iceberg's action defaults
-        this to now-3d for the same reason.  Defaults to "now" —
-        implemented as ``floor(now_ms) + 1`` so a directory whose mtime
-        lands in the *same millisecond tick* as the sweep still counts as
-        "before now" (comparing the int-truncated cutoff against the
-        float-ms mtime used to race: ``mtime*1000 >= int(now*1000)``
-        could be true within one tick and the orphan survived).  Both
-        sides compare as integer milliseconds for the same reason.
+        ``older_than_ms`` is the safety cutoff: directories modified at
+        or after it survive.  The DEFAULT is ``floor(now_ms) + 1`` —
+        i.e. sweep EVERYTHING up to and including the current
+        millisecond tick, so an unreferenced dir whose mtime lands in
+        the same tick as the sweep is still collected (the int-ms
+        compare on both sides closes the float-vs-truncated race a
+        prior default had).  The default therefore does NOT protect a
+        write in flight right now (data written, commit pending): a
+        caller wanting Iceberg-style in-flight safety must pass an
+        explicitly older cutoff — Iceberg's action defaults to now-3d
+        for exactly this reason, and production callers here should too.
         Returns the number of directories removed.
         """
         if older_than_ms is None:

@@ -525,7 +525,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    """SimHash fingerprint pairs within Hamming distance 3 (rows-only).
+
+    SCOPE (measured, NOTES.md): SimHash detects near-identical token
+    DISTRIBUTIONS — token-order- and multiplicity-insensitive — not
+    Jaccard overlap (~16% recall vs the exact J≥0.3 pair set on this
+    corpus). Use it as a distribution-shift / boilerplate detector;
+    for near-dup DEDUP use `dedup_verified` (MinHash-LSH + exact
+    verify). The shift contract is pytest-pinned
+    (test_simhash_distribution_shift)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=3)
 

@@ -961,3 +961,75 @@ def test_read_via_manifests_applies_position_deletes(spark, catalog):
 
     assert {r.id for r in t.read_via_manifests().collect()} == {"1", "3"}
     assert {r.id for r in t.read().collect()} == {"1", "3"}
+
+
+# --- round 4: commit concurrency (CAS) + evolved-schema manifest scans -----
+
+def test_commit_conflict_on_stale_parent(spark, catalog):
+    """True CAS semantics (ADVICE r3): a commit whose expected parent is
+    no longer the branch head FAILS with CommitConflictError instead of
+    publishing a snapshot that silently omits the concurrent commit's
+    data_dirs (last-writer-wins lost update)."""
+    import pytest
+
+    from icebergproject_spark.lakehouse.tableformat import CommitConflictError
+
+    t = catalog.table("CAS")
+    s1 = t.append(df_of(spark, [("1", "a")]))
+    # committer A reads the head and computes its change against it
+    stale_parent = s1["snapshot_id"]
+    new_dir = t._write_data(df_of(spark, [("2", "b")]))
+    # committer B lands first
+    t.append(df_of(spark, [("3", "c")]))
+    # A's commit must now fail, not overwrite B's visibility
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            "append",
+            s1["data_dirs"] + [new_dir],
+            expected_parent_id=stale_parent,
+        )
+    # retry on the new base succeeds and loses nothing
+    head = t.current_snapshot()
+    t._commit(
+        "append",
+        head["data_dirs"] + [new_dir],
+        expected_parent_id=head["snapshot_id"],
+    )
+    assert sorted(r.id for r in t.read().collect()) == ["1", "2", "3"]
+
+
+def test_commit_lock_released_and_stale_lock_stolen(spark, catalog):
+    """The table-level commit lock serializes commits, is released after
+    every commit, and a lock abandoned by a crashed committer is stolen
+    once stale (no permanent wedge)."""
+    import os
+    import time as _time
+
+    t = catalog.table("LOCK")
+    t.append(df_of(spark, [("1", "a")]))
+    lock = os.path.join(t.root, "commit.lock")
+    assert not os.path.exists(lock)  # released
+    # simulate a crashed committer's abandoned lock, already stale
+    open(lock, "x").close()
+    past = _time.time() - (t._COMMIT_LOCK_STALE_S + 5)
+    os.utime(lock, (past, past))
+    t.append(df_of(spark, [("2", "b")]))  # steals, commits, releases
+    assert sorted(r.id for r in t.read().collect()) == ["1", "2"]
+    assert not os.path.exists(lock)
+
+
+def test_read_via_manifests_sees_evolved_schema(spark, catalog):
+    """ADVICE r3: the metadata-chain scan must honor additive schema
+    evolution like read() — a column added by a later snapshot surfaces
+    (null for pre-existing rows) instead of being dropped by the first
+    file's schema."""
+    t = catalog.table("MEVO")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]))
+    t.append(spark.createDataFrame([(2, "b", "x@y.z")], ["id", "name", "email"]))
+    via = {r.id: r for r in t.read_via_manifests().collect()}
+    assert set(via[1].asDict()) == {"id", "name", "email"}
+    assert via[1].email is None and via[2].email == "x@y.z"
+    # and with a position delete in the chain too (the second branch)
+    t.delete_where("id = 1", mode="merge-on-read")
+    rows = {r.id: r for r in t.read_via_manifests().collect()}
+    assert set(rows) == {2} and rows[2].email == "x@y.z"

@@ -56,6 +56,51 @@ def test_simhash_near_pairs(docs):
     assert all(3 not in k for k in got)
 
 
+def test_simhash_distribution_shift(spark):
+    """Pins simhash's RE-SCOPED contract (VERDICT r3 ask #5): it is a
+    token-DISTRIBUTION-shift detector, not a Jaccard near-dup op.
+
+    (a) Invariance: token order and multiplicity changes leave the
+    fingerprint untouched (same distinct-token set → Hamming 0) — the
+    property a boilerplate-family detector needs and a Jaccard op lacks.
+    (b) Monotone shift response: replacing a growing fraction of the
+    vocabulary moves the fingerprint monotonically further in mean
+    Hamming distance (deterministic xxhash votes, so the measured means
+    are stable)."""
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base_vocab = [f"tok{i}" for i in range(64)]
+    rows = [(0, " ".join(base_vocab)),
+            # order permuted + tokens repeated: same distinct set
+            (1, " ".join(reversed(base_vocab)) + " " + base_vocab[0] * 1)]
+    shift_ids = {}
+    rid = 2
+    for trial in range(5):
+        for frac_i, frac in enumerate((16, 48, 64)):  # 25%, 75%, 100% replaced
+            repl = [
+                f"alt{trial}_{i}" if i < frac else base_vocab[i]
+                for i in range(64)
+            ]
+            shift_ids[rid] = frac_i
+            rows.append((rid, " ".join(repl)))
+            rid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
+    # (a) invariance under order + multiplicity
+    assert fp[0] == fp[1]
+    # (b) monotone mean distance across shift fractions
+    sums = [0.0, 0.0, 0.0]
+    counts = [0, 0, 0]
+    for rid_, frac_i in shift_ids.items():
+        sums[frac_i] += ham(fp[0], fp[rid_])
+        counts[frac_i] += 1
+    means = [s / c for s, c in zip(sums, counts)]
+    assert means[0] < means[1] < means[2]
+    assert means[0] < 16 and means[2] > 20  # small shift near, full shift far
+
+
 def test_simhash_is_64bit_stable(docs):
     fp1 = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
     fp2 = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
