@@ -336,6 +336,147 @@ def ivf_topk(
     )
 
 
+def ivf_sql_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    quant: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k whose ENTIRE pipeline — index training
+    included — is deterministic and ANSI-SQL-expressible, so the
+    APPROXIMATE output hash-checks against a DuckDB oracle at full
+    strength (the ``similarity_multiprobe`` trick extended to a trained
+    coarse quantizer; VERDICT r3 ask #4).
+
+    Training = one integer-exact Lloyd step from data seeds:
+
+    1. quantize every vector to ``round(x * quant)`` (BIGINT) — from
+       here on all index arithmetic is integer-exact, so no engine's
+       summation order can perturb it;
+    2. seeds = the first ``n_centroids`` corpus vectors by id;
+    3. assign every vector to its max-cosine seed (dots of quantized
+       ints are exact in double: |x|≲quant, 64 dims — far under 2^53);
+    4. centroid_j = element-wise BIGINT SUM over members, rescaled to
+       ``round(sum / n_members)`` — sums are exact and order-
+       independent, the division is one double op on identical inputs,
+       so both engines mint bit-identical integer centroids (cosine is
+       scale-invariant, so rescaling preserves assignment semantics
+       while keeping later dot products exactly representable);
+    5. cells = max-cosine centroid per corpus vector; queries probe
+       their ``nprobe`` closest centroids;
+    6. exact cosine re-score of the probed candidates on the ORIGINAL
+       double vectors, ROUND(·, 6), rank, top-k — identical to the
+       exact tier's scoring.
+
+    ``queries`` supplies the QUERY IDS — query vectors are resolved from
+    the corpus by id (the registry convention shared with
+    ``similarity_multiprobe``), which keeps one quantized relation
+    feeding seeds, cells, and probes.
+
+    Scale shape: the centroid table is ``n_centroids`` rows (broadcast
+    everywhere), assignment is a broadcast join + per-vector window over
+    ≤ ``n_centroids`` rows, candidate scoring only touches probed
+    cells.  The k-means variant (:func:`ivf_topk`) remains the
+    quality-tuned arm; this one trades one Lloyd iteration for a
+    bit-exact cross-engine replay.  For corpora where a cluster's
+    member count × quant approaches 2^53, feed the sums through
+    DECIMAL before the rescale (not needed at harness scale).
+    """
+    qz = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * quant).cast("long"),
+    )
+    base = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        qz.alias("q"),
+    ).localCheckpoint(eager=False)
+
+    def cos_int(a: str, b: str) -> Column:
+        # integer-valued doubles: exact products and sums (≪ 2^53)
+        return _dot(F.col(a), F.col(b)) / (
+            F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b)))
+        )
+
+    seeds = base.filter(F.col("cid") < n_centroids).select(
+        F.col("cid").cast("int").alias("cluster_id"), F.col("q").alias("c")
+    )
+    w_assign = Window.partitionBy("cid").orderBy(
+        F.col("__cos").desc(), F.col("cluster_id").asc()
+    )
+    assign0 = (
+        base.select("cid", "q")
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("__cos", cos_int("q", "c"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("cid", "cluster_id")
+    )
+    # integer centroid: per-dimension BIGINT sum over members, rescaled
+    # by the member count (exact sums → identical doubles → identical
+    # rounded integers on every engine)
+    sums = (
+        base.select("cid", "q")
+        .join(assign0, "cid")
+        .select("cluster_id", F.posexplode("q").alias("pos", "x"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    centroids = (
+        sums.withColumn("cx", F.round(F.col("s") / F.col("n")).cast("long"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda st: st.getField("cx"),
+            ).alias("c")
+        )
+    )
+    ranked_cells = (
+        base.select("cid", "q")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", cos_int("q", "c"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+    )
+    cells = ranked_cells.filter(F.col("__rn") == 1).select(
+        "cid", F.col("cluster_id").alias("__cell")
+    )
+    qids = queries.select(F.col(query_id_col).alias("qid")).distinct()
+    probes = (
+        ranked_cells.join(F.broadcast(qids), F.col("cid") == F.col("qid"))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("cid").alias("qid"), F.col("cluster_id").alias("__cell"))
+    )
+    cand = (
+        cells.join(base, "cid")
+        .select(F.col("cid").alias("neighbor_id"), F.col("e").alias("cv"), "__cell")
+        .join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+    )
+    qvecs = base.select(F.col("cid").alias("qid"), F.col("e").alias("qv"))
+    scored = cand.join(F.broadcast(qvecs.join(F.broadcast(qids), "qid")), "qid").select(
+        F.col("qid").alias(query_id_col),
+        "neighbor_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+        ).alias("score"),
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

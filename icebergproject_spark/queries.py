@@ -745,6 +745,11 @@ from icebergproject_spark.queries_r3 import R3_REGISTRY  # noqa: E402
 
 REGISTRY.update(R3_REGISTRY)
 
+# round-4 batch: oracle-strength IVF (integer-exact one-step training)
+from icebergproject_spark.queries_r4 import R4_REGISTRY  # noqa: E402
+
+REGISTRY.update(R4_REGISTRY)
+
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
 # ordering is a visibility decision.  Round-3 rotation (VERDICT r2 ask):

@@ -509,8 +509,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 neighbors for query vectors vec_id < 5
-    (rows-only: centroid training is iterative, not SQL-expressible;
-    recall vs exact top-k is pytest-checked)."""
+    (rows-only: the 10-iteration k-means training is iterative and
+    engine-specific; recall vs exact top-k is pytest-checked).  The
+    oracle-strength sibling is ``similarity_ivf_sql`` — one
+    integer-exact Lloyd step, fully DuckDB-replayable."""
     from icebergproject_spark.llm.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")

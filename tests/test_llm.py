@@ -234,6 +234,34 @@ def test_ivf_scores_are_exact_for_found_neighbors(embeddings):
             assert r.score == exact[(r.query_id, r.neighbor_id)]
 
 
+def test_ivf_sql_topk_recall_exact_scores_and_rerun_stability(embeddings):
+    """The oracle-strength IVF arm (one integer-exact Lloyd step): every
+    query answered with k rows, found neighbors carry the EXACT cosine
+    (bit-identical to cosine_topk), recall is reasonable at nprobe=4/16,
+    and a rerun reproduces the output exactly (the property the DuckDB
+    hash check depends on)."""
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_df = similarity.cosine_topk(embeddings, queries, k=5)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.score for r in exact_df.collect()
+    }
+    out = similarity.ivf_sql_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    by_q = _neighbor_sets(out)
+    assert set(by_q) == set(q for q, _ in exact_scores)
+    assert all(len(v) == 5 for v in by_q.values())
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.score == exact_scores[(r.query_id, r.neighbor_id)]
+    exact_sets = _neighbor_sets(exact_df)
+    recalls = [len(by_q[q] & exact_sets[q]) / 5 for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.5
+    again = similarity.ivf_sql_topk(embeddings, queries, k=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_multiprobe_topk_recall_and_exact_scores(embeddings):
     """Multiprobe sign-LSH: scores for found neighbors are the exact
     cosine (bit-identical to cosine_topk), recall is reasonable at 5/16
