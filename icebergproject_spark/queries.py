@@ -752,43 +752,48 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-3 rotation (VERDICT r2 ask):
-# 15 rows that went driver-green in BOTH r01 and r02 (scalar_suite,
-# dm_user_login_info, events_cube, orders_grouping_sets, cdc_latest,
-# user_last_state, hierarchy_flatten, product_visit_10s, shipmode_priority,
-# customers_without_orders, priority_with_returns, conversion_funnel,
-# daily_retention, plus the two rows-only approximate ops) yield their
-# slots to the strongest never-driver-checked oracles — and the two
-# approximate ops are replaced by their oracle-backed companions
-# (dedup_verified_strict, similarity_multiprobe), making the window
-# 50/50 DuckDB-oracle-backed.  Rotated-out queries stay registered and
-# locally gated after position 50.
+# ordering is a visibility decision.  Round-4 rotation (VERDICT r3 ask
+# #2): 22 rows that are now THRICE driver-green (r01+r02+r03:
+# ods_browselog, dwd_cleanse, route_dim, route_fact, user_login_wide,
+# browse_wide, pricing_summary, top_parts_by_revenue, dedup_exact,
+# dedup_ngram_jaccard, text_stats, lang_id, token_count_bpe,
+# doc_fingerprint, similarity_topk, embedding_stats, dedup_embedding,
+# multimodal_meta, user_sessions, asof_trade_quote, range_join_shipments,
+# browse_pipeline_e2e) yield their slots to 21 never-driver-checked
+# oracles plus the new oracle-strength similarity_ivf_sql.  After this
+# round the cumulative driver-checked count reaches 102 of 143
+# registered queries.  user_points stays (flagship continuity).
+# Rotated-out queries remain registered and locally gated after
+# position 50.
 DRIVER_WINDOW = [
-    # reference parity (SURVEY §2) — the medallion pipeline core
-    "user_points", "ods_browselog", "dwd_cleanse", "route_dim", "route_fact",
-    "user_login_wide", "browse_wide",
-    # TPC-H-analog relational core
-    "pricing_summary", "top_parts_by_revenue", "shipping_priority",
-    "local_supplier_volume", "nation_volume_shipping", "small_quantity_revenue",
+    # flagship + remaining twice-green medallion/relational rows
+    "user_points", "shipping_priority", "local_supplier_volume",
+    "nation_volume_shipping", "small_quantity_revenue",
     "blame_last_supplier", "revenue_pareto", "quantity_price_corr",
     "basket_pairs",
     # advanced SQL surface (recursive / lateral / frames / variant / unpivot)
     "part_taxonomy", "rolling_30d_revenue", "lateral_top_orders",
     "events_props_variant", "lineitem_unpivot_profile",
-    # LLM pipeline: dedup family (span tier + both verified compositions)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_verified",
-    "dedup_verified_strict", "dedup_clusters", "dedup_survivors",
-    "decontamination", "duplicate_spans", "remove_duplicate_spans",
-    # LLM pipeline: text analysis
-    "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
-    "quality_filter", "repetition_score",
-    # LLM pipeline: embeddings / similarity / multimodal
-    "similarity_topk", "similarity_multiprobe", "knn_graph",
-    "embedding_stats", "dedup_embedding", "embedding_quantize",
-    "mixing_weights", "stratified_sample", "multimodal_meta",
-    # relational / temporal / windowed
-    "user_sessions", "asof_trade_quote", "range_join_shipments",
-    "browse_pipeline_e2e",
+    # LLM pipeline: dedup family (span tier + verified compositions)
+    "dedup_verified", "dedup_verified_strict", "dedup_clusters",
+    "dedup_survivors", "decontamination", "duplicate_spans",
+    "remove_duplicate_spans",
+    # rotated in: dedup/decontamination companions never driver-checked
+    "contamination_spans", "dedup_containment", "dedup_rate_by_source",
+    "source_overlap",
+    # LLM pipeline: text analysis (rotated in)
+    "quality_filter", "repetition_score", "normalize_text", "top_terms",
+    "lang_mismatch", "label_agreement", "chunk_documents",
+    "pack_sequences", "bpe_pair_counts", "multimodal_chunks",
+    # LLM pipeline: embeddings / similarity
+    "similarity_multiprobe", "similarity_ivf_sql", "knn_graph",
+    "embedding_quantize", "hard_negatives",
+    # LLM pipeline: sampling / mixing / sharding / e2e
+    "mixing_weights", "stratified_sample", "weighted_sample",
+    "mixing_temperature", "global_shuffle", "curriculum_bins",
+    "corpus_pipeline_e2e",
+    # relational / temporal / windowed (rotated in)
+    "user_sessions_native", "event_transitions", "quantity_quantiles",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
