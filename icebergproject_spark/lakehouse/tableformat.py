@@ -361,19 +361,23 @@ class LakehouseTable:
     #
     # The fallback mirrors the Iceberg v2 METADATA TREE one level deeper
     # than the snapshot JSONs (VERDICT r2 ask #7): every commit writes
-    #   metadata/manifest-<dirkey>.json      one manifest PER DATA DIR,
-    #       written once when the dir first appears and REUSED by every
-    #       later snapshot's manifest list — Iceberg's manifest-reuse
-    #       model (unchanged data never gets re-listed);
-    #   metadata/snap-<id>.manifest-list.json  the snapshot's manifest
-    #       list (one entry per manifest, Iceberg field names);
+    #   metadata/manifest-<dirkey>.avro      one manifest PER DATA DIR
+    #       (a REAL Avro object container file, spec field-ids in the
+    #       schema — see lakehouse/avro_ocf.py; readable by the JVM
+    #       avro library, interop-pinned by test), written once when the
+    #       dir first appears and REUSED by every later snapshot's
+    #       manifest list — Iceberg's manifest-reuse model (unchanged
+    #       data never gets re-listed);
+    #   metadata/snap-<id>.manifest-list.avro  the snapshot's manifest
+    #       list (Avro, one manifest_file record per manifest, Iceberg
+    #       field names);
     #   metadata/v<N>.metadata.json          full table metadata
-    #       (format-version 2 field set) + metadata-log chaining;
+    #       (format-version 2 field set, JSON per the spec) +
+    #       metadata-log chaining;
     #   metadata/version-hint.text           latest version pointer
     #       (HadoopCatalog convention).
-    # JSON stands in for Avro (no Avro writer in-env; field SHAPE is the
-    # spec-parity claim, pinned by tests).  ``read_via_manifests``
-    # resolves a scan purely through this chain to prove it is complete.
+    # ``read_via_manifests`` resolves a scan purely through this chain
+    # to prove it is complete.
 
     @property
     def metadata_dir(self) -> str:
@@ -385,8 +389,71 @@ class LakehouseTable:
         # key by the dir's basename (a uuid for data dirs): stable across
         # snapshots, so later manifest lists reuse the same manifest file
         return os.path.join(
-            self.metadata_dir, f"manifest-{content}-{os.path.basename(d)}.json"
+            self.metadata_dir, f"manifest-{content}-{os.path.basename(d)}.avro"
         )
+
+    #: Iceberg v2 manifest_entry Avro schema (spec field-ids included as
+    #: the standard custom attribute; partition rendered as map<string>
+    #: since the fallback stamps hive-style path values)
+    _MANIFEST_ENTRY_SCHEMA = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {"name": "sequence_number", "type": "long", "field-id": 3},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "type": {"type": "map", "values": "string"},
+                            "field-id": 102,
+                        },
+                        {
+                            "name": "record_count",
+                            "type": ["null", "long"],
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+                "field-id": 2,
+            },
+        ],
+    }
+
+    #: manifest_file schema for the snapshot's manifest LIST (Avro per
+    #: the spec; field names pinned by the metadata-parity tests)
+    _MANIFEST_FILE_SCHEMA = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        ],
+    }
 
     def _write_manifest_for_dir(
         self, d: str, snapshot_id: int, content: str
@@ -434,18 +501,37 @@ class LakehouseTable:
                     },
                 }
             )
-        doc = {
+        # a REAL Avro object container file (spec format, null codec) —
+        # manifest-level attributes ride in the file-metadata map exactly
+        # as Iceberg writes "schema"/"partition-spec-id"/"content" there
+        from icebergproject_spark.lakehouse.avro_ocf import write_ocf
+
+        write_ocf(
+            path,
+            self._MANIFEST_ENTRY_SCHEMA,
+            entries,
+            meta={
+                "partition-spec-id": "0",
+                "content": content,
+                "added-snapshot-id": str(snapshot_id),
+                "format-version": "2",
+            },
+        )
+        return path
+
+    def _read_manifest(self, path: str) -> dict:
+        """Decode a manifest Avro container back to the doc shape the
+        commit/scan paths consume (entries + file-level attributes)."""
+        from icebergproject_spark.lakehouse.avro_ocf import read_ocf
+
+        _, meta, entries = read_ocf(path)
+        return {
             "manifest_path": path,
-            "partition_spec_id": 0,
-            "content": content,
-            "added_snapshot_id": snapshot_id,
+            "partition_spec_id": int(meta.get("partition-spec-id", "0")),
+            "content": meta.get("content", "data"),
+            "added_snapshot_id": int(meta.get("added-snapshot-id", "0")),
             "entries": entries,
         }
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, path)
-        return path
 
     def _write_commit_metadata(self, snap: dict) -> None:
         sid = snap["snapshot_id"]
@@ -457,8 +543,7 @@ class LakehouseTable:
         ):
             for d in dirs:
                 mp = self._write_manifest_for_dir(d, sid, content)
-                with open(mp) as f:
-                    m = json.load(f)
+                m = self._read_manifest(mp)
                 lists.append(
                     {
                         "manifest_path": mp,
@@ -491,12 +576,16 @@ class LakehouseTable:
                     }
                 )
         ml_path = os.path.join(
-            self.metadata_dir, f"snap-{sid:09d}.manifest-list.json"
+            self.metadata_dir, f"snap-{sid:09d}.manifest-list.avro"
         )
-        tmp = ml_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"manifest_list": lists}, f)
-        os.replace(tmp, ml_path)
+        from icebergproject_spark.lakehouse.avro_ocf import write_ocf
+
+        write_ocf(
+            ml_path,
+            self._MANIFEST_FILE_SCHEMA,
+            lists,
+            meta={"snapshot-id": str(sid), "format-version": "2"},
+        )
         # 2. v<N>.metadata.json — the format-version-2 field set.
         # Version minting is a read-modify-write on version-hint.text,
         # safe because _write_commit_metadata only runs inside the
@@ -566,7 +655,7 @@ class LakehouseTable:
                     "timestamp-ms": s["timestamp_ms"],
                     "manifest-list": os.path.join(
                         self.metadata_dir,
-                        f"snap-{s['snapshot_id']:09d}.manifest-list.json",
+                        f"snap-{s['snapshot_id']:09d}.manifest-list.avro",
                     ),
                     "summary": {
                         "operation": s.get("operation", ""),
@@ -638,13 +727,13 @@ class LakehouseTable:
         snap_entry = next(
             s for s in meta["snapshots"] if s["snapshot-id"] == sid
         )
-        with open(snap_entry["manifest-list"]) as f:
-            ml = json.load(f)["manifest_list"]
+        from icebergproject_spark.lakehouse.avro_ocf import read_ocf
+
+        _, _, ml = read_ocf(snap_entry["manifest-list"])
         data_files: list[str] = []
         delete_files: list[str] = []
         for entry in ml:
-            with open(entry["manifest_path"]) as f:
-                man = json.load(f)
+            man = self._read_manifest(entry["manifest_path"])
             for e in man["entries"]:
                 (data_files if e["data_file"]["content"] == 0 else delete_files).append(
                     e["data_file"]["file_path"]

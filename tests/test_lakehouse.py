@@ -865,7 +865,7 @@ def test_manifest_list_chain_resolves_scan(spark, catalog):
         n = int(f.read())
     assert n == 2  # two commits -> v1, v2
     assert f"v{n}.metadata.json" in names
-    assert sum(1 for x in names if x.endswith(".manifest-list.json")) == 2
+    assert sum(1 for x in names if x.endswith(".manifest-list.avro")) == 2
     # metadata-log chains v1 under v2
     with open(os.path.join(md, f"v{n}.metadata.json")) as f:
         meta = json.load(f)
@@ -889,8 +889,9 @@ def test_manifest_reuse_across_snapshots(spark, catalog):
     manifests = [x for x in os.listdir(md) if x.startswith("manifest-data-")]
     assert len(manifests) == 2  # one per data dir, not per (snapshot, dir)
 
-    with open(os.path.join(md, f"snap-{s2:09d}.manifest-list.json")) as f:
-        ml = json.load(f)["manifest_list"]
+    from icebergproject_spark.lakehouse.avro_ocf import read_ocf
+
+    _, _, ml = read_ocf(os.path.join(md, f"snap-{s2:09d}.manifest-list.avro"))
     assert len(ml) == 2
     by_added = {e["added_snapshot_id"]: e for e in ml}
     # the dir from s1 appears as EXISTING in s2's list, the new one as ADDED
@@ -903,8 +904,8 @@ def test_manifest_reuse_across_snapshots(spark, catalog):
 def test_metadata_field_names_match_iceberg_v2_spec(spark, catalog):
     """Field-name parity with the Iceberg format-version-2 spec: the
     table metadata, manifest-list entries, and manifest entries carry
-    the spec's field names (the layout-parity check the fallback
-    promises; JSON stands in for Avro)."""
+    the spec's field names, and manifests / manifest lists are REAL
+    Avro object container files (spec field-ids in their schemas)."""
     import json
     import os
 
@@ -931,8 +932,12 @@ def test_metadata_field_names_match_iceberg_v2_spec(spark, catalog):
     } <= set(snap)
     assert "operation" in snap["summary"]
 
-    with open(snap["manifest-list"]) as f:
-        entry = json.load(f)["manifest_list"][0]
+    from icebergproject_spark.lakehouse.avro_ocf import read_ocf
+
+    list_schema, _, ml = read_ocf(snap["manifest-list"])
+    assert snap["manifest-list"].endswith(".avro")
+    assert list_schema["name"] == "manifest_file"
+    entry = ml[0]
     assert {
         "manifest_path", "manifest_length", "partition_spec_id", "content",
         "sequence_number", "min_sequence_number", "added_snapshot_id",
@@ -940,9 +945,12 @@ def test_metadata_field_names_match_iceberg_v2_spec(spark, catalog):
         "added_rows_count", "existing_rows_count", "deleted_rows_count",
     } <= set(entry)
 
-    with open(entry["manifest_path"]) as f:
-        man = json.load(f)
-    e = man["entries"][0]
+    man_schema, man_meta, entries = read_ocf(entry["manifest_path"])
+    assert man_schema["name"] == "manifest_entry"
+    # spec field-ids ride the Avro schema as the standard attribute
+    assert man_schema["fields"][0]["field-id"] == 0
+    assert man_meta["content"] == "data"
+    e = entries[0]
     assert {"status", "snapshot_id", "sequence_number", "data_file"} <= set(e)
     assert {
         "content", "file_path", "file_format", "partition", "record_count",
