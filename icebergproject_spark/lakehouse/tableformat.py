@@ -239,6 +239,142 @@ class LakehouseTable:
                     )
                 time.sleep(0.02)
 
+    # -- field-id-addressed schema tracking (Iceberg column identity) ------
+    #
+    # Iceberg addresses columns by FIELD ID, not name: every column gets
+    # an id at creation, data files record which ids their columns carry,
+    # and renames touch only metadata — old data files keep serving the
+    # renamed column because readers resolve id → current name.  The
+    # fallback tracks the same model in <root>/schema.json:
+    #   schemas            list of schema versions [{schema-id, fields:
+    #                      [{id, name, type}]}] — append-only;
+    #   current-schema-id  the live version;
+    #   last-column-id     id high-water mark (never reused);
+    #   dir-columns        per-data-dir {column-name-at-write → field-id}
+    #                      (the stand-in for Iceberg stamping ids into
+    #                      each file's metadata).
+    # Snapshots record the schema-id they were committed under, so time
+    # travel renders names AS OF the snapshot (Iceberg semantics) while
+    # current reads render current names for every data dir, renamed or
+    # not.
+
+    @property
+    def _schema_state_path(self) -> str:
+        return os.path.join(self.root, "schema.json")
+
+    def _load_schema_state(self) -> dict:
+        if os.path.exists(self._schema_state_path):
+            with open(self._schema_state_path) as f:
+                return json.load(f)
+        return {
+            "schemas": [],
+            "current-schema-id": -1,
+            "last-column-id": 0,
+            "dir-columns": {},
+        }
+
+    def _save_schema_state(self, st: dict) -> None:
+        tmp = self._schema_state_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._schema_state_path)
+
+    @staticmethod
+    def _fields_of(st: dict, schema_id: int) -> list[dict]:
+        for s in st["schemas"]:
+            if s["schema-id"] == schema_id:
+                return s["fields"]
+        return []
+
+    def _sync_schema(self, df: DataFrame, dirbase: str) -> None:
+        """Assign field ids for a new data dir's columns (minting ids
+        for first-seen names), record the dir's name→id map, and bump
+        the schema version when the field set grew.  Runs under the
+        commit lock: concurrent writers must not mint the same id."""
+        lock = self._acquire_commit_lock()
+        try:
+            st = self._load_schema_state()
+            fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
+            by_name = {f["name"]: f for f in fields}
+            changed = False
+            for sf in df.schema.fields:
+                if sf.name == "__p":
+                    continue
+                if sf.name not in by_name:
+                    st["last-column-id"] += 1
+                    nf = {
+                        "id": st["last-column-id"],
+                        "name": sf.name,
+                        "type": sf.dataType.simpleString(),
+                    }
+                    fields.append(nf)
+                    by_name[sf.name] = nf
+                    changed = True
+            if changed:
+                new_id = (
+                    max((s["schema-id"] for s in st["schemas"]), default=-1) + 1
+                )
+                st["schemas"].append({"schema-id": new_id, "fields": fields})
+                st["current-schema-id"] = new_id
+            st["dir-columns"][dirbase] = {
+                sf.name: by_name[sf.name]["id"]
+                for sf in df.schema.fields
+                if sf.name != "__p"
+            }
+            self._save_schema_state(st)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Iceberg ``ALTER TABLE ... RENAME COLUMN``: metadata-only — the
+        field keeps its ID, so every existing data file keeps serving the
+        column under its new name, and snapshots committed before the
+        rename still time-travel with the OLD name (their schema-id
+        predates the rename)."""
+        spec = self._partition_spec()
+        if spec and spec.get("column") == old:
+            raise ValueError(
+                "renaming the active partition column is not supported; "
+                "evolve the partition spec first"
+            )
+        lock = self._acquire_commit_lock()
+        try:
+            st = self._load_schema_state()
+            fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise ValueError(f"no column {old!r} in current schema")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            new_id = max((s["schema-id"] for s in st["schemas"]), default=-1) + 1
+            st["schemas"].append({"schema-id": new_id, "fields": fields})
+            st["current-schema-id"] = new_id
+            self._save_schema_state(st)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def _rename_map(self, st: dict, d: str, schema_id: int) -> dict[str, str]:
+        """written-column-name → effective-name under ``schema_id`` for
+        data dir ``d`` (empty = identity: the fast single-scan path)."""
+        dcols = st.get("dir-columns", {}).get(os.path.basename(d))
+        if not dcols:
+            return {}  # pre-field-id dir: name-based resolution
+        eff = {f["id"]: f["name"] for f in self._fields_of(st, schema_id)}
+        return {
+            name: eff[i]
+            for name, i in dcols.items()
+            if i in eff and eff[i] != name
+        }
+
     def _commit(
         self,
         operation: str,
@@ -325,6 +461,10 @@ class LakehouseTable:
             "parent_id": cur["snapshot_id"] if cur else None,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
+            # schema version this snapshot was committed under: time
+            # travel renders column names AS OF the snapshot (Iceberg
+            # records schema-id on snapshots the same way)
+            "schema_id": self._load_schema_state()["current-schema-id"],
             "data_dirs": data_dirs,
             # Iceberg v2 merge-on-read: directories of positional delete
             # files (file_path, pos) that readers of THIS snapshot must
@@ -535,6 +675,7 @@ class LakehouseTable:
 
     def _write_commit_metadata(self, snap: dict) -> None:
         sid = snap["snapshot_id"]
+        schema_st = self._load_schema_state()
         # 1. manifests (one per dir, first-appearance only) + the list
         lists = []
         for content, dirs in (
@@ -635,9 +776,25 @@ class LakehouseTable:
             "location": self.root,
             "last-sequence-number": sid,
             "last-updated-ms": snap["timestamp_ms"],
-            "last-column-id": 0,  # column ids tracked by parquet schema
-            "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
-            "current-schema-id": 0,
+            "last-column-id": schema_st["last-column-id"],
+            "schemas": [
+                {
+                    "schema-id": s["schema-id"],
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "id": f["id"],
+                            "name": f["name"],
+                            "required": False,
+                            "type": f.get("type", ""),
+                        }
+                        for f in s["fields"]
+                    ],
+                }
+                for s in schema_st["schemas"]
+            ]
+            or [{"schema-id": 0, "type": "struct", "fields": []}],
+            "current-schema-id": max(schema_st["current-schema-id"], 0),
             "partition-specs": [{"spec-id": 0, "fields": fields}],
             "default-spec-id": 0,
             "last-partition-id": 1000 if fields else 999,
@@ -742,17 +899,49 @@ class LakehouseTable:
             # every file was empty (manifests skip zero-row files): the
             # snapshot's state is an empty table with the current schema
             return self.read(snapshot_id=sid).limit(0)
-        # mergeSchema, matching read(): after additive schema evolution
-        # the first file's schema must not win (a plain parquet scan
-        # silently drops columns added by later snapshots)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*data_files)
+        # field-id resolution (matching read()): group files by their
+        # data dir's rename map, scan per group with mergeSchema, rename,
+        # union by name — identity maps collapse to one scan
+        schema_st = self._load_schema_state()
+        snap_dicts = [s for s in self._snapshots() if s["snapshot_id"] == sid]
+        eff_sid = (
+            snap_dicts[0].get("schema_id", schema_st["current-schema-id"])
+            if snap_dicts
+            else schema_st["current-schema-id"]
+        )
+
+        def file_renames(f: str) -> dict[str, str]:
+            rel = os.path.relpath(f, self.data_dir)
+            if rel.startswith(".."):
+                return {}
+            d = os.path.join(self.data_dir, rel.split(os.sep)[0])
+            return self._rename_map(schema_st, d, eff_sid)
+
+        def scan(files: list[str]) -> DataFrame:
+            groups: dict[tuple, list[str]] = {}
+            for f in files:
+                groups.setdefault(
+                    tuple(sorted(file_renames(f).items())), []
+                ).append(f)
+            parts = []
+            for ren, fs in groups.items():
+                # mergeSchema, matching read(): after additive schema
+                # evolution the first file's schema must not win
+                p = self.spark.read.option("mergeSchema", "true").parquet(*fs)
+                if ren:
+                    p = p.withColumnsRenamed(dict(ren))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
+
+        df = scan(data_files)
         if "__p" in df.columns:
             df = df.drop("__p")
         if delete_files:
             dels = self.spark.read.parquet(*delete_files).select("__file", "__pos")
-            addressed = self._address(
-                self.spark.read.option("mergeSchema", "true").parquet(*data_files)
-            )
+            addressed = self._address(scan(data_files))
             df = addressed.join(
                 F.broadcast(dels), ["__file", "__pos"], "left_anti"
             ).drop("__file", "__pos")
@@ -775,6 +964,9 @@ class LakehouseTable:
         with open(os.path.join(d, "_spec.json"), "w") as f:
             json.dump(spec, f)
         self._write_dir_stats(d)
+        # field-id bookkeeping: mint ids for new columns, record this
+        # dir's name→id map (rename-safe reads resolve through it)
+        self._sync_schema(df, os.path.basename(d))
         return d
 
     def _write_dir_stats(self, d: str) -> None:
@@ -1152,6 +1344,12 @@ class LakehouseTable:
         delete_dirs = snap.get("delete_dirs", [])
         need_addr = with_address or bool(delete_dirs)
         data_dirs = list(snap["data_dirs"])
+        # field-id resolution: render every dir's columns under the
+        # schema version of the SELECTED snapshot (renames are metadata-
+        # only; old files keep serving renamed columns by field id)
+        schema_st = self._load_schema_state()
+        eff_sid = snap.get("schema_id", schema_st["current-schema-id"])
+        renames = {d: self._rename_map(schema_st, d, eff_sid) for d in data_dirs}
         if where:
             conjuncts = _parse_conjuncts(where)
             if conjuncts:
@@ -1172,6 +1370,8 @@ class LakehouseTable:
             parts = []
             for d in data_dirs:
                 p = self.spark.read.parquet(d)
+                if renames[d]:
+                    p = p.withColumnsRenamed(renames[d])
                 if need_addr:
                     p = self._address(p)
                 if vals is not None:
@@ -1191,6 +1391,26 @@ class LakehouseTable:
             return self._apply_deletes(df, delete_dirs, with_address, where)
         if partition_values is not None:
             raise ValueError("table is not partitioned")
+        if any(renames.values()):
+            # rename-bearing history: scan per RENAME GROUP (dirs sharing
+            # a remap read together — the no-rename majority still scans
+            # as one group), rename by field id, then union by name.
+            # Iceberg readers do the same resolution per file.
+            groups: dict[tuple, list[str]] = {}
+            for d in data_dirs:
+                groups.setdefault(tuple(sorted(renames[d].items())), []).append(d)
+            parts = []
+            for ren, ds in groups.items():
+                p = self.spark.read.option("mergeSchema", "true").parquet(*ds)
+                if ren:
+                    p = p.withColumnsRenamed(dict(ren))
+                if need_addr:
+                    p = self._address(p)
+                parts.append(p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            return self._apply_deletes(df, delete_dirs, with_address, where)
         # mergeSchema: the union of every file's schema (additive schema
         # evolution); without it the first file's schema wins and columns
         # added by later snapshots silently vanish

@@ -332,6 +332,59 @@ def rocksdb_state_conf(
     return conf
 
 
+def kafka_frames(
+    df: DataFrame,
+    value_cols: list[str],
+    key_col: str | None = None,
+    topic: str | None = None,
+    topic_col: str | None = None,
+    headers: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """K2/K3: shape a DataFrame into the EXACT record layout Spark's
+    Kafka sink serializes onto the wire — ``key`` binary, ``value``
+    binary (JSON envelope, field order = ``value_cols`` order), optional
+    ``topic`` string (fixed via ``topic`` or per-record via
+    ``topic_col`` — K3 dynamic routing), optional ``headers`` as
+    ``array<struct<key string, value binary>>`` (each entry a
+    (header-name, source-column) pair).
+
+    This is the producer half of the wire contract
+    (ods/ProduceKafkaDBDataToODS.scala:62-80 configures the topics; the
+    reference's serializer writes the same JSON envelope).  No broker
+    ships in this environment, so the contract is pinned by a GOLDEN
+    BYTE test plus a consume-side decode round-trip
+    (tests/test_streaming.py::test_kafka_wire_format_golden) — against a
+    real cluster, handing this frame to
+    ``writeStream.format("kafka")`` is a config change, not a code
+    change.
+    """
+    cols = []
+    if key_col is not None:
+        cols.append(F.col(key_col).cast("string").cast("binary").alias("key"))
+    cols.append(
+        F.to_json(F.struct(*[F.col(c) for c in value_cols]))
+        .cast("binary")
+        .alias("value")
+    )
+    if topic_col is not None:
+        cols.append(F.col(topic_col).cast("string").alias("topic"))
+    elif topic is not None:
+        cols.append(F.lit(topic).alias("topic"))
+    if headers:
+        cols.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("key"),
+                        F.col(src).cast("string").cast("binary").alias("value"),
+                    )
+                    for name, src in headers
+                ]
+            ).alias("headers")
+        )
+    return df.select(*cols)
+
+
 def dynamic_topic_routing(df: DataFrame, topic_col: str, payload_cols: list[str]) -> DataFrame:
     """K3: shape a stream for Spark's Kafka sink with per-record topics —
     (topic, value) columns; the sink honors the ``topic`` column when no

@@ -1041,3 +1041,96 @@ def test_read_via_manifests_sees_evolved_schema(spark, catalog):
     t.delete_where("id = 1", mode="merge-on-read")
     rows = {r.id: r for r in t.read_via_manifests().collect()}
     assert set(rows) == {2} and rows[2].email == "x@y.z"
+
+
+# --- round 4: field-id-addressed schema evolution (rename-safe reads) ------
+
+def test_rename_column_is_metadata_only_and_rename_safe(spark, catalog):
+    """VERDICT r3 ask #3: rename a column, WRITE under the new name,
+    and read back old + new snapshots correctly — old data files keep
+    serving the renamed column by FIELD ID (name-based evolution would
+    silently split them into two columns)."""
+    t = catalog.table("RENAME")
+    s1 = t.append(spark.createDataFrame([(1, "alice")], ["id", "name"]))
+    t.rename_column("name", "full_name")
+    s2 = t.append(spark.createDataFrame([(2, "bob")], ["id", "full_name"]))
+
+    # current read: ONE column under the new name, both rows present
+    rows = {r.id: r for r in t.read().collect()}
+    assert set(rows[1].asDict()) == {"id", "full_name"}
+    assert rows[1].full_name == "alice" and rows[2].full_name == "bob"
+
+    # time travel to the pre-rename snapshot: the OLD name (Iceberg
+    # renders names as of the snapshot's schema)
+    old = t.read(snapshot_id=s1["snapshot_id"]).collect()
+    assert set(old[0].asDict()) == {"id", "name"}
+    assert old[0].name == "alice"
+
+    # post-rename snapshot via explicit id: new name, both rows
+    cur = {r.id: r.full_name
+           for r in t.read(snapshot_id=s2["snapshot_id"]).collect()}
+    assert cur == {1: "alice", 2: "bob"}
+
+    # rename is METADATA-ONLY: no new data dirs were written for it
+    assert s2["data_dirs"][:1] == s1["data_dirs"]
+
+
+def test_rename_then_metadata_chain_scan_agrees(spark, catalog):
+    """read_via_manifests resolves renames identically to read() (the
+    metadata chain carries field-id resolution too)."""
+    t = catalog.table("RENMAN")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame([(2, "b")], ["id", "val"]))
+    via = {r.id: r.val for r in t.read_via_manifests().collect()}
+    assert via == {1: "a", 2: "b"}
+    assert set(t.read_via_manifests().columns) == {"id", "val"}
+
+
+def test_rename_guards(spark, catalog):
+    import pytest
+
+    t = catalog.table("RENG")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "id")
+
+
+def test_rename_roundtrip_back_to_original_name(spark, catalog):
+    """Rename A→B→A: field ids make this safe; all rows stay one column."""
+    t = catalog.table("RENAB")
+    t.append(spark.createDataFrame([(1, "x")], ["id", "v"]))
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(2, "y")], ["id", "w"]))
+    t.rename_column("w", "v")
+    t.append(spark.createDataFrame([(3, "z")], ["id", "v"]))
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows == {1: "x", 2: "y", 3: "z"}
+    assert set(t.read().columns) == {"id", "v"}
+
+
+def test_field_ids_in_table_metadata(spark, catalog):
+    """v<N>.metadata.json carries the real schemas list: field ids,
+    per-version field sets, and last-column-id (was a placeholder)."""
+    import json
+    import os
+
+    t = catalog.table("FIDMETA")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]))
+    t.rename_column("name", "label")
+    t.append(spark.createDataFrame([(2, "b", 3.5)], ["id", "label", "score"]))
+    md = t.metadata_dir
+    with open(os.path.join(md, "version-hint.text")) as f:
+        n = int(f.read())
+    with open(os.path.join(md, f"v{n}.metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["last-column-id"] == 3  # id, name/label, score
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name == {"id": 1, "label": 2, "score": 3}
+    # the pre-rename schema version is still listed with the old name
+    first = next(s for s in meta["schemas"] if s["schema-id"] == 0)
+    assert {f["name"] for f in first["fields"]} == {"id", "name"}

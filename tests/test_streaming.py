@@ -81,6 +81,67 @@ def test_streaming_windowed_count(spark, tmp_path):
     assert ("2022-06-15 06:23:50", 1) in got
 
 
+def test_kafka_wire_format_golden(spark):
+    """VERDICT r3 ask #7 — the Kafka K2/K3 wire contract, byte-exact:
+    (a) the frame schema is EXACTLY what Spark's Kafka sink serializes
+    (key binary, value binary, topic string, headers array<struct<key
+    string, value binary>>); (b) golden bytes for a fixed record;
+    (c) consume-side decode (the S1 path) round-trips the envelope
+    byte-identically. A real-broker port is then a config change."""
+    from icebergproject_spark.sources import CDC_ENVELOPE_SCHEMA, decode_json_frames
+    from icebergproject_spark.streaming.runner import kafka_frames
+
+    rows = [
+        ("db1", "user_points", "insert", "1655251200", "77", "true",
+         {"user_id": "u1", "points": "42"}),
+        ("db1", "user_points", "update", "1655251201", "78", "true",
+         {"user_id": "u2", "points": "7"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "database string, table string, type string, ts string, "
+        "xid string, commit string, data map<string,string>",
+    )
+    frames = kafka_frames(
+        df,
+        value_cols=["database", "table", "type", "ts", "xid", "commit", "data"],
+        key_col="table",
+        topic="KAFKA-ODS-TOPIC",
+        headers=[("src", "database")],
+    )
+    # (a) exact sink schema
+    assert (
+        frames.schema.simpleString()
+        == "struct<key:binary,value:binary,topic:string,"
+        "headers:array<struct<key:string,value:binary>>>"
+    )
+    got = frames.collect()
+    # (b) golden bytes (to_json renders struct-field order, no spaces)
+    assert {bytes(r.value) for r in got} == {
+        b'{"database":"db1","table":"user_points","type":"insert",'
+        b'"ts":"1655251200","xid":"77","commit":"true",'
+        b'"data":{"user_id":"u1","points":"42"}}',
+        b'{"database":"db1","table":"user_points","type":"update",'
+        b'"ts":"1655251201","xid":"78","commit":"true",'
+        b'"data":{"user_id":"u2","points":"7"}}',
+    }
+    for r in got:
+        assert bytes(r.key) == b"user_points"
+        assert r.topic == "KAFKA-ODS-TOPIC"
+        assert [(h.key, bytes(h.value)) for h in r.headers] == [("src", b"db1")]
+    # (c) consume-side round-trip through the S1 decode path
+    back = decode_json_frames(
+        frames.select("key", "value"), CDC_ENVELOPE_SCHEMA
+    )
+    decoded = {r2["ts"]: r2 for r2 in back.collect()}
+    for database, table, typ, ts, xid, commit, data in rows:
+        d = decoded[ts]
+        assert (d["database"], d["table"], d["type"], d["xid"], d["commit"]) == (
+            database, table, typ, xid, commit
+        )
+        assert dict(d["data"]) == data
+
+
 def test_dynamic_topic_routing_shape(spark):
     df = spark.createDataFrame(
         [("KAFKA-DWD-BROWSELOG-TOPIC", "u1", "42")],
