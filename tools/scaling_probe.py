@@ -145,6 +145,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
+            # plain single-file JSON-lines log (Spark 4 defaults to a
+            # rolling zstd directory, which the stdlib can't read back)
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     replicate(spark, n, out_dir)
