@@ -882,7 +882,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfs), and the verify tier kills every false positive, so the edge
     set — and therefore the clusters the oracle checks — is unchanged;
     only the pair-generation cost drops (no postings arrays, no hot-gram
-    expansion)."""
+    expansion).  That recall is a CORPUS-SHAPE bet, not a structural
+    guarantee (the 8×4 banding knee s*≈0.59 sits above J=0.3):
+    test_banding_recall_bet_pinned_explicitly pins both the equality and
+    the fact that no exact pair sits in the unprotected mid-band."""
     from icebergproject_spark.llm import dedup
 
     docs = _t(spark, sf_dir, "documents")

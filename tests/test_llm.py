@@ -604,6 +604,45 @@ def test_verified_near_dups_subset_of_exact_no_false_positives(spark, sf_dir):
         assert len(verified) / len(exact) >= 0.5  # LSH recall
 
 
+def test_banding_recall_bet_pinned_explicitly(spark, sf_dir):
+    """ADVICE r3: the default 8-band × 4-row banding has its collision
+    knee at s* = (1/8)^(1/4) ≈ 0.59, ABOVE the J ≥ 0.3 verify threshold
+    — so 'verified == exact' on this corpus is a measured property, not
+    a structural guarantee. This test pins the bet in both directions:
+    (a) full equality of the banded-verified pair set with the exact
+    inverted-index pair set (100% measured recall — what keeps the
+    dedup_clusters/source_overlap oracles honest), and (b) the
+    corpus-shape fact the bet rests on, stated explicitly: every exact
+    pair's Jaccard sits at or above the banding knee, i.e. the
+    unprotected mid-band J ∈ [0.3, 0.59) is EMPTY. If future data grows
+    mid-band pairs, (b) fails first and names the reason."""
+    from fractions import Fraction
+
+    from icebergproject_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.id_a, r.id_b): Fraction(r.shared, r.size_a + r.size_b - r.shared)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold_num=3, threshold_den=10
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b)
+        for r in dedup.verified_near_dups(docs).collect()
+    }
+    # (a) exact equality — 100% recall, zero false positives
+    assert verified == set(exact)
+    # (b) the corpus carries no pairs in the unprotected band below the
+    # banding knee (s* = (1/8)^(1/4) ≈ 0.5946)
+    knee = 0.5946
+    mid_band = {p: j for p, j in exact.items() if float(j) < knee}
+    assert mid_band == {}, (
+        f"corpus now has {len(mid_band)} exact pairs below the banding "
+        f"knee {knee}; re-measure recall or tighten banding (e.g. 16×2)"
+    )
+
+
 def test_multimodal_quarantine_undecodable(spark):
     """Corrupt media must not kill the job: quarantine mode marks it with
     width/height -1 so downstream filters route it to a DLQ table."""
