@@ -80,35 +80,39 @@ BENCH_QUERIES = [
     "dsir_weights",
     "knn_graph",
     "corpus_pipeline_e2e",
+    # round 4: oracle-strength IVF + the scale-defaulted rank family
+    "similarity_ivf_sql",
+    "global_shuffle",
+    "curriculum_bins",
 ]
 
-# the exact query set BENCH_r02 reported — the round-over-round continuity
+# the exact query set BENCH_r03 reported — the round-over-round continuity
 # baseline. Totals across DIFFERENT sets mislead (the set grows every
-# round), so the output splits the r02-comparable subtotal from the
+# round), so the output splits the r03-comparable subtotal from the
 # genuinely new queries' subtotal (NOTES.md: compare per-query, not totals).
 PREV_ROUND_QUERIES = {
     "asof_trade_quote", "bpe_pair_counts", "browse_pipeline_e2e",
     "browse_wide", "conversion_funnel", "corpus_pipeline_e2e",
     "daily_retention", "dedup_clusters", "dedup_embedding", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_verified", "doc_keywords", "dsir_weights", "duplicate_spans",
-    "dwd_cleanse", "knn_graph", "lang_id", "local_supplier_volume",
-    "ods_browselog", "part_taxonomy", "pricing_summary",
-    "priority_with_returns", "product_visit_10s", "quality_filter",
-    "quantity_price_corr", "remove_duplicate_spans", "route_fact",
-    "shipping_priority", "similarity_ivf", "similarity_topk",
-    "stratified_sample", "text_stats", "top_parts_by_revenue", "top_terms",
-    "user_login_wide", "user_points", "user_sessions",
+    "dedup_verified", "dedup_verified_strict", "doc_keywords",
+    "dsir_weights", "duplicate_spans", "dwd_cleanse", "knn_graph",
+    "lang_id", "local_supplier_volume", "ods_browselog", "part_taxonomy",
+    "pricing_summary", "priority_with_returns", "product_visit_10s",
+    "quality_filter", "quantity_price_corr", "remove_duplicate_spans",
+    "route_fact", "shipping_priority", "similarity_ivf",
+    "similarity_multiprobe", "similarity_topk", "stratified_sample",
+    "text_stats", "top_parts_by_revenue", "top_terms", "user_login_wide",
+    "user_points", "user_sessions",
 }
 
 # queries whose SEMANTICS changed since the previous round — their
 # comparable-subtotal contribution is not apples-to-apples and readers
-# should compare them per-query against the change log instead
-SEMANTICS_CHANGED = {
-    # round 3: v2 pipeline adds the ExactSubstr span tier + benchmark
-    # decontamination on top of v1's normalize/dedup/gate/shard
-    "corpus_pipeline_e2e",
-}
+# should compare them per-query against the change log instead.
+# Round 4: none — corpus_pipeline_e2e kept its v2 (r3) semantics; the
+# new scale-mode defaults (global_shuffle/curriculum_bins) produce
+# byte-identical output and enter the bench as NEW rows.
+SEMANTICS_CHANGED: set[str] = set()
 
 
 def main() -> None:
