@@ -286,11 +286,13 @@ class LakehouseTable:
                 return s["fields"]
         return []
 
-    def _sync_schema(self, df: DataFrame, dirbase: str) -> None:
+    def _sync_schema(self, df: DataFrame, dirbase: str) -> dict[str, int]:
         """Assign field ids for a new data dir's columns (minting ids
         for first-seen names), record the dir's name→id map, and bump
         the schema version when the field set grew.  Runs under the
-        commit lock: concurrent writers must not mint the same id."""
+        commit lock: concurrent writers must not mint the same id.
+        Returns the dir's name→id map (the write path stamps it into
+        the parquet files as ``PARQUET:field_id``)."""
         lock = self._acquire_commit_lock()
         try:
             st = self._load_schema_state()
@@ -316,12 +318,14 @@ class LakehouseTable:
                 )
                 st["schemas"].append({"schema-id": new_id, "fields": fields})
                 st["current-schema-id"] = new_id
-            st["dir-columns"][dirbase] = {
+            dir_cols = {
                 sf.name: by_name[sf.name]["id"]
                 for sf in df.schema.fields
                 if sf.name != "__p"
             }
+            st["dir-columns"][dirbase] = dir_cols
             self._save_schema_state(st)
+            return dir_cols
         finally:
             try:
                 os.remove(lock)
@@ -951,6 +955,18 @@ class LakehouseTable:
 
     def _write_data(self, df: DataFrame) -> str:
         d = os.path.join(self.data_dir, uuid.uuid4().hex)
+        # field-id bookkeeping FIRST (mint ids for new columns, record
+        # this dir's name→id map), then stamp the ids into the parquet
+        # files themselves: Spark's native fieldId writer emits the
+        # Iceberg-standard ``PARQUET:field_id`` per column, so the data
+        # files are portable to real Iceberg readers (which resolve
+        # columns by id, not name) — pinned by
+        # test_parquet_files_carry_field_ids.
+        name_to_id = self._sync_schema(df, os.path.basename(d))
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        for c in df.columns:
+            if c in name_to_id:
+                df = df.withMetadata(c, {"parquet.field.id": name_to_id[c]})
         spec = self._partition_spec()
         if spec:
             part = _TRANSFORMS[spec["transform"]](spec["column"]).alias("__p")
@@ -964,9 +980,6 @@ class LakehouseTable:
         with open(os.path.join(d, "_spec.json"), "w") as f:
             json.dump(spec, f)
         self._write_dir_stats(d)
-        # field-id bookkeeping: mint ids for new columns, record this
-        # dir's name→id map (rename-safe reads resolve through it)
-        self._sync_schema(df, os.path.basename(d))
         return d
 
     def _write_dir_stats(self, d: str) -> None:

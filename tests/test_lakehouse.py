@@ -1134,3 +1134,40 @@ def test_field_ids_in_table_metadata(spark, catalog):
     # the pre-rename schema version is still listed with the old name
     first = next(s for s in meta["schemas"] if s["schema-id"] == 0)
     assert {f["name"] for f in first["fields"]} == {"id", "name"}
+
+
+def test_parquet_files_carry_field_ids(spark, catalog):
+    """The data files themselves carry Iceberg-standard PARQUET:field_id
+    column metadata (Spark's native fieldId writer), stable across
+    renames — a real Iceberg reader resolving columns BY ID would read
+    these files correctly with no sidecar."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = catalog.table("FIDPQ")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]))
+    t.rename_column("name", "label")
+    t.append(spark.createDataFrame([(2, "b")], ["id", "label"]))
+
+    with open(os.path.join(t.root, "schema.json")) as f:
+        st = json.load(f)
+    cur = next(s for s in st["schemas"] if s["schema-id"] == st["current-schema-id"])
+    ids = {f["name"]: f["id"] for f in cur["fields"]}  # {'id': 1, 'label': 2}
+
+    seen_dirs = 0
+    for snap_dir in t.current_snapshot()["data_dirs"]:
+        for pf in glob.glob(os.path.join(snap_dir, "**", "*.parquet"), recursive=True):
+            if pq.ParquetFile(pf).metadata.num_rows == 0:
+                continue
+            seen_dirs += 1
+            for field in pq.ParquetFile(pf).schema_arrow:
+                fid = int(field.metadata[b"PARQUET:field_id"])
+                # name at write time may be pre-rename ('name'), but the
+                # FIELD ID always matches the live schema's id for that
+                # column lineage
+                expected = ids["label"] if field.name in ("name", "label") else ids[field.name]
+                assert fid == expected, (pf, field.name, fid)
+    assert seen_dirs >= 2  # both dirs (pre- and post-rename) checked
