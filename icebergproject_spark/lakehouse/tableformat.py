@@ -369,15 +369,63 @@ class LakehouseTable:
     def _rename_map(self, st: dict, d: str, schema_id: int) -> dict[str, str]:
         """written-column-name → effective-name under ``schema_id`` for
         data dir ``d`` (empty = identity: the fast single-scan path)."""
+        return self._dir_projection(st, d, schema_id)[0]
+
+    def _dir_projection(
+        self, st: dict, d: str, schema_id: int
+    ) -> tuple[dict[str, str], list[str]]:
+        """Field-id resolution for data dir ``d`` under ``schema_id``:
+        ``(renames, drops)`` where renames maps written-name →
+        effective-name and drops lists written columns whose field id is
+        RETIRED in the effective schema (dropped columns must leave the
+        scan — by-name merging would otherwise resurrect them, or worse,
+        alias a re-added same-named column onto old data).  Both empty =
+        identity = the single-scan fast path."""
         dcols = st.get("dir-columns", {}).get(os.path.basename(d))
         if not dcols:
-            return {}  # pre-field-id dir: name-based resolution
+            return {}, []  # pre-field-id dir: name-based resolution
         eff = {f["id"]: f["name"] for f in self._fields_of(st, schema_id)}
-        return {
+        renames = {
             name: eff[i]
             for name, i in dcols.items()
             if i in eff and eff[i] != name
         }
+        drops = [name for name, i in dcols.items() if i not in eff]
+        return renames, drops
+
+    def drop_column(self, name: str) -> None:
+        """Iceberg ``ALTER TABLE ... DROP COLUMN``: metadata-only — the
+        field's ID is RETIRED (never reused; last-column-id only grows),
+        data files keep their bytes, and reads under the new schema
+        exclude the column.  Snapshots committed before the drop still
+        time-travel WITH the column.  Re-adding the same name later
+        mints a fresh id, so old files' retired values stay invisible
+        and pre-re-add rows read NULL — exactly Iceberg's drop/re-add
+        semantics."""
+        spec = self._partition_spec()
+        if spec and spec.get("column") == name:
+            raise ValueError(
+                "dropping the active partition column is not supported; "
+                "evolve the partition spec first"
+            )
+        lock = self._acquire_commit_lock()
+        try:
+            st = self._load_schema_state()
+            fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
+            if name not in {f["name"] for f in fields}:
+                raise ValueError(f"no column {name!r} in current schema")
+            if len(fields) == 1:
+                raise ValueError("cannot drop the last column")
+            fields = [f for f in fields if f["name"] != name]
+            new_id = max((s["schema-id"] for s in st["schemas"]), default=-1) + 1
+            st["schemas"].append({"schema-id": new_id, "fields": fields})
+            st["current-schema-id"] = new_id
+            self._save_schema_state(st)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     def _commit(
         self,
@@ -914,24 +962,26 @@ class LakehouseTable:
             else schema_st["current-schema-id"]
         )
 
-        def file_renames(f: str) -> dict[str, str]:
+        def file_projection(f: str) -> tuple[dict[str, str], list[str]]:
             rel = os.path.relpath(f, self.data_dir)
             if rel.startswith(".."):
-                return {}
+                return {}, []
             d = os.path.join(self.data_dir, rel.split(os.sep)[0])
-            return self._rename_map(schema_st, d, eff_sid)
+            return self._dir_projection(schema_st, d, eff_sid)
 
         def scan(files: list[str]) -> DataFrame:
             groups: dict[tuple, list[str]] = {}
             for f in files:
-                groups.setdefault(
-                    tuple(sorted(file_renames(f).items())), []
-                ).append(f)
+                ren, drp = file_projection(f)
+                key = (tuple(sorted(ren.items())), tuple(sorted(drp)))
+                groups.setdefault(key, []).append(f)
             parts = []
-            for ren, fs in groups.items():
+            for (ren, drp), fs in groups.items():
                 # mergeSchema, matching read(): after additive schema
                 # evolution the first file's schema must not win
                 p = self.spark.read.option("mergeSchema", "true").parquet(*fs)
+                if drp:
+                    p = p.drop(*drp)
                 if ren:
                     p = p.withColumnsRenamed(dict(ren))
                 parts.append(p)
@@ -1358,11 +1408,16 @@ class LakehouseTable:
         need_addr = with_address or bool(delete_dirs)
         data_dirs = list(snap["data_dirs"])
         # field-id resolution: render every dir's columns under the
-        # schema version of the SELECTED snapshot (renames are metadata-
-        # only; old files keep serving renamed columns by field id)
+        # schema version of the SELECTED snapshot (renames and drops are
+        # metadata-only; old files keep serving renamed columns by field
+        # id, and retired-id columns leave the scan)
         schema_st = self._load_schema_state()
         eff_sid = snap.get("schema_id", schema_st["current-schema-id"])
-        renames = {d: self._rename_map(schema_st, d, eff_sid) for d in data_dirs}
+        projections = {
+            d: self._dir_projection(schema_st, d, eff_sid) for d in data_dirs
+        }
+        renames = {d: p[0] for d, p in projections.items()}
+        drops = {d: p[1] for d, p in projections.items()}
         if where:
             conjuncts = _parse_conjuncts(where)
             if conjuncts:
@@ -1383,6 +1438,8 @@ class LakehouseTable:
             parts = []
             for d in data_dirs:
                 p = self.spark.read.parquet(d)
+                if drops[d]:
+                    p = p.drop(*drops[d])
                 if renames[d]:
                     p = p.withColumnsRenamed(renames[d])
                 if need_addr:
@@ -1404,17 +1461,24 @@ class LakehouseTable:
             return self._apply_deletes(df, delete_dirs, with_address, where)
         if partition_values is not None:
             raise ValueError("table is not partitioned")
-        if any(renames.values()):
-            # rename-bearing history: scan per RENAME GROUP (dirs sharing
-            # a remap read together — the no-rename majority still scans
-            # as one group), rename by field id, then union by name.
-            # Iceberg readers do the same resolution per file.
+        if any(renames.values()) or any(drops.values()):
+            # rename/drop-bearing history: scan per PROJECTION GROUP
+            # (dirs sharing a remap+dropset read together — the identity
+            # majority still scans as one group), drop retired-id
+            # columns, rename by field id, then union by name.  Iceberg
+            # readers do the same resolution per file.
             groups: dict[tuple, list[str]] = {}
             for d in data_dirs:
-                groups.setdefault(tuple(sorted(renames[d].items())), []).append(d)
+                key = (
+                    tuple(sorted(renames[d].items())),
+                    tuple(sorted(drops[d])),
+                )
+                groups.setdefault(key, []).append(d)
             parts = []
-            for ren, ds in groups.items():
+            for (ren, drp), ds in groups.items():
                 p = self.spark.read.option("mergeSchema", "true").parquet(*ds)
+                if drp:
+                    p = p.drop(*drp)
                 if ren:
                     p = p.withColumnsRenamed(dict(ren))
                 if need_addr:

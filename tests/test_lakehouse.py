@@ -1171,3 +1171,52 @@ def test_parquet_files_carry_field_ids(spark, catalog):
                 expected = ids["label"] if field.name in ("name", "label") else ids[field.name]
                 assert fid == expected, (pf, field.name, fid)
     assert seen_dirs >= 2  # both dirs (pre- and post-rename) checked
+
+
+def test_drop_column_metadata_only_with_time_travel(spark, catalog):
+    """drop_column retires the field id: current reads exclude the
+    column (data files untouched), pre-drop snapshots still time-travel
+    WITH it."""
+    t = catalog.table("DROPC")
+    s1 = t.append(spark.createDataFrame([(1, "a", 10)], ["id", "v", "extra"]))
+    t.drop_column("extra")
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    assert set(t.read().columns) == {"id", "v"}
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    # pre-drop snapshot still shows the column
+    old = t.read(snapshot_id=s1["snapshot_id"]).collect()[0]
+    assert set(old.asDict()) == {"id", "v", "extra"} and old.extra == 10
+    # metadata chain agrees with read()
+    assert set(t.read_via_manifests().columns) == {"id", "v"}
+
+
+def test_drop_then_readd_mints_fresh_id(spark, catalog):
+    """Re-adding a dropped column name mints a NEW field id: retired
+    values stay invisible (old rows read NULL), new rows carry the new
+    column — Iceberg's drop/re-add contract, which name-based evolution
+    gets wrong by resurrecting old bytes."""
+    import json
+    import os
+
+    t = catalog.table("READD")
+    t.append(spark.createDataFrame([(1, "x")], ["id", "tag"]))
+    t.drop_column("tag")
+    t.append(spark.createDataFrame([(2, "y")], ["id", "tag"]))
+    rows = {r.id: r.tag for r in t.read().collect()}
+    assert rows == {1: None, 2: "y"}  # old 'x' does NOT resurrect
+    with open(os.path.join(t.root, "schema.json")) as f:
+        st = json.load(f)
+    ids = [f2["id"] for s in st["schemas"] for f2 in s["fields"] if f2["name"] == "tag"]
+    assert len(set(ids)) == 2  # original and re-added tag have distinct ids
+    assert st["last-column-id"] == 3
+
+
+def test_drop_column_guards(spark, catalog):
+    import pytest
+
+    t = catalog.table("DROPG")
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    with pytest.raises(ValueError, match="last column"):
+        t.drop_column("id")
