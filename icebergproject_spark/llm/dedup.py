@@ -367,6 +367,110 @@ def verified_near_dups(
     )
 
 
+def incremental_near_dups(
+    df: DataFrame,
+    is_new,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Incremental (batch-vs-history) verified near-dup — the shape a
+    CONTINUOUSLY-INGESTED corpus needs: only the new batch is banded
+    against history, never history against itself (that work was already
+    paid when each older batch arrived).  ``is_new`` is a boolean Column
+    marking the incoming batch.
+
+    Pipeline: MinHash-band the WHOLE corpus once (one slim (id, band,
+    sig) stream, checkpointed because the new/history branches carry
+    different filters — the documented exchange-reuse defeat), join
+    new×history on band signature, exact-verify candidates with hashed
+    shingle sets, then keep each new doc's SMALLEST matching history id
+    (deterministic).  Cost per batch is |batch|·bands signatures + the
+    candidate joins — independent of history SIZE beyond the signature
+    join, which is the property that lets a 100 TB corpus absorb daily
+    batches.  The streaming sibling (`streaming/runner.py`
+    incremental dedup sink) persists the signature table instead of
+    recomputing history signatures; this batch form recomputes so it
+    stays a pure function of the input (and therefore oracle-checkable).
+
+    Output: one row per DUPLICATE new document —
+    (doc_id, dup_of, shared, size_new, size_hist), J ≥ num/den vs
+    ``dup_of`` (the minimal matching history id).
+    """
+    rows_per = num_hashes // bands
+    sigs = _minhash_flat(df, content_col, id_col, n, num_hashes)
+    flags = df.select(F.col(id_col).alias("id"), is_new.alias("is_new"))
+    banded = (
+        sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"h{b * rows_per + r}") for r in range(rows_per)]
+                            ).alias("band_sig"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select("id", "bs.band", "bs.band_sig")
+        .join(flags, "id")
+        .localCheckpoint(eager=True)
+    )
+    newb = banded.filter(F.col("is_new")).select("id", "band", "band_sig")
+    hist = banded.filter(~F.col("is_new")).select(
+        F.col("id").alias("hid"), "band", "band_sig"
+    )
+    cand = (
+        newb.join(hist, ["band", "band_sig"])
+        .select(F.col("id"), F.col("hid"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        F.transform(word_shingles(content_col, n), lambda g: F.xxhash64(g)).alias("sh"),
+    )
+    a = sh.select(F.col("__sid").alias("id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("__sid").alias("hid"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id").join(b, "hid")
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    verified = joined.select(
+        F.col("id").alias(id_col),
+        F.col("hid"),
+        shared.alias("shared"),
+        sa.alias("size_new"),
+        sb.alias("size_hist"),
+    ).filter(
+        F.lit(threshold_den) * F.col("shared")
+        >= F.lit(threshold_num)
+        * (F.col("size_new") + F.col("size_hist") - F.col("shared"))
+    )
+    # smallest matching history id per new doc, carrying ITS pair stats
+    best = F.min(
+        F.struct("hid", "shared", "size_new", "size_hist")
+    ).alias("m")
+    return (
+        verified.groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            F.col("m.hid").alias("dup_of"),
+            F.col("m.shared").alias("shared"),
+            F.col("m.size_new").alias("size_new"),
+            F.col("m.size_hist").alias("size_hist"),
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -101,6 +101,51 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-history verified near-dup: documents from
+    source 'src0' arrive as the new batch and are LSH-banded against
+    the rest of the corpus only (history never re-pairs with itself) —
+    the continuously-ingested-corpus production shape
+    (llm/dedup.incremental_near_dups).  Output: each duplicate new doc
+    with its smallest matching history doc and the exact pair stats."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_near_dups(docs, F.col("source") == "src0")
+
+
+# exact cross-set twin: brute-force batch×history distinct-3-gram
+# Jaccard (oracle scale only — the Spark side is banded+verified; the
+# equality rests on the same pinned no-mid-band-pairs corpus bet as
+# dedup_verified, test_banding_recall_bet_pinned_explicitly)
+ORACLE_DEDUP_INCREMENTAL = """
+WITH sh AS (
+  SELECT doc_id AS id, source, grams,
+         len(grams) AS sz
+  FROM (
+    SELECT doc_id, source,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)]) AS grams
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+pairs AS (
+  SELECT n.id AS doc_id, h.id AS hid,
+         len(list_intersect(n.grams, h.grams)) AS shared,
+         n.sz AS size_new, h.sz AS size_hist
+  FROM sh n JOIN sh h
+    ON n.source = 'src0' AND h.source <> 'src0'
+)
+SELECT doc_id, dup_of, shared, size_new, size_hist FROM (
+  SELECT doc_id, hid AS dup_of, shared, size_new, size_hist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hid) AS rn
+  FROM pairs
+  WHERE 10 * shared >= 3 * (size_new + size_hist - shared)
+) WHERE rn = 1
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
+    "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
 }

@@ -604,6 +604,39 @@ def test_verified_near_dups_subset_of_exact_no_false_positives(spark, sf_dir):
         assert len(verified) / len(exact) >= 0.5  # LSH recall
 
 
+def test_incremental_near_dups_consistent_with_full_pairs(spark, sf_dir):
+    """Incremental batch-vs-history dedup agrees with the full verified
+    pair set restricted to the batch boundary: every reported duplicate
+    is a real cross pair with the MINIMAL history partner, nothing
+    within-batch or within-history leaks in, and every cross pair's new
+    doc is reported."""
+    import pyspark.sql.functions as FF
+
+    from icebergproject_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch_ids = {
+        r.doc_id for r in docs.filter("source = 'src0'").select("doc_id").collect()
+    }
+    full = dedup.verified_near_dups(docs).collect()
+    cross = {}
+    for r in full:
+        a_new, b_new = r.id_a in batch_ids, r.id_b in batch_ids
+        if a_new != b_new:  # exactly one side in the batch
+            new, hist = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
+            cross.setdefault(new, set()).add(hist)
+    inc = {
+        r.doc_id: r
+        for r in dedup.incremental_near_dups(
+            docs, FF.col("source") == "src0"
+        ).collect()
+    }
+    assert set(inc) == set(cross)
+    for new, r in inc.items():
+        assert r.doc_id in batch_ids and r.dup_of not in batch_ids
+        assert r.dup_of == min(cross[new])
+
+
 def test_banding_recall_bet_pinned_explicitly(spark, sf_dir):
     """ADVICE r3: the default 8-band × 4-row banding has its collision
     knee at s* = (1/8)^(1/4) ≈ 0.59, ABOVE the J ≥ 0.3 verify threshold
