@@ -80,10 +80,12 @@ BENCH_QUERIES = [
     "dsir_weights",
     "knn_graph",
     "corpus_pipeline_e2e",
-    # round 4: oracle-strength IVF + the scale-defaulted rank family
+    # round 4: oracle-strength IVF + the scale-defaulted rank family +
+    # incremental (batch-vs-history) dedup
     "similarity_ivf_sql",
     "global_shuffle",
     "curriculum_bins",
+    "dedup_incremental",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

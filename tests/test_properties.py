@@ -402,3 +402,104 @@ def test_connected_components_paths_agree(spark, edges):
         ).collect()
     }
     assert fast == dist
+
+
+# --- round-4 primitives: exact_ntile model + Avro codec round-trip ---------
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    k=st.integers(min_value=1, max_value=17),
+)
+@settings(max_examples=30, deadline=None)
+def test_exact_ntile_matches_standard_model(n, k):
+    """exact_ntile as a PURE EXPRESSION must equal the standard NTILE
+    model (first n%k buckets take ceil(n/k) rows) for every (rank, n, k)
+    — evaluated symbolically via python ints, no Spark job needed (the
+    expression is deterministic arithmetic on rn)."""
+    from icebergproject_spark.llm.sharding import exact_ntile
+
+    # reference model
+    def ntile_model(rn: int) -> int:
+        q, r = divmod(n, k)
+        if q == 0:
+            return rn
+        thresh = r * (q + 1)
+        if rn <= thresh:
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - thresh - 1) // q + 1
+
+    # sizes: contiguous, depths differ by at most 1, ceil-first
+    buckets = [ntile_model(rn) for rn in range(1, n + 1)]
+    if n:
+        from collections import Counter
+
+        depth = Counter(buckets)
+        assert sorted(depth) == list(range(1, min(n, k) + 1))
+        assert max(depth.values()) - min(depth.values()) <= 1
+        assert buckets == sorted(buckets)
+        q, r = divmod(n, k)
+        if q and r:
+            assert depth[1] == q + 1 and depth[min(n, k)] == q
+    # and the Spark expression agrees (one tiny job for the whole case)
+    if n and n <= 60:  # bound the Spark work per example
+        import pyspark.sql.functions as FF
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            df = spark.range(1, n + 1).select(
+                FF.col("id").alias("rn"),
+                exact_ntile(FF.col("id"), n, k).alias("bin"),
+            )
+            got = {r2["rn"]: r2["bin"] for r2 in df.collect()}
+            assert got == {rn: ntile_model(rn) for rn in range(1, n + 1)}
+
+
+avro_value_st = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(1 << 62), max_value=(1 << 62)),
+    st.text(max_size=40),
+)
+
+
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "l": st.integers(min_value=-(1 << 62), max_value=(1 << 62)),
+                "s": st.text(max_size=60),
+                "d": st.floats(allow_nan=False, width=64),
+                "b": st.booleans(),
+                "maybe": st.one_of(st.none(), st.integers(min_value=-(1 << 40), max_value=1 << 40)),
+                "tags": st.dictionaries(st.text(min_size=1, max_size=8), st.text(max_size=10), max_size=4),
+                "arr": st.lists(st.integers(min_value=-(1 << 40), max_value=1 << 40), max_size=6),
+            }
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_avro_ocf_roundtrip_property(tmp_path_factory, rows):
+    """The Avro codec round-trips arbitrary records exactly (zigzag
+    varints across the full long range, unicode strings, nullable
+    unions, maps, arrays, IEEE doubles incl. ±inf and signed zero)."""
+    from icebergproject_spark.lakehouse.avro_ocf import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "prop",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "maybe", "type": ["null", "long"]},
+            {"name": "tags", "type": {"type": "map", "values": "string"}},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    p = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    write_ocf(p, schema, rows)
+    _, _, back = read_ocf(p)
+    assert back == rows
