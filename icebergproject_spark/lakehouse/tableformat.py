@@ -1115,20 +1115,38 @@ class LakehouseTable:
 
         ``branch``: commit to a named branch (created with
         :meth:`create_branch`) instead of main — Iceberg's
-        ``toBranch(...)`` write, the staging half of write-audit-publish."""
+        ``toBranch(...)`` write, the staging half of write-audit-publish.
+
+        Concurrency: the commit is CAS-guarded (the snapshot is computed
+        against the head read here; a concurrent commit in the gap
+        raises :class:`CommitConflictError` inside ``_commit``) and
+        RETRIED Iceberg-style — re-read the new head, recompute the dir
+        union (the data files written once are reused), commit again —
+        up to ``max_retries`` times, so concurrent appenders all land
+        and no snapshot ever drops another's directories
+        (test_concurrent_appends_all_land)."""
         new_dir = self._write_data(df)
-        cur = self.branch_head(branch) if branch else self.current_snapshot()
-        dirs = (cur["data_dirs"] if cur else []) + [new_dir]
-        return self._commit(
-            "append",
-            dirs,
-            delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
-            branch=branch,
-            # CAS: dirs were computed against this head — if another
-            # commit lands first, fail (CommitConflictError) instead of
-            # silently dropping its data_dirs from the new snapshot
-            expected_parent_id=cur["snapshot_id"] if cur else None,
-        )
+        for attempt in range(self._APPEND_MAX_RETRIES + 1):
+            cur = self.branch_head(branch) if branch else self.current_snapshot()
+            dirs = (cur["data_dirs"] if cur else []) + [new_dir]
+            try:
+                return self._commit(
+                    "append",
+                    dirs,
+                    delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+                    branch=branch,
+                    # CAS: dirs were computed against this head — if
+                    # another commit lands first, fail and retry on the
+                    # new base instead of silently dropping its
+                    # data_dirs from the new snapshot
+                    expected_parent_id=cur["snapshot_id"] if cur else None,
+                )
+            except CommitConflictError:
+                if attempt == self._APPEND_MAX_RETRIES:
+                    raise
+                time.sleep(0.005 * (attempt + 1))
+
+    _APPEND_MAX_RETRIES = 20
 
     def overwrite(self, df: DataFrame) -> dict:
         new_dir = self._write_data(df)
@@ -1728,15 +1746,25 @@ class LakehouseTable:
         if any(s.get("batch_id") == batch_id for s in self._snapshots()):
             return None
         new_dir = self._write_data(df)
-        cur = self.current_snapshot()
-        dirs = (cur["data_dirs"] if cur else []) + [new_dir]
-        return self._commit(
-            "append",
-            dirs,
-            batch_id=batch_id,
-            delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
-            expected_parent_id=cur["snapshot_id"] if cur else None,
-        )
+        for attempt in range(self._APPEND_MAX_RETRIES + 1):
+            # a concurrent committer may have landed THIS batch while we
+            # were conflicting — idempotency check again on every retry
+            if any(s.get("batch_id") == batch_id for s in self._snapshots()):
+                return None
+            cur = self.current_snapshot()
+            dirs = (cur["data_dirs"] if cur else []) + [new_dir]
+            try:
+                return self._commit(
+                    "append",
+                    dirs,
+                    batch_id=batch_id,
+                    delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+                    expected_parent_id=cur["snapshot_id"] if cur else None,
+                )
+            except CommitConflictError:
+                if attempt == self._APPEND_MAX_RETRIES:
+                    raise
+                time.sleep(0.005 * (attempt + 1))
 
     def history_df(self) -> DataFrame:
         """Iceberg-style ``history``/``snapshots`` metadata table: one row

@@ -379,9 +379,11 @@ def ivf_sql_topk(
     feeding seeds, cells, and probes.
 
     Scale shape: the centroid table is ``n_centroids`` rows (broadcast
-    everywhere), assignment is a broadcast join + per-vector window over
-    ≤ ``n_centroids`` rows, candidate scoring only touches probed
-    cells.  The k-means variant (:func:`ivf_topk`) remains the
+    everywhere); corpus-side assignment is a broadcast join + hash
+    AGGREGATE argmax (``max(struct(cos, -id))`` — map-side partial
+    combine, no corpus-wide sort); the only window ranks the QUERY
+    vectors' probe lists (|queries|·n_centroids rows); candidate
+    scoring only touches probed cells.  The k-means variant (:func:`ivf_topk`) remains the
     quality-tuned arm; this one trades one Lloyd iteration for a
     bit-exact cross-engine replay.  For corpora where a cluster's
     member count × quant approaches 2^53, feed the sums through
@@ -406,16 +408,29 @@ def ivf_sql_topk(
     seeds = base.filter(F.col("cid") < n_centroids).select(
         F.col("cid").cast("int").alias("cluster_id"), F.col("q").alias("c")
     )
-    w_assign = Window.partitionBy("cid").orderBy(
-        F.col("__cos").desc(), F.col("cluster_id").asc()
-    )
-    assign0 = (
+
+    def argmax_assign(scored_df: DataFrame) -> DataFrame:
+        """(cid, cluster_id, __cos) → each vector's max-cosine cluster,
+        ties to the SMALLEST cluster id — as a hash AGGREGATE
+        (max(struct(cos, -id)) with map-side partial combine), not a
+        window: no per-partition sort of the full corpus, and the same
+        tie semantics as ORDER BY cos DESC, cluster_id ASC."""
+        return (
+            scored_df.groupBy("cid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__cos"), (-F.col("cluster_id")).alias("__negid")
+                    )
+                ).alias("m")
+            )
+            .select("cid", (-F.col("m.__negid")).cast("int").alias("cluster_id"))
+        )
+
+    assign0 = argmax_assign(
         base.select("cid", "q")
         .crossJoin(F.broadcast(seeds))
         .withColumn("__cos", cos_int("q", "c"))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("cid", "cluster_id")
     )
     # integer centroid: per-dimension BIGINT sum over members, rescaled
     # by the member count (exact sums → identical doubles → identical
@@ -437,20 +452,29 @@ def ivf_sql_topk(
             ).alias("c")
         )
     )
-    ranked_cells = (
+    corpus_scored = (
         base.select("cid", "q")
         .crossJoin(F.broadcast(centroids))
         .withColumn("__cos", cos_int("q", "c"))
-        .withColumn("__rn", F.row_number().over(w_assign))
     )
-    cells = ranked_cells.filter(F.col("__rn") == 1).select(
+    cells = argmax_assign(corpus_scored).select(
         "cid", F.col("cluster_id").alias("__cell")
     )
     qids = queries.select(F.col(query_id_col).alias("qid")).distinct()
+    # probe ranking needs top-nprobe (not just argmax), but only for the
+    # QUERY vectors — restrict before the window so the sort touches
+    # |queries|·n_centroids rows, never the corpus
+    w_probe = Window.partitionBy("cid").orderBy(
+        F.col("__cos").desc(), F.col("cluster_id").asc()
+    )
     probes = (
-        ranked_cells.join(F.broadcast(qids), F.col("cid") == F.col("qid"))
+        base.select("cid", "q")
+        .join(F.broadcast(qids), F.col("cid") == F.col("qid"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", cos_int("q", "c"))
+        .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= nprobe)
-        .select(F.col("cid").alias("qid"), F.col("cluster_id").alias("__cell"))
+        .select("qid", F.col("cluster_id").alias("__cell"))
     )
     cand = (
         cells.join(base, "cid")

@@ -1220,3 +1220,34 @@ def test_drop_column_guards(spark, catalog):
         t.drop_column("nope")
     with pytest.raises(ValueError, match="last column"):
         t.drop_column("id")
+
+
+def test_concurrent_appends_all_land(spark, catalog):
+    """Commit concurrency stress: 8 threads append in parallel; CAS +
+    bounded retry must land EVERY append — all rows readable, one
+    linear parent chain, unique snapshot ids, no lost update."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = catalog.table("CONC")
+    n_threads, per_thread = 8, 3
+
+    def worker(w: int) -> list[int]:
+        out = []
+        for j in range(per_thread):
+            snap = t.append(df_of(spark, [(f"{w}-{j}", "v")]))
+            out.append(snap["snapshot_id"])
+        return out
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        ids = [i for ids_ in ex.map(worker, range(n_threads)) for i in ids_]
+
+    assert len(ids) == len(set(ids)) == n_threads * per_thread
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == sorted(f"{w}-{j}" for w in range(n_threads) for j in range(per_thread))
+    # one linear mainline: every snapshot's parent is the previous one
+    chain = t._mainline()
+    assert len(chain) == n_threads * per_thread
+    for prev, nxt in zip(chain, chain[1:]):
+        assert nxt["parent_id"] == prev["snapshot_id"]
+    # and the final snapshot references every data dir
+    assert len(chain[-1]["data_dirs"]) == n_threads * per_thread
