@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "global_shuffle",
     "curriculum_bins",
     "dedup_incremental",
+    "pii_redaction",
+    "dsir_weights_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

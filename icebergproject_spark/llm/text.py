@@ -505,6 +505,89 @@ def dsir_importance_weights(
     )
 
 
+def dsir_weights_micro(
+    df: DataFrame,
+    target_filter,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023), ORACLE-strength arm:
+    same hashed uni+bigram generative model as
+    :func:`dsir_importance_weights`, but engineered for bit-exact
+    cross-engine replay — the ``similarity_ivf_sql`` epistemics applied
+    to data selection:
+
+    - buckets come from an **md5 hex prefix** (first 4 nibbles mod
+      ``buckets``) instead of xxhash64, so any engine with md5 mints the
+      identical feature space;
+    - the per-bucket log-ratio is quantized ONCE to integer micro-nats
+      (``round(1e6·(ln p_target − ln p_raw))`` — each input to ``ln`` is
+      a single correctly-rounded division of exact integers, so both
+      engines see identical doubles), and the per-document weight is the
+      **BIGINT** sum Σ_b count_b·lr_micro_b — integer arithmetic, hence
+      independent of partitioning and summation order.  No float ever
+      crosses an aggregation boundary.
+
+    Laplace smoothing fixed at 1.0.  Scale shape is identical to the
+    xxhash arm: two bucket-count aggregates (map-side combine,
+    ``buckets`` rows each), two scalar totals (bounded driver
+    reductions), a broadcast log-ratio table, one final aggregate over
+    per-(doc, bucket) counts.  Output: (doc_id, n_feats, weight_micro)
+    — weight in micro-nats, BIGINT.
+    """
+    toks = _tokens(content_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    grams = F.when(F.size(toks) >= 2, F.concat(toks, bigrams)).otherwise(toks)
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long") % buckets
+    )
+    # per-(doc, bucket) integer counts materialized ONCE: they feed the
+    # raw distribution, the target distribution, and the final per-doc
+    # weight — and they are ~buckets rows per doc max, far smaller than
+    # the exploded gram stream the xxhash arm checkpoints
+    docb = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", bucket.alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    raw = docb.groupBy("b").agg(F.sum("c").alias("rc"))
+    tgt_ids = df.filter(target_filter).select(F.col(id_col).alias("id"))
+    tgt = (
+        docb.join(tgt_ids, "id", "left_semi")
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+    )
+    # totals: two scalars — bounded driver reductions
+    total_r = raw.agg(F.sum("rc")).collect()[0][0] or 0
+    total_t = tgt.agg(F.sum("tc")).collect()[0][0] or 0
+    denom_t = float(total_t + buckets)
+    denom_r = float(total_r + buckets)
+    lr_micro = F.round(
+        (
+            F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0)) / F.lit(denom_t))
+            - F.log((F.col("rc") + F.lit(1.0)) / F.lit(denom_r))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    ratio = raw.join(tgt, "b", "left").select("b", lr_micro.alias("lrm"))
+    return (
+        docb.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lrm")).alias("weight_micro"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "weight_micro")
+    )
+
+
 def quality_buckets(
     df: DataFrame,
     content_col: str = "text",

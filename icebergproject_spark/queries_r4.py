@@ -10,6 +10,13 @@
   strength — the ``similarity_multiprobe`` epistemics extended to a
   trained coarse quantizer.  The k-means variant (``similarity_ivf``)
   stays registered as the quality-tuned rows-only arm.
+- ``pii_redaction`` — regexp-chain PII scrub (emails/IPs/phones →
+  typed placeholders + hit counts) over a deterministically PII-enriched
+  corpus slice, hash-checked at full strength.
+- ``dsir_weights_sql`` — DSIR importance weights at ORACLE strength:
+  md5-prefix buckets + integer micro-nat log-ratios so the per-doc
+  weight is a partitioning-independent BIGINT sum (the xxhash float arm
+  stays registered as the rows-only ``dsir_weights``).
 """
 
 from __future__ import annotations
@@ -145,7 +152,143 @@ SELECT doc_id, dup_of, shared, size_new, size_hist FROM (
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (llm/text.redact_pii): emails / IPv4s /
+    phone numbers → typed placeholders, with per-doc hit counts.  The
+    synthetic corpus carries no natural PII, so the query first welds a
+    deterministic doc_id-derived PII suffix onto a slice of the docs
+    (``doc_id % {3,4,5}`` pick email / IP / phone carriers) — both
+    engines mint the identical strings, so the redaction itself (chained
+    ``regexp_replace``, zero shuffle, linear in corpus bytes) is
+    hash-checked at full strength, placeholders, counts and all."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"), s(d), F.lit("@mail"), s(d % 7), F.lit(".com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit(" node 10."), s(d % 256), F.lit(".0."), s(d % 250)),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 0"),
+                    F.lpad(s(d % 1000), 3, "0"),
+                    F.lit("-"),
+                    F.lpad(s(d % 10000), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return llm_text.redact_pii(enriched)
+
+
+# patterns restricted to constructs with identical Java-regex / RE2
+# semantics (llm/text.PII_PATTERNS); DuckDB regexp_replace needs the
+# explicit 'g' flag to match Spark's replace-all default
+ORACLE_PII_REDACTION = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+              THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (555) 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+           '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips
+FROM enriched
+"""
+
+
+def q_dsir_weights_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights promoted to ORACLE strength
+    (llm/text.dsir_weights_micro): md5-prefix hashed uni+bigram buckets,
+    per-bucket log-ratio quantized once to integer micro-nats, per-doc
+    weight as a partitioning-independent BIGINT sum.  Target slice:
+    lang = 'en' (same as the xxhash rows-only arm, which stays
+    registered as ``dsir_weights``)."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.dsir_weights_micro(docs, F.col("lang") == "en")
+
+
+# mirrors dsir_weights_micro stage for stage: identical md5-nibble
+# buckets, identical single-division ln() inputs, integer micro-nat
+# quantization, BIGINT sums (order-independent — the float never crosses
+# an aggregation boundary)
+ORACLE_DSIR_WEIGHTS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, UNNEST(list_concat(
+           t, [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])) AS g
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, UNNEST(t) AS g FROM toks WHERE len(t) < 2
+),
+feats AS (
+  SELECT doc_id,
+         (  (instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1)
+         ) % 1024 AS b
+  FROM grams
+),
+docb AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rc FROM docb GROUP BY b),
+tgt AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS tc
+  FROM docb JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY b
+),
+tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS tr FROM raw),
+ttot AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS tt FROM tgt),
+ratio AS (
+  SELECT r.b,
+         CAST(ROUND((  ln((COALESCE(g.tc, 0) + 1.0) / (ttot.tt + 1024.0))
+                     - ln((r.rc + 1.0) / (tot.tr + 1024.0))
+                    ) * 1000000.0) AS BIGINT) AS lrm
+  FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN tot CROSS JOIN ttot
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_feats,
+       CAST(SUM(c * lrm) AS BIGINT) AS weight_micro
+FROM docb JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "pii_redaction": Query(q_pii_redaction, ORACLE_PII_REDACTION),
+    "dsir_weights_sql": Query(q_dsir_weights_sql, ORACLE_DSIR_WEIGHTS_SQL),
 }

@@ -632,3 +632,67 @@ def test_chunk_documents_windows_and_tail(spark):
         c if i == 0 else " ".join(c.split(" ")[1:]) for i, (_, _, c) in enumerate(d1)
     )
     assert rebuilt == " ".join(toks)
+
+
+def test_dsir_weights_micro_match_hashlib_reference(spark):
+    """dsir_weights_micro (the oracle-strength md5/micro-nat arm) must
+    equal a pure-Python replay: same md5-prefix buckets (hashlib hex ==
+    Spark md5 hex), same single-division ln() inputs, same integer
+    micro-nat quantization, exact BIGINT sums."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from icebergproject_spark.llm.text import dsir_weights_micro
+
+    texts = {
+        1: "alpha beta alpha gamma",
+        2: "alpha beta delta",
+        3: "zeta eta theta iota",
+        4: "eta theta zeta zeta",
+        5: "solo",
+    }
+    is_target = {1: True, 2: True, 3: False, 4: False, 5: False}
+    docs = spark.createDataFrame(
+        [(i, t, is_target[i]) for i, t in texts.items()],
+        "doc_id long, text string, tgt boolean",
+    )
+    B = 64
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights_micro(docs, F.col("tgt"), buckets=B).collect()
+    }
+
+    def grams(t):
+        ws = t.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])] if len(ws) >= 2 else ws
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for i, t in texts.items():
+        for g in grams(t):
+            raw[bucket(g)] += 1
+            if is_target[i]:
+                tgt[bucket(g)] += 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    lrm = {
+        b: round(
+            (
+                math.log((tgt[b] + 1.0) / float(T + B))
+                - math.log((raw[b] + 1.0) / float(R + B))
+            )
+            * 1000000.0
+        )
+        for b in raw
+    }
+    for i, t in texts.items():
+        gs = grams(t)
+        assert out[i]["n_feats"] == len(gs)
+        assert out[i]["weight_micro"] == sum(lrm[bucket(g)] for g in gs)
+    # target-family docs outscore the off-target family
+    assert min(out[1]["weight_micro"], out[2]["weight_micro"]) > max(
+        out[3]["weight_micro"], out[4]["weight_micro"]
+    )
