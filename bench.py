@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "pii_redaction",
     "dsir_weights_sql",
+    "quality_buckets_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

@@ -395,6 +395,88 @@ def unigram_logprob_score(
     )
 
 
+def unigram_logprob_micro(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ORACLE-strength arm of :func:`unigram_logprob_score`: the same
+    CCNet-style unigram LM quality score, engineered for bit-exact
+    cross-engine replay via the micro-nat quantization used by
+    :func:`dsir_weights_micro` — each vocabulary token's log-probability
+    is quantized ONCE to integer micro-nats
+    (``round(1e6·(ln cnt − ln total))`` — both ``ln`` inputs are exact
+    integers rendered as doubles, so both engines see identical values),
+    and the per-document score is the **BIGINT** sum over its token
+    stream: integer arithmetic, independent of partitioning and
+    summation order.
+
+    Same plan shape as the float arm: one vocabulary aggregate, one
+    scalar total (bounded driver reduction via broadcast of a 1-row
+    total — no collect), a broadcast model join, one per-doc aggregate.
+    Output: (doc_id, n_tokens, sum_lp_micro) — higher = more typical.
+    """
+    tok = df.select(F.col(id_col), F.explode(_tokens(content_col)).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            (
+                F.log(F.col("cnt").cast("double"))
+                - F.log(F.col("total").cast("double"))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lpm"),
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lpm").alias("sum_lp_micro"),
+        )
+    )
+
+
+def quality_buckets_micro(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 3,
+) -> DataFrame:
+    """ORACLE-strength arm of :func:`quality_buckets`: CCNet
+    head/middle/tail over the micro-nat quality score.  The ranking key
+    is ``sum_lp_micro / n_tokens`` as a double — ONE division of exact
+    integers, correctly rounded, hence identical in any IEEE engine —
+    ranked descending with ``id`` tie-break through the distributed
+    ``exact_global_rank`` + ``exact_ntile`` path (no single-partition
+    window).  Output: (doc_id, n_tokens, sum_lp_micro, mean_lp_micro,
+    bucket, bucket_label)."""
+    from icebergproject_spark.llm.sharding import exact_global_rank, exact_ntile
+
+    scored = unigram_logprob_micro(df, content_col, id_col)
+    mean = F.col("sum_lp_micro").cast("double") / F.col("n_tokens")
+    scored = scored.withColumn("__mean", mean)
+    ranked, n = exact_global_rank(
+        scored, [F.col("__mean").desc(), F.col(id_col).asc()]
+    )
+    bucket = exact_ntile(F.col("__rn"), n, num_buckets)
+    label = (
+        F.when(bucket == 1, "head")
+        .when(bucket == num_buckets, "tail")
+        .otherwise("middle")
+    )
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "sum_lp_micro",
+        F.round(F.col("__mean"), 6).alias("mean_lp_micro"),
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
+    )
+
+
 def normalize_text(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -17,6 +17,11 @@
   md5-prefix buckets + integer micro-nat log-ratios so the per-doc
   weight is a partitioning-independent BIGINT sum (the xxhash float arm
   stays registered as the rows-only ``dsir_weights``).
+- ``lm_quality_score_sql`` / ``quality_buckets_sql`` — the CCNet
+  unigram LM quality score and head/middle/tail split promoted the same
+  way: per-token log-probs quantized once to integer micro-nats, BIGINT
+  per-doc sums, ranking on the exact integer-division mean.  Their float
+  arms stay registered rows-only.
 """
 
 from __future__ import annotations
@@ -286,9 +291,92 @@ GROUP BY doc_id
 """
 
 
+def q_lm_quality_score_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet unigram LM quality score at ORACLE strength
+    (llm/text.unigram_logprob_micro): per-vocab-token log-probability
+    quantized once to integer micro-nats, per-doc score as a
+    partitioning-independent BIGINT sum.  The float arm stays registered
+    rows-only as ``lm_quality_score``."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.unigram_logprob_micro(docs)
+
+
+ORACLE_LM_QUALITY_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+model AS (
+  SELECT token,
+         CAST(ROUND((ln(CAST(cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lpm
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lpm) AS BIGINT) AS sum_lp_micro
+FROM tok JOIN model USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_quality_buckets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split at ORACLE strength
+    (llm/text.quality_buckets_micro): rank by the micro-nat score's
+    exact mean (one integer division → identical double in any IEEE
+    engine), distributed exact-NTILE into 3 buckets.  The float arm
+    stays registered rows-only as ``quality_buckets``."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.quality_buckets_micro(docs)
+
+
+ORACLE_QUALITY_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+model AS (
+  SELECT token,
+         CAST(ROUND((ln(CAST(cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lpm
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lpm) AS BIGINT) AS sum_lp_micro
+  FROM tok JOIN model USING (token)
+  GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, n_tokens, sum_lp_micro,
+         ROUND(CAST(sum_lp_micro AS DOUBLE) / n_tokens, 6) AS mean_lp_micro,
+         CAST(NTILE(3) OVER (
+           ORDER BY CAST(sum_lp_micro AS DOUBLE) / n_tokens DESC, doc_id ASC
+         ) AS INTEGER) AS bucket
+  FROM scored
+)
+SELECT doc_id, n_tokens, sum_lp_micro, mean_lp_micro, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS bucket_label
+FROM b
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "pii_redaction": Query(q_pii_redaction, ORACLE_PII_REDACTION),
     "dsir_weights_sql": Query(q_dsir_weights_sql, ORACLE_DSIR_WEIGHTS_SQL),
+    "lm_quality_score_sql": Query(
+        q_lm_quality_score_sql, ORACLE_LM_QUALITY_SCORE_SQL
+    ),
+    "quality_buckets_sql": Query(q_quality_buckets_sql, ORACLE_QUALITY_BUCKETS_SQL),
 }

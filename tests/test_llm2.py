@@ -696,3 +696,53 @@ def test_dsir_weights_micro_match_hashlib_reference(spark):
     assert min(out[1]["weight_micro"], out[2]["weight_micro"]) > max(
         out[3]["weight_micro"], out[4]["weight_micro"]
     )
+
+
+def test_unigram_logprob_micro_and_buckets_match_reference(spark):
+    """Micro-nat LM quality score equals a pure-Python replay (identical
+    ln inputs, integer quantization, exact sums), and the bucket split
+    equals NTILE over the replayed means with doc_id tie-break."""
+    import math
+    from collections import Counter
+
+    from icebergproject_spark.llm.text import (
+        quality_buckets_micro,
+        unigram_logprob_micro,
+    )
+
+    texts = {
+        1: "the the the cat",
+        2: "the cat sat",
+        3: "rare tokens entirely here",
+        4: "the the sat sat",
+        5: "cat cat cat cat cat",
+        6: "the rare cat sat here",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    vocab: Counter = Counter(t for s in texts.values() for t in s.split(" "))
+    total = sum(vocab.values())
+    lpm = {
+        t: round((math.log(float(c)) - math.log(float(total))) * 1000000.0)
+        for t, c in vocab.items()
+    }
+    want = {
+        i: (len(s.split(" ")), sum(lpm[t] for t in s.split(" ")))
+        for i, s in texts.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_lp_micro"])
+        for r in unigram_logprob_micro(docs).collect()
+    }
+    assert got == want
+
+    # bucket parity: NTILE(3) over mean desc / doc_id asc, 6 rows → 2 each
+    order = sorted(want, key=lambda i: (-want[i][1] / want[i][0], i))
+    want_bucket = {i: 1 + pos // 2 for pos, i in enumerate(order)}
+    out = {r["doc_id"]: r for r in quality_buckets_micro(docs).collect()}
+    for i in texts:
+        assert out[i]["bucket"] == want_bucket[i]
+        assert out[i]["bucket_label"] == {1: "head", 2: "middle", 3: "tail"}[
+            want_bucket[i]
+        ]
