@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "dsir_weights_sql",
     "quality_buckets_sql",
+    "dedup_minhash_lsh_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

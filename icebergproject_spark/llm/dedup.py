@@ -313,6 +313,92 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_sql_candidates(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs at ORACLE strength: identical plan
+    shape to :func:`minhash_lsh_candidates`, but every hash is
+    cross-engine replayable — permutation *i* of shingle *g* is the
+    first 12 hex digits of ``md5("<i>-<g>")`` as a (48-bit, positive)
+    BIGINT, and the band key is the ':'-joined decimal rendering of the
+    band's row minima.  Any engine with md5 mints the exact same
+    signatures, bands, buckets, and therefore the exact same candidate
+    set — the LSH *mechanism itself* is hash-checked, not just a
+    downstream verification.
+
+    Defaults 16 hashes / 8 bands / 2 rows put the detection knee at
+    J* = (1/8)^(1/2) ≈ 0.35, protecting the J ≥ 0.3 operating point.
+    The xxhash64 arm stays the production default (one string hash per
+    shingle vs ``num_hashes`` md5s here — the md5 arm costs more per
+    byte and exists for bit-exact replay).  Scale shape is unchanged:
+    flat codegen projection over exploded shingles, map-side-combined
+    min aggregate, one groupBy(band, band_sig)-shaped self-join on
+    short string keys, ReusedExchange on the identical-plan sides.
+
+    Output: (id_a, id_b, n_shared_bands), id_a < id_b.
+    """
+    rows = num_hashes // bands
+    col = F.col(content_col)
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    zipped = F.slice(toks, 1, k)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, k), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    grams = F.when(k <= 0, F.array(col)).otherwise(zipped)
+    inv = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+
+    def hperm(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(str(i)), F.col("g"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sigs = inv.groupBy("id").agg(
+        *[F.min(hperm(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def verified_near_dups(
     df: DataFrame,
     content_col: str = "text",

@@ -22,6 +22,9 @@
   way: per-token log-probs quantized once to integer micro-nats, BIGINT
   per-doc sums, ranking on the exact integer-division mean.  Their float
   arms stay registered rows-only.
+- ``dedup_minhash_lsh_sql`` — the LSH mechanism itself at ORACLE
+  strength: md5-derived minhash permutations make signatures, band
+  buckets and the candidate-pair set bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -370,6 +373,66 @@ FROM b
 """
 
 
+def q_dedup_minhash_lsh_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation at ORACLE strength
+    (llm/dedup.minhash_lsh_sql_candidates): md5-derived hash
+    permutations (first 12 hex digits of md5("<i>-<gram>")) make the
+    signatures, band buckets, and candidate-pair set bit-identical
+    across engines — DuckDB replays the LSH mechanism itself, not just
+    a downstream verification.  16 hashes / 8 bands / 2 rows
+    (knee ≈ 0.35).  The xxhash64 arm stays the production default
+    (``dedup_minhash_lsh``, rows-only)."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_sql_candidates(docs)
+
+
+def _md5_prefix12_sql(hx: str) -> str:
+    """BIGINT value of the first 12 hex digits of md5 column `hx`."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr({hx}, {j + 1}, 1)) - 1) * {16 ** (11 - j)}"
+            for j in range(12)
+        )
+        + ")"
+    )
+
+
+# stage-for-stage mirror of minhash_lsh_sql_candidates: same shingles,
+# same md5-derived permutations (md5 computed once per (gram, perm) in
+# `hashed`, nibbles decoded in `hmin`), same ':'-joined band keys
+ORACLE_DEDUP_MINHASH_LSH_SQL = f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS g
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '-' || g) AS hx
+  FROM grams CROSS JOIN (SELECT UNNEST(range(16)) AS i)
+),
+hmin AS (
+  SELECT doc_id, i, MIN({_md5_prefix12_sql('hx')}) AS h
+  FROM hashed GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_sig
+  FROM hmin GROUP BY doc_id, i // 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
@@ -379,4 +442,7 @@ R4_REGISTRY: dict[str, Query] = {
         q_lm_quality_score_sql, ORACLE_LM_QUALITY_SCORE_SQL
     ),
     "quality_buckets_sql": Query(q_quality_buckets_sql, ORACLE_QUALITY_BUCKETS_SQL),
+    "dedup_minhash_lsh_sql": Query(
+        q_dedup_minhash_lsh_sql, ORACLE_DEDUP_MINHASH_LSH_SQL
+    ),
 }

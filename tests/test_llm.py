@@ -802,3 +802,64 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     assert (1, 3) in cap
     assert (1, 2) not in cap and (2, 3) not in cap
     assert (1, 2) in unc  # the stop phrase DID fake a pair uncapped
+
+
+def test_minhash_lsh_sql_recall_and_hashlib_replay(spark, sf_dir):
+    """The md5-permutation LSH arm (oracle-strength) must (a) recall
+    every exact J >= 0.3 pair on the corpus — its 8-band x 2-row knee
+    sits at (1/8)^(1/2) ~ 0.35, protecting the operating point the
+    xxhash arm only covers by the pinned corpus bet — and (b) reproduce
+    a pure-Python hashlib replay of signatures -> bands -> pairs on a
+    small slice, pinning the cross-engine hash contract the DuckDB
+    oracle relies on."""
+    import hashlib
+
+    from icebergproject_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold_num=3, threshold_den=10
+        ).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_sql_candidates(docs).collect()
+    }
+    assert exact <= cand  # 100% recall at J >= 0.3
+
+    # (b) hashlib replay on a small deterministic slice
+    rows = docs.filter(F.col("doc_id") < 40).select("doc_id", "text").collect()
+    sigs = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        grams = (
+            [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+            if len(ws) >= 3
+            else [r.text]
+        )
+        sigs[r.doc_id] = [
+            min(
+                int(hashlib.md5(f"{i}-{g}".encode()).hexdigest()[:12], 16)
+                for g in grams
+            )
+            for i in range(16)
+        ]
+    buckets: dict = {}
+    for d, s in sigs.items():
+        for b in range(8):
+            buckets.setdefault((b, f"{s[2 * b]}:{s[2 * b + 1]}"), []).append(d)
+    want = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                want[(ms[x], ms[y])] = want.get((ms[x], ms[y]), 0) + 1
+    got = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in dedup.minhash_lsh_sql_candidates(
+            docs.filter(F.col("doc_id") < 40)
+        ).collect()
+    }
+    assert got == want
