@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dsir_weights_sql",
     "quality_buckets_sql",
     "dedup_minhash_lsh_sql",
+    "similarity_lsh_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

@@ -146,6 +146,108 @@ def lsh_topk(
     )
 
 
+def lsh_weights(planes: int, dim: int) -> list[list[int]]:
+    """Hyperplane weights for the ORACLE-strength sign-LSH arm: plane
+    p's component for dimension d is ``md5("<p>-<d>")``'s first 4 hex
+    digits mod 1000, shifted to [-500, 499] — minted driver-side with
+    hashlib (pure Python, deterministic), embedded into the plan as
+    literals, and regenerable verbatim by any engine or test."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[:4], 16) % 1000 - 500
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_sql_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 4,
+    quant: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Sign-LSH approximate top-k at ORACLE strength — :func:`lsh_topk`
+    with every bucket decision made by EXACT integer arithmetic so any
+    engine replays the identical buckets, candidate set, and ranking:
+
+    - vectors quantize to BIGINT (``round(x·quant)``, the
+      ``ivf_sql_topk`` move);
+    - hyperplane weights are md5-minted integer literals
+      (:func:`lsh_weights`) — the projection Σ qᵢ·wᵢ is an exact BIGINT
+      sum (|q|·|w|·dim ≪ 2^53), so the sign bit can never flip from
+      float noise, unlike the xxhash float-weight arm;
+    - bucket = Σ bit_p·2^p; same-bucket pairs get the full-precision
+      cosine (sequential-order array fold — deterministic in both
+      engines) with the proven ROUND(·, 6) rendering.
+
+    Scale shape matches :func:`lsh_topk`: bucket-equi join replaces the
+    cross join (~2^planes× less scoring), one window over the scored
+    candidates.  Recall < 1.0 by design; the oracle checks that BOTH
+    engines approximate identically.  Output: (query_id, neighbor_id,
+    score, rank)."""
+    W = lsh_weights(planes, dim)
+    qz = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * quant).cast("long"),
+    )
+
+    def bucket_of(qcol: Column) -> Column:
+        b = F.lit(0)
+        for p in range(planes):
+            wlit = F.array(*[F.lit(w).cast("long") for w in W[p]])
+            proj = F.aggregate(
+                F.zip_with(qcol, wlit, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        return b.cast("int")
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+        bucket_of(qz).alias("__bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        bucket_of(qz).alias("__bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "__bucket")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (
+                    F.sqrt(_dot(F.col("__qvec"), F.col("__qvec")))
+                    * F.sqrt(_dot(F.col("__cvec"), F.col("__cvec")))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "neighbor_id", F.round("score", 6).alias("score"), "rank"
+        )
+    )
+
+
 def multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,

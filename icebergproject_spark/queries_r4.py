@@ -433,6 +433,61 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def q_similarity_lsh_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5 at ORACLE strength
+    (llm/similarity.lsh_sql_topk): md5-minted integer hyperplane
+    weights + BIGINT projections mean the sign bit can never flip from
+    float noise — DuckDB replays the identical buckets, candidate set,
+    and ranking.  4 planes, query vectors vec_id < 5.  The xxhash
+    float-weight arm stays rows-only (``similarity_lsh``)."""
+    from icebergproject_spark.llm.similarity import lsh_sql_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_sql_topk(emb, queries, dim=64, k=5, planes=4)
+
+
+def _lsh_oracle_sql(planes: int = 4, dim: int = 64) -> str:
+    """Mirror of lsh_sql_topk: per-plane weight literals regenerated
+    with the same hashlib derivation (llm/similarity.lsh_weights)."""
+    from icebergproject_spark.llm.similarity import lsh_weights
+
+    W = lsh_weights(planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(q, CAST({W[p]} AS DOUBLE[])) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS cid,
+         CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+b AS (SELECT cid, e, {bucket} AS bucket FROM v),
+scored AS (
+  SELECT qb.cid AS query_id, cb.cid AS neighbor_id,
+         list_dot_product(qb.e, cb.e) /
+           (sqrt(list_dot_product(qb.e, qb.e)) * sqrt(list_dot_product(cb.e, cb.e))) AS s
+  FROM b qb JOIN b cb ON qb.bucket = cb.bucket AND cb.cid <> qb.cid
+  WHERE qb.cid < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ROUND(s, 6) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_SIMILARITY_LSH_SQL = _lsh_oracle_sql()
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
@@ -445,4 +500,5 @@ R4_REGISTRY: dict[str, Query] = {
     "dedup_minhash_lsh_sql": Query(
         q_dedup_minhash_lsh_sql, ORACLE_DEDUP_MINHASH_LSH_SQL
     ),
+    "similarity_lsh_sql": Query(q_similarity_lsh_sql, ORACLE_SIMILARITY_LSH_SQL),
 }

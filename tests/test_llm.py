@@ -863,3 +863,43 @@ def test_minhash_lsh_sql_recall_and_hashlib_replay(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_lsh_sql_topk_matches_hashlib_bucket_replay(spark, sf_dir):
+    """The oracle-strength sign-LSH arm: (a) buckets replay exactly in
+    pure Python (same md5-minted weights, same integer projections —
+    the no-float-noise contract the DuckDB oracle rests on), (b) output
+    is well-formed and every returned neighbor genuinely shares the
+    query's bucket."""
+    import hashlib
+
+    from icebergproject_spark.tables import load_table
+    from icebergproject_spark.llm.similarity import (
+        lsh_sql_topk,
+        lsh_weights,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    W = lsh_weights(4, dim)
+    # weight derivation is the documented md5 contract
+    assert W[0][0] == int(hashlib.md5(b"0-0").hexdigest()[:4], 16) % 1000 - 500
+
+    def bucket(vec):
+        q = [round(x * 10000) for x in vec]
+        return sum(
+            (1 << p) if sum(qi * wi for qi, wi in zip(q, W[p])) >= 0 else 0
+            for p in range(4)
+        )
+
+    rows = emb.filter(F.col("vec_id") < 100).collect()
+    py_bucket = {r.vec_id: bucket([float(x) for x in r.embedding]) for r in rows}
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_sql_topk(emb, q, dim=dim, k=5, planes=4).collect()
+    assert len(out) > 0 and all(1 <= r.rank <= 5 for r in out)
+    for r in out:
+        if r.query_id in py_bucket and r.neighbor_id in py_bucket:
+            assert py_bucket[r.query_id] == py_bucket[r.neighbor_id]
