@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "quality_buckets_sql",
     "dedup_minhash_lsh_sql",
     "similarity_lsh_sql",
+    "dedup_embedding_lsh_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

@@ -948,6 +948,66 @@ def embedding_near_pairs_lsh(
     )
 
 
+def embedding_near_pairs_lsh_sql(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    planes: int = 4,
+    quant: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup at ORACLE strength: buckets come
+    from :func:`~icebergproject_spark.llm.similarity.int_sign_bucket`
+    (md5-minted integer hyperplanes, exact BIGINT projections — the
+    sign can never flip from float noise), and the same-bucket cosine
+    is the sequential-order double fold both engines evaluate
+    identically, so the pair set AND the threshold decision replay
+    bit-exactly in ANSI SQL.  Same output shape and threshold semantics
+    as :func:`embedding_near_pairs_lsh` (which stays the xxhash
+    float-weight production arm).  Scale shape: one bucket-equi
+    self-join (ReusedExchange on the identical-plan sides) instead of
+    the O(n²) cross join."""
+    from icebergproject_spark.llm.similarity import (
+        _dot,
+        int_sign_bucket,
+        lsh_weights,
+    )
+
+    W = lsh_weights(planes, dim)
+    qz = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * quant).cast("long"),
+    )
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        int_sign_bucket(qz, W).alias("__bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    score = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v"))
+        / (
+            F.sqrt(_dot(F.col("a.__v"), F.col("a.__v")))
+            * F.sqrt(_dot(F.col("b.__v"), F.col("b.__v")))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def _window_hashes(toks: F.Column, k: int) -> F.Column:
     """Rolling k-token window fingerprints of a token array: hash each
     token ONCE, then chain xxhash64 across the k shifted slices of the

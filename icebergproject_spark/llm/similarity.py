@@ -163,6 +163,23 @@ def lsh_weights(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def int_sign_bucket(qcol: Column, W: list[list[int]]) -> Column:
+    """Sign-LSH bucket id from a BIGINT-quantized vector column and
+    integer hyperplane weights (:func:`lsh_weights`): bit p is the sign
+    of the exact BIGINT projection Σ qᵢ·wᵢ (|q|·|w|·dim ≪ 2^53 — no
+    float in the decision), bucket = Σ bit_p·2^p."""
+    b = F.lit(0)
+    for p, row in enumerate(W):
+        wlit = F.array(*[F.lit(w).cast("long") for w in row])
+        proj = F.aggregate(
+            F.zip_with(qcol, wlit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        b = b + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
 def lsh_sql_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,16 +217,7 @@ def lsh_sql_topk(
     )
 
     def bucket_of(qcol: Column) -> Column:
-        b = F.lit(0)
-        for p in range(planes):
-            wlit = F.array(*[F.lit(w).cast("long") for w in W[p]])
-            proj = F.aggregate(
-                F.zip_with(qcol, wlit, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            b = b + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        return b.cast("int")
+        return int_sign_bucket(qcol, W)
 
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),

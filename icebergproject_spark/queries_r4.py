@@ -488,6 +488,50 @@ SELECT * FROM ranked WHERE rank <= 5
 ORACLE_SIMILARITY_LSH_SQL = _lsh_oracle_sql()
 
 
+def q_dedup_embedding_lsh_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup at ORACLE strength
+    (llm/dedup.embedding_near_pairs_lsh_sql): integer sign-LSH buckets
+    + bit-identical double cosine make the bucket pruning itself
+    SQL-replayable — retiring the old claim that it isn't.  4 planes,
+    threshold 0.35.  The xxhash arm stays rows-only
+    (``dedup_embedding_lsh``)."""
+    from icebergproject_spark.llm.dedup import embedding_near_pairs_lsh_sql
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_lsh_sql(emb, dim=64, threshold=0.35, planes=4)
+
+
+def _embedding_lsh_oracle_sql(planes: int = 4, dim: int = 64) -> str:
+    from icebergproject_spark.llm.similarity import lsh_weights
+
+    W = lsh_weights(planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(q, CAST({W[p]} AS DOUBLE[])) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS cid,
+         CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+b AS (SELECT cid, e, {bucket} AS bucket FROM v)
+SELECT a.cid AS id_a, c.cid AS id_b,
+       ROUND(list_dot_product(a.e, c.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))),
+             6) AS score
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.cid < c.cid
+WHERE ROUND(list_dot_product(a.e, c.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))),
+            6) >= 0.35
+"""
+
+
+ORACLE_DEDUP_EMBEDDING_LSH_SQL = _embedding_lsh_oracle_sql()
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
@@ -501,4 +545,7 @@ R4_REGISTRY: dict[str, Query] = {
         q_dedup_minhash_lsh_sql, ORACLE_DEDUP_MINHASH_LSH_SQL
     ),
     "similarity_lsh_sql": Query(q_similarity_lsh_sql, ORACLE_SIMILARITY_LSH_SQL),
+    "dedup_embedding_lsh_sql": Query(
+        q_dedup_embedding_lsh_sql, ORACLE_DEDUP_EMBEDDING_LSH_SQL
+    ),
 }

@@ -903,3 +903,28 @@ def test_lsh_sql_topk_matches_hashlib_bucket_replay(spark, sf_dir):
     for r in out:
         if r.query_id in py_bucket and r.neighbor_id in py_bucket:
             assert py_bucket[r.query_id] == py_bucket[r.neighbor_id]
+
+
+def test_embedding_lsh_sql_subset_of_exact_with_threshold(spark, sf_dir):
+    """Oracle-strength bucketed near-pairs must be a SUBSET of the exact
+    all-pairs result at the same threshold (bucketing only prunes,
+    never invents), with identical scores on shared pairs."""
+    from icebergproject_spark.tables import load_table
+    from icebergproject_spark.llm.dedup import (
+        embedding_near_pairs,
+        embedding_near_pairs_lsh_sql,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_pairs_lsh_sql(emb, dim=64, threshold=0.35).collect()
+    }
+    assert len(lsh) > 0
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
