@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_sql",
     "similarity_lsh_sql",
     "dedup_embedding_lsh_sql",
+    "dedup_semantic_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

@@ -1170,6 +1170,63 @@ def semantic_near_pairs(
     ).filter(F.col("score") >= threshold)
 
 
+def semantic_near_pairs_sql(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    threshold: float = 0.35,
+    quant: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup at ORACLE strength: the k-means partition is the
+    integer-exact one-step Lloyd shared with :func:`ivf_sql_topk`
+    (:func:`~icebergproject_spark.llm.similarity.int_lloyd_cells` —
+    bit-identical cluster cells on any engine), and the within-cluster
+    cosine is the sequential-order double fold both engines evaluate
+    identically, so the APPROXIMATE pair set hash-checks at full
+    strength.  The iterative-k-means + BLAS arm
+    (:func:`semantic_near_pairs`) stays the quality-tuned production
+    default; this arm trades Lloyd iterations for cross-engine replay.
+
+    Scale shape: Σ|cell|² scoring work instead of n² — the SemDeDup
+    economics — via one broadcast-seeded assignment and one
+    cell-equi self-join (ReusedExchange on the identical-plan sides).
+    Output: (id_a, id_b, score), id_a < id_b, rounded-cosine ≥
+    threshold — same contract as :func:`semantic_near_pairs`."""
+    from icebergproject_spark.llm.similarity import (
+        _dot,
+        int_lloyd_cells,
+        int_quantized_base,
+    )
+
+    base = int_quantized_base(df, quant=quant, vec_col=vec_col, id_col=id_col)
+    cells, _ = int_lloyd_cells(base, k)
+    tagged = cells.join(base, "cid").select("cid", "e", "__cell")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    score = F.round(
+        _dot(F.col("a.e"), F.col("b.e"))
+        / (
+            F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
+            * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .select(
+            F.col("a.cid").alias("id_a"),
+            F.col("b.cid").alias("id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     content_col: str = "text",

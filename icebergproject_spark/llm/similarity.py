@@ -163,6 +163,102 @@ def lsh_weights(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def int_quantized_base(
+    corpus: DataFrame,
+    quant: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cid, e: double[], q: bigint[]) — the shared relation every
+    integer-exact index path (IVF, SemDeDup-SQL) hangs off: original
+    doubles for scoring, ``round(x·quant)`` BIGINTs for index
+    arithmetic.  Lazily localCheckpoint'd so the first action
+    materializes it once for all consumers."""
+    qz = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * quant).cast("long"),
+    )
+    return corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        qz.alias("q"),
+    ).localCheckpoint(eager=False)
+
+
+def _cos_int(a: str, b: str) -> Column:
+    # integer-valued doubles: exact products and sums (≪ 2^53)
+    return _dot(F.col(a), F.col(b)) / (
+        F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b)))
+    )
+
+
+def _argmax_assign(scored_df: DataFrame) -> DataFrame:
+    """(cid, cluster_id, __cos) → each vector's max-cosine cluster,
+    ties to the SMALLEST cluster id — as a hash AGGREGATE
+    (max(struct(cos, -id)) with map-side partial combine), not a
+    window: no per-partition sort of the full corpus, and the same
+    tie semantics as ORDER BY cos DESC, cluster_id ASC."""
+    return (
+        scored_df.groupBy("cid")
+        .agg(
+            F.max(
+                F.struct(F.col("__cos"), (-F.col("cluster_id")).alias("__negid"))
+            ).alias("m")
+        )
+        .select("cid", (-F.col("m.__negid")).cast("int").alias("cluster_id"))
+    )
+
+
+def int_lloyd_cells(
+    base: DataFrame, n_centroids: int
+) -> tuple[DataFrame, DataFrame]:
+    """One integer-exact Lloyd step from data seeds over a
+    :func:`int_quantized_base` relation — the bit-exact cross-engine
+    index training shared by :func:`ivf_sql_topk` and SemDeDup-SQL:
+    seeds = first ``n_centroids`` vectors by id; assign each vector to
+    its max-cosine seed (exact integer dots); centroid_j = per-dimension
+    BIGINT member sum rescaled to ``round(sum/n)``; cells = max-cosine
+    centroid per vector.  Returns ``(cells(cid, __cell),
+    centroids(cluster_id, c))``."""
+    seeds = base.filter(F.col("cid") < n_centroids).select(
+        F.col("cid").cast("int").alias("cluster_id"), F.col("q").alias("c")
+    )
+    assign0 = _argmax_assign(
+        base.select("cid", "q")
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("__cos", _cos_int("q", "c"))
+    )
+    # integer centroid: per-dimension BIGINT sum over members, rescaled
+    # by the member count (exact sums → identical doubles → identical
+    # rounded integers on every engine)
+    sums = (
+        base.select("cid", "q")
+        .join(assign0, "cid")
+        .select("cluster_id", F.posexplode("q").alias("pos", "x"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    centroids = (
+        sums.withColumn("cx", F.round(F.col("s") / F.col("n")).cast("long"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda st: st.getField("cx"),
+            ).alias("c")
+        )
+    )
+    corpus_scored = (
+        base.select("cid", "q")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", _cos_int("q", "c"))
+    )
+    cells = _argmax_assign(corpus_scored).select(
+        "cid", F.col("cluster_id").alias("__cell")
+    )
+    return cells, centroids
+
+
 def int_sign_bucket(qcol: Column, W: list[list[int]]) -> Column:
     """Sign-LSH bucket id from a BIGINT-quantized vector column and
     integer hyperplane weights (:func:`lsh_weights`): bit p is the sign
@@ -499,77 +595,9 @@ def ivf_sql_topk(
     member count × quant approaches 2^53, feed the sums through
     DECIMAL before the rescale (not needed at harness scale).
     """
-    qz = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * quant).cast("long"),
-    )
-    base = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("e"),
-        qz.alias("q"),
-    ).localCheckpoint(eager=False)
-
-    def cos_int(a: str, b: str) -> Column:
-        # integer-valued doubles: exact products and sums (≪ 2^53)
-        return _dot(F.col(a), F.col(b)) / (
-            F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b)))
-        )
-
-    seeds = base.filter(F.col("cid") < n_centroids).select(
-        F.col("cid").cast("int").alias("cluster_id"), F.col("q").alias("c")
-    )
-
-    def argmax_assign(scored_df: DataFrame) -> DataFrame:
-        """(cid, cluster_id, __cos) → each vector's max-cosine cluster,
-        ties to the SMALLEST cluster id — as a hash AGGREGATE
-        (max(struct(cos, -id)) with map-side partial combine), not a
-        window: no per-partition sort of the full corpus, and the same
-        tie semantics as ORDER BY cos DESC, cluster_id ASC."""
-        return (
-            scored_df.groupBy("cid")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("__cos"), (-F.col("cluster_id")).alias("__negid")
-                    )
-                ).alias("m")
-            )
-            .select("cid", (-F.col("m.__negid")).cast("int").alias("cluster_id"))
-        )
-
-    assign0 = argmax_assign(
-        base.select("cid", "q")
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("__cos", cos_int("q", "c"))
-    )
-    # integer centroid: per-dimension BIGINT sum over members, rescaled
-    # by the member count (exact sums → identical doubles → identical
-    # rounded integers on every engine)
-    sums = (
-        base.select("cid", "q")
-        .join(assign0, "cid")
-        .select("cluster_id", F.posexplode("q").alias("pos", "x"))
-        .groupBy("cluster_id", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    centroids = (
-        sums.withColumn("cx", F.round(F.col("s") / F.col("n")).cast("long"))
-        .groupBy("cluster_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                lambda st: st.getField("cx"),
-            ).alias("c")
-        )
-    )
-    corpus_scored = (
-        base.select("cid", "q")
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("__cos", cos_int("q", "c"))
-    )
-    cells = argmax_assign(corpus_scored).select(
-        "cid", F.col("cluster_id").alias("__cell")
-    )
+    base = int_quantized_base(corpus, quant=quant, vec_col=vec_col, id_col=id_col)
+    cos_int = _cos_int
+    cells, centroids = int_lloyd_cells(base, n_centroids)
     qids = queries.select(F.col(query_id_col).alias("qid")).distinct()
     # probe ranking needs top-nprobe (not just argmax), but only for the
     # QUERY vectors — restrict before the window so the sort touches

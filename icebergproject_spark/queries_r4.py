@@ -532,6 +532,79 @@ WHERE ROUND(list_dot_product(a.e, c.e) /
 ORACLE_DEDUP_EMBEDDING_LSH_SQL = _embedding_lsh_oracle_sql()
 
 
+def q_dedup_semantic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at ORACLE strength (llm/dedup.semantic_near_pairs_sql):
+    integer-exact one-step Lloyd cells (shared with similarity_ivf_sql)
+    + bit-identical within-cell cosine — DuckDB replays the cluster
+    partition AND the pair set.  k=8 cells, threshold 0.35 (the
+    dedup_semantic operating point).  The iterative-k-means BLAS arm
+    stays rows-only (``dedup_semantic``)."""
+    from icebergproject_spark.llm.dedup import semantic_near_pairs_sql
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_near_pairs_sql(emb, dim=64, k=8, threshold=0.35)
+
+
+# same training CTEs as ORACLE_SIMILARITY_IVF_SQL with 8 seeds, then a
+# cell-equi self-join with the proven ROUND(cos, 6) threshold decision
+ORACLE_DEDUP_SEMANTIC_SQL = """
+WITH v AS (
+  SELECT vec_id AS cid,
+         CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(cid AS INTEGER) AS cluster_id, q AS c FROM v WHERE cid < 8
+),
+a0 AS (
+  SELECT cid, cluster_id FROM (
+    SELECT v.cid, s.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY v.cid ORDER BY
+             list_dot_product(v.q, s.c) /
+               (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(s.c, s.c))) DESC,
+             s.cluster_id ASC) AS rn
+    FROM v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+flat AS (
+  SELECT a0.cluster_id,
+         UNNEST(range(1, len(v.q) + 1)) AS pos,
+         UNNEST(v.q) AS x
+  FROM v JOIN a0 USING (cid)
+),
+sums AS (
+  SELECT cluster_id, pos, SUM(CAST(x AS BIGINT)) AS s, COUNT(*) AS n
+  FROM flat GROUP BY cluster_id, pos
+),
+centroids AS (
+  SELECT cluster_id,
+         array_agg(CAST(ROUND(s / n) AS DOUBLE) ORDER BY pos) AS c
+  FROM sums GROUP BY cluster_id
+),
+a1 AS (
+  SELECT v.cid, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY v.cid ORDER BY
+           list_dot_product(v.q, c.c) /
+             (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+           c.cluster_id ASC) AS rn
+  FROM v CROSS JOIN centroids c
+),
+cells AS (SELECT cid, cluster_id AS cell FROM a1 WHERE rn = 1)
+SELECT a.cid AS id_a, b.cid AS id_b,
+       ROUND(list_dot_product(va.e, vb.e) /
+             (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+             6) AS score
+FROM cells a
+JOIN cells b ON a.cell = b.cell AND a.cid < b.cid
+JOIN v va ON va.cid = a.cid
+JOIN v vb ON vb.cid = b.cid
+WHERE ROUND(list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+            6) >= 0.35
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
@@ -548,4 +621,5 @@ R4_REGISTRY: dict[str, Query] = {
     "dedup_embedding_lsh_sql": Query(
         q_dedup_embedding_lsh_sql, ORACLE_DEDUP_EMBEDDING_LSH_SQL
     ),
+    "dedup_semantic_sql": Query(q_dedup_semantic_sql, ORACLE_DEDUP_SEMANTIC_SQL),
 }

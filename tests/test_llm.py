@@ -928,3 +928,29 @@ def test_embedding_lsh_sql_subset_of_exact_with_threshold(spark, sf_dir):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k]
+
+
+def test_semantic_sql_subset_of_exact_with_threshold(spark, sf_dir):
+    """Oracle-strength SemDeDup: within-cell pairs must be a SUBSET of
+    the exact all-pairs result at the same threshold with identical
+    scores, and must cover a meaningful share of it (cells prune, never
+    invent)."""
+    from icebergproject_spark.tables import load_table
+    from icebergproject_spark.llm.dedup import (
+        embedding_near_pairs,
+        semantic_near_pairs_sql,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_pairs(emb, threshold=0.35).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.score
+        for r in semantic_near_pairs_sql(emb, dim=64, k=8, threshold=0.35).collect()
+    }
+    assert len(sem) > 0
+    assert set(sem) <= set(exact)
+    for key, v in sem.items():
+        assert v == exact[key]
