@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "similarity_lsh_sql",
     "dedup_embedding_lsh_sql",
     "dedup_semantic_sql",
+    "embedding_kmeans_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

@@ -605,6 +605,71 @@ WHERE ROUND(list_dot_product(va.e, vb.e) /
 """
 
 
+def q_embedding_kmeans_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cluster assignment at ORACLE strength: one integer-exact
+    Lloyd step from data seeds (llm/similarity.int_lloyd_cells, the
+    training shared by similarity_ivf_sql and dedup_semantic_sql), k=8.
+    Output: (vec_id, cluster_id).  The 5-iteration mapInPandas Lloyd
+    stays rows-only (``embedding_kmeans``) — this arm trades iterations
+    for a bit-exact cross-engine replay of the assignment."""
+    from icebergproject_spark.llm.similarity import (
+        int_lloyd_cells,
+        int_quantized_base,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = int_quantized_base(emb)
+    cells, _ = int_lloyd_cells(base, 8)
+    return cells.select(
+        F.col("cid").alias("vec_id"), F.col("__cell").alias("cluster_id")
+    )
+
+
+ORACLE_EMBEDDING_KMEANS_SQL = """
+WITH v AS (
+  SELECT vec_id AS cid,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(cid AS INTEGER) AS cluster_id, q AS c FROM v WHERE cid < 8
+),
+a0 AS (
+  SELECT cid, cluster_id FROM (
+    SELECT v.cid, s.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY v.cid ORDER BY
+             list_dot_product(v.q, s.c) /
+               (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(s.c, s.c))) DESC,
+             s.cluster_id ASC) AS rn
+    FROM v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+flat AS (
+  SELECT a0.cluster_id,
+         UNNEST(range(1, len(v.q) + 1)) AS pos,
+         UNNEST(v.q) AS x
+  FROM v JOIN a0 USING (cid)
+),
+sums AS (
+  SELECT cluster_id, pos, SUM(CAST(x AS BIGINT)) AS s, COUNT(*) AS n
+  FROM flat GROUP BY cluster_id, pos
+),
+centroids AS (
+  SELECT cluster_id,
+         array_agg(CAST(ROUND(s / n) AS DOUBLE) ORDER BY pos) AS c
+  FROM sums GROUP BY cluster_id
+)
+SELECT cid AS vec_id, CAST(cluster_id AS INTEGER) AS cluster_id FROM (
+  SELECT v.cid, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY v.cid ORDER BY
+           list_dot_product(v.q, c.c) /
+             (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+           c.cluster_id ASC) AS rn
+  FROM v CROSS JOIN centroids c
+) WHERE rn = 1
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
@@ -622,4 +687,7 @@ R4_REGISTRY: dict[str, Query] = {
         q_dedup_embedding_lsh_sql, ORACLE_DEDUP_EMBEDDING_LSH_SQL
     ),
     "dedup_semantic_sql": Query(q_dedup_semantic_sql, ORACLE_DEDUP_SEMANTIC_SQL),
+    "embedding_kmeans_sql": Query(
+        q_embedding_kmeans_sql, ORACLE_EMBEDDING_KMEANS_SQL
+    ),
 }
