@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh_sql",
     "dedup_semantic_sql",
     "embedding_kmeans_sql",
+    "dedup_clusters_lsh_sql",
 ]
 
 # the exact query set BENCH_r03 reported — the round-over-round continuity

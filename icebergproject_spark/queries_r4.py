@@ -670,6 +670,79 @@ SELECT cid AS vec_id, CAST(cluster_id AS INTEGER) AS cluster_id FROM (
 """
 
 
+def q_dedup_clusters_lsh_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition — LSH candidate edges resolved into
+    clusters by connected components — at ORACLE strength end to end:
+    edges are the md5-permutation LSH candidate set
+    (llm/dedup.minhash_lsh_sql_candidates — bit-identical across
+    engines, false positives included BY DESIGN, no Jaccard verify
+    tier), clusters are the same large-star/small-star components as
+    ``dedup_clusters``.  DuckDB replays the approximate edge generator
+    AND the transitive closure, so the whole pipeline is hash-checked —
+    unlike ``dedup_clusters_lsh`` (xxhash edges, rows-only) and unlike
+    ``dedup_clusters`` (exact edges; its LSH generator is equal only by
+    the pinned corpus bet)."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_sql_candidates(docs).select("id_a", "id_b")
+    comp = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    from pyspark.sql.window import Window
+
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id").withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
+# the md5-LSH candidate CTEs (ORACLE_DEDUP_MINHASH_LSH_SQL) feeding the
+# recursive min-reachable-id closure (ORACLE_DEDUP_CLUSTERS' shape)
+ORACLE_DEDUP_CLUSTERS_LSH_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS g
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '-' || g) AS hx
+  FROM grams CROSS JOIN (SELECT UNNEST(range(16)) AS i)
+),
+hmin AS (
+  SELECT doc_id, i, MIN({_md5_prefix12_sql('hx')}) AS h
+  FROM hashed GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_sig
+  FROM hmin GROUP BY doc_id, i // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
 R4_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql": Query(q_similarity_ivf_sql, ORACLE_SIMILARITY_IVF_SQL),
     "dedup_incremental": Query(q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
@@ -689,5 +762,8 @@ R4_REGISTRY: dict[str, Query] = {
     "dedup_semantic_sql": Query(q_dedup_semantic_sql, ORACLE_DEDUP_SEMANTIC_SQL),
     "embedding_kmeans_sql": Query(
         q_embedding_kmeans_sql, ORACLE_EMBEDDING_KMEANS_SQL
+    ),
+    "dedup_clusters_lsh_sql": Query(
+        q_dedup_clusters_lsh_sql, ORACLE_DEDUP_CLUSTERS_LSH_SQL
     ),
 }
