@@ -760,19 +760,30 @@ REGISTRY.update(R4_REGISTRY)
 # doc_fingerprint, similarity_topk, embedding_stats, dedup_embedding,
 # multimodal_meta, user_sessions, asof_trade_quote, range_join_shipments,
 # browse_pipeline_e2e) yield their slots to 21 never-driver-checked
-# oracles plus the new oracle-strength similarity_ivf_sql.  After this
-# round the cumulative driver-checked count reaches 102 of 143
-# registered queries.  user_points stays (flagship continuity).
-# Rotated-out queries remain registered and locally gated after
-# position 50.
+# oracles plus the new oracle-strength similarity_ivf_sql.  A second
+# intra-round rotation then swapped 11 once/twice-green relational rows
+# for the 11 round-4 oracle-strength promotions (see the window
+# comment), putting every never-checked round-4 oracle in front of the
+# driver.  After this round the cumulative driver-checked count reaches
+# 113 of 154 registered queries.  user_points stays (flagship
+# continuity).  Rotated-out queries remain registered and locally gated
+# after position 50.
 DRIVER_WINDOW = [
-    # flagship + remaining twice-green medallion/relational rows
-    "user_points", "shipping_priority", "local_supplier_volume",
-    "nation_volume_shipping", "small_quantity_revenue",
-    "blame_last_supplier", "revenue_pareto", "quantity_price_corr",
-    "basket_pairs",
-    # advanced SQL surface (recursive / lateral / frames / variant / unpivot)
-    "part_taxonomy", "rolling_30d_revenue", "lateral_top_orders",
+    # flagship
+    "user_points",
+    # round-4 oracle-strength promotions (never driver-checked — the
+    # strongest unchecked oracles, in per VERDICT r3 ask #2's rule;
+    # they displaced 11 once/twice-green relational rows:
+    # shipping_priority, local_supplier_volume, nation_volume_shipping,
+    # small_quantity_revenue, blame_last_supplier, revenue_pareto,
+    # quantity_price_corr, basket_pairs, rolling_30d_revenue,
+    # lateral_top_orders, part_taxonomy — all still registered and
+    # locally gated after position 50)
+    "pii_redaction", "dsir_weights_sql", "lm_quality_score_sql",
+    "quality_buckets_sql", "dedup_minhash_lsh_sql", "similarity_lsh_sql",
+    "dedup_embedding_lsh_sql", "dedup_semantic_sql",
+    "embedding_kmeans_sql", "dedup_clusters_lsh_sql", "dedup_incremental",
+    # advanced SQL surface (variant / unpivot)
     "events_props_variant", "lineitem_unpivot_profile",
     # LLM pipeline: dedup family (span tier + verified compositions)
     "dedup_verified", "dedup_verified_strict", "dedup_clusters",
