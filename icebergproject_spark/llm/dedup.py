@@ -971,6 +971,7 @@ def embedding_near_pairs_lsh_sql(
     from icebergproject_spark.llm.similarity import (
         _dot,
         int_sign_bucket,
+        l2_norm,
         lsh_weights,
     )
 
@@ -979,18 +980,19 @@ def embedding_near_pairs_lsh_sql(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * quant).cast("long"),
     )
+    # norms precomputed per VECTOR, not per pair — same doubles either
+    # way (sqrt of the identical sequential fold), ~3× less per-pair
+    # work on the O(pairs) hot path
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
         int_sign_bucket(qz, W).alias("__bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     score = F.round(
         _dot(F.col("a.__v"), F.col("b.__v"))
-        / (
-            F.sqrt(_dot(F.col("a.__v"), F.col("a.__v")))
-            * F.sqrt(_dot(F.col("b.__v"), F.col("b.__v")))
-        ),
+        / (F.col("a.__n") * F.col("b.__n")),
         6,
     )
     return (
@@ -1198,18 +1200,18 @@ def semantic_near_pairs_sql(
         _dot,
         int_lloyd_cells,
         int_quantized_base,
+        l2_norm,
     )
 
     base = int_quantized_base(df, quant=quant, vec_col=vec_col, id_col=id_col)
     cells, _ = int_lloyd_cells(base, k)
-    tagged = cells.join(base, "cid").select("cid", "e", "__cell")
+    # norms once per vector (identical doubles; ~3× less per-pair work)
+    tagged = cells.join(base, "cid").select(
+        "cid", "e", l2_norm(F.col("e")).alias("__n"), "__cell"
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
     score = F.round(
-        _dot(F.col("a.e"), F.col("b.e"))
-        / (
-            F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
-            * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))
-        ),
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.__n") * F.col("b.__n")),
         6,
     )
     return (

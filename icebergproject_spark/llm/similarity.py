@@ -315,14 +315,17 @@ def lsh_sql_topk(
     def bucket_of(qcol: Column) -> Column:
         return int_sign_bucket(qcol, W)
 
+    # norms once per vector (identical doubles; less per-pair work)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
         bucket_of(qz).alias("__bucket"),
     )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
         bucket_of(qz).alias("__bucket"),
     )
     scored = (
@@ -333,10 +336,7 @@ def lsh_sql_topk(
             "neighbor_id",
             (
                 _dot(F.col("__qvec"), F.col("__cvec"))
-                / (
-                    F.sqrt(_dot(F.col("__qvec"), F.col("__qvec")))
-                    * F.sqrt(_dot(F.col("__cvec"), F.col("__cvec")))
-                )
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("score"),
         )
     )

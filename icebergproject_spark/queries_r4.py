@@ -467,11 +467,10 @@ WITH v AS (
          [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
   FROM embeddings
 ),
-b AS (SELECT cid, e, {bucket} AS bucket FROM v),
+b AS (SELECT cid, e, sqrt(list_dot_product(e, e)) AS n, {bucket} AS bucket FROM v),
 scored AS (
   SELECT qb.cid AS query_id, cb.cid AS neighbor_id,
-         list_dot_product(qb.e, cb.e) /
-           (sqrt(list_dot_product(qb.e, qb.e)) * sqrt(list_dot_product(cb.e, cb.e))) AS s
+         list_dot_product(qb.e, cb.e) / (qb.n * cb.n) AS s
   FROM b qb JOIN b cb ON qb.bucket = cb.bucket AND cb.cid <> qb.cid
   WHERE qb.cid < 5
 ),
@@ -517,15 +516,11 @@ WITH v AS (
          [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
   FROM embeddings
 ),
-b AS (SELECT cid, e, {bucket} AS bucket FROM v)
+b AS (SELECT cid, e, sqrt(list_dot_product(e, e)) AS n, {bucket} AS bucket FROM v)
 SELECT a.cid AS id_a, c.cid AS id_b,
-       ROUND(list_dot_product(a.e, c.e) /
-             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))),
-             6) AS score
+       ROUND(list_dot_product(a.e, c.e) / (a.n * c.n), 6) AS score
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.cid < c.cid
-WHERE ROUND(list_dot_product(a.e, c.e) /
-            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))),
-            6) >= 0.35
+WHERE ROUND(list_dot_product(a.e, c.e) / (a.n * c.n), 6) >= 0.35
 """
 
 
@@ -590,18 +585,15 @@ a1 AS (
            c.cluster_id ASC) AS rn
   FROM v CROSS JOIN centroids c
 ),
-cells AS (SELECT cid, cluster_id AS cell FROM a1 WHERE rn = 1)
+cells AS (SELECT cid, cluster_id AS cell FROM a1 WHERE rn = 1),
+vn AS (SELECT cid, e, sqrt(list_dot_product(e, e)) AS n FROM v)
 SELECT a.cid AS id_a, b.cid AS id_b,
-       ROUND(list_dot_product(va.e, vb.e) /
-             (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
-             6) AS score
+       ROUND(list_dot_product(va.e, vb.e) / (va.n * vb.n), 6) AS score
 FROM cells a
 JOIN cells b ON a.cell = b.cell AND a.cid < b.cid
-JOIN v va ON va.cid = a.cid
-JOIN v vb ON vb.cid = b.cid
-WHERE ROUND(list_dot_product(va.e, vb.e) /
-            (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
-            6) >= 0.35
+JOIN vn va ON va.cid = a.cid
+JOIN vn vb ON vb.cid = b.cid
+WHERE ROUND(list_dot_product(va.e, vb.e) / (va.n * vb.n), 6) >= 0.35
 """
 
 
