@@ -206,15 +206,24 @@ class LakehouseTable:
         version-file rename.  A lock left by a crashed committer is
         stolen once it is older than ``_COMMIT_LOCK_STALE_S`` (the
         steal itself goes through os.replace of a freshly-claimed
-        token, so two stealers cannot both win)."""
+        file, so two stealers cannot both win).
+
+        Returns an OWNERSHIP TOKEN (a uuid written into the lock file at
+        acquire/steal time).  Release goes through
+        :meth:`_release_commit_lock`, which removes the lock ONLY if the
+        file still contains this token — so a holder whose lock was
+        stolen after a >stale-threshold stall cannot delete the
+        stealer's lock from its finally-block and admit a third
+        committer mid-commit."""
         lock = os.path.join(self.root, "commit.lock")
         deadline = time.time() + self._COMMIT_LOCK_STALE_S * 2
         while True:
+            token = uuid.uuid4().hex
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                return lock
+                return token
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
@@ -222,15 +231,15 @@ class LakehouseTable:
                     continue  # holder just released; retry immediately
                 if age > self._COMMIT_LOCK_STALE_S:
                     # steal atomically: replace wins for exactly one stealer
-                    token = lock + f".steal-{uuid.uuid4().hex}"
-                    with open(token, "w") as f:
-                        f.write(str(os.getpid()))
+                    claim = lock + f".steal-{uuid.uuid4().hex}"
+                    with open(claim, "w") as f:
+                        f.write(token)
                     try:
-                        os.replace(token, lock)
-                        return lock
+                        os.replace(claim, lock)
+                        return token
                     except OSError:
                         try:
-                            os.remove(token)
+                            os.remove(claim)
                         except FileNotFoundError:
                             pass
                 if time.time() > deadline:
@@ -238,6 +247,27 @@ class LakehouseTable:
                         f"commit lock {lock} held past deadline"
                     )
                 time.sleep(0.02)
+
+    def _release_commit_lock(self, token: str) -> None:
+        """Remove the commit lock IFF we still own it (file content ==
+        our token).  After a stale-lock steal the original holder's
+        token no longer matches, so its release is a no-op instead of
+        deleting the stealer's lock.  The read→remove pair is not
+        atomic; the residual window is a single filesystem operation
+        wide (vs. the unconditional remove this replaces, which was
+        wrong for the WHOLE post-steal critical section)."""
+        lock = os.path.join(self.root, "commit.lock")
+        try:
+            with open(lock) as f:
+                owner = f.read()
+        except FileNotFoundError:
+            return  # stolen and already released by the stealer
+        if owner != token:
+            return  # stolen: the stealer owns the lock now
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
     # -- field-id-addressed schema tracking (Iceberg column identity) ------
     #
@@ -293,7 +323,7 @@ class LakehouseTable:
         commit lock: concurrent writers must not mint the same id.
         Returns the dir's name→id map (the write path stamps it into
         the parquet files as ``PARQUET:field_id``)."""
-        lock = self._acquire_commit_lock()
+        lock_token = self._acquire_commit_lock()
         try:
             st = self._load_schema_state()
             fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
@@ -327,10 +357,7 @@ class LakehouseTable:
             self._save_schema_state(st)
             return dir_cols
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            self._release_commit_lock(lock_token)
 
     def rename_column(self, old: str, new: str) -> None:
         """Iceberg ``ALTER TABLE ... RENAME COLUMN``: metadata-only — the
@@ -344,7 +371,7 @@ class LakehouseTable:
                 "renaming the active partition column is not supported; "
                 "evolve the partition spec first"
             )
-        lock = self._acquire_commit_lock()
+        lock_token = self._acquire_commit_lock()
         try:
             st = self._load_schema_state()
             fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
@@ -361,10 +388,7 @@ class LakehouseTable:
             st["current-schema-id"] = new_id
             self._save_schema_state(st)
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            self._release_commit_lock(lock_token)
 
     def _rename_map(self, st: dict, d: str, schema_id: int) -> dict[str, str]:
         """written-column-name → effective-name under ``schema_id`` for
@@ -408,7 +432,7 @@ class LakehouseTable:
                 "dropping the active partition column is not supported; "
                 "evolve the partition spec first"
             )
-        lock = self._acquire_commit_lock()
+        lock_token = self._acquire_commit_lock()
         try:
             st = self._load_schema_state()
             fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
@@ -422,10 +446,7 @@ class LakehouseTable:
             st["current-schema-id"] = new_id
             self._save_schema_state(st)
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            self._release_commit_lock(lock_token)
 
     def _commit(
         self,
@@ -447,17 +468,15 @@ class LakehouseTable:
         (ellipsis = no check) keeps single-writer callers unchanged:
         they read the head inside the lock, so their parent is always
         the true head."""
-        lock = self._acquire_commit_lock()
+        lock_token = self._acquire_commit_lock()
         try:
             return self._commit_locked(
                 operation, data_dirs, batch_id, delete_dirs, branch,
                 expected_parent_id,
             )
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass  # stolen after a stall; the stealer owns it now
+            # ownership-checked: a no-op if the lock was stolen mid-commit
+            self._release_commit_lock(lock_token)
 
     def _commit_locked(
         self,
@@ -955,12 +974,17 @@ class LakehouseTable:
         # data dir's rename map, scan per group with mergeSchema, rename,
         # union by name — identity maps collapse to one scan
         schema_st = self._load_schema_state()
-        snap_dicts = [s for s in self._snapshots() if s["snapshot_id"] == sid]
-        eff_sid = (
-            snap_dicts[0].get("schema_id", schema_st["current-schema-id"])
-            if snap_dicts
-            else schema_st["current-schema-id"]
-        )
+        if snapshot_id is None:
+            # current read: render under the LIVE schema (metadata-only
+            # DDL takes effect immediately, matching read())
+            eff_sid = schema_st["current-schema-id"]
+        else:
+            snap_dicts = [s for s in self._snapshots() if s["snapshot_id"] == sid]
+            eff_sid = (
+                snap_dicts[0].get("schema_id", schema_st["current-schema-id"])
+                if snap_dicts
+                else schema_st["current-schema-id"]
+            )
 
         def file_projection(f: str) -> tuple[dict[str, str], list[str]]:
             rel = os.path.relpath(f, self.data_dir)
@@ -1148,7 +1172,36 @@ class LakehouseTable:
 
     _APPEND_MAX_RETRIES = 20
 
+    def _retry_cas(self, attempt_fn, max_retries: int | None = None) -> dict:
+        """Iceberg optimistic-concurrency wrapper for mutating paths whose
+        new snapshot DEPENDS on the head they read (merge, delete, update,
+        compact, …): ``attempt_fn(cur)`` computes its change against head
+        ``cur`` and commits with ``expected_parent_id=cur's id``; when a
+        concurrent commit lands in the gap the CAS raises
+        :class:`CommitConflictError` and the change is RECOMPUTED against
+        the new head — never silently dropping the other commit's
+        directories (last-writer-wins).  Data files written by a losing
+        attempt become orphans, exactly like Iceberg's failed commits;
+        :meth:`remove_orphan_files` sweeps them."""
+        retries = self._APPEND_MAX_RETRIES if max_retries is None else max_retries
+        for attempt in range(retries + 1):
+            cur = self.current_snapshot()
+            try:
+                return attempt_fn(cur)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+                time.sleep(0.005 * (attempt + 1))
+
+    @staticmethod
+    def _cas_id(cur: dict | None):
+        return cur["snapshot_id"] if cur else None
+
     def overwrite(self, df: DataFrame) -> dict:
+        """Full-table replace.  Intentionally NOT CAS-guarded: the new
+        snapshot is derived from ``df`` alone (no dependency on the head
+        it replaces), so replace-whatever-is-there IS the contract —
+        Iceberg's unconditional ``overwrite()`` behaves the same."""
         new_dir = self._write_data(df)
         return self._commit("overwrite", [new_dir])
 
@@ -1207,32 +1260,45 @@ class LakehouseTable:
             upserts = upserts.drop(*[c for c in drop_cols if c not in key_cols])
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError("mode must be 'copy-on-write' or 'merge-on-read'")
-        cur = self.current_snapshot()
-        if cur is None:
-            return self.overwrite(upserts)
-        if mode == "merge-on-read":
-            # old versions of every touched key (updates AND deletes)
-            # become positional delete entries; applied rows append
-            touched = deduped.select(*key_cols).distinct()
-            matched = self.read(with_address=True).join(
-                touched, key_cols, "left_semi"
-            )
-            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
-            matched.select("__file", "__pos").write.mode("overwrite").parquet(del_dir)
-            new_dir = self._write_data(upserts)
+
+        # CAS-guarded (the merged snapshot depends on the head it was
+        # computed against): a concurrent append landing in the gap makes
+        # the commit fail and the merge recompute on the new base, so the
+        # append's rows flow INTO the merge instead of being dropped.
+        def attempt(cur):
+            if cur is None:
+                new_dir = self._write_data(upserts)
+                return self._commit("merge", [new_dir], expected_parent_id=None)
+            if mode == "merge-on-read":
+                # old versions of every touched key (updates AND deletes)
+                # become positional delete entries; applied rows append
+                touched = deduped.select(*key_cols).distinct()
+                matched = self.read(with_address=True).join(
+                    touched, key_cols, "left_semi"
+                )
+                del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+                matched.select("__file", "__pos").write.mode("overwrite").parquet(
+                    del_dir
+                )
+                new_dir = self._write_data(upserts)
+                return self._commit(
+                    "merge",
+                    list(cur["data_dirs"]) + [new_dir],
+                    delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                    expected_parent_id=self._cas_id(cur),
+                )
+            target = self.read()
+            # anti-join against EVERY touched key (updates and deletes)
+            # wipes the old versions; only the non-delete rows come back in
+            merged = target.join(
+                deduped.select(*key_cols).distinct(), key_cols, "left_anti"
+            ).unionByName(upserts)
+            new_dir = self._write_data(merged)
             return self._commit(
-                "merge",
-                list(cur["data_dirs"]) + [new_dir],
-                delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                "merge", [new_dir], expected_parent_id=self._cas_id(cur)
             )
-        target = self.read()
-        # anti-join against EVERY touched key (updates and deletes) wipes
-        # the old versions; only the non-delete rows come back in
-        merged = target.join(
-            deduped.select(*key_cols).distinct(), key_cols, "left_anti"
-        ).unionByName(upserts)
-        new_dir = self._write_data(merged)
-        return self._commit("merge", [new_dir])
+
+        return self._retry_cas(attempt)
 
     def diff(self, from_snapshot_id: int, to_snapshot_id: int) -> DataFrame:
         """Snapshot-to-snapshot changelog (M3 extended — what Iceberg
@@ -1316,20 +1382,27 @@ class LakehouseTable:
         All non-key numeric columns are summed; ``partials`` should
         already be one row per key (a groupBy output).
         """
-        try:
+        # CAS-guarded: two micro-batches merging concurrently must not
+        # lose each other's partial sums (lost update = wrong totals)
+        def attempt(cur):
+            if cur is None:
+                new_dir = self._write_data(partials)
+                return self._commit(
+                    "merge_additive", [new_dir], expected_parent_id=None
+                )
             target = self.read()
-        except FileNotFoundError:
-            target = None
-        if target is None:
-            return self.overwrite(partials)
-        val_cols = [c for c in partials.columns if c not in key_cols]
-        merged = (
-            target.unionByName(partials)
-            .groupBy(*key_cols)
-            .agg(*[F.sum(c).alias(c) for c in val_cols])
-        )
-        new_dir = self._write_data(merged)
-        return self._commit("merge_additive", [new_dir])
+            val_cols = [c for c in partials.columns if c not in key_cols]
+            merged = (
+                target.unionByName(partials)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in val_cols])
+            )
+            new_dir = self._write_data(merged)
+            return self._commit(
+                "merge_additive", [new_dir], expected_parent_id=self._cas_id(cur)
+            )
+
+        return self._retry_cas(attempt)
 
     @staticmethod
     def _address(df: DataFrame) -> DataFrame:
@@ -1410,6 +1483,7 @@ class LakehouseTable:
                 raise ValueError(f"unknown ref {ref}")
         if snap is None and snapshot_id is None and as_of_ms is None:
             raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
+        explicit_travel = snapshot_id is not None or as_of_ms is not None
         if snapshot_id is not None:
             matching = [s for s in snaps if s["snapshot_id"] == snapshot_id]
             if not matching:
@@ -1425,12 +1499,17 @@ class LakehouseTable:
         delete_dirs = snap.get("delete_dirs", [])
         need_addr = with_address or bool(delete_dirs)
         data_dirs = list(snap["data_dirs"])
-        # field-id resolution: render every dir's columns under the
-        # schema version of the SELECTED snapshot (renames and drops are
-        # metadata-only; old files keep serving renamed columns by field
-        # id, and retired-id columns leave the scan)
+        # field-id resolution: CURRENT reads (incl. branch heads) render
+        # under the LIVE schema — Iceberg DDL is metadata-only and takes
+        # effect immediately, so rename/drop with no subsequent write
+        # must still show on the next read.  Only EXPLICIT time travel
+        # (snapshot_id / as-of timestamp / tag) renders names AS OF the
+        # snapshot's committed schema-id.
         schema_st = self._load_schema_state()
-        eff_sid = snap.get("schema_id", schema_st["current-schema-id"])
+        if explicit_travel:
+            eff_sid = snap.get("schema_id", schema_st["current-schema-id"])
+        else:
+            eff_sid = schema_st["current-schema-id"]
         projections = {
             d: self._dir_projection(schema_st, d, eff_sid) for d in data_dirs
         }
@@ -1579,19 +1658,32 @@ class LakehouseTable:
         return df
 
     def compact(self, target_partitions: int | None = None) -> dict:
-        """M1: rewrite_data_files — many small dirs → one rewritten dir."""
-        df = self.read()
-        if target_partitions:
-            df = df.repartition(target_partitions)
-        new_dir = self._write_data(df)
-        return self._commit("compact", [new_dir])
+        """M1: rewrite_data_files — many small dirs → one rewritten dir.
+        CAS-guarded: an append landing while the rewrite runs fails the
+        commit and the compaction re-reads the new head, so the append's
+        directories are never dropped from the compacted snapshot."""
+
+        def attempt(cur):
+            df = self.read()
+            if target_partitions:
+                df = df.repartition(target_partitions)
+            new_dir = self._write_data(df)
+            return self._commit(
+                "compact", [new_dir], expected_parent_id=self._cas_id(cur)
+            )
+
+        return self._retry_cas(attempt)
 
     def rollback(self, snapshot_id: int) -> dict:
         """Iceberg-style rollback: make an OLD snapshot current again by
         committing a new snapshot that references its data dirs (history
         is preserved — rollback is itself an auditable commit, and the
         rolled-back-over snapshots remain time-travelable until expiry).
-        Mistake recovery: bad write → ``rollback(last_good)``."""
+        Mistake recovery: bad write → ``rollback(last_good)``.
+
+        Intentionally NOT CAS-guarded: like :meth:`overwrite`, the new
+        snapshot is the TARGET's state regardless of the current head —
+        re-pointing past whatever landed in between is the contract."""
         target = next(
             (s for s in self._snapshots() if s["snapshot_id"] == snapshot_id), None
         )
@@ -1823,25 +1915,37 @@ class LakehouseTable:
         to fold deletes back into data files.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        if mode == "merge-on-read":
-            cur = self.current_snapshot()
-            if cur is None:
-                raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
-            matched = (
-                self.read(with_address=True).filter(cond).select("__file", "__pos")
-            )
-            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
-            matched.write.mode("overwrite").parquet(del_dir)
-            return self._commit(
-                "delete",
-                list(cur["data_dirs"]),
-                delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
-            )
-        if mode != "copy-on-write":
+        if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError("mode must be 'copy-on-write' or 'merge-on-read'")
-        remaining = self.read().filter(~cond)
-        new_dir = self._write_data(remaining)
-        return self._commit("delete", [new_dir])
+
+        # CAS-guarded: the delete is computed against the head it read;
+        # a commit landing in the gap forces a recompute on the new base
+        def attempt(cur):
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.db}.{self.name} has no snapshots"
+                )
+            if mode == "merge-on-read":
+                matched = (
+                    self.read(with_address=True)
+                    .filter(cond)
+                    .select("__file", "__pos")
+                )
+                del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+                matched.write.mode("overwrite").parquet(del_dir)
+                return self._commit(
+                    "delete",
+                    list(cur["data_dirs"]),
+                    delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                    expected_parent_id=self._cas_id(cur),
+                )
+            remaining = self.read().filter(~cond)
+            new_dir = self._write_data(remaining)
+            return self._commit(
+                "delete", [new_dir], expected_parent_id=self._cas_id(cur)
+            )
+
+        return self._retry_cas(attempt)
 
     def update_where(
         self, condition, assignments: dict, mode: str = "copy-on-write"
@@ -1866,35 +1970,49 @@ class LakehouseTable:
             col: (F.expr(e) if isinstance(e, str) else e)
             for col, e in assignments.items()
         }
-        if mode == "merge-on-read":
-            cur = self.current_snapshot()
-            if cur is None:
-                raise FileNotFoundError(f"table {self.db}.{self.name} has no snapshots")
-            matched = self.read(with_address=True).filter(cond)
-            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
-            matched.select("__file", "__pos").write.mode("overwrite").parquet(del_dir)
-            data_cols = [c for c in matched.columns if c not in ("__file", "__pos")]
-            updated = matched.select(
-                *[
-                    (exprs[c].alias(c) if c in exprs else F.col(c))
-                    for c in data_cols
-                ]
-            )
-            new_dir = self._write_data(updated)
-            return self._commit(
-                "update",
-                list(cur["data_dirs"]) + [new_dir],
-                delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
-            )
-        if mode != "copy-on-write":
+        if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError("mode must be 'copy-on-write' or 'merge-on-read'")
-        df = self.read()
-        projection = [
-            F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c) if c in exprs else F.col(c)
-            for c in df.columns
-        ]
-        new_dir = self._write_data(df.select(*projection))
-        return self._commit("update", [new_dir])
+
+        def attempt(cur):
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.db}.{self.name} has no snapshots"
+                )
+            if mode == "merge-on-read":
+                matched = self.read(with_address=True).filter(cond)
+                del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+                matched.select("__file", "__pos").write.mode("overwrite").parquet(
+                    del_dir
+                )
+                data_cols = [
+                    c for c in matched.columns if c not in ("__file", "__pos")
+                ]
+                updated = matched.select(
+                    *[
+                        (exprs[c].alias(c) if c in exprs else F.col(c))
+                        for c in data_cols
+                    ]
+                )
+                new_dir = self._write_data(updated)
+                return self._commit(
+                    "update",
+                    list(cur["data_dirs"]) + [new_dir],
+                    delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                    expected_parent_id=self._cas_id(cur),
+                )
+            df = self.read()
+            projection = [
+                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+            new_dir = self._write_data(df.select(*projection))
+            return self._commit(
+                "update", [new_dir], expected_parent_id=self._cas_id(cur)
+            )
+
+        return self._retry_cas(attempt)
 
     def rewrite_position_deletes(self) -> dict | None:
         """Iceberg ``rewrite_position_deletes``: fold the accumulated
@@ -1902,21 +2020,24 @@ class LakehouseTable:
         reader-side anti-join probes a single small relation again. Data
         files are untouched (that's :meth:`compact`, which materializes
         deletes entirely). No-op (returns None) without deletes."""
-        cur = self.current_snapshot()
-        if not cur or not cur.get("delete_dirs"):
-            return None
-        dels = (
-            self.spark.read.parquet(*cur["delete_dirs"])
-            .select("__file", "__pos")
-            .distinct()
-        )
-        del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
-        dels.write.mode("overwrite").parquet(del_dir)
-        return self._commit(
-            "rewrite_position_deletes",
-            list(cur["data_dirs"]),
-            delete_dirs=[del_dir],
-        )
+        def attempt(cur):
+            if not cur or not cur.get("delete_dirs"):
+                return None
+            dels = (
+                self.spark.read.parquet(*cur["delete_dirs"])
+                .select("__file", "__pos")
+                .distinct()
+            )
+            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+            dels.write.mode("overwrite").parquet(del_dir)
+            return self._commit(
+                "rewrite_position_deletes",
+                list(cur["data_dirs"]),
+                delete_dirs=[del_dir],
+                expected_parent_id=self._cas_id(cur),
+            )
+
+        return self._retry_cas(attempt)
 
     def maybe_compact(
         self, max_data_dirs: int = 8, target_partitions: int | None = None

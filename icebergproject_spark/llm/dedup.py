@@ -848,11 +848,27 @@ def embedding_near_pairs(
         # their byte size — NO extra job); 8 MiB of compressed parquet ≈
         # the 25k-vector block. Only statless inputs (in-memory local
         # relations, i.e. tests) report Long.MaxValue and pay a count.
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # queryExecution().…stats() is a PRIVATE JVM API and the <2^50
+        # "has stats" sentinel is a heuristic, so the call is guarded:
+        # any failure falls back to the exact row-count path.  A
+        # highly-compressible file can also under-report (blocks larger
+        # than the ~13 MB/side budget); a cheap row-count FLOOR (parquet
+        # count = footer metadata only, no data scan) clamps that.
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = 1 << 50  # stats unavailable: use the count path
+        count_based = min(256, max(4, df.count() // 25_000 + 1))
         if size < (1 << 50):
-            n_blocks = min(256, max(4, size // (8 << 20) + 1))
+            size_based = min(256, max(4, size // (8 << 20) + 1))
+            # take the max: compression never makes the true row count
+            # smaller, so the row-count floor bounds per-tile memory even
+            # when the byte estimate is optimistic
+            n_blocks = max(size_based, count_based)
         else:
-            n_blocks = min(256, max(4, df.count() // 25_000 + 1))
+            n_blocks = count_based
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b")

@@ -1251,3 +1251,111 @@ def test_concurrent_appends_all_land(spark, catalog):
         assert nxt["parent_id"] == prev["snapshot_id"]
     # and the final snapshot references every data dir
     assert len(chain[-1]["data_dirs"]) == n_threads * per_thread
+
+
+def test_lock_release_after_steal_keeps_stealers_lock(spark, catalog, tmp_path):
+    """ADVICE r4 #1: a holder whose commit lock was STOLEN (stale
+    threshold exceeded) must not delete the stealer's lock from its
+    finally-block — release is ownership-checked by token."""
+    import os
+
+    t = catalog.table("LOCKOWN")
+    lock_path = os.path.join(t.root, "commit.lock")
+
+    token_a = t._acquire_commit_lock()
+    assert os.path.exists(lock_path)
+    # simulate a >stale-threshold stall: backdate the lock's mtime
+    old = time.time() - t._COMMIT_LOCK_STALE_S - 5
+    os.utime(lock_path, (old, old))
+    token_b = t._acquire_commit_lock()  # steals
+    assert token_a != token_b
+    with open(lock_path) as f:
+        assert f.read() == token_b
+
+    # the stalled original holder releases: MUST be a no-op
+    t._release_commit_lock(token_a)
+    assert os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert f.read() == token_b
+
+    # the stealer's release removes it
+    t._release_commit_lock(token_b)
+    assert not os.path.exists(lock_path)
+    # double-release tolerated
+    t._release_commit_lock(token_b)
+
+
+def test_metadata_only_ddl_visible_without_subsequent_write(spark, catalog):
+    """ADVICE r4 #2: rename/drop with NO write after them must show on
+    the very next current read (Iceberg DDL is metadata-only and takes
+    effect immediately); explicit time travel still renders AS OF the
+    snapshot's schema."""
+    t = catalog.table("DDLNOW")
+    s1 = t.append(df_of(spark, [("1", "a"), ("2", "b")]))
+    t.rename_column("v", "val")
+    # current read: new name, no write happened since the DDL
+    assert set(t.read().columns) == {"id", "val"}
+    assert set(t.read_via_manifests().columns) == {"id", "val"}
+    # explicit time travel renders the OLD name (schema AS OF snapshot)
+    assert set(t.read(snapshot_id=s1["snapshot_id"]).columns) == {"id", "v"}
+
+    t.drop_column("val")
+    assert set(t.read().columns) == {"id"}
+    assert set(t.read_via_manifests().columns) == {"id"}
+    # travel still shows the pre-rename column
+    assert set(t.read(snapshot_id=s1["snapshot_id"]).columns) == {"id", "v"}
+
+
+def test_concurrent_append_vs_compact_no_lost_update(spark, catalog):
+    """ADVICE r4 #3: compact (and other derived-state mutators) are
+    CAS-guarded — appends landing while the rewrite runs are never
+    dropped from the compacted snapshot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = catalog.table("CASMUT")
+    for i in range(4):
+        t.append(df_of(spark, [(f"seed-{i}", "v")]))
+
+    def appender():
+        out = []
+        for j in range(4):
+            out.append(t.append(df_of(spark, [(f"app-{j}", "v")])))
+        return out
+
+    def compactor():
+        out = []
+        for _ in range(3):
+            out.append(t.compact())
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(appender)
+        fc = ex.submit(compactor)
+        fa.result(), fc.result()
+
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == sorted(
+        [f"seed-{i}" for i in range(4)] + [f"app-{j}" for j in range(4)]
+    )
+
+
+def test_concurrent_merge_additive_no_lost_partials(spark, catalog):
+    """Two merge_additive committers racing must both contribute their
+    partial sums (CAS retry), never last-writer-wins."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = catalog.table("ADDCAS")
+    t.merge_additive(
+        spark.createDataFrame([("k1", 10), ("k2", 20)], ["k", "total"]), ["k"]
+    )
+
+    def worker(amount: int):
+        return t.merge_additive(
+            spark.createDataFrame([("k1", amount)], ["k", "total"]), ["k"]
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(worker, [1, 2]))
+
+    got = {r.k: r.total for r in t.read().collect()}
+    assert got == {"k1": 13, "k2": 20}
