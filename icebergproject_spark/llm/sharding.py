@@ -74,6 +74,73 @@ def exact_global_rank(
     return ranked, acc
 
 
+def exact_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_exprs: list[Column],
+    group_cols: list[str] | None = None,
+    num_parts: int | None = None,
+    sum_col: str = "__cum",
+) -> DataFrame:
+    """Exact INCLUSIVE prefix sum of ``value_col`` over the total order
+    ``order_exprs`` within each ``group_cols`` group, WITHOUT funneling a
+    group through one window partition — the distributed form of
+    ``SUM(v) OVER (PARTITION BY g ORDER BY ...)``.
+
+    Shape (the :func:`exact_global_rank` pattern generalized from
+    row-counting to value sums): ``repartitionByRange`` on (group,
+    order) puts each group's rows on a contiguous run of range
+    partitions in total order; per-(partition, group) sums form a TINY
+    relation (≤ num_parts × |groups| rows) whose per-group running
+    total, computed with an ordinary window over that aggregate, yields
+    each (partition, group)'s cumulative OFFSET; a per-physical-
+    partition window adds the in-partition prefix sum to the broadcast
+    offset.  Integer sums are associative, so the result is
+    byte-identical to the global per-group window — the oracle stays
+    green while no stage ever sorts more than one range partition.
+
+    ``order_exprs`` must be a total order within each group (unique
+    tiebreak).  ``group_cols`` are COLUMN NAMES already present on
+    ``df`` (materialize a literal stratum first if needed); the offsets
+    window partitions by them, which is safe at any scale because its
+    input is the bounded aggregate, not the data.
+    """
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    groups = [F.col(g) for g in (group_cols or [])]
+    parted = (
+        df.repartitionByRange(num_parts, *groups, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        # lazy localCheckpoint: the broadcast offsets side materializes
+        # the ranged exchange once; the probe side reuses it (the
+        # documented no-exchange-reuse trap for twice-consumed plans)
+        .localCheckpoint(eager=False)
+    )
+    psums = parted.groupBy("__pid", *groups).agg(
+        F.sum(value_col).cast("long").alias("__psum")
+    )
+    # running total over the bounded per-(pid, group) aggregate — its
+    # input is ≤ num_parts × |groups| rows, never the data
+    w_off = Window.partitionBy(*groups).orderBy("__pid") if groups else (
+        Window.orderBy("__pid")
+    )
+    offs = psums.select(
+        "__pid",
+        *[F.col(g) for g in (group_cols or [])],
+        (F.sum("__psum").over(w_off) - F.col("__psum")).alias("__off"),
+    )
+    w = Window.partitionBy("__pid", *groups).orderBy(*order_exprs)
+    return (
+        parted.join(F.broadcast(offs), ["__pid", *(group_cols or [])])
+        .withColumn(
+            sum_col,
+            (F.col("__off") + F.sum(value_col).over(w)).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
 def exact_ntile(rn: Column, n: int, k: int) -> Column:
     """ANSI ``NTILE(k)`` as a pure expression of the global rank ``rn``
     (1-based) and the known total row count ``n``: the first ``n % k``

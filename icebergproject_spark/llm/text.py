@@ -212,6 +212,7 @@ def pack_sequences(
     content_col: str = "text",
     id_col: str = "doc_id",
     strata_col: str | None = None,
+    mode: str = "scale",
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in deterministic
     (stratum, doc_id) order and chop the token stream at fixed
@@ -223,19 +224,65 @@ def pack_sequences(
     and unlike greedy no-split bin packing it is a closed form over one
     PREFIX SUM: a doc starting at global token offset ``prev_cum`` lands
     in pack ``floor(prev_cum / L)`` at offset ``prev_cum % L`` and spans
-    ``floor((cum-1)/L) - floor(prev_cum/L) + 1`` packs.  One window
-    cumsum per stratum (one shuffle + in-partition sort), no iteration,
+    ``floor((cum-1)/L) - floor(prev_cum/L) + 1`` packs.  No iteration,
     no UDF, deterministic across engines and partitionings.  (Greedy
     no-split packing is a sequential recurrence — each shift depends on
     all previous shifts — so it can't be a single window expression;
     when padding-free no-split packing is required, run this per
     stratum inside ``applyInPandas``.)
 
+    ``mode="scale"`` (the DEFAULT — the driver-exercised path is the
+    100 TB path) computes the per-stratum token cumsum DISTRIBUTED with
+    :func:`~icebergproject_spark.llm.sharding.exact_prefix_sum`: range
+    partition on (stratum, id), per-(partition, stratum) partial sums
+    rolled into broadcast offsets, per-partition window for the local
+    cumsum.  Integer sums are associative, so the result is
+    byte-identical to the global per-stratum window — a 100 TB corpus
+    with a handful of sources no longer funnels each source's whole
+    token stream through one sort partition.
+
+    ``mode="portable"`` is the oracle twin spelled the way the SQL
+    reads: one window cumsum per stratum (each stratum = one window
+    partition; the semantic specification and A/B arm, never the
+    default).
+
     Output: (id, n_tokens, pack_id, pack_offset, n_packs_spanned);
     pack_id = "<stratum>-<window index>" of the doc's FIRST token.
     """
     n_tok = F.size(_tokens(content_col))
     strat = F.col(strata_col) if strata_col else F.lit("all")
+    if mode == "scale":
+        from icebergproject_spark.llm.sharding import exact_prefix_sum
+
+        scored = df.select(
+            F.col(id_col).alias("id"),
+            n_tok.cast("long").alias("n_tokens"),
+            strat.cast("string").alias("__strat"),
+        )
+        cummed = exact_prefix_sum(
+            scored,
+            "n_tokens",
+            [F.col("id").asc()],
+            group_cols=["__strat"],
+            sum_col="__cum",
+        )
+        cum = F.col("__cum")
+        prev_cum = cum - F.col("n_tokens")
+        first_pack = F.floor(prev_cum / context_len)
+        last_pack = F.floor((cum - 1) / context_len)
+        return cummed.select(
+            F.col("id"),
+            # int, matching the portable arm (F.size) and the oracle's
+            # CAST(n_tokens AS INTEGER)
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.concat_ws(
+                "-", F.col("__strat"), first_pack.cast("string")
+            ).alias("pack_id"),
+            (prev_cum % context_len).cast("long").alias("pack_offset"),
+            (last_pack - first_pack + 1).cast("long").alias("n_packs_spanned"),
+        )
+    if mode != "portable":
+        raise ValueError("mode must be 'scale' or 'portable'")
     w = Window.partitionBy(strat).orderBy(F.col(id_col).asc())
     cum = F.sum(n_tok).over(w)  # inclusive prefix sum of the token stream
     prev_cum = cum - n_tok
