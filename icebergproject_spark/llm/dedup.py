@@ -1230,9 +1230,16 @@ def semantic_near_pairs_sql(
         _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.__n") * F.col("b.__n")),
         6,
     )
+    # broadcast the build side: a sort-merge self-join on __cell has only
+    # k distinct keys (k=8-16), so at most k tasks do all the scoring no
+    # matter how many partitions exist; the broadcast hash join keeps the
+    # probe side's full parallelism and drops the skewed sort entirely.
+    # (This arm is the oracle tier — bounded corpora by contract; the
+    # production arm, semantic_near_pairs, shuffles by cluster and runs
+    # per-cluster BLAS gemms instead.)
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.__cell") == F.col("b.__cell"))
             & (F.col("a.cid") < F.col("b.cid")),
         )
