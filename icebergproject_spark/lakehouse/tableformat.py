@@ -226,47 +226,83 @@ class LakehouseTable:
                 return token
             except FileExistsError:
                 try:
-                    age = time.time() - os.path.getmtime(lock)
+                    st = os.stat(lock)
                 except FileNotFoundError:
                     continue  # holder just released; retry immediately
-                if age > self._COMMIT_LOCK_STALE_S:
-                    # steal atomically: replace wins for exactly one stealer
-                    claim = lock + f".steal-{uuid.uuid4().hex}"
-                    with open(claim, "w") as f:
-                        f.write(token)
-                    try:
-                        os.replace(claim, lock)
-                        return token
-                    except OSError:
-                        try:
-                            os.remove(claim)
-                        except FileNotFoundError:
-                            pass
+                if time.time() - st.st_mtime > self._COMMIT_LOCK_STALE_S:
+                    # evict the stale lock (verified-rename, never
+                    # clobbers a fresh lock — see _evict_stale_lock),
+                    # then contend via the normal O_EXCL path above so
+                    # exactly one waiter wins
+                    self._evict_stale_lock(lock, st)
+                    continue
                 if time.time() > deadline:
                     raise CommitConflictError(
                         f"commit lock {lock} held past deadline"
                     )
                 time.sleep(0.02)
 
+    def _evict_stale_lock(self, lock: str, observed: os.stat_result) -> None:
+        """Atomically remove a lock observed stale WITHOUT ever deleting
+        a fresh lock (ADVICE r5 #2 closed the os.replace clobber): rename
+        the path aside (atomic — the renamed file is exactly one inode),
+        then verify by inode+mtime that it IS the stale lock we observed.
+        If the stale holder released and a fresh committer re-acquired in
+        the observation→rename gap, we renamed the FRESH lock by mistake:
+        restore it with ``os.link`` (atomic, fails rather than replaces,
+        preserves the inode and therefore the staleness clock) and back
+        off.  Residual exposure is a third committer's O_EXCL landing
+        inside the rename→link window — one filesystem op wide, and only
+        reachable after a compound race that already required a >stale
+        release+reacquire inside a single stat→rename gap."""
+        ident = (observed.st_ino, observed.st_mtime_ns)
+        grave = lock + f".stale-{uuid.uuid4().hex}"
+        try:
+            st = os.stat(lock)  # re-check right before the rename
+            if (st.st_ino, st.st_mtime_ns) != ident:
+                return
+            os.rename(lock, grave)
+        except OSError:
+            return
+        try:
+            g = os.stat(grave)
+            if (g.st_ino, g.st_mtime_ns) != ident:
+                # renamed a fresh lock by mistake: put it back
+                try:
+                    os.link(grave, lock)
+                except OSError:
+                    pass  # an even newer lock raced in; leave it
+            os.remove(grave)
+        except OSError:
+            pass
+
     def _release_commit_lock(self, token: str) -> None:
-        """Remove the commit lock IFF we still own it (file content ==
-        our token).  After a stale-lock steal the original holder's
-        token no longer matches, so its release is a no-op instead of
-        deleting the stealer's lock.  The read→remove pair is not
-        atomic; the residual window is a single filesystem operation
-        wide (vs. the unconditional remove this replaces, which was
-        wrong for the WHOLE post-steal critical section)."""
+        """Remove the commit lock IFF we still own it.  ADVICE r5 #3
+        closed the read-token-then-remove race: release now RENAMES the
+        lock to a uuid temp first (atomic — exactly one inode moves),
+        verifies the token in the renamed file, and only then unlinks.
+        If the token does not match, our lock was stolen after a stall
+        and we just renamed the STEALER's lock — restore it with
+        ``os.link`` (atomic no-replace, preserves inode+mtime) and walk
+        away.  A stolen lock can therefore never be deleted by the
+        stalled holder, however the steal and the release interleave."""
         lock = os.path.join(self.root, "commit.lock")
+        tmp = lock + f".rel-{uuid.uuid4().hex}"
         try:
-            with open(lock) as f:
+            os.rename(lock, tmp)
+        except OSError:
+            return  # stolen and already released/evicted
+        try:
+            with open(tmp) as f:
                 owner = f.read()
-        except FileNotFoundError:
-            return  # stolen and already released by the stealer
-        if owner != token:
-            return  # stolen: the stealer owns the lock now
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
+            if owner != token:
+                # stolen: we renamed the stealer's lock — put it back
+                try:
+                    os.link(tmp, lock)
+                except OSError:
+                    pass  # a newer lock raced in; leave it
+            os.remove(tmp)
+        except OSError:
             pass
 
     # -- field-id-addressed schema tracking (Iceberg column identity) ------

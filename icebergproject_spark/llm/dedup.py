@@ -860,15 +860,19 @@ def embedding_near_pairs(
             )
         except Exception:
             size = 1 << 50  # stats unavailable: use the count path
-        count_based = min(256, max(4, df.count() // 25_000 + 1))
-        if size < (1 << 50):
-            size_based = min(256, max(4, size // (8 << 20) + 1))
-            # take the max: compression never makes the true row count
-            # smaller, so the row-count floor bounds per-tile memory even
-            # when the byte estimate is optimistic
-            n_blocks = max(size_based, count_based)
+        size_based = min(256, max(4, size // (8 << 20) + 1)) if size < (1 << 50) else None
+        if size_based is not None and size_based > 4:
+            # stats available and clearly above the floor: trust them —
+            # no extra job (ADVICE r5 #4: don't re-run a derived upstream
+            # plan for a count when the byte estimate already sizes us)
+            n_blocks = size_based
         else:
-            n_blocks = count_based
+            # stats missing (in-memory relations) or at the floor (tiny
+            # or over-compressed input): pay one exact count — for bare
+            # parquet scans that's footer metadata only, and for derived
+            # plans the floor case means the input is small anyway
+            count_based = min(256, max(4, df.count() // 25_000 + 1))
+            n_blocks = max(size_based or 4, count_based)
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b")

@@ -125,19 +125,30 @@ def exact_prefix_sum(
     w_off = Window.partitionBy(*groups).orderBy("__pid") if groups else (
         Window.orderBy("__pid")
     )
+    # NULL-SAFE join on the group columns: groupBy and Window.partitionBy
+    # both treat NULL as one ordinary group, but a plain equi-join drops
+    # NULL keys (NULL != NULL), which would silently lose every row whose
+    # group column is null (ADVICE r5 #1).  eqNullSafe (`<=>`) keeps the
+    # broadcast hash join shape while matching the window semantics.
+    # The offsets side is renamed (`__o*`) because it derives from
+    # ``parted`` itself — same-lineage column refs are ambiguous.
+    gnames = list(group_cols or [])
     offs = psums.select(
-        "__pid",
-        *[F.col(g) for g in (group_cols or [])],
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og{i}") for i, g in enumerate(gnames)],
         (F.sum("__psum").over(w_off) - F.col("__psum")).alias("__off"),
     )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og{i}"))
     w = Window.partitionBy("__pid", *groups).orderBy(*order_exprs)
     return (
-        parted.join(F.broadcast(offs), ["__pid", *(group_cols or [])])
+        parted.join(F.broadcast(offs), cond)
         .withColumn(
             sum_col,
             (F.col("__off") + F.sum(value_col).over(w)).cast("long"),
         )
-        .drop("__pid", "__off")
+        .drop("__pid", "__off", "__opid", *[f"__og{i}" for i in range(len(gnames))])
     )
 
 

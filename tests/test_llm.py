@@ -965,11 +965,18 @@ def test_pack_sequences_scale_mode_plan_and_parity(spark):
     settings so empty range partitions are exercised too."""
     import re
 
+    # every 10th row has a NULL stratum: Window.partitionBy treats NULL
+    # as one ordinary group, so the distributed path's offsets join must
+    # be null-safe or those rows vanish (ADVICE r5, medium)
     rows = [
-        (i, " ".join(["tok"] * ((i * 7) % 11 + 1)), ["A", "B", "C"][i % 3])
+        (
+            i,
+            " ".join(["tok"] * ((i * 7) % 11 + 1)),
+            None if i % 10 == 9 else ["A", "B", "C"][i % 3],
+        )
         for i in range(120)
     ]
-    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = text.pack_sequences(docs, context_len=16, strata_col="source")
     plan = out._jdf.queryExecution().executedPlan().toString()
     specs = re.findall(r"windowspecdefinition\(([^,)]*)", plan)
@@ -1003,10 +1010,12 @@ def test_pack_sequences_scale_mode_plan_and_parity(spark):
             group_cols=["__strat"], num_parts=parts,
         )
         got = {(r["__strat"], r.doc_id): r["__cum"] for r in c.collect()}
-        # reference cumsum computed in python
+        # reference cumsum computed in python (None sorts first, as one
+        # ordinary group — matching Window.partitionBy semantics)
         ref, acc = {}, {}
         for s, d, n in sorted(
-            (r["__strat"], r.doc_id, r.n) for r in scored.collect()
+            ((r["__strat"], r.doc_id, r.n) for r in scored.collect()),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
         ):
             acc[s] = acc.get(s, 0) + n
             ref[(s, d)] = acc[s]
