@@ -752,59 +752,47 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-4 rotation (VERDICT r3 ask
-# #2): 22 rows that are now THRICE driver-green (r01+r02+r03:
-# ods_browselog, dwd_cleanse, route_dim, route_fact, user_login_wide,
-# browse_wide, pricing_summary, top_parts_by_revenue, dedup_exact,
-# dedup_ngram_jaccard, text_stats, lang_id, token_count_bpe,
-# doc_fingerprint, similarity_topk, embedding_stats, dedup_embedding,
-# multimodal_meta, user_sessions, asof_trade_quote, range_join_shipments,
-# browse_pipeline_e2e) yield their slots to 21 never-driver-checked
-# oracles plus the new oracle-strength similarity_ivf_sql.  A second
-# intra-round rotation then swapped 11 once/twice-green relational rows
-# for the 11 round-4 oracle-strength promotions (see the window
-# comment), putting every never-checked round-4 oracle in front of the
-# driver.  After this round the cumulative driver-checked count reaches
-# 113 of 154 registered queries.  user_points stays (flagship
-# continuity).  Rotated-out queries remain registered and locally gated
-# after position 50.
+# ordering is a visibility decision.  Round-6 rotation (VERDICT r5 ask
+# #1, the round's top ask): every query that has NEVER earned a driver
+# row fills the window — all 41 of them (32 oracle-backed + 9 rows-only
+# arms), plus the new oracle-strength similarity_ivf_sql2, plus 7
+# once-green oracle rows, plus user_points (flagship continuity, in
+# every round's window).  After this round the cumulative
+# driver-checked count reaches 155 of 155 registered queries — no
+# registry entry will ever have shipped without driver evidence.
+# Rotated-out queries remain registered and locally gated after
+# position 50 (tools/check_oracle.py runs ALL of them at sf0.01).
 DRIVER_WINDOW = [
     # flagship
     "user_points",
-    # round-4 oracle-strength promotions (never driver-checked — the
-    # strongest unchecked oracles, in per VERDICT r3 ask #2's rule;
-    # they displaced 11 once/twice-green relational rows:
-    # shipping_priority, local_supplier_volume, nation_volume_shipping,
-    # small_quantity_revenue, blame_last_supplier, revenue_pareto,
-    # quantity_price_corr, basket_pairs, rolling_30d_revenue,
-    # lateral_top_orders, part_taxonomy — all still registered and
-    # locally gated after position 50)
-    "pii_redaction", "dsir_weights_sql", "lm_quality_score_sql",
-    "quality_buckets_sql", "dedup_minhash_lsh_sql", "similarity_lsh_sql",
-    "dedup_embedding_lsh_sql", "dedup_semantic_sql",
-    "embedding_kmeans_sql", "dedup_clusters_lsh_sql", "dedup_incremental",
-    # advanced SQL surface (variant / unpivot)
-    "events_props_variant", "lineitem_unpivot_profile",
-    # LLM pipeline: dedup family (span tier + verified compositions)
-    "dedup_verified", "dedup_verified_strict", "dedup_clusters",
-    "dedup_survivors", "decontamination", "duplicate_spans",
-    "remove_duplicate_spans",
-    # rotated in: dedup/decontamination companions never driver-checked
-    "contamination_spans", "dedup_containment", "dedup_rate_by_source",
-    "source_overlap",
-    # LLM pipeline: text analysis (rotated in)
-    "quality_filter", "repetition_score", "normalize_text", "top_terms",
-    "lang_mismatch", "label_agreement", "chunk_documents",
-    "pack_sequences", "bpe_pair_counts", "multimodal_chunks",
-    # LLM pipeline: embeddings / similarity
-    "similarity_multiprobe", "similarity_ivf_sql", "knn_graph",
-    "embedding_quantize", "hard_negatives",
-    # LLM pipeline: sampling / mixing / sharding / e2e
-    "mixing_weights", "stratified_sample", "weighted_sample",
-    "mixing_temperature", "global_shuffle", "curriculum_bins",
-    "corpus_pipeline_e2e",
-    # relational / temporal / windowed (rotated in)
-    "user_sessions_native", "event_transitions", "quantity_quantiles",
+    # never-driver-checked: windowed / temporal / relational analytics
+    "events_moving_avg", "ods_union_multiplex", "source_length_histogram",
+    "customer_order_reconciliation", "balance_deciles",
+    "above_nation_avg_balance", "supplier_revenue_share",
+    "orders_profile", "purchase_with_state_scd2", "concurrency_peaks",
+    "forecast_revenue", "user_daily_gapfill", "value_moments",
+    "audience_overlap", "constraint_checks", "events_json_props",
+    # never-driver-checked: text / embedding analytics
+    "doc_keywords", "lang_confusion", "label_centroids",
+    # never-driver-checked: TPC-H analog batches 2-3
+    "returned_item_revenue", "customer_order_distribution",
+    "promo_revenue_share", "large_order_customers", "disjunctive_revenue",
+    "idle_rich_customers", "cheapest_regional_supplier",
+    "nation_market_share", "product_profit_by_nation",
+    "important_part_values", "top_revenue_supplier",
+    "supplier_count_by_part", "excess_share_suppliers",
+    # never-driver-checked: rows-only production arms (weaker check by
+    # design — the driver records rows+schema; their oracle-strength
+    # siblings are already multi-round green)
+    "dedup_clusters_lsh", "lm_quality_score", "embedding_pca",
+    "embedding_kmeans", "quantity_quantiles_approx", "quality_buckets",
+    "dedup_semantic", "dsir_weights", "bpe_merges",
+    # new this round: two-step-Lloyd IVF at oracle strength
+    "similarity_ivf_sql2",
+    # once-green oracle rows padding the window back to 50
+    "top_events_global", "revenue_rollup", "purchasers_who_err",
+    "viewers_never_buy", "distinct_users", "user_value_deltas",
+    "user_type_pivot",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -813,6 +801,12 @@ from icebergproject_spark.queries_tpch3 import TPCH3_REGISTRY  # noqa: E402
 
 REGISTRY.update(TPCH_REGISTRY)
 REGISTRY.update(TPCH3_REGISTRY)
+
+# round-6 batch (similarity_ivf_sql2) — imported before the window
+# reorder so the new oracle can sit inside the driver window
+from icebergproject_spark.queries_r6 import R6_REGISTRY  # noqa: E402
+
+REGISTRY.update(R6_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)
