@@ -105,11 +105,13 @@ class LakehouseTable:
         self.snap_dir = os.path.join(self.root, "snapshots")
         self.data_dir = os.path.join(self.root, "data")
         self.deletes_root = os.path.join(self.root, "deletes")
+        self.eq_deletes_root = os.path.join(self.root, "eq-deletes")
         self.props_path = os.path.join(self.root, "properties.json")
         self.refs_path = os.path.join(self.root, "refs.json")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.deletes_root, exist_ok=True)
+        os.makedirs(self.eq_deletes_root, exist_ok=True)
 
     # -- partition spec ---------------------------------------------------
     def set_partitioning(self, column: str, transform: str = "day") -> None:
@@ -492,6 +494,7 @@ class LakehouseTable:
         delete_dirs: list[str] | None = None,
         branch: str | None = None,
         expected_parent_id=...,
+        eq_delete_dirs: list[dict] | None = None,
     ) -> dict:
         """Publish a snapshot.  Commits are SERIALIZED by a table-level
         lock file (no two committers interleave the head-read / id-mint /
@@ -508,7 +511,7 @@ class LakehouseTable:
         try:
             return self._commit_locked(
                 operation, data_dirs, batch_id, delete_dirs, branch,
-                expected_parent_id,
+                expected_parent_id, eq_delete_dirs,
             )
         finally:
             # ownership-checked: a no-op if the lock was stolen mid-commit
@@ -522,6 +525,7 @@ class LakehouseTable:
         delete_dirs: list[str] | None,
         branch: str | None,
         expected_parent_id,
+        eq_delete_dirs: list[dict] | None = None,
     ) -> dict:
         cur = self.branch_head(branch) if branch else self.current_snapshot()
         if expected_parent_id is not ...:
@@ -578,6 +582,15 @@ class LakehouseTable:
             # subtract. Snapshots predating the feature lack the key —
             # read with .get(..., []).
             "delete_dirs": delete_dirs or [],
+            # Iceberg v2 EQUALITY deletes: each entry is
+            # {"dir": <parquet dir of key rows>, "cols": [names at
+            # delete time], "field_ids": [...], "applies_to_dirs":
+            # [data dirs live when the delete committed]} — a row is
+            # dead iff its key matches AND its data dir was present at
+            # delete time (the fallback's dir-granular rendering of the
+            # spec's sequence-number scoping: rows appended later with
+            # the same key survive).
+            "eq_delete_dirs": eq_delete_dirs or [],
         }
         # Iceberg snapshot summary: record/file deltas from dir stats
         # stamps (footer metadata, not data scans) — what `snapshots`
@@ -590,6 +603,9 @@ class LakehouseTable:
             "total-records": sum(self._dir_rows(d) for d in data_dirs),
             "total-position-deletes": sum(
                 self._dir_rows(d) for d in (delete_dirs or [])
+            ),
+            "total-equality-deletes": sum(
+                self._dir_rows(e["dir"]) for e in (eq_delete_dirs or [])
             ),
         }
         if batch_id is not None:
@@ -673,6 +689,14 @@ class LakehouseTable:
                             "type": "long",
                             "field-id": 104,
                         },
+                        # spec field 135: the equality-field ids of an
+                        # equality-delete file (content=2); null for
+                        # data / positional-delete files
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "field-id": 135,
+                        },
                     ],
                 },
                 "field-id": 2,
@@ -715,6 +739,15 @@ class LakehouseTable:
             return path
         import pyarrow.parquet as _pq
 
+        content_code = {"data": 0, "deletes": 1, "eq-deletes": 2}[content]
+        equality_ids = None
+        if content == "eq-deletes":
+            # the delete dir's sidecar records the equality columns +
+            # field ids (written by delete_by_key, like _spec/_stats)
+            eq_sidecar = os.path.join(d, "_eq.json")
+            if os.path.exists(eq_sidecar):
+                with open(eq_sidecar) as f:
+                    equality_ids = json.load(f).get("field_ids") or None
         entries = []
         for f in sorted(
             _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
@@ -739,12 +772,13 @@ class LakehouseTable:
                     "snapshot_id": snapshot_id,
                     "sequence_number": snapshot_id,
                     "data_file": {
-                        "content": 0 if content == "data" else 1,
+                        "content": content_code,
                         "file_path": f,
                         "file_format": "PARQUET",
                         "partition": partition,
                         "record_count": nrows,
                         "file_size_in_bytes": os.path.getsize(f),
+                        "equality_ids": equality_ids,
                     },
                 }
             )
@@ -788,6 +822,7 @@ class LakehouseTable:
         for content, dirs in (
             ("data", snap["data_dirs"]),
             ("deletes", snap.get("delete_dirs", [])),
+            ("eq-deletes", [e["dir"] for e in snap.get("eq_delete_dirs", [])]),
         ):
             for d in dirs:
                 mp = self._write_manifest_for_dir(d, sid, content)
@@ -797,6 +832,9 @@ class LakehouseTable:
                         "manifest_path": mp,
                         "manifest_length": os.path.getsize(mp),
                         "partition_spec_id": 0,
+                        # spec: manifest_file.content is 0=data 1=deletes;
+                        # positional vs equality is the DATA_FILE-level
+                        # content code (1 vs 2) inside the manifest
                         "content": 0 if content == "data" else 1,
                         "sequence_number": sid,
                         "min_sequence_number": m["added_snapshot_id"],
@@ -996,12 +1034,19 @@ class LakehouseTable:
         _, _, ml = read_ocf(snap_entry["manifest-list"])
         data_files: list[str] = []
         delete_files: list[str] = []
+        eq_delete_dirs: set[str] = set()
         for entry in ml:
             man = self._read_manifest(entry["manifest_path"])
             for e in man["entries"]:
-                (data_files if e["data_file"]["content"] == 0 else delete_files).append(
-                    e["data_file"]["file_path"]
-                )
+                code = e["data_file"]["content"]
+                fp = e["data_file"]["file_path"]
+                if code == 0:
+                    data_files.append(fp)
+                elif code == 1:
+                    delete_files.append(fp)
+                else:  # 2 = equality deletes: resolved per-DIR (the
+                    # application scope lives on the snapshot entry)
+                    eq_delete_dirs.add(os.path.dirname(fp))
         if not data_files:
             # every file was empty (manifests skip zero-row files): the
             # snapshot's state is an empty table with the current schema
@@ -1053,12 +1098,24 @@ class LakehouseTable:
         df = scan(data_files)
         if "__p" in df.columns:
             df = df.drop("__p")
-        if delete_files:
-            dels = self.spark.read.parquet(*delete_files).select("__file", "__pos")
+        eq_entries = [
+            e
+            for s in ([s for s in self._snapshots() if s["snapshot_id"] == sid])
+            for e in s.get("eq_delete_dirs", [])
+            if e["dir"] in eq_delete_dirs
+        ]
+        if delete_files or eq_entries:
             addressed = self._address(scan(data_files))
-            df = addressed.join(
-                F.broadcast(dels), ["__file", "__pos"], "left_anti"
-            ).drop("__file", "__pos")
+            if delete_files:
+                dels = self.spark.read.parquet(*delete_files).select(
+                    "__file", "__pos"
+                )
+                addressed = addressed.join(
+                    F.broadcast(dels), ["__file", "__pos"], "left_anti"
+                )
+            df = self._apply_eq_deletes(addressed, eq_entries).drop(
+                "__file", "__pos"
+            )
             if "__p" in df.columns:
                 df = df.drop("__p")
         return df
@@ -1194,6 +1251,7 @@ class LakehouseTable:
                     "append",
                     dirs,
                     delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+                    eq_delete_dirs=list(cur.get("eq_delete_dirs", [])) if cur else [],
                     branch=branch,
                     # CAS: dirs were computed against this head — if
                     # another commit lands first, fail and retry on the
@@ -1321,6 +1379,7 @@ class LakehouseTable:
                     "merge",
                     list(cur["data_dirs"]) + [new_dir],
                     delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                    eq_delete_dirs=list(cur.get("eq_delete_dirs", [])),
                     expected_parent_id=self._cas_id(cur),
                 )
             target = self.read()
@@ -1533,7 +1592,9 @@ class LakehouseTable:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             snap = eligible[-1]
         delete_dirs = snap.get("delete_dirs", [])
-        need_addr = with_address or bool(delete_dirs)
+        eq_deletes = snap.get("eq_delete_dirs", [])
+        # equality deletes need the __file address too (dir scoping)
+        need_addr = with_address or bool(delete_dirs) or bool(eq_deletes)
         data_dirs = list(snap["data_dirs"])
         # field-id resolution: CURRENT reads (incl. branch heads) render
         # under the LIVE schema — Iceberg DDL is metadata-only and takes
@@ -1591,7 +1652,7 @@ class LakehouseTable:
                 # allowMissingColumns = additive schema evolution: rows
                 # written before a column existed read back as null
                 df = df.unionByName(p, allowMissingColumns=True)
-            return self._apply_deletes(df, delete_dirs, with_address, where)
+            return self._apply_deletes(df, delete_dirs, with_address, where, eq_deletes)
         if partition_values is not None:
             raise ValueError("table is not partitioned")
         if any(renames.values()) or any(drops.values()):
@@ -1620,7 +1681,7 @@ class LakehouseTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-            return self._apply_deletes(df, delete_dirs, with_address, where)
+            return self._apply_deletes(df, delete_dirs, with_address, where, eq_deletes)
         # mergeSchema: the union of every file's schema (additive schema
         # evolution); without it the first file's schema wins and columns
         # added by later snapshots silently vanish
@@ -1640,7 +1701,7 @@ class LakehouseTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-        return self._apply_deletes(df, delete_dirs, with_address, where)
+        return self._apply_deletes(df, delete_dirs, with_address, where, eq_deletes)
 
     def _dir_may_match(self, d: str, conjuncts: list[tuple[str, str, object]]) -> bool:
         """Can any row in directory ``d`` satisfy every conjunct? False
@@ -1674,8 +1735,9 @@ class LakehouseTable:
         delete_dirs: list[str],
         with_address: bool,
         where: str | None = None,
+        eq_deletes: list[dict] | None = None,
     ) -> DataFrame:
-        """Row filter + positional-delete subtraction for a scan."""
+        """Row filter + positional/equality-delete subtraction for a scan."""
         if where:
             # the FULL predicate always runs as a row filter (pruning is
             # only an accelerator); filtering before the anti-join keeps
@@ -1689,9 +1751,117 @@ class LakehouseTable:
             # not an OOM
             dels = self.spark.read.parquet(*delete_dirs).select("__file", "__pos")
             df = df.join(dels, ["__file", "__pos"], "left_anti")
+        df = self._apply_eq_deletes(df, eq_deletes or [])
         if not with_address and "__file" in df.columns:
             df = df.drop("__file", "__pos")
         return df
+
+    def _apply_eq_deletes(self, df: DataFrame, eq_deletes: list[dict]) -> DataFrame:
+        """Iceberg v2 EQUALITY-delete subtraction (K6/T8 extension —
+        the CDC ``tp=delete`` shape the reference drops,
+        dim/DimDataToHBase.scala:67): each entry's parquet dir holds KEY
+        ROWS; a data row is dead iff its key matches one of them
+        (null-safe, per the spec: an equality field that is null matches
+        null) AND the row's data dir was live when the delete committed
+        (``applies_to_dirs`` — the dir-granular rendering of the spec's
+        sequence-number scoping, so rows appended later with the same
+        key survive).  ``df`` must carry the ``__file`` address column.
+
+        Scale shape: the key relation is O(deleted keys) — usually tiny
+        (AQE broadcasts the join); cost is one hash join per distinct
+        equality-column set, zero table rewrite at delete time.  The
+        delete columns are resolved by FIELD ID against the live schema,
+        so renames after the delete don't orphan it."""
+        if not eq_deletes:
+            return df
+        schema_st = self._load_schema_state()
+        live_fields = self._fields_of(schema_st, schema_st["current-schema-id"])
+        by_id = {f["id"]: f["name"] for f in live_fields if "id" in f}
+        for e in eq_deletes:
+            ids = e.get("field_ids") or []
+            cols = [
+                by_id.get(i, c) for i, c in zip(ids, e["cols"])
+            ] if ids else list(e["cols"])
+            keys = (
+                self.spark.read.parquet(e["dir"])
+                .withColumnsRenamed(
+                    dict(zip(e["cols"], cols)) if cols != list(e["cols"]) else {}
+                )
+                .select(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(cols)])
+                .dropDuplicates()
+                .withColumn("__dead", F.lit(True))
+            )
+            cond = F.lit(True)
+            for i, c in enumerate(cols):
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__k{i}"))
+            applies = e.get("applies_to_dirs", [])
+            # __file is a file:// URI while dirs are plain paths — scope
+            # on the dir's uuid basename, unique within the table
+            in_scope = F.lit(False)
+            for d in applies:
+                in_scope = in_scope | F.col("__file").contains(
+                    "/" + os.path.basename(d.rstrip("/")) + "/"
+                )
+            df = (
+                df.join(keys, cond, "left")
+                .filter(~(F.coalesce(F.col("__dead"), F.lit(False)) & in_scope))
+                .drop("__dead", *[f"__k{i}" for i in range(len(cols))])
+            )
+        return df
+
+    def delete_by_key(
+        self, keys: DataFrame, cols: list[str] | None = None
+    ) -> dict:
+        """Iceberg v2 EQUALITY DELETE: mark every current row whose
+        ``cols`` values match a row of ``keys`` as deleted — WITHOUT
+        reading the table (write cost O(keys), the property positional
+        MOR can't offer: ``delete_where(mode="merge-on-read")`` must
+        scan to find row positions; this just writes the key file and
+        commits).  At 100 TB this is the only delete shape whose cost
+        is independent of table size — the CDC ``tp=delete`` stream
+        applies as fast as it arrives.
+
+        ``keys``: DataFrame whose columns (or ``cols``, a subset) are
+        the equality columns.  The delete applies to data directories
+        present at commit time only — rows appended LATER with the same
+        key survive, per the spec's sequence-number scoping.  Folded
+        out by :meth:`compact` / any copy-on-write rewrite; time travel
+        to earlier snapshots still sees the rows."""
+        cols = list(cols or keys.columns)
+        key_df = keys.select(*cols).dropDuplicates()
+
+        def attempt(cur):
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.db}.{self.name} has no snapshots"
+                )
+            d = os.path.join(self.eq_deletes_root, uuid.uuid4().hex)
+            key_df.write.mode("overwrite").parquet(d)
+            st = self._load_schema_state()
+            by_name = {
+                f["name"]: f.get("id")
+                for f in self._fields_of(st, st["current-schema-id"])
+            }
+            with open(os.path.join(d, "_eq.json"), "w") as f:
+                json.dump(
+                    {"cols": cols, "field_ids": [by_name.get(c) for c in cols]},
+                    f,
+                )
+            entry = {
+                "dir": d,
+                "cols": cols,
+                "field_ids": [by_name.get(c) for c in cols],
+                "applies_to_dirs": list(cur["data_dirs"]),
+            }
+            return self._commit(
+                "delete",
+                list(cur["data_dirs"]),
+                delete_dirs=list(cur.get("delete_dirs", [])),
+                eq_delete_dirs=list(cur.get("eq_delete_dirs", [])) + [entry],
+                expected_parent_id=self._cas_id(cur),
+            )
+
+        return self._retry_cas(attempt)
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """M1: rewrite_data_files — many small dirs → one rewritten dir.
@@ -1729,6 +1899,7 @@ class LakehouseTable:
             "rollback",
             list(target["data_dirs"]),
             delete_dirs=list(target.get("delete_dirs", [])),
+            eq_delete_dirs=list(target.get("eq_delete_dirs", [])),
         )
 
     # -- refs: branches, tags, write-audit-publish ------------------------
@@ -1828,6 +1999,7 @@ class LakehouseTable:
             "publish",
             list(head["data_dirs"]),
             delete_dirs=list(head.get("delete_dirs", [])),
+            eq_delete_dirs=list(head.get("eq_delete_dirs", [])),
         )
         # advance the ref to the publish point (Iceberg's fast_forward
         # moves the ref): the branch stays usable for the next
@@ -1887,6 +2059,7 @@ class LakehouseTable:
                     dirs,
                     batch_id=batch_id,
                     delete_dirs=list(cur.get("delete_dirs", [])) if cur else [],
+                    eq_delete_dirs=list(cur.get("eq_delete_dirs", [])) if cur else [],
                     expected_parent_id=cur["snapshot_id"] if cur else None,
                 )
             except CommitConflictError:
@@ -1973,6 +2146,7 @@ class LakehouseTable:
                     "delete",
                     list(cur["data_dirs"]),
                     delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                    eq_delete_dirs=list(cur.get("eq_delete_dirs", [])),
                     expected_parent_id=self._cas_id(cur),
                 )
             remaining = self.read().filter(~cond)
@@ -2034,6 +2208,7 @@ class LakehouseTable:
                     "update",
                     list(cur["data_dirs"]) + [new_dir],
                     delete_dirs=list(cur.get("delete_dirs", [])) + [del_dir],
+                    eq_delete_dirs=list(cur.get("eq_delete_dirs", [])),
                     expected_parent_id=self._cas_id(cur),
                 )
             df = self.read()
@@ -2070,6 +2245,7 @@ class LakehouseTable:
                 "rewrite_position_deletes",
                 list(cur["data_dirs"]),
                 delete_dirs=[del_dir],
+                eq_delete_dirs=list(cur.get("eq_delete_dirs", [])),
                 expected_parent_id=self._cas_id(cur),
             )
 
@@ -2134,9 +2310,12 @@ class LakehouseTable:
         expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
         live_dirs = {d for s in keep for d in s["data_dirs"]}
         live_dirs |= {d for s in keep for d in s.get("delete_dirs", [])}
+        live_dirs |= {
+            e["dir"] for s in keep for e in s.get("eq_delete_dirs", [])
+        }
         for s in expired:
             os.remove(os.path.join(self.snap_dir, f"snap-{s['snapshot_id']:09d}.json"))
-        for root in (self.data_dir, self.deletes_root):
+        for root in (self.data_dir, self.deletes_root, self.eq_deletes_root):
             for d in os.listdir(root):
                 full = os.path.join(root, d)
                 if full not in live_dirs:
@@ -2167,8 +2346,11 @@ class LakehouseTable:
         snaps = self._snapshots()
         referenced = {d for s in snaps for d in s["data_dirs"]}
         referenced |= {d for s in snaps for d in s.get("delete_dirs", [])}
+        referenced |= {
+            e["dir"] for s in snaps for e in s.get("eq_delete_dirs", [])
+        }
         removed = 0
-        for root in (self.data_dir, self.deletes_root):
+        for root in (self.data_dir, self.deletes_root, self.eq_deletes_root):
             for d in os.listdir(root):
                 full = os.path.join(root, d)
                 if full in referenced:

@@ -53,3 +53,46 @@ def upsert_dims(
         catalog.table(cfg["sink_tbl_name"]).merge(payload, [cfg["pk_col"]])
         out[cfg["sink_tbl_name"]] = n
     return out
+
+
+def upsert_dims_with_deletes(
+    catalog: LakehouseCatalog,
+    dim_records: DataFrame,
+    config_rows: list[dict],
+    op_col: str = "type",
+) -> dict[str, dict[str, int]]:
+    """K6/T8 extension BEYOND reference parity: honor the CDC deletes
+    the reference drops (dim/DimDataToHBase.scala:67 only processes
+    insert/update/bootstrap-insert).  Upserts MERGE exactly like
+    :func:`upsert_dims`; ``tp=delete`` records become Iceberg v2
+    EQUALITY-DELETE files keyed on the configured primary key
+    (:meth:`LakehouseTable.delete_by_key`) — write cost O(deleted
+    keys), no table scan, folded out by the next compaction.
+
+    Returns {sink_table: {"merged": n, "deleted": n}}.
+    """
+    live = filter_upsert_ops(dim_records, op_col)
+    dels = dim_records.filter(F.col(op_col) == "delete")
+    out: dict[str, dict[str, int]] = {}
+    for cfg in config_rows:
+        cols = [c.strip() for c in cfg["cols"].split(",")]
+        stats = {"merged": 0, "deleted": 0}
+        recs = live.filter(F.col("table") == cfg["tbl_name"])
+        payload = extract_map_payload(recs, "data", {c: c for c in cols})
+        n = payload.count()
+        if n:
+            catalog.table(cfg["sink_tbl_name"]).merge(payload, [cfg["pk_col"]])
+            stats["merged"] = n
+        drecs = dels.filter(F.col("table") == cfg["tbl_name"])
+        keys = extract_map_payload(
+            drecs, "data", {cfg["pk_col"]: cfg["pk_col"]}
+        ).dropDuplicates()
+        nd = keys.count()
+        if nd:
+            catalog.table(cfg["sink_tbl_name"]).delete_by_key(
+                keys, [cfg["pk_col"]]
+            )
+            stats["deleted"] = nd
+        if stats["merged"] or stats["deleted"]:
+            out[cfg["sink_tbl_name"]] = stats
+    return out

@@ -1359,3 +1359,85 @@ def test_concurrent_merge_additive_no_lost_partials(spark, catalog):
 
     got = {r.k: r.total for r in t.read().collect()}
     assert got == {"k1": 13, "k2": 20}
+
+
+# --- Iceberg v2 equality deletes (VERDICT r5 ask #5) ----------------------
+
+
+def test_equality_delete_scoping_fold_and_time_travel(spark, catalog):
+    """delete_by_key writes an equality-delete file WITHOUT scanning the
+    table; the delete applies only to data dirs live at commit time
+    (rows appended later with the same key survive — the spec's
+    sequence-number scoping); compaction folds it out; time travel to
+    the pre-delete snapshot still sees the rows; and the metadata tree
+    lists the key file as a content=2 data_file with equality_ids."""
+    t = catalog.table("EQDEL")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+    pre = t.append(df_of(spark, [("4", "d"), ("5", "e")]))
+
+    snap = t.delete_by_key(spark.createDataFrame([("2",), ("5",)], ["id"]))
+    assert snap["summary"]["total-equality-deletes"] == 2
+    assert {r.id for r in t.read().collect()} == {"1", "3", "4"}
+
+    # sequence scoping: a LATER append re-inserting key 2 survives
+    t.append(df_of(spark, [("2", "b2"), ("6", "f")]))
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {("1", "a"), ("3", "c"), ("4", "d"), ("2", "b2"), ("6", "f")}
+
+    # read_via_manifests resolves the same state purely from the
+    # Iceberg-shaped metadata chain (manifests route content=2 entries)
+    assert {
+        (r.id, r.v) for r in t.read_via_manifests().collect()
+    } == got
+
+    # the manifest for the equality-delete dir carries content=2 +
+    # the key column's field id
+    eq_entry = t.current_snapshot()["eq_delete_dirs"][0]
+    man = t._read_manifest(t._manifest_path_for_dir(eq_entry["dir"], "eq-deletes"))
+    assert all(e["data_file"]["content"] == 2 for e in man["entries"])
+    assert man["entries"][0]["data_file"]["equality_ids"] == eq_entry["field_ids"]
+
+    # time travel: the pre-delete snapshot still has 2 and 5
+    assert {r.id for r in t.read(snapshot_id=pre["snapshot_id"]).collect()} == {
+        "1", "2", "3", "4", "5",
+    }
+
+    # compaction folds the equality delete out entirely
+    t.compact()
+    cur = t.current_snapshot()
+    assert cur["eq_delete_dirs"] == []
+    assert {(r.id, r.v) for r in t.read().collect()} == got
+    # and history remains time-travelable after the fold
+    assert {r.id for r in t.read(snapshot_id=pre["snapshot_id"]).collect()} == {
+        "1", "2", "3", "4", "5",
+    }
+
+
+def test_equality_delete_null_key_matches_null(spark, catalog):
+    """Per the Iceberg spec an equality field that is null matches rows
+    whose column is null (join must be null-safe, not equi)."""
+    t = catalog.table("EQNULL")
+    t.append(
+        spark.createDataFrame(
+            [("1", "a"), (None, "b"), ("3", None)], "id string, v string"
+        )
+    )
+    t.delete_by_key(spark.createDataFrame([(None,)], "id string"))
+    assert {(r.id, r.v) for r in t.read().collect()} == {("1", "a"), ("3", None)}
+
+
+def test_equality_delete_survives_appends_and_gc(spark, catalog):
+    """The equality-delete key dir is referenced state: appends carry it
+    forward and orphan GC / expiry never collect it while a live
+    snapshot references it."""
+    import os
+
+    t = catalog.table("EQGC")
+    t.append(df_of(spark, [("1", "a"), ("2", "b")]))
+    t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    t.append(df_of(spark, [("3", "c")]))
+    eq_dir = t.current_snapshot()["eq_delete_dirs"][0]["dir"]
+    assert os.path.isdir(eq_dir)
+    t.remove_orphan_files()
+    assert os.path.isdir(eq_dir)  # referenced → survives
+    assert {r.id for r in t.read().collect()} == {"1", "3"}

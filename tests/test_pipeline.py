@@ -412,3 +412,60 @@ def test_incremental_refresh_preserves_multi_row_keys(spark, tmp_path):
     rows = {(r.user_id, r.login_dt): r.member_level for r in t.read().collect()}
     assert rows == {("u1", "d1"): "gold", ("u1", "d2"): "gold",
                     ("u2", "d1"): "silver"}
+
+
+def test_cdc_deletes_applied_via_equality_delete_files(spark, tmp_path):
+    """K6/T8 extension: upsert_dims_with_deletes honors the CDC
+    ``tp=delete`` records the reference drops (DimDataToHBase.scala:67)
+    as Iceberg v2 equality-delete files — applied on read, folded by
+    compaction, with time travel to the pre-delete state intact."""
+    from icebergproject_spark.plans.dim import upsert_dims_with_deletes
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path), db="testdb")
+    cfg = [{
+        "tbl_name": "mc_member_info", "tbl_db": "lakehousedb",
+        "pk_col": "user_id", "cols": "user_id,member_level",
+        "sink_tbl_name": "DIM_MEMBER_INFO",
+    }]
+    schema = (
+        "database string, table string, type string, ts string, "
+        "data map<string,string>"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ("lakehousedb", "mc_member_info", "insert", "1",
+             {"user_id": "u1", "member_level": "gold"}),
+            ("lakehousedb", "mc_member_info", "insert", "2",
+             {"user_id": "u2", "member_level": "silver"}),
+        ],
+        schema,
+    )
+    out1 = upsert_dims_with_deletes(catalog, batch1, cfg)
+    assert out1 == {"DIM_MEMBER_INFO": {"merged": 2, "deleted": 0}}
+    t = catalog.table("DIM_MEMBER_INFO")
+    pre = t.current_snapshot()
+
+    batch2 = spark.createDataFrame(
+        [
+            ("lakehousedb", "mc_member_info", "update", "3",
+             {"user_id": "u1", "member_level": "platinum"}),
+            ("lakehousedb", "mc_member_info", "delete", "4",
+             {"user_id": "u2", "member_level": "silver"}),
+        ],
+        schema,
+    )
+    out2 = upsert_dims_with_deletes(catalog, batch2, cfg)
+    assert out2 == {"DIM_MEMBER_INFO": {"merged": 1, "deleted": 1}}
+    rows = {(r.user_id, r.member_level) for r in t.read().collect()}
+    assert rows == {("u1", "platinum")}
+
+    # compaction folds the equality delete; state unchanged
+    t.compact()
+    assert t.current_snapshot()["eq_delete_dirs"] == []
+    assert {(r.user_id, r.member_level) for r in t.read().collect()} == rows
+    # time travel to the pre-delete snapshot still sees u2
+    old = {
+        (r.user_id, r.member_level)
+        for r in t.read(snapshot_id=pre["snapshot_id"]).collect()
+    }
+    assert old == {("u1", "gold"), ("u2", "silver")}
