@@ -177,3 +177,104 @@ def bpe_encode(
     return df.select(id_col, content_col).mapInPandas(
         encode, f"{id_col} long, n_tokens_bpe bigint"
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    content_col: str = "text",
+) -> list[str]:
+    """Deterministic id-ordered vocabulary for a trained merge table:
+    the corpus's distinct single characters (sorted — ids are stable
+    across engines and partitionings) followed by the merged symbols in
+    rank order.  Base characters come from the SAME corpus the encoder
+    runs on, so encoding can never hit an out-of-vocabulary symbol.
+
+    The char inventory is one distributed pass (explode → distinct —
+    the result is alphabet-sized, tiny); the merge table is already
+    bounded by num_merges.  Returns the vocab as an id-indexed list.
+    """
+    chars = sorted(
+        r["c"]
+        for r in df.select(
+            F.explode(F.split(F.col(content_col), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    seen = set(chars)
+    out = list(chars)
+    for m in merges:
+        sym = m[0] + m[1]
+        if sym not in seen:
+            seen.add(sym)
+            out.append(sym)
+    return out
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    vocab: list[str],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full corpus tokenization under a trained BPE vocabulary — the
+    trainer-input artifact (``bpe_encode`` only counts): per document,
+    the id sequence of its greedy-merged symbols.
+
+    Same 100 TB shape as the other Arrow kernels: the merge table and
+    vocab ship in the closure (bounded — num_merges + alphabet), the
+    kernel is ``mapInPandas`` with a per-batch word→ids memo (Zipf:
+    the merge loop runs once per DISTINCT word per batch), and the op
+    is a pure projection — zero shuffle, scales linearly.  Whitespace
+    splitting matches ``bpe_train``'s word inventory, so every symbol
+    the merge loop can produce is either a corpus character or a
+    ranked merge — both in ``vocab`` by construction
+    (:func:`bpe_vocab`); a genuinely unseen character (tokenizing a
+    corpus the vocab wasn't built from) maps to id -1 rather than
+    crashing, mirroring an UNK id.
+    """
+    ranked = [(m[0], m[1]) for m in merges]
+    ids = {s: i for i, s in enumerate(vocab)}
+
+    def tokenize(batches):
+        memo: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            for a, b in ranked:
+                if len(syms) < 2:
+                    break
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = [ids.get(s, -1) for s in syms]
+            return memo[w]
+
+        for pdf in batches:
+            toks = [
+                [t for w in text.split(" ") if w for t in word_ids(w)]
+                for text in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        tokenize, f"{id_col} long, token_ids array<int>, n_tokens bigint"
+    )

@@ -787,12 +787,12 @@ DRIVER_WINDOW = [
     "dedup_clusters_lsh", "lm_quality_score", "embedding_pca",
     "embedding_kmeans", "quantity_quantiles_approx", "quality_buckets",
     "dedup_semantic", "dsir_weights", "bpe_merges",
-    # new this round: two-step-Lloyd IVF at oracle strength
-    "similarity_ivf_sql2",
+    # new this round: two-step-Lloyd IVF at oracle strength + full BPE
+    # corpus tokenization (rows-only, iterative training)
+    "similarity_ivf_sql2", "bpe_tokenize",
     # once-green oracle rows padding the window back to 50
     "top_events_global", "revenue_rollup", "purchasers_who_err",
     "viewers_never_buy", "distinct_users", "user_value_deltas",
-    "user_type_pivot",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -5,8 +5,13 @@
   oracle-strength contract as ``similarity_ivf_sql``.  The extra step is
   ANSI-SQL-replayable by repeating the assign→sums→centroid CTE chain
   once, so the APPROXIMATE output stays hash-checked at full strength.
-  Recall ≥ the one-step arm is pinned by
-  ``tests/test_llm.py::test_ivf_sql2_recall_at_least_one_step``.
+  The Lloyd-guaranteed monotone property (training objective) plus a
+  recall floor is pinned by ``tests/test_llm.py::
+  test_ivf_sql2_objective_improves_and_recall_holds``.
+- ``bpe_tokenize`` — full corpus tokenization under the trained BPE
+  vocabulary (token-id sequences, not just counts): the trainer-input
+  artifact.  Iterative training → rows-only; round-trip + kernel
+  consistency pytest-pinned.
 
 Reference anchor: the reference has no ANN tier (its surface stops at
 the Flink serving layer) — this extends the LLM-pipeline extension set
@@ -128,6 +133,22 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus tokenization under a 12-merge trained BPE vocabulary:
+    per document, the token-id sequence + count (llm/bpe.bpe_tokenize) —
+    the trainer-input artifact downstream of bpe_merges.  The training
+    loop is iterative (no SQL twin → rows-only); kernel semantics are
+    pytest-pinned: vocab round-trip reconstructs every word exactly and
+    counts agree with the independent bpe_encode kernel."""
+    from icebergproject_spark.llm import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=12)
+    vocab = bpe.bpe_vocab(docs, merges)
+    return bpe.bpe_tokenize(docs, merges, vocab)
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
+    "bpe_tokenize": Query(q_bpe_tokenize, None),
 }

@@ -746,3 +746,35 @@ def test_unigram_logprob_micro_and_buckets_match_reference(spark):
         assert out[i]["bucket_label"] == {1: "head", 2: "middle", 3: "tail"}[
             want_bucket[i]
         ]
+
+
+def test_bpe_tokenize_roundtrip_and_count_consistency(spark):
+    """bpe_tokenize (token-id sequences) is exact: mapping ids back
+    through the vocab reconstructs every whitespace word verbatim (no
+    UNK on same-corpus input), counts agree with the independent
+    bpe_encode kernel, and the output is partitioning-independent."""
+    from icebergproject_spark.llm import bpe
+
+    rows = [
+        (i, " ".join(["low", "lower", "newest", "widest", "new"][j % 5]
+                     for j in range(i % 4 + 1)))
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.bpe_train(docs, num_merges=8, min_freq=1)
+    vocab = bpe.bpe_vocab(docs, merges)
+    out = {r.doc_id: (list(r.token_ids), r.n_tokens)
+           for r in bpe.bpe_tokenize(docs, merges, vocab).collect()}
+    counts = {r.doc_id: r.n_tokens_bpe
+              for r in bpe.bpe_encode(docs, merges).collect()}
+    for i, text in rows:
+        ids, n = out[i]
+        assert -1 not in ids  # vocab covers the corpus by construction
+        assert n == len(ids) == counts[i]
+        # round-trip: concatenating the id symbols reproduces the text
+        # with spaces removed (tokens never span words)
+        assert "".join(vocab[t] for t in ids) == text.replace(" ", "")
+    again = {r.doc_id: (list(r.token_ids), r.n_tokens)
+             for r in bpe.bpe_tokenize(
+                 docs.repartition(7), merges, vocab).collect()}
+    assert again == out
