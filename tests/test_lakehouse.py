@@ -1441,3 +1441,25 @@ def test_equality_delete_survives_appends_and_gc(spark, catalog):
     t.remove_orphan_files()
     assert os.path.isdir(eq_dir)  # referenced → survives
     assert {r.id for r in t.read().collect()} == {"1", "3"}
+
+
+def test_equality_delete_on_partitioned_table(spark, catalog):
+    """The partitioned read path (per-dir scans + union) applies
+    equality deletes too — the __file address survives the union, and
+    partition pruning composes with the key subtraction."""
+    import pyspark.sql.functions as F
+
+    t = catalog.table("EQPART")
+    t.set_partitioning("ts", "day")
+    df = spark.createDataFrame(
+        [("1", "2022-06-15 06:00:00"), ("2", "2022-06-15 07:00:00"),
+         ("3", "2022-06-16 08:00:00")],
+        ["id", "s"],
+    ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    t.append(df)
+    t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    assert {r.id for r in t.read().collect()} == {"1", "3"}
+    # pruned scan of the 06-15 partition: key 2 still subtracted
+    assert {
+        r.id for r in t.read(partition_values=["2022-06-15"]).collect()
+    } == {"1"}
