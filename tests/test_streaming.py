@@ -1220,3 +1220,70 @@ def test_medallion_chained_through_table_feeds(spark, tmp_path):
     # yields nothing new, so no duplicate DWS rows
     drain_table_feed(ods, enrich_to_dws, from_snapshot_id=off)
     assert dws.read().count() == 3
+
+
+def test_streaming_cdc_deletes_via_equality_files(spark, tmp_path):
+    """Streaming twin of the batch CDC equality-delete test: a
+    foreachBatch sink routing `tp=delete` records through
+    upsert_dims_with_deletes applies them as equality-delete files
+    per micro-batch — the shape the reference drops at
+    dim/DimDataToHBase.scala:67."""
+    import json
+    import os
+    import time as time_mod
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.plans.dim import upsert_dims_with_deletes
+    from icebergproject_spark.sources import CDC_ENVELOPE_SCHEMA, kafka_json_source
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    b1 = [
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "insert",
+         "ts": "1", "xid": "1", "commit": "true",
+         "data": {"user_id": "u1", "member_level": "bronze"}},
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "insert",
+         "ts": "2", "xid": "2", "commit": "true",
+         "data": {"user_id": "u2", "member_level": "silver"}},
+    ]
+    b2 = [
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "delete",
+         "ts": "3", "xid": "3", "commit": "true",
+         "data": {"user_id": "u2", "member_level": "silver"}},
+        {"database": "lakehousedb", "table": "mc_member_info", "type": "insert",
+         "ts": "4", "xid": "4", "commit": "true",
+         "data": {"user_id": "u3", "member_level": "gold"}},
+    ]
+    for i, frames in enumerate([b1, b2]):
+        p = src / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(f) for f in frames) + "\n")
+        os.utime(p, (time_mod.time() + i * 10, time_mod.time() + i * 10))
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="testdb")
+    config = [{"tbl_name": "mc_member_info", "tbl_db": "lakehousedb",
+               "pk_col": "user_id", "cols": "user_id,member_level",
+               "sink_tbl_name": "DIM_MEMBER_INFO"}]
+    stream = kafka_json_source(
+        spark, CDC_ENVELOPE_SCHEMA, path=str(src), max_files_per_trigger=1
+    )
+
+    def sink(batch, _):
+        upsert_dims_with_deletes(catalog, batch, config)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    t = catalog.table("DIM_MEMBER_INFO")
+    out = {r.user_id: r.member_level for r in t.read().collect()}
+    # u2's delete APPLIED (vs the reference's drop); u3 inserted after
+    assert out == {"u1": "bronze", "u3": "gold"}
+    # delete arrived as an equality-delete file, and compaction folds it
+    assert any(s.get("eq_delete_dirs") for s in t._snapshots())
+    t.compact()
+    assert t.current_snapshot()["eq_delete_dirs"] == []
+    assert {r.user_id: r.member_level for r in t.read().collect()} == out
