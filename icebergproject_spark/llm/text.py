@@ -835,3 +835,56 @@ def chunk_documents(
         chunk,
         f"{id_col} long, chunk_id int, n_tokens long, chunk_text string",
     )
+
+
+def hash_features(
+    docs: DataFrame,
+    dim: int = 64,
+    salt: str = "feat0",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text vectorization (the "hashing trick",
+    Weinberger et al. 2009; the featurizer behind fastText bigram
+    buckets and DSIR's hashed n-grams): each word buckets to
+    ``int(md5(salt-word)[:4hex]) % dim`` and the document's vector is
+    the bucket-count histogram — a fixed-width ``array<bigint>`` bridge
+    from the text tier to every embedding-tier operator (k-means,
+    similarity, quantization) with NO trained vocabulary object.
+
+    Deterministic md5 bucketing renders identically in ANSI SQL (the
+    ``hash_shard`` idiom), so the output is oracle-checkable.  Scale
+    shape: explode → two hash aggregates (map-side partial combine),
+    one broadcast-joinable output row per doc; no windows, no sort.
+    Empty documents keep an all-zero vector (left join from the doc
+    set, not the word set).
+    """
+    from icebergproject_spark.llm.sharding import shuffle_key
+
+    words = (
+        docs.select(id_col, F.explode(F.split(F.col(content_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(shuffle_key("w", salt), 1, 4), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    counts = words.groupBy(id_col, bucket.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vecs = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    return (
+        docs.select(id_col)
+        .join(vecs, id_col, "left")
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i), F.lit(0).cast("long")
+                ),
+            ).alias("features"),
+        )
+    )

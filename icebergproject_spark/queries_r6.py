@@ -148,7 +148,60 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_tokenize(docs, merges, vocab)
 
 
+
+
+
+def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorization (Weinberger et al. 2009) at ORACLE
+    strength: md5-bucketed word-count histograms, dim=64 — the
+    vocabulary-free text→vector bridge into the embedding-tier
+    operators.  Rendered as CSV (the embedding_quantize array
+    convention) so the vector hashes bit-for-bit."""
+    from icebergproject_spark.llm.text import hash_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_features(docs, dim=64).select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("features_csv"),
+    )
+
+
+def _md5_prefix4_sql(hx: str) -> str:
+    """BIGINT value of the first 4 hex digits of md5 column `hx` (the
+    queries_r4._md5_prefix12_sql idiom at hash_shard's width)."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr({hx}, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+            for j in range(4)
+        )
+        + ")"
+    )
+
+
+ORACLE_TEXT_HASH_FEATURES = f"""
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+b AS (
+  SELECT doc_id,
+         {_md5_prefix4_sql("md5('feat0' || '-' || w)")} % 64 AS b
+  FROM w WHERE w <> ''
+),
+c AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+g AS (SELECT doc_id, UNNEST(range(0, 64)) AS pos FROM documents)
+SELECT g.doc_id,
+       string_agg(CAST(COALESCE(c.c, 0) AS VARCHAR), ',' ORDER BY g.pos)
+         AS features_csv
+FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.b = g.pos
+GROUP BY g.doc_id
+"""
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
     "bpe_tokenize": Query(q_bpe_tokenize, None),
+    "text_hash_features": Query(q_text_hash_features, ORACLE_TEXT_HASH_FEATURES),
 }

@@ -778,3 +778,28 @@ def test_bpe_tokenize_roundtrip_and_count_consistency(spark):
              for r in bpe.bpe_tokenize(
                  docs.repartition(7), merges, vocab).collect()}
     assert again == out
+
+
+def test_hash_features_histogram_properties(spark):
+    """hash_features: fixed-width vectors whose component sum equals the
+    doc's word count, empty docs get all-zero vectors (not dropped),
+    and bucketing is partitioning-independent."""
+    from icebergproject_spark.llm.text import hash_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, ""), (3, "a"), (4, "x y z w v u t s")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: list(r.features)
+           for r in hash_features(docs, dim=16).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(len(v) == 16 for v in out.values())
+    assert sum(out[1]) == 4 and sum(out[2]) == 0 and sum(out[3]) == 1
+    assert sum(out[4]) == 8
+    # same word -> same bucket: doc 3's single 'a' bucket is where doc 1
+    # put its two 'a's
+    a_bucket = out[3].index(1)
+    assert out[1][a_bucket] >= 2
+    again = {r.doc_id: list(r.features)
+             for r in hash_features(docs.repartition(5), dim=16).collect()}
+    assert again == out
