@@ -200,8 +200,94 @@ GROUP BY g.doc_id
 """
 
 
+
+
+def q_doc_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain discovery at ORACLE strength: k-means (one
+    integer-exact Lloyd step, k=8) over the hash_features text vectors —
+    the DoReMi-style clustering that precedes domain-mixture weighting,
+    with NO embedding model in the loop.  Composes the two oracle-proven
+    pieces: md5 feature hashing (integer count vectors — exact in both
+    engines with no quantization step) and the int_lloyd_cells training
+    chain shared with similarity_ivf_sql/dedup_semantic_sql."""
+    from icebergproject_spark.llm.similarity import int_lloyd_cells
+    from icebergproject_spark.llm.text import hash_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hash_features(docs, dim=16)
+    nz = feats.filter(
+        F.aggregate("features", F.lit(0).cast("long"), lambda a, x: a + x) > 0
+    )
+    base = nz.select(F.col("doc_id").alias("cid"), F.col("features").alias("q"))
+    cells, _ = int_lloyd_cells(base, 8, steps=1)
+    return cells.select(
+        F.col("cid").alias("doc_id"),
+        F.col("__cell").cast("int").alias("cluster_id"),
+    )
+
+
+ORACLE_DOC_CLUSTERS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+b AS (
+  SELECT doc_id,
+         {_md5_prefix4_sql("md5('feat0' || '-' || w)")} % 16 AS b
+  FROM w WHERE w <> ''
+),
+c AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+g AS (SELECT doc_id, UNNEST(range(0, 16)) AS pos FROM documents),
+v AS (
+  SELECT g.doc_id AS cid,
+         array_agg(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY g.pos) AS q
+  FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.b = g.pos
+  GROUP BY g.doc_id
+),
+nz AS (SELECT * FROM v WHERE list_sum(q) > 0),
+seeds AS (
+  SELECT CAST(cid AS INTEGER) AS cluster_id, q AS c FROM nz WHERE cid < 8
+),
+a0 AS (
+  SELECT cid, cluster_id FROM (
+    SELECT nz.cid, s.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY nz.cid ORDER BY
+             list_dot_product(nz.q, s.c) /
+               (sqrt(list_dot_product(nz.q, nz.q)) * sqrt(list_dot_product(s.c, s.c))) DESC,
+             s.cluster_id ASC) AS rn
+    FROM nz CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+flat AS (
+  SELECT a0.cluster_id,
+         UNNEST(range(1, len(nz.q) + 1)) AS pos,
+         UNNEST(nz.q) AS x
+  FROM nz JOIN a0 USING (cid)
+),
+sums AS (
+  SELECT cluster_id, pos, SUM(CAST(x AS BIGINT)) AS s, COUNT(*) AS n
+  FROM flat GROUP BY cluster_id, pos
+),
+centroids AS (
+  SELECT cluster_id,
+         array_agg(CAST(ROUND(s / n) AS DOUBLE) ORDER BY pos) AS c
+  FROM sums GROUP BY cluster_id
+),
+a1 AS (
+  SELECT nz.cid, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY nz.cid ORDER BY
+           list_dot_product(nz.q, c.c) /
+             (sqrt(list_dot_product(nz.q, nz.q)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+           c.cluster_id ASC) AS rn
+  FROM nz CROSS JOIN centroids c
+)
+SELECT cid AS doc_id, CAST(cluster_id AS INTEGER) AS cluster_id
+FROM a1 WHERE rn = 1
+"""
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
     "bpe_tokenize": Query(q_bpe_tokenize, None),
     "text_hash_features": Query(q_text_hash_features, ORACLE_TEXT_HASH_FEATURES),
+    "doc_clusters_sql": Query(q_doc_clusters_sql, ORACLE_DOC_CLUSTERS_SQL),
 }
