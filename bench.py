@@ -95,8 +95,11 @@ BENCH_QUERIES = [
     "dedup_semantic_sql",
     "embedding_kmeans_sql",
     "dedup_clusters_lsh_sql",
-    # round 6: two-step-Lloyd IVF (oracle-strength deeper-trained arm)
+    # round 6: two-step-Lloyd IVF (oracle-strength deeper-trained arm),
+    # feature-hashing vectorization, and hashed-feature domain clustering
     "similarity_ivf_sql2",
+    "text_hash_features",
+    "doc_clusters_sql",
 ]
 
 # the exact query set BENCH_r04/r05 reported (identical 55-query set) —
@@ -104,7 +107,10 @@ BENCH_QUERIES = [
 # mislead (the set grows every round), so the output splits the
 # prev-round-comparable subtotal from the genuinely new queries'
 # subtotal (NOTES.md: compare per-query, not totals).
-PREV_ROUND_QUERIES = {q for q in BENCH_QUERIES if q != "similarity_ivf_sql2"}
+PREV_ROUND_QUERIES = {
+    q for q in BENCH_QUERIES
+    if q not in ("similarity_ivf_sql2", "text_hash_features", "doc_clusters_sql")
+}
 
 # queries whose SEMANTICS changed since the previous round — their
 # comparable-subtotal contribution is not apples-to-apples and readers
