@@ -9,11 +9,12 @@ Each query is forced to full execution with a count-style action (no
 driver-side collection of big results). A warmup query amortizes JVM/codegen
 startup so per-query numbers reflect steady-state throughput.
 
-Per-query timing is best-of-N (default 2, $SPARK_GRAFT_BENCH_RUNS): the
-first execution of a query pays one-time Catalyst planning + whole-stage
-codegen compilation (~0.5-1.5 s, independent of data size), which at any
-real scale factor amortizes to zero. Steady-state is the number that
-extrapolates to the 100 TB target; both runs execute fully.
+Per-query timing runs N times (default 3, $SPARK_GRAFT_BENCH_RUNS) and
+reports the MEDIAN as the primary number (with the min alongside): the
+first execution pays one-time Catalyst planning + whole-stage codegen
+compilation (~0.5-1.5 s, independent of data size), which at any real
+scale factor amortizes to zero, and the median resists the shared
+host's single-run outliers. All runs execute fully.
 """
 
 from __future__ import annotations
