@@ -163,3 +163,88 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.filter(F.col("media_type") == "video").select(
         "media_id", F.explode(sampled).alias("frame_idx")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def _resize_stub(content: bytes, w: int, h: int) -> bytes:
+    """STUB resize: real deployments plug PIL/ffmpeg here (decode →
+    scale → re-encode).  The fake is deterministic and size-faithful —
+    output length scales with the target pixel count, content derives
+    from the input bytes — so batch-shape/partitioning tests exercise
+    the real data flow without a codec."""
+    if content is None:
+        raise NotImplementedError("real codec required for null-content media")
+    target = max(1, min(len(content), (w * h) // 64))
+    reps = (target + len(content) - 1) // len(content) if content else 1
+    return (bytes(content) * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image/frame resize via Arrow-batched ``mapInPandas`` — the
+    normalize-resolution pass before any vision encoder (224×224 is the
+    CLIP/ViT convention).  The codec call is the honest stub above; the
+    Spark side is production-shaped: slim projection (only id + bytes
+    ship to Python), whole-Arrow-batch kernel, typed output schema with
+    the new dimensions and payload, one pure projection — zero shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf["content"].map(
+                lambda b: _resize_stub(
+                    bytes(b) if b is not None else None, width, height
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                    "resized_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+def size_class_partition(
+    media: DataFrame, boundaries: list[int] | None = None
+) -> DataFrame:
+    """Repartition media by payload SIZE CLASS before a decode pass —
+    the batching discipline the module docstring prescribes: Arrow
+    batches of wildly mixed payload sizes make task memory and kernel
+    latency unpredictable (one 200 MB video next to a thousand 10 KB
+    thumbnails), so bucket by log-ish size boundaries and shuffle once
+    so each task's batches are homogeneous.
+
+    ``boundaries`` are ascending byte cutoffs (default 64 KiB / 1 MiB /
+    16 MiB → classes 0..3).  Adds a ``size_class`` column and returns
+    the DataFrame RANGE-partitioned on it with one partition per class
+    (hash partitioning can collide two classes into one partition;
+    range on a handful of ordered class ids separates them), so
+    downstream ``mapInPandas`` kernels see same-class batches.  One
+    shuffle, keyed on ≤ |classes| values — cheap next to the decode it
+    protects.  At real scale, follow with ``repartition(n,
+    "size_class")`` WITHIN a class if a single class exceeds one task.
+    """
+    bounds = boundaries or [64 << 10, 1 << 20, 16 << 20]
+    cls = F.lit(0)
+    for i, b in enumerate(bounds):
+        cls = F.when(F.col("n_bytes") >= b, i + 1).otherwise(cls)
+    out = media.withColumn("size_class", cls.cast("int"))
+    return out.repartitionByRange(len(bounds) + 1, F.col("size_class"))

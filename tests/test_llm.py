@@ -188,6 +188,50 @@ def test_frame_sample_plan(spark):
     assert [r.frame_idx for r in frames] == [0, 10, 20]
 
 
+def test_resize_media_stub_plumbing(spark):
+    """resize_media: typed output schema, deterministic stub payload
+    whose length tracks the target pixel budget, and only (media_id,
+    content) ship to the Python kernel."""
+    docs = spark.createDataFrame(
+        [(1, "payload-one"), (2, "p2"), (3, "x" * 50000)], ["doc_id", "text"]
+    )
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    out = {r.media_id: r for r in multimodal.resize_media(media, 224, 224).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.width, r.height) == (224, 224)
+        assert r.resized_bytes == len(bytes(r.resized)) > 0
+    # size-faithful stub: output length = min(input, 224*224//64)
+    assert out[3].resized_bytes == (224 * 224) // 64
+    assert out[2].resized_bytes == 2
+    # rerun identical (deterministic kernel)
+    again = {r.media_id: bytes(r.resized)
+             for r in multimodal.resize_media(media, 224, 224).collect()}
+    assert again == {k: bytes(v.resized) for k, v in out.items()}
+
+
+def test_size_class_partition_homogeneous_batches(spark):
+    """size_class_partition: classes follow the byte boundaries and the
+    repartition co-locates each class (every physical partition holds at
+    most one class) so decode batches are homogeneous."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, "a" * n) for i, n in enumerate(
+        [10, 200, 70_000, 80_000, 2_000_000])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    parted = multimodal.size_class_partition(media)
+    cls = {r.media_id: r.size_class for r in parted.collect()}
+    assert cls == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    per_part = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.countDistinct("size_class").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_part)
+
+
 # --- approximate-path recall vs exact baselines ---------------------------
 
 
