@@ -1518,6 +1518,7 @@ class LakehouseTable:
         with_address: bool = False,
         where: str | None = None,
         ref: str | None = None,
+        apply_eq_deletes: bool = True,
     ) -> DataFrame:
         """S5 + M3: batch scan, optionally time-travelling.
 
@@ -1592,7 +1593,9 @@ class LakehouseTable:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             snap = eligible[-1]
         delete_dirs = snap.get("delete_dirs", [])
-        eq_deletes = snap.get("eq_delete_dirs", [])
+        eq_deletes = (
+            snap.get("eq_delete_dirs", []) if apply_eq_deletes else []
+        )
         # equality deletes need the __file address too (dir scoping)
         need_addr = with_address or bool(delete_dirs) or bool(eq_deletes)
         data_dirs = list(snap["data_dirs"])
@@ -1756,7 +1759,9 @@ class LakehouseTable:
             df = df.drop("__file", "__pos")
         return df
 
-    def _apply_eq_deletes(self, df: DataFrame, eq_deletes: list[dict]) -> DataFrame:
+    def _apply_eq_deletes(
+        self, df: DataFrame, eq_deletes: list[dict], invert: bool = False
+    ) -> DataFrame:
         """Iceberg v2 EQUALITY-delete subtraction (K6/T8 extension —
         the CDC ``tp=delete`` shape the reference drops,
         dim/DimDataToHBase.scala:67): each entry's parquet dir holds KEY
@@ -1771,9 +1776,15 @@ class LakehouseTable:
         (AQE broadcasts the join); cost is one hash join per distinct
         equality-column set, zero table rewrite at delete time.  The
         delete columns are resolved by FIELD ID against the live schema,
-        so renames after the delete don't orphan it."""
+        so renames after the delete don't orphan it.
+
+        ``invert=True`` returns only the rows the deletes HIDE (matched
+        AND in scope) — the maintenance path
+        (:meth:`convert_equality_deletes`) materializes their row
+        addresses as positional deletes."""
         if not eq_deletes:
-            return df
+            return df.limit(0) if invert else df
+        hidden: list[DataFrame] = []
         schema_st = self._load_schema_state()
         live_fields = self._fields_of(schema_st, schema_st["current-schema-id"])
         by_id = {f["id"]: f["name"] for f in live_fields if "id" in f}
@@ -1802,11 +1813,23 @@ class LakehouseTable:
                 in_scope = in_scope | F.col("__file").contains(
                     "/" + os.path.basename(d.rstrip("/")) + "/"
                 )
-            df = (
-                df.join(keys, cond, "left")
-                .filter(~(F.coalesce(F.col("__dead"), F.lit(False)) & in_scope))
-                .drop("__dead", *[f"__k{i}" for i in range(len(cols))])
-            )
+            marked = df.join(keys, cond, "left")
+            dead = F.coalesce(F.col("__dead"), F.lit(False)) & in_scope
+            if invert:
+                hidden.append(
+                    marked.filter(dead).drop(
+                        "__dead", *[f"__k{i}" for i in range(len(cols))]
+                    )
+                )
+            else:
+                df = marked.filter(~dead).drop(
+                    "__dead", *[f"__k{i}" for i in range(len(cols))]
+                )
+        if invert:
+            out = hidden[0]
+            for h in hidden[1:]:
+                out = out.unionByName(h)
+            return out.dropDuplicates(["__file", "__pos"])
         return df
 
     def delete_by_key(
@@ -2246,6 +2269,48 @@ class LakehouseTable:
                 list(cur["data_dirs"]),
                 delete_dirs=[del_dir],
                 eq_delete_dirs=list(cur.get("eq_delete_dirs", [])),
+                expected_parent_id=self._cas_id(cur),
+            )
+
+        return self._retry_cas(attempt)
+
+    def convert_equality_deletes(self) -> dict | None:
+        """Maintenance: convert accumulated EQUALITY deletes into ONE
+        positional delete file (Iceberg's planned convert action; the
+        middle step of the delete lifecycle this fallback implements:
+        write-cheap equality file at ingest → read-cheap positional file
+        at maintenance → folded entirely at compaction).
+
+        Equality deletes cost one key hash join per read; after enough
+        reads that recurring cost exceeds the one-time scan this action
+        pays to materialize the hidden rows' (file, pos) addresses.
+        Data files are untouched, time travel is unaffected (history
+        snapshots keep their own delete state), and the read result is
+        byte-identical before/after.  No-op (None) without equality
+        deletes."""
+
+        def attempt(cur):
+            if not cur or not cur.get("eq_delete_dirs"):
+                return None
+            # full scan with positional deletes applied but equality
+            # deletes SKIPPED, then invert the eq filter: exactly the
+            # rows the eq deletes hide, as row addresses
+            base = self.read(with_address=True, apply_eq_deletes=False)
+            hidden = self._apply_eq_deletes(
+                base, cur["eq_delete_dirs"], invert=True
+            ).select("__file", "__pos")
+            existing = cur.get("delete_dirs", [])
+            if existing:
+                hidden = hidden.unionByName(
+                    self.spark.read.parquet(*existing).select("__file", "__pos")
+                ).dropDuplicates(["__file", "__pos"])
+            del_dir = os.path.join(self.deletes_root, uuid.uuid4().hex)
+            hidden.write.mode("overwrite").parquet(del_dir)
+            return self._commit(
+                "convert_equality_deletes",
+                list(cur["data_dirs"]),
+                delete_dirs=[del_dir],
+                eq_delete_dirs=[],
                 expected_parent_id=self._cas_id(cur),
             )
 

@@ -1463,3 +1463,30 @@ def test_equality_delete_on_partitioned_table(spark, catalog):
     assert {
         r.id for r in t.read(partition_values=["2022-06-15"]).collect()
     } == {"1"}
+
+
+def test_convert_equality_deletes_to_positional(spark, catalog):
+    """The delete-lifecycle middle step: convert_equality_deletes
+    materializes the eq-hidden rows as one positional delete file —
+    read results byte-identical before/after, scoping preserved (the
+    later re-insert of a deleted key stays alive), eq entries gone,
+    time travel intact."""
+    t = catalog.table("EQCONV")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+    t.delete_by_key(spark.createDataFrame([("2",), ("9",)], ["id"]))
+    t.append(df_of(spark, [("2", "b2")]))  # post-delete re-insert: survives
+    before = {(r.id, r.v) for r in t.read().collect()}
+    assert before == {("1", "a"), ("3", "c"), ("2", "b2")}
+    pre_convert = t.current_snapshot()
+
+    snap = t.convert_equality_deletes()
+    assert snap is not None and snap["eq_delete_dirs"] == []
+    assert snap["delete_dirs"]  # positional file now carries the deletes
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+    # idempotent: nothing left to convert
+    assert t.convert_equality_deletes() is None
+    # time travel to the eq-delete era still renders correctly
+    assert {
+        (r.id, r.v)
+        for r in t.read(snapshot_id=pre_convert["snapshot_id"]).collect()
+    } == before
