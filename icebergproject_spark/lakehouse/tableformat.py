@@ -470,6 +470,29 @@ class LakehouseTable:
                 "dropping the active partition column is not supported; "
                 "evolve the partition spec first"
             )
+        # an ACTIVE equality delete keyed on this column would become
+        # unapplicable after the drop (reads exclude the column before
+        # the key join): convert eq deletes to positional FIRST — the
+        # delete's effect is preserved as row addresses, which survive
+        # any schema change (real Iceberg applies eq deletes by field id
+        # against file columns; this fallback's scans project by the
+        # live schema, so conversion is the sound equivalent)
+        cur = self.current_snapshot()
+        if cur:
+            st0 = self._load_schema_state()
+            fid = next(
+                (
+                    f.get("id")
+                    for f in self._fields_of(st0, st0["current-schema-id"])
+                    if f["name"] == name
+                ),
+                None,
+            )
+            if any(
+                fid in (e.get("field_ids") or []) or name in e["cols"]
+                for e in cur.get("eq_delete_dirs", [])
+            ):
+                self.convert_equality_deletes()
         lock_token = self._acquire_commit_lock()
         try:
             st = self._load_schema_state()

@@ -1490,3 +1490,30 @@ def test_convert_equality_deletes_to_positional(spark, catalog):
         (r.id, r.v)
         for r in t.read(snapshot_id=pre_convert["snapshot_id"]).collect()
     } == before
+
+
+def test_drop_column_converts_affected_equality_deletes(spark, catalog):
+    """Dropping a column an active equality delete keys on would orphan
+    the delete (reads exclude the column before the key join) —
+    drop_column converts affected eq deletes to positional first, so
+    the delete's effect survives the schema change."""
+    t = catalog.table("EQDROP")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+    t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    t.drop_column("id")
+    cur = t.current_snapshot()
+    assert cur["eq_delete_dirs"] == [] and cur["delete_dirs"]
+    # row 2 stays deleted, and the column is gone from reads
+    rows = t.read().collect()
+    assert {tuple(r) for r in rows} == {("a",), ("c",)}
+    # an eq delete on an UNAFFECTED column is left as-is by drops of others
+    t2 = catalog.table("EQDROP2")
+    t2.append(
+        spark.createDataFrame(
+            [("1", "a", "x"), ("2", "b", "y")], ["id", "v", "w"]
+        )
+    )
+    t2.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    t2.drop_column("w")
+    assert t2.current_snapshot()["eq_delete_dirs"]  # untouched
+    assert {tuple(r) for r in t2.read().collect()} == {("1", "a")}
