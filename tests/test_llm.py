@@ -357,6 +357,21 @@ def test_ivf_sql2_objective_improves_and_recall_holds(embeddings):
             if (r.query_id, r.neighbor_id) in exact_scores:
                 assert r.score == exact_scores[(r.query_id, r.neighbor_id)]
 
+    # the retuning claim from NOTES, pinned: deeper training DOES buy
+    # recall once nprobe is retuned to the tighter cells — steps=2 with
+    # nprobe=6 beats steps=1 with nprobe=4 (measured 0.96 vs 0.92 here)
+    def recall_of(steps, nprobe):
+        by_q = _neighbor_sets(
+            similarity.ivf_sql_topk(
+                embeddings, queries, k=5, steps=steps, nprobe=nprobe
+            )
+        )
+        return sum(len(by_q[q] & exact_sets[q]) / 5 for q in exact_sets) / len(
+            exact_sets
+        )
+
+    assert recall_of(2, 6) >= recall_of(1, 4)
+
 
 def test_multiprobe_topk_recall_and_exact_scores(embeddings):
     """Multiprobe sign-LSH: scores for found neighbors are the exact
