@@ -783,17 +783,17 @@ DRIVER_WINDOW = [
     "supplier_count_by_part", "excess_share_suppliers",
     # never-driver-checked: rows-only production arms (weaker check by
     # design — the driver records rows+schema; their oracle-strength
-    # siblings are already multi-round green)
+    # siblings are already multi-round green).  bpe_merges was PROMOTED
+    # to oracle strength in-round (unrolled-CTE training replay).
     "dedup_clusters_lsh", "lm_quality_score", "embedding_pca",
     "embedding_kmeans", "quantity_quantiles_approx", "quality_buckets",
     "dedup_semantic", "dsir_weights", "bpe_merges",
     # new this round: two-step-Lloyd IVF at oracle strength + full BPE
     # corpus tokenization (rows-only, iterative training)
-    "similarity_ivf_sql2", "bpe_tokenize", "text_hash_features",
-    "doc_clusters_sql",
+    "similarity_ivf_sql2", "bpe_tokenize", "bpe_tokenize_sql",
+    "text_hash_features", "doc_clusters_sql",
     # once-green oracle rows padding the window back to 50
     "top_events_global", "revenue_rollup", "purchasers_who_err",
-    "viewers_never_buy",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

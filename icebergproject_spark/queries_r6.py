@@ -285,9 +285,198 @@ FROM a1 WHERE rn = 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# BPE family promoted to ORACLE strength (generated DuckDB twins).
+#
+# The training loop is iterative, but each round is plain SQL (pair
+# count -> argmax) and the greedy left-to-right merge application is a
+# GAPS-AND-ISLANDS parity problem, not a recursion: within a maximal
+# run of consecutive match positions, merges start at even offsets from
+# the run head (consecutive matches only occur for left==right pairs).
+# So the whole 12-round loop unrolls into generated CTEs — every CTE
+# MATERIALIZED, because DuckDB inlines CTEs by default and the round
+# chain would otherwise blow up exponentially.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_round_ctes(r: int, min_freq: int) -> str:
+    """One training round: adjacent-pair counts from sy{r} (overlaps
+    included, matching the Spark sequence-explode), total-order argmax
+    (freq desc, left asc, right asc, >= min_freq), then the windowed
+    greedy merge -> sy{r+1}."""
+    return f""", m{r} AS MATERIALIZED (
+    SELECT wid, wcnt, n, i, s,
+           lead(s) OVER (PARTITION BY wid ORDER BY i) AS s2
+    FROM (
+      SELECT wid, wcnt, len(syms) AS n,
+             UNNEST(range(1, len(syms) + 1)) AS i,
+             UNNEST(syms) AS s
+      FROM sy{r}
+    )
+)
+, best{r} AS MATERIALIZED (
+    SELECT s AS l, s2 AS r2, SUM(wcnt) AS cnt
+    FROM m{r} WHERE s2 IS NOT NULL
+    GROUP BY s, s2
+    HAVING SUM(wcnt) >= {min_freq}
+    ORDER BY cnt DESC, l ASC, r2 ASC
+    LIMIT 1
+)
+, st{r} AS MATERIALIZED (
+    SELECT wid, wcnt, i, s, s2,
+           (mt AND ((i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0)) AS strt
+    FROM (
+      SELECT *, CASE WHEN mt THEN i - ROW_NUMBER() OVER (PARTITION BY wid, mt ORDER BY i) END AS grp
+      FROM (
+        SELECT wid, wcnt, n, i, s, s2,
+               COALESCE(s = (SELECT l FROM best{r}) AND s2 = (SELECT r2 FROM best{r}), FALSE) AS mt
+        FROM m{r}
+      )
+    )
+)
+, sy{r + 1} AS MATERIALIZED (
+    SELECT wid, ANY_VALUE(wcnt) AS wcnt,
+           array_agg(CASE WHEN strt THEN s || s2 ELSE s END ORDER BY i)
+             FILTER (WHERE NOT COALESCE(lag_strt, FALSE)) AS syms
+    FROM (
+      SELECT *, lag(strt) OVER (PARTITION BY wid ORDER BY i) AS lag_strt
+      FROM st{r}
+    )
+    GROUP BY wid
+)"""
+
+
+_BPE_BASE = """WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS wcnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+)
+, sy1 AS MATERIALIZED (
+  SELECT w AS wid, wcnt,
+         [substr(w, CAST(x AS INT), 1) FOR x IN range(1, len(w) + 1)] AS syms
+  FROM words
+)"""
+
+
+def _oracle_bpe_merges(num_merges: int = 12, min_freq: int = 2) -> str:
+    parts = [_BPE_BASE]
+    for r in range(1, num_merges + 1):
+        parts.append(_bpe_round_ctes(r, min_freq))
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INTEGER) AS rank, l AS "left", r2 AS "right", '
+        f"CAST(cnt AS BIGINT) AS freq FROM best{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + union
+
+
+def _oracle_bpe_tokenize(num_merges: int = 12, min_freq: int = 2) -> str:
+    """Tokenization twin: the trained chain's FINAL symbol state
+    (sy{N+1}) is each len>=2 word's token sequence (applying the ranked
+    merges at encode time replays the training evolution exactly);
+    single-char words are single tokens.  Vocab ids = sorted distinct
+    corpus characters, then merge symbols in rank order (llm/bpe.
+    bpe_vocab).  token_ids render as CSV (the array convention)."""
+    parts = [_BPE_BASE]
+    for r in range(1, num_merges + 1):
+        parts.append(_bpe_round_ctes(r, min_freq))
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT l, r2, {r} AS rank FROM best{r}"
+        for r in range(1, num_merges + 1)
+    )
+    final = num_merges + 1
+    tail = f""", vocab_chars AS MATERIALIZED (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS INT) AS id
+  FROM (
+    SELECT DISTINCT UNNEST(
+      [substr(text, CAST(x AS INT), 1) FOR x IN range(1, len(text) + 1)]
+    ) AS c
+    FROM documents
+  )
+  WHERE c <> ''
+)
+, merge_syms AS MATERIALIZED (
+  SELECT sym, rank FROM (
+    SELECT l || r2 AS sym, rank,
+           ROW_NUMBER() OVER (PARTITION BY l || r2 ORDER BY rank) AS rn
+    FROM ({ranked})
+  ) WHERE rn = 1
+)
+, vocab AS MATERIALIZED (
+  SELECT c AS sym, id FROM vocab_chars
+  UNION ALL
+  SELECT sym,
+         CAST((SELECT COUNT(*) FROM vocab_chars)
+              + ROW_NUMBER() OVER (ORDER BY rank) - 1 AS INT) AS id
+  FROM merge_syms
+)
+, doc_words AS MATERIALIZED (
+  SELECT doc_id, wp, w FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS w,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS wp
+    FROM documents
+  ) WHERE w <> ''
+)
+, doc_tok AS MATERIALIZED (
+  SELECT doc_id, wp,
+         UNNEST(range(1, len(fs) + 1)) AS sp,
+         UNNEST(fs) AS sym
+  FROM (
+    SELECT dw.doc_id, dw.wp, COALESCE(ws.syms, [dw.w]) AS fs
+    FROM doc_words dw LEFT JOIN sy{final} ws ON ws.wid = dw.w
+  )
+)
+, agg AS MATERIALIZED (
+  SELECT d.doc_id,
+         string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY d.wp, d.sp)
+           AS token_ids_csv,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM doc_tok d JOIN vocab v ON v.sym = d.sym
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(agg.token_ids_csv, '') AS token_ids_csv,
+       COALESCE(agg.n_tokens, 0) AS n_tokens
+FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id"""
+    return "\n".join(parts) + "\n" + tail
+
+
+def q_bpe_tokenize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_tokenize at ORACLE strength: same train->vocab->tokenize
+    pipeline, token_ids rendered as CSV so the id sequence hash-checks
+    bit-for-bit (the array convention).  The rows-only ``bpe_tokenize``
+    keeps the trainer-facing array<int> schema."""
+    from icebergproject_spark.llm import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=12)
+    vocab = bpe.bpe_vocab(docs, merges)
+    return bpe.bpe_tokenize(docs, merges, vocab).select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids_csv"),
+        "n_tokens",
+    )
+
+
+ORACLE_BPE_MERGES = _oracle_bpe_merges(12)
+ORACLE_BPE_TOKENIZE_SQL = _oracle_bpe_tokenize(12)
+
+
+from icebergproject_spark.queries_llm2 import q_bpe_merges  # noqa: E402
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
+    # r6 PROMOTION: the 12-round training loop itself, hash-checked —
+    # the unrolled-CTE replay makes the iterative argmax ORACLE-strength
+    "bpe_merges": Query(q_bpe_merges, ORACLE_BPE_MERGES),
     "bpe_tokenize": Query(q_bpe_tokenize, None),
+    "bpe_tokenize_sql": Query(q_bpe_tokenize_sql, ORACLE_BPE_TOKENIZE_SQL),
     "text_hash_features": Query(q_text_hash_features, ORACLE_TEXT_HASH_FEATURES),
     "doc_clusters_sql": Query(q_doc_clusters_sql, ORACLE_DOC_CLUSTERS_SQL),
 }
