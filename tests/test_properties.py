@@ -503,3 +503,77 @@ def test_avro_ocf_roundtrip_property(tmp_path_factory, rows):
     write_ocf(p, schema, rows)
     _, _, back = read_ocf(p)
     assert back == rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=2, max_size=12), min_size=1, max_size=8
+    ),
+    pair=st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        st.text(alphabet="ab", min_size=1, max_size=2),
+    ),
+)
+def test_sql_windowed_bpe_merge_matches_greedy(words, pair):
+    """The BPE oracle's merge application is a WINDOWED parity trick
+    (gaps-and-islands: within a run of consecutive match positions,
+    merges start at even offsets), not the sequential greedy scan — this
+    pins their equivalence on adversarial inputs: a 2-letter alphabet
+    forces left==right pairs over long identical-char runs ('aaaa' with
+    (a,a) must yield [aa, aa], 'aaa' must yield [aa, a]), the exact
+    shapes the corpus-learned merges never exercise."""
+    import duckdb
+
+    a, b = pair
+
+    def greedy(syms):  # the Python kernel's reference semantics
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE sy1 AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{w}__{k}', [{', '.join(repr(c) for c in w)}])"
+            for k, w in enumerate(words)
+        )
+        + ") t(wid, syms)"
+    )
+    con.execute(f"CREATE TABLE best1 AS SELECT '{a}' AS l, '{b}' AS r2")
+    rows = con.execute("""
+WITH m1 AS (
+    SELECT wid, n, i, s, lead(s) OVER (PARTITION BY wid ORDER BY i) AS s2
+    FROM (
+      SELECT wid, len(syms) AS n,
+             UNNEST(range(1, len(syms) + 1)) AS i, UNNEST(syms) AS s
+      FROM sy1
+    )
+), st1 AS (
+    SELECT wid, i, s, s2,
+           (mt AND ((i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0)) AS strt
+    FROM (
+      SELECT *, CASE WHEN mt THEN i - ROW_NUMBER() OVER (PARTITION BY wid, mt ORDER BY i) END AS grp
+      FROM (
+        SELECT wid, n, i, s, s2,
+               COALESCE(s = (SELECT l FROM best1) AND s2 = (SELECT r2 FROM best1), FALSE) AS mt
+        FROM m1
+      )
+    )
+)
+SELECT wid,
+       array_agg(CASE WHEN strt THEN s || s2 ELSE s END ORDER BY i)
+         FILTER (WHERE NOT COALESCE(lag_strt, FALSE)) AS syms
+FROM (SELECT *, lag(strt) OVER (PARTITION BY wid ORDER BY i) AS lag_strt FROM st1)
+GROUP BY wid
+""").fetchall()
+    got = {wid: syms for wid, syms in rows}
+    for k, w in enumerate(words):
+        assert got[f"{w}__{k}"] == greedy(list(w)), (w, a, b)
