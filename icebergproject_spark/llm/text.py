@@ -213,6 +213,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     strata_col: str | None = None,
     mode: str = "scale",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in deterministic
     (stratum, doc_id) order and chop the token stream at fixed
@@ -248,8 +249,16 @@ def pack_sequences(
 
     Output: (id, n_tokens, pack_id, pack_offset, n_packs_spanned);
     pack_id = "<stratum>-<window index>" of the doc's FIRST token.
+
+    ``token_count_col``: use a PRECOMPUTED per-doc token count (e.g.
+    ``bpe_tokenize``'s ``n_tokens`` — tokenizer-true packing) instead
+    of the whitespace count of ``content_col``.
     """
-    n_tok = F.size(_tokens(content_col))
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(_tokens(content_col))
+    )
     strat = F.col(strata_col) if strata_col else F.lit("all")
     if mode == "scale":
         from icebergproject_spark.llm.sharding import exact_prefix_sum

@@ -791,9 +791,9 @@ DRIVER_WINDOW = [
     # new this round: two-step-Lloyd IVF at oracle strength + full BPE
     # corpus tokenization (rows-only, iterative training)
     "similarity_ivf_sql2", "bpe_tokenize", "bpe_tokenize_sql",
-    "text_hash_features", "doc_clusters_sql",
+    "text_hash_features", "doc_clusters_sql", "pack_sequences_bpe",
     # once-green oracle rows padding the window back to 50
-    "top_events_global", "revenue_rollup", "purchasers_who_err",
+    "top_events_global", "revenue_rollup",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -480,3 +480,75 @@ R6_REGISTRY: dict[str, Query] = {
     "text_hash_features": Query(q_text_hash_features, ORACLE_TEXT_HASH_FEATURES),
     "doc_clusters_sql": Query(q_doc_clusters_sql, ORACLE_DOC_CLUSTERS_SQL),
 }
+
+
+def _oracle_pack_bpe(num_merges: int = 12, min_freq: int = 2) -> str:
+    """Tokenizer-true packing twin: the BPE chain's per-doc token
+    counts feed the pack_sequences prefix-sum CTE (context 512,
+    stratified by source)."""
+    parts = [_BPE_BASE]
+    for r in range(1, num_merges + 1):
+        parts.append(_bpe_round_ctes(r, min_freq))
+    final = num_merges + 1
+    tail = f""", doc_words AS MATERIALIZED (
+  SELECT doc_id, wp, w FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS w,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS wp
+    FROM documents
+  ) WHERE w <> ''
+)
+, cnt AS MATERIALIZED (
+  SELECT dw.doc_id,
+         CAST(SUM(len(COALESCE(ws.syms, [dw.w]))) AS BIGINT) AS n_tokens
+  FROM doc_words dw LEFT JOIN sy{final} ws ON ws.wid = dw.w
+  GROUP BY dw.doc_id
+)
+, t AS (
+  SELECT d.doc_id, d.source, COALESCE(c.n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+)
+, cumulated AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id AS id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       source || '-' || CAST(CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR)
+         AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset,
+       CAST(FLOOR((cum - 1) / 512) - FLOOR((cum - n_tokens) / 512) + 1 AS BIGINT)
+         AS n_packs_spanned
+FROM cumulated"""
+    return "\n".join(parts) + "\n" + tail
+
+
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-TRUE sequence packing: train BPE → tokenize → pack by
+    the real token counts (pack_sequences' whitespace counts overstate
+    packing density once merges shorten words).  One DAG: the tokenize
+    kernel's n_tokens feeds pack_sequences' distributed prefix sum
+    (mode='scale', context 512, per-source strata)."""
+    from icebergproject_spark.llm import bpe
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=12)
+    vocab = bpe.bpe_vocab(docs, merges)
+    toks = bpe.bpe_tokenize(docs, merges, vocab).select(
+        "doc_id", F.col("n_tokens").alias("__bpe_n")
+    )
+    return llm_text.pack_sequences(
+        docs.join(toks, "doc_id"),
+        context_len=512,
+        strata_col="source",
+        token_count_col="__bpe_n",
+    )
+
+
+ORACLE_PACK_SEQUENCES_BPE = _oracle_pack_bpe(12)
+R6_REGISTRY["pack_sequences_bpe"] = Query(
+    q_pack_sequences_bpe, ORACLE_PACK_SEQUENCES_BPE
+)
