@@ -1517,3 +1517,44 @@ def test_drop_column_converts_affected_equality_deletes(spark, catalog):
     t2.drop_column("w")
     assert t2.current_snapshot()["eq_delete_dirs"]  # untouched
     assert {tuple(r) for r in t2.read().collect()} == {("1", "a")}
+
+
+def test_equality_delete_lifecycle_model_based(spark, catalog):
+    """Model-based check of the delete lifecycle: a deterministic
+    pseudo-random interleaving of append / delete_by_key /
+    convert_equality_deletes / compact, mirrored against a Python
+    reference model that implements the spec semantics directly (a
+    delete kills CURRENTLY-live matching rows only; later re-inserts
+    survive; convert and compact are read-invisible). Catches
+    interaction bugs single-scenario tests can't."""
+    import hashlib
+
+    t = catalog.table("EQMODEL")
+    model: list[tuple[str, str]] = []  # live (id, v) rows, insertion order
+    t.append(df_of(spark, [("0", "seed")]))
+    model.append(("0", "seed"))
+
+    def rnd(i: int) -> int:
+        return int(hashlib.md5(f"lifecycle-{i}".encode()).hexdigest()[:4], 16)
+
+    next_row = 1
+    for step in range(14):
+        r = rnd(step) % 4
+        if r == 0 or not model:  # append 2 rows (sometimes reusing a key)
+            reuse = model[rnd(step * 7) % len(model)][0] if model else "0"
+            rows = [(str(next_row), f"v{step}"), (reuse, f"re{step}")]
+            next_row += 1
+            t.append(df_of(spark, rows))
+            model.extend(rows)
+        elif r == 1:  # equality-delete one present and one absent key
+            victim = model[rnd(step * 13) % len(model)][0]
+            t.delete_by_key(
+                spark.createDataFrame([(victim,), ("nope",)], ["id"])
+            )
+            model = [row for row in model if row[0] != victim]
+        elif r == 2:
+            t.convert_equality_deletes()
+        else:
+            t.compact()
+        got = sorted((r.id, r.v) for r in t.read().collect())
+        assert got == sorted(model), f"divergence at step {step} (op {r})"
