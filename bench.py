@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "similarity_ivf_sql2",
     "text_hash_features",
     "doc_clusters_sql",
+    # round 6, second session: oracle-strength SimHash (pigeonhole-exact
+    # banding) and the MinHash estimator-error audit
+    "dedup_simhash_sql",
+    "minhash_error_audit",
 ]
 
 # the exact query set BENCH_r04/r05 reported (identical 55-query set) —
@@ -110,7 +114,10 @@ BENCH_QUERIES = [
 # subtotal (NOTES.md: compare per-query, not totals).
 PREV_ROUND_QUERIES = {
     q for q in BENCH_QUERIES
-    if q not in ("similarity_ivf_sql2", "text_hash_features", "doc_clusters_sql")
+    if q not in (
+        "similarity_ivf_sql2", "text_hash_features", "doc_clusters_sql",
+        "dedup_simhash_sql", "minhash_error_audit",
+    )
 }
 
 # queries whose SEMANTICS changed since the previous round — their

@@ -313,6 +313,43 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_sql_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Engine-portable MinHash signatures ``(id, h0..h{k-1})``:
+    permutation *i* of shingle *g* is the first 12 hex digits of
+    ``md5("<i>-<g>")`` as a (48-bit, positive) BIGINT.  Pure refactor out
+    of :func:`minhash_lsh_sql_candidates` (identical expressions) so the
+    estimator-error audit can reuse the exact signature chain."""
+    col = F.col(content_col)
+    toks = F.split(col, " ")
+    k = F.size(toks) - (n - 1)
+    zipped = F.slice(toks, 1, k)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, k), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    grams = F.when(k <= 0, F.array(col)).otherwise(zipped)
+    inv = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+
+    def hperm(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(str(i)), F.col("g"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return inv.groupBy("id").agg(
+        *[F.min(hperm(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_lsh_sql_candidates(
     df: DataFrame,
     content_col: str = "text",
@@ -343,29 +380,7 @@ def minhash_lsh_sql_candidates(
     Output: (id_a, id_b, n_shared_bands), id_a < id_b.
     """
     rows = num_hashes // bands
-    col = F.col(content_col)
-    toks = F.split(col, " ")
-    k = F.size(toks) - (n - 1)
-    zipped = F.slice(toks, 1, k)
-    for j in range(1, n):
-        zipped = F.zip_with(
-            zipped, F.slice(toks, j + 1, k), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    grams = F.when(k <= 0, F.array(col)).otherwise(zipped)
-    inv = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-
-    def hperm(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.lit(str(i)), F.col("g"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    sigs = inv.groupBy("id").agg(
-        *[F.min(hperm(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    sigs = minhash_sql_signatures(df, content_col, id_col, n, num_hashes)
     banded = sigs.select(
         "id",
         F.explode(
@@ -396,6 +411,116 @@ def minhash_lsh_sql_candidates(
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_error_audit(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash mechanism: for every LSH
+    candidate pair, the SIGNATURE-estimated Jaccard (fraction of the
+    ``num_hashes`` positions that agree — the textbook unbiased
+    estimator) side by side with the EXACT shingle-set Jaccard, plus the
+    absolute error.  The measurement loop a production dedup pipeline
+    needs before trusting a banding configuration: if ``abs_err`` drifts
+    up, the permutation count is too low for the corpus' length profile.
+
+    Everything is md5-derived (:func:`minhash_sql_signatures`), so a SQL
+    oracle replays the estimator AND its ground truth bit-for-bit.
+
+    Scale shape: the signature groupBy and the piece-bucket band join
+    are the only corpus-wide shuffles; exact Jaccard (the expensive
+    part) runs on |candidates| pairs only — same contract as
+    :func:`verified_near_dups`.  Output: (id_a, id_b, n_agree, shared,
+    size_a, size_b, est_jaccard, exact_jaccard, abs_err), id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_sql_signatures(
+        df, content_col, id_col, n, num_hashes
+    ).localCheckpoint(eager=True)  # banding + both agree sides reuse it
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    agree_expr = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        agree_expr = term if agree_expr is None else agree_expr + term
+    agreed = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", agree_expr.cast("long").alias("n_agree"))
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(content_col, n).alias("sh")
+    )
+    ga = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    gb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = (
+        agreed.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("shared"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+    )
+    est_raw = F.col("n_agree").cast("double") / F.lit(num_hashes).cast("double")
+    union = (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+    ex_raw = F.col("shared").cast("double") / union
+    return paired.select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        "shared",
+        "size_a",
+        "size_b",
+        F.round(est_raw, 6).alias("est_jaccard"),
+        F.round(ex_raw, 6).alias("exact_jaccard"),
+        F.round(F.abs(est_raw - ex_raw), 6).alias("abs_err"),
     )
 
 
@@ -669,6 +794,139 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash64_sql(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document from MD5-NIBBLE token hashes — the
+    engine-portable twin of :func:`simhash64` (``xxhash64`` is
+    Spark-private; md5 is bit-identical in any engine, so a DuckDB
+    oracle can replay the fingerprints, the banding, AND the Hamming
+    verification — the full SimHash mechanism, not just a downstream
+    check).
+
+    Hash-bit convention (must only match the oracle, not any canonical
+    integer layout): bit ``i`` of a token's 64-bit hash = bit ``i % 4``
+    of the value of hex character ``i // 4`` (0-based, leftmost first)
+    of ``md5(token)``.
+
+    Same shape as ``simhash64``: explode distinct tokens, decode the 16
+    nibbles once per (doc, token), then ONE groupBy with 64 conditional
+    sums — plain codegen aggregates with map-side partial combine; the
+    shuffle carries 64 longs per (partition, id).
+
+    Output: ``(id, c0..c3)`` — the fingerprint as four 16-bit chunks
+    (chunk c = vote bits [16c, 16c+16), LSB-first within the chunk).
+    Chunked output is exactly what the banding join needs, keeps every
+    value far from the BIGINT sign bit, and makes the Hamming distance
+    a sum of four small ``bit_count`` terms in both engines.
+    """
+    toks = F.array_distinct(F.split(F.col(content_col), " "))
+    flat = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
+    ).select("id", F.md5("t").alias("hx"))
+    nib = flat.select(
+        "id",
+        *[
+            F.conv(F.substring("hx", j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{j}")
+            for j in range(16)
+        ],
+    )
+    votes = nib.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{i // 4}"), i % 4).bitwiseAND(1) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    chunk_cols = []
+    for c in range(4):
+        ch = None
+        for j in range(16):
+            term = F.when(F.col(f"v{16 * c + j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            ch = term if ch is None else ch + term
+        chunk_cols.append(ch.cast("int").alias(f"c{c}"))
+    return votes.select("id", *chunk_cols)
+
+
+def simhash_sql_near_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-pairs at ORACLE strength: md5-nibble fingerprints
+    (:func:`simhash64_sql`), banded into the four 16-bit chunks, exact
+    Hamming verify on candidates.
+
+    EXACTNESS: with 4 bands and ``max_hamming <= 3``, pigeonhole
+    guarantees every qualifying pair differs in at most 3 chunks, i.e.
+    agrees on at least one — the banding loses NOTHING, so the output
+    equals the brute-force all-pairs Hamming filter (pinned by
+    ``tests/test_llm.py::test_simhash_sql_equals_bruteforce``) while the
+    join stays a bucket equi-join on 16-bit pieces.  At 100 TB the only
+    shuffles are the fingerprint groupBy and the piece-bucket join —
+    never all O(n²) pairs.
+
+    Fingerprints are checkpointed pre-join for the same reason as
+    ``simhash_near_pairs``: tiny relation, and both join sides would
+    otherwise recompute the 64-aggregate pipeline.
+    """
+    if max_hamming >= 4:
+        raise ValueError(
+            "simhash_sql_near_pairs bands into 4 chunks; max_hamming must "
+            "be < 4 for the pigeonhole-exact candidate set"
+        )
+    fp = simhash64_sql(df, content_col, id_col).localCheckpoint(eager=True)
+    pieces = fp.select(
+        "id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"), F.col(f"c{c}").alias("piece")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "c0", "c1", "c2", "c3", "p.chunk", "p.piece")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.c{c}").alias(f"ac{c}") for c in range(4)],
+            *[F.col(f"b.c{c}").alias(f"bc{c}") for c in range(4)],
+        )
+        .distinct()
+    )
+    ham = None
+    for c in range(4):
+        term = F.bit_count(F.col(f"ac{c}").bitwiseXOR(F.col(f"bc{c}")))
+        ham = term if ham is None else ham + term
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def connected_components(

@@ -792,8 +792,11 @@ DRIVER_WINDOW = [
     # corpus tokenization (rows-only, iterative training)
     "similarity_ivf_sql2", "bpe_tokenize", "bpe_tokenize_sql",
     "text_hash_features", "doc_clusters_sql", "pack_sequences_bpe",
-    # once-green oracle rows padding the window back to 50
-    "top_events_global", "revenue_rollup",
+    # new this round, second session: oracle-strength SimHash (pigeonhole-
+    # exact banding) + MinHash estimator-error audit — these take the two
+    # pad slots (top_events_global / revenue_rollup are already
+    # driver-green r1-r3, so no coverage is lost)
+    "dedup_simhash_sql", "minhash_error_audit",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -468,6 +468,180 @@ ORACLE_BPE_MERGES = _oracle_bpe_merges(12)
 ORACLE_BPE_TOKENIZE_SQL = _oracle_bpe_tokenize(12)
 
 
+def q_dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) at ORACLE strength
+    (llm/dedup.simhash_sql_near_pairs): md5-nibble token hashes make the
+    64 bit-votes, the 4x16-bit banding, and the Hamming verification
+    bit-identical across engines — DuckDB replays the SimHash mechanism
+    itself.  With 4 bands and distance <= 3 the pigeonhole candidate set
+    is EXACT (equals brute-force all-pairs; pytest-pinned), retiring the
+    'approximate, rows-only' caveat the xxhash arm carries.  The xxhash
+    arm stays the production default (``dedup_simhash``, rows-only)."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_sql_near_pairs(docs, max_hamming=3)
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Stage-for-stage mirror of simhash_sql_near_pairs: same md5-nibble
+    decode (bit i of a token hash = bit i%4 of hex char i//4), same 64
+    vote sums, same 16-bit chunks, same piece-bucket join + bit_count
+    Hamming."""
+    nib = ",\n         ".join(
+        f"(instr('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS n{j}"
+        for j in range(16)
+    )
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (n{i // 4} // {1 << (i % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    chunks = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{16 * c + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    pieces = "\n  UNION ALL\n".join(
+        f"  SELECT id, c0, c1, c2, c3, {c} AS chunk, c{c} AS piece FROM fp"
+        for c in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(CAST(ac{c} AS BIGINT), CAST(bc{c} AS BIGINT)))"
+        for c in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+  )
+),
+h AS (SELECT id, md5(t) AS hx FROM toks),
+nib AS (
+  SELECT id,
+         {nib}
+  FROM h
+),
+votes AS (
+  SELECT id,
+         {votes}
+  FROM nib GROUP BY id
+),
+fp AS (
+  SELECT id,
+         {chunks}
+  FROM votes
+),
+pieces AS (
+{pieces}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.c0 AS ac0, a.c1 AS ac1, a.c2 AS ac2, a.c3 AS ac3,
+         b.c0 AS bc0, b.c1 AS bc1, b.c2 AS bc2, b.c3 AS bc3
+  FROM pieces a JOIN pieces b
+    ON a.chunk = b.chunk AND a.piece = b.piece AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming FROM cand
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+ORACLE_DEDUP_SIMHASH_SQL = _simhash_oracle_sql(3)
+
+
+def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit at ORACLE strength
+    (llm/dedup.minhash_error_audit): per LSH candidate pair, the
+    signature-estimated Jaccard (agreeing positions / 16) next to the
+    exact 3-gram-set Jaccard and the absolute error — the measurement a
+    pipeline runs before trusting a banding configuration at 100 TB.
+    md5-derived permutations make estimator AND ground truth replayable
+    in DuckDB; exact Jaccard is computed on candidates only (the
+    verified_near_dups cost contract)."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_error_audit(docs, num_hashes=16, bands=8)
+
+
+def _minhash_audit_oracle_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """Mirror of minhash_error_audit: the ORACLE_DEDUP_MINHASH_LSH_SQL
+    chain (same grams, same md5 permutations, same band keys) extended
+    with per-pair signature agreement and exact distinct-gram Jaccard.
+    Zero-shared candidates survive via LEFT JOIN + COALESCE (the Spark
+    arm joins on id, so a no-overlap pair scores shared=0 there too)."""
+    from icebergproject_spark.queries_r4 import _md5_prefix12_sql
+
+    rows = num_hashes // bands
+    return f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS g
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '-' || g) AS hx
+  FROM grams CROSS JOIN (SELECT UNNEST(range({num_hashes})) AS i)
+),
+hmin AS (
+  SELECT doc_id, i, MIN({_md5_prefix12_sql('hx')}) AS h
+  FROM hashed GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_sig
+  FROM hmin GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN hmin ha ON ha.doc_id = c.id_a
+  JOIN hmin hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+  GROUP BY c.id_a, c.id_b
+),
+gs AS (SELECT DISTINCT doc_id, g FROM grams),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM gs GROUP BY doc_id),
+shr AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(gb.g) AS BIGINT) AS shared
+  FROM cand c
+  JOIN gs ga ON ga.doc_id = c.id_a
+  LEFT JOIN gs gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT ag.id_a, ag.id_b, ag.n_agree, shr.shared, sa.sz AS size_a, sb.sz AS size_b,
+       ROUND(CAST(ag.n_agree AS DOUBLE) / CAST({num_hashes} AS DOUBLE), 6)
+         AS est_jaccard,
+       ROUND(CAST(shr.shared AS DOUBLE)
+             / CAST(sa.sz + sb.sz - shr.shared AS DOUBLE), 6) AS exact_jaccard,
+       ROUND(ABS(CAST(ag.n_agree AS DOUBLE) / CAST({num_hashes} AS DOUBLE)
+                 - CAST(shr.shared AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - shr.shared AS DOUBLE)), 6) AS abs_err
+FROM agree ag
+JOIN shr ON shr.id_a = ag.id_a AND shr.id_b = ag.id_b
+JOIN sz sa ON sa.doc_id = ag.id_a
+JOIN sz sb ON sb.doc_id = ag.id_b
+"""
+
+
+ORACLE_MINHASH_ERROR_AUDIT = _minhash_audit_oracle_sql(16, 8)
+
+
 from icebergproject_spark.queries_llm2 import q_bpe_merges  # noqa: E402
 
 R6_REGISTRY: dict[str, Query] = {
@@ -479,6 +653,11 @@ R6_REGISTRY: dict[str, Query] = {
     "bpe_tokenize_sql": Query(q_bpe_tokenize_sql, ORACLE_BPE_TOKENIZE_SQL),
     "text_hash_features": Query(q_text_hash_features, ORACLE_TEXT_HASH_FEATURES),
     "doc_clusters_sql": Query(q_doc_clusters_sql, ORACLE_DOC_CLUSTERS_SQL),
+    # r6 second-session PROMOTION: the SimHash mechanism hash-checked
+    # end-to-end (md5-nibble votes -> banding -> Hamming verify)
+    "dedup_simhash_sql": Query(q_dedup_simhash_sql, ORACLE_DEDUP_SIMHASH_SQL),
+    # r6 second session: estimator-vs-ground-truth measurement loop
+    "minhash_error_audit": Query(q_minhash_error_audit, ORACLE_MINHASH_ERROR_AUDIT),
 }
 
 

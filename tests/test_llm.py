@@ -108,6 +108,68 @@ def test_simhash_is_64bit_stable(docs):
     assert fp1[0] == fp1[1]
 
 
+def test_simhash_sql_equals_bruteforce(spark):
+    """Pigeonhole exactness of the ORACLE-strength SimHash arm: with 4
+    bands and max_hamming=3, any pair within distance 3 differs in at
+    most 3 of the 4 chunks, so banding provably loses nothing —
+    simhash_sql_near_pairs must EQUAL the brute-force all-pairs Hamming
+    filter over the same md5-nibble fingerprints.  Brute force is an
+    independent driver-side reimplementation (python int.bit_count over
+    collected chunk fingerprints), not a replay of the Spark ops."""
+    import itertools
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_sql_near_pairs(docs, max_hamming=3).collect()
+    }
+    fps = {
+        r.id: (r.c0, r.c1, r.c2, r.c3)
+        for r in dedup.simhash64_sql(docs).collect()
+    }
+    expect = {}
+    for x, y in itertools.combinations(sorted(fps), 2):
+        h = sum((a ^ b).bit_count() for a, b in zip(fps[x], fps[y]))
+        if h <= 3:
+            expect[(x, y)] = h
+    assert got == expect
+    assert expect  # non-vacuous: the corpus does contain qualifying pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_sql_near_pairs(docs, max_hamming=4)  # exactness guard
+
+
+def test_minhash_error_audit_properties(spark):
+    """The estimator audit must (a) cover exactly the LSH candidate set,
+    (b) score an exact duplicate pair at est=exact=1 with zero error,
+    and (c) satisfy abs_err == |est - exact| and the [0,1] range row-wise
+    (cross-checked in driver-side floats)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x1 x2"
+    far = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dedup.minhash_error_audit(docs, num_hashes=16, bands=8).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_sql_candidates(
+            docs, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert set(out) == cand  # same candidate universe
+    dup = out[(0, 1)]
+    assert dup.n_agree == 16 and dup.est_jaccard == 1.0
+    assert dup.exact_jaccard == 1.0 and dup.abs_err == 0.0
+    for r in out.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-6
+        assert r.shared <= min(r.size_a, r.size_b)
+
+
 def test_cosine_topk_ranking(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
