@@ -2357,6 +2357,64 @@ class LakehouseTable:
             return None
         return self.compact(target_partitions)
 
+    def maintain(
+        self,
+        max_data_dirs: int = 8,
+        max_eq_delete_files: int = 4,
+        max_pos_delete_dirs: int = 4,
+        target_partitions: int | None = None,
+    ) -> dict | None:
+        """One-call maintenance policy: the convert-then-compact
+        scheduler that ties the delete lifecycle (equality file at
+        ingest → positional file at maintenance → folded at compaction)
+        to size-aware triggers, in COST ORDER:
+
+        1. Fragmented past ``max_data_dirs`` → :meth:`compact` ONLY.
+           Compaction materializes every delete (equality and
+           positional) into the rewritten data, so running a convert or
+           positional-rewrite first would be pure wasted I/O — the
+           policy explicitly skips them when a compact is due.  This is
+           the interplay the NOTES round-6 ledger queued: convert is a
+           cheaper *substitute* for compact on tables whose data layout
+           is still healthy, not a prerequisite.
+        2. Else, more than ``max_eq_delete_files`` equality-delete files
+           → :meth:`convert_equality_deletes`.  Each eq file costs one
+           hash join on every read; past the threshold the one-time
+           address-materialization scan beats the recurring read tax.
+        3. Else, more than ``max_pos_delete_dirs`` positional delete
+           dirs → :meth:`rewrite_position_deletes` (fold to one
+           deduplicated file; data untouched).
+
+        At 100 TB this runs per-table from a scheduler loop exactly like
+        the reference's maintenance job (CombinDataAndRemoveOldSnap
+        .scala:32-41) — but where the reference rewrites every table
+        unconditionally, this touches only what crossed a threshold,
+        and never does subsumed work.  Read results are byte-identical
+        before/after any action (pytest-pinned).
+
+        Returns ``{"action": <name>, "commit": <snapshot dict>}`` for
+        the action taken, or None when the table is healthy.
+        """
+        cur = self.current_snapshot()
+        if cur is None:
+            return None
+        if len(cur["data_dirs"]) > max_data_dirs:
+            return {
+                "action": "compact",
+                "commit": self.compact(target_partitions),
+            }
+        if len(cur.get("eq_delete_dirs", [])) > max_eq_delete_files:
+            return {
+                "action": "convert_equality_deletes",
+                "commit": self.convert_equality_deletes(),
+            }
+        if len(cur.get("delete_dirs", [])) > max_pos_delete_dirs:
+            return {
+                "action": "rewrite_position_deletes",
+                "commit": self.rewrite_position_deletes(),
+            }
+        return None
+
     def expire_snapshots(
         self, older_than_ms: int | None = None, retain_last: int = 1
     ) -> int:

@@ -1465,6 +1465,55 @@ def test_equality_delete_on_partitioned_table(spark, catalog):
     } == {"1"}
 
 
+def test_maintain_policy_convert_then_compact(spark, catalog):
+    """The one-call maintenance scheduler: thresholds gate each action,
+    compaction SUBSUMES delete maintenance (never runs convert first
+    when a compact is due), convert fires on eq-file pressure alone,
+    positional rewrite on delete-dir pressure alone — and the read
+    result is byte-identical across every action."""
+    t = catalog.table("MAINT")
+    t.append(df_of(spark, [(str(i), f"v{i}") for i in range(20)]))
+    assert t.maintain() is None  # healthy table: nothing to do
+
+    # eq-file pressure below data-dir threshold -> convert, not compact
+    for i in range(5):
+        t.delete_by_key(spark.createDataFrame([(str(i),)], ["id"]))
+    before = {(r.id, r.v) for r in t.read().collect()}
+    assert len(before) == 15
+    res = t.maintain(max_data_dirs=8, max_eq_delete_files=4)
+    assert res is not None and res["action"] == "convert_equality_deletes"
+    assert res["commit"]["eq_delete_dirs"] == []
+    assert len(t.current_snapshot()["data_dirs"]) == 1  # data untouched
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+
+    # positional-dir pressure (from the convert + MOR deletes) -> rewrite
+    t.delete_where("id = '5'", mode="merge-on-read")
+    t.delete_where("id = '6'", mode="merge-on-read")
+    t.delete_where("id = '7'", mode="merge-on-read")
+    t.delete_where("id = '8'", mode="merge-on-read")
+    assert len(t.current_snapshot()["delete_dirs"]) == 5
+    before = {(r.id, r.v) for r in t.read().collect()}
+    res = t.maintain(max_pos_delete_dirs=4)
+    assert res is not None and res["action"] == "rewrite_position_deletes"
+    assert len(res["commit"]["delete_dirs"]) == 1
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+
+    # fragmentation + fresh eq deletes together -> compact ONLY (it
+    # materializes the deletes; convert would be subsumed work)
+    for i in range(20, 30):
+        t.append(df_of(spark, [(str(i), f"v{i}")]))
+    t.delete_by_key(spark.createDataFrame([("20",)] , ["id"]))
+    assert t.current_snapshot()["eq_delete_dirs"]
+    before = {(r.id, r.v) for r in t.read().collect()}
+    res = t.maintain(max_data_dirs=8, max_eq_delete_files=0)
+    assert res is not None and res["action"] == "compact"
+    cur = t.current_snapshot()
+    assert cur["eq_delete_dirs"] == [] and cur["delete_dirs"] == []
+    assert len(cur["data_dirs"]) == 1
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+    assert t.maintain(max_eq_delete_files=0, max_pos_delete_dirs=0) is None
+
+
 def test_convert_equality_deletes_to_positional(spark, catalog):
     """The delete-lifecycle middle step: convert_equality_deletes
     materializes the eq-hidden rows as one positional delete file —
