@@ -61,6 +61,106 @@ def text_stats(df: DataFrame, content_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# the Gopher "must contain 2 of" stopword list (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rule suite (Rae et al. 2021, Appendix A1),
+    restricted to the rules that are well-defined on a single-line,
+    space-tokenized corpus — per-document boolean flags plus the overall
+    ``keep`` verdict, every threshold an integer cross-multiplication
+    (no float edges, hash-stable in any engine):
+
+    - ``r_word_count``  — ``min_words <= n <= max_words`` (Gopher 50..100k)
+    - ``r_mean_word_len`` — mean word length in [3, 10] chars:
+      ``3*n <= word_chars <= 10*n`` where ``word_chars`` excludes the
+      joining spaces
+    - ``r_stopwords`` — at least 2 distinct words from the Gopher
+      stop-list present
+    - ``r_alpha`` — ≥80% of words contain an alphabetic character:
+      ``5*n_alpha >= 4*n``
+    - ``r_top2gram`` — characters inside occurrences of the most common
+      word 2-gram ≤ 20% of word chars: ``5*cnt*len(gram) <= word_chars``
+      (gram length counted without its joining space; occurrences from
+      the overlapping sliding window; ties broken to the
+      lexicographically smallest gram; docs with <2 words pass
+      trivially)
+
+    Line-shape rules (bullet/ellipsis line ratios, duplicate-line
+    fractions) are omitted as vacuous on a corpus with no newlines —
+    stated here so the omission is a documented scope decision, not a
+    gap.
+
+    Scale shape: the per-doc features are one codegen scan; the only
+    shuffles are the (id, gram) count and the per-id top-gram aggregate
+    — both partial-aggregated map-side.  Output: one row per input row.
+    """
+    toks = _tokens(content_col)
+    n_words = F.size(toks)
+    word_chars = F.length(F.col(content_col)) - (n_words - 1)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        stop_hits.alias("stop_hits"),
+        n_alpha.alias("n_alpha_words"),
+    )
+    # overlapping word 2-grams, duplicates kept (occurrence counts)
+    k = n_words - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, k),
+        F.slice(toks, 2, k),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    g2 = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    cnts = g2.groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    m = F.min(
+        F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g"))
+    ).alias("m")
+    top = cnts.groupBy("id").agg(m).select(
+        "id",
+        (-F.col("m.nc")).alias("top2_cnt"),
+        (F.length("m.g") - 1).alias("top2_len"),
+    )
+    j = feat.join(top, "id", "left").select(
+        "*",
+        F.coalesce("top2_cnt", F.lit(0)).alias("__cnt"),
+        F.coalesce("top2_len", F.lit(0)).alias("__len"),
+    )
+    r_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mwl = (3 * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= 10 * F.col("n_words")
+    )
+    r_stop = F.col("stop_hits") >= 2
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_2g = 5 * F.col("__cnt") * F.col("__len") <= F.col("word_chars")
+    return j.select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("word_chars").cast("long").alias("word_chars"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        F.col("n_alpha_words").cast("long").alias("n_alpha_words"),
+        F.col("__cnt").cast("long").alias("top2_cnt"),
+        F.col("__len").cast("long").alias("top2_len"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha"),
+        r_2g.alias("r_top2gram"),
+        (r_wc & r_mwl & r_stop & r_alpha & r_2g).alias("keep"),
+    )
+
+
 def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-token vote: most-hit language wins, 'en' default.
 

@@ -642,6 +642,76 @@ JOIN sz sb ON sb.doc_id = ag.id_b
 ORACLE_MINHASH_ERROR_AUDIT = _minhash_audit_oracle_sql(16, 8)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule suite (Rae et al. 2021, A1) at ORACLE
+    strength (llm/text.gopher_rules): per-document boolean flags for the
+    word-count / mean-word-length / stopword / alpha-word / top-2-gram
+    rules plus the overall keep verdict — every threshold an integer
+    cross-multiplication.  The richer sibling of the 3-rule
+    ``quality_filter`` gate; line-shape rules are documented out of
+    scope (corpus has no newlines).  On the synthetic corpus the
+    faithful Gopher stop-list intentionally fails every doc (only
+    'the' appears in the vocabulary → stop_hits=1 < 2), so keep=false
+    corpus-wide while r_word_count (277/500 at sf0.01) and r_top2gram
+    (488/500) carry the discrimination; per-rule flips are pinned on
+    adversarial docs by tests/test_llm.py::test_gopher_rules_flags."""
+    from icebergproject_spark.llm.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+ORACLE_GOPHER_RULES = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(length(text) - (len(t) - 1) AS BIGINT) AS word_chars,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+           AS stop_hits,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_words
+  FROM base
+),
+g2 AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+  FROM base
+),
+cnts AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+top AS (
+  SELECT doc_id, CAST(cnt AS BIGINT) AS top2_cnt,
+         CAST(length(g) - 1 AS BIGINT) AS top2_len
+  FROM (
+    SELECT doc_id, g, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM cnts
+  ) WHERE rn = 1
+)
+SELECT f.doc_id, f.n_words, f.word_chars, f.stop_hits, f.n_alpha_words,
+       CAST(COALESCE(tp.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       CAST(COALESCE(tp.top2_len, 0) AS BIGINT) AS top2_len,
+       (f.n_words >= 50 AND f.n_words <= 100000) AS r_word_count,
+       (3 * f.n_words <= f.word_chars AND f.word_chars <= 10 * f.n_words)
+         AS r_mean_word_len,
+       (f.stop_hits >= 2) AS r_stopwords,
+       (5 * f.n_alpha_words >= 4 * f.n_words) AS r_alpha,
+       (5 * COALESCE(tp.top2_cnt, 0) * COALESCE(tp.top2_len, 0)
+          <= f.word_chars) AS r_top2gram,
+       ((f.n_words >= 50 AND f.n_words <= 100000)
+        AND (3 * f.n_words <= f.word_chars AND f.word_chars <= 10 * f.n_words)
+        AND (f.stop_hits >= 2)
+        AND (5 * f.n_alpha_words >= 4 * f.n_words)
+        AND (5 * COALESCE(tp.top2_cnt, 0) * COALESCE(tp.top2_len, 0)
+               <= f.word_chars)) AS keep
+FROM feat f LEFT JOIN top tp ON tp.doc_id = f.doc_id
+"""
+
+
 from icebergproject_spark.queries_llm2 import q_bpe_merges  # noqa: E402
 
 R6_REGISTRY: dict[str, Query] = {
@@ -658,6 +728,9 @@ R6_REGISTRY: dict[str, Query] = {
     "dedup_simhash_sql": Query(q_dedup_simhash_sql, ORACLE_DEDUP_SIMHASH_SQL),
     # r6 second session: estimator-vs-ground-truth measurement loop
     "minhash_error_audit": Query(q_minhash_error_audit, ORACLE_MINHASH_ERROR_AUDIT),
+    # r6 second session: full Gopher rule suite (registered outside the
+    # 50-row driver window — locally gated now, windowed in r7)
+    "gopher_rules": Query(q_gopher_rules, ORACLE_GOPHER_RULES),
 }
 
 

@@ -170,6 +170,41 @@ def test_minhash_error_audit_properties(spark):
         assert r.shared <= min(r.size_a, r.size_b)
 
 
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule must flip independently on a doc built to
+    violate exactly that rule, and the healthy doc must keep=true."""
+    stop_tail = "the be to of and that have"  # 7 distinct stopwords
+    healthy = " ".join(f"word{i:03d}" for i in range(50)) + " " + stop_tail
+    short = "too short but " + stop_tail  # < 50 words
+    # 60 distinct 1-char words -> mean word length 1 < 3
+    tiny_words = " ".join("abcdefghij"[i % 10] + str(i % 6) for i in range(60))
+    no_stop = " ".join(f"word{i:03d}" for i in range(60))
+    # >20% of words numeric-only -> r_alpha fails; stopwords present
+    numeric = " ".join(str(i) for i in range(55)) + " " + stop_tail
+    # one dominating repeated 2-gram
+    repet = " ".join(["foofoofoo barbarbar"] * 30) + " " + stop_tail
+    docs = spark.createDataFrame(
+        [(0, healthy), (1, short), (2, tiny_words), (3, no_stop),
+         (4, numeric), (5, repet)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.gopher_rules(docs).collect()}
+    assert out[0].keep
+    assert all(
+        out[0][c]
+        for c in ("r_word_count", "r_mean_word_len", "r_stopwords",
+                  "r_alpha", "r_top2gram")
+    )
+    assert not out[1].r_word_count and not out[1].keep
+    assert not out[2].r_mean_word_len and not out[2].keep
+    assert not out[3].r_stopwords and not out[3].keep
+    assert out[3].stop_hits == 0
+    assert not out[4].r_alpha and not out[4].keep
+    assert not out[5].r_top2gram and not out[5].keep
+    # feature bookkeeping: word_chars excludes joining spaces
+    assert out[0].word_chars == len(healthy.replace(" ", ""))
+
+
 def test_cosine_topk_ranking(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
