@@ -102,9 +102,11 @@ BENCH_QUERIES = [
     "text_hash_features",
     "doc_clusters_sql",
     # round 6, second session: oracle-strength SimHash (pigeonhole-exact
-    # banding) and the MinHash estimator-error audit
+    # banding), MinHash estimator-error audit, Gopher rule suite, PQ-ADC
     "dedup_simhash_sql",
     "minhash_error_audit",
+    "gopher_rules",
+    "similarity_pq_adc",
 ]
 
 # the exact query set BENCH_r04/r05 reported (identical 55-query set) —
@@ -117,6 +119,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         "similarity_ivf_sql2", "text_hash_features", "doc_clusters_sql",
         "dedup_simhash_sql", "minhash_error_audit",
+        "gopher_rules", "similarity_pq_adc",
     )
 }
 

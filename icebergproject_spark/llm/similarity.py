@@ -689,6 +689,175 @@ def quantize_int8(
     )
 
 
+def _l2_int(a: str, b: str) -> Column:
+    """Exact squared L2 between integer-valued vectors, as the
+    polynomial ``<a,a> - 2<a,b> + <b,b>`` — three deterministic
+    sequential dots whose integer-valued doubles stay ≪ 2^53, so the
+    distance is EXACT and identical in any IEEE engine (same formula in
+    the DuckDB twin)."""
+    return (
+        _dot(F.col(a), F.col(a))
+        - 2 * _dot(F.col(a), F.col(b))
+        + _dot(F.col(b), F.col(b))
+    )
+
+
+def pq_codes(
+    base: DataFrame, n_sub: int = 8, dsub: int = 8, ksub: int = 16, steps: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Product Quantization (Jégou et al. 2011) codebooks + codes over
+    an :func:`int_quantized_base` relation, INTEGER-EXACT end to end:
+
+    - split the quantized BIGINT vector into ``n_sub`` subspaces of
+      ``dsub`` dims;
+    - per subspace, Lloyd-train ``ksub`` centroids from data seeds
+      (first ``ksub`` vectors by id) with EXACT squared-L2 assignment
+      (:func:`_l2_int` — the PQ-standard metric, and divisionless, so
+      all-zero subvectors need no epsilon), centroid update =
+      per-dimension ``round(sum/n)`` BIGINT (the int_lloyd_cells
+      rescaling convention);
+    - code of vector v in subspace m = its min-distance centroid id
+      (ties to the smallest id, as a map-side-combined min-struct
+      aggregate, never a window over the corpus).
+
+    ALL subspaces train in ONE chain — subspace id is a column, not a
+    Python loop, so the corpus is scanned once and the shuffles
+    (assign agg on (cid, m); centroid sums on (m, cluster, pos)) carry
+    every subspace together.  Returns ``(flat(cid, m, sub), codes(cid,
+    m, code), centroids(m, cluster_id, c))``; flat/codes/centroids are
+    lazily localCheckpoint'd (each is consumed 2-3× downstream).
+    """
+    flat = (
+        base.select(
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice("q", m * dsub + 1, dsub).alias("sub"),
+                        )
+                        for m in range(n_sub)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("cid", "p.m", "p.sub")
+        .localCheckpoint(eager=False)
+    )
+    cents = flat.filter(F.col("cid") < ksub).select(
+        "m", F.col("cid").cast("int").alias("cluster_id"), F.col("sub").alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = flat.join(F.broadcast(cent), "m").withColumn(
+            "__d", _l2_int("sub", "c")
+        )
+        return (
+            scored.groupBy("cid", "m")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("__d").alias("d"), F.col("cluster_id").alias("cl")
+                    )
+                ).alias("mm")
+            )
+            .select("cid", "m", F.col("mm.cl").cast("int").alias("code"))
+        )
+
+    for _ in range(steps):
+        a = assign(cents)
+        sums = (
+            flat.join(a, ["cid", "m"])
+            .select(
+                "m",
+                F.col("code").alias("cluster_id"),
+                F.posexplode("sub").alias("pos", "x"),
+            )
+            .groupBy("m", "cluster_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = (
+            sums.withColumn("cx", F.round(F.col("s") / F.col("n")).cast("long"))
+            .groupBy("m", "cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                    lambda st: st.getField("cx"),
+                ).alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    codes = assign(cents).localCheckpoint(eager=False)
+    return flat, codes, cents
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    query_max_id: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ brute-force ANN with Asymmetric Distance Computation: rank
+    every corpus vector against each query (``cid < query_max_id``) by
+    the sum of per-subspace query×centroid inner products looked up
+    through the vector's PQ code — the classic memory-bound scan where
+    the hot loop reads CODES (``n_sub`` small ints per vector), never
+    the raw floats.
+
+    Relational ADC: the per-query lookup table (query × subspace ×
+    centroid partial dot, ``n_queries·n_sub·ksub`` rows) is BROADCAST;
+    the big side is one map-side hash-join probe of the codes relation
+    followed by a single (query, neighbor) sum — at 100 TB the only
+    corpus-wide shuffle is that partial-combined aggregate over
+    ``n·n_queries`` skinny rows.  Scores are sums of integer-exact dots
+    → BIGINT, hash-stable with no rounding anywhere.  Approximation
+    error vs exact cosine comes only from the PQ reconstruction
+    (recall floor pytest-pinned).
+
+    Output: (query_id, neighbor_id, adc_score BIGINT, rank), self
+    excluded, ties to the smaller neighbor id.
+    """
+    base = int_quantized_base(corpus, vec_col=vec_col, id_col=id_col)
+    flat, codes, cents = pq_codes(base, n_sub=n_sub, dsub=dsub, ksub=ksub)
+    qtab = (
+        flat.filter(F.col("cid") < query_max_id)
+        .join(F.broadcast(cents), "m")
+        .select(
+            F.col("cid").alias("qid"),
+            "m",
+            "cluster_id",
+            _dot(F.col("sub"), F.col("c")).alias("part"),
+        )
+    )
+    adc = (
+        codes.alias("cd")
+        .join(
+            F.broadcast(qtab).alias("qt"),
+            (F.col("cd.m") == F.col("qt.m"))
+            & (F.col("cd.code") == F.col("qt.cluster_id")),
+        )
+        .groupBy(
+            F.col("qt.qid").alias("query_id"),
+            F.col("cd.cid").alias("neighbor_id"),
+        )
+        .agg(F.sum("part").cast("long").alias("adc_score"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rank")
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Per-vector stats: dimension, L2 norm, min/max component."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

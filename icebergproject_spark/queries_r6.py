@@ -714,6 +714,95 @@ FROM feat f LEFT JOIN top tp ON tp.doc_id = f.doc_id
 
 from icebergproject_spark.queries_llm2 import q_bpe_merges  # noqa: E402
 
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN with Asymmetric Distance Computation
+    (Jégou et al. 2011) at ORACLE strength
+    (llm/similarity.pq_adc_topk): 8 subspaces × 16 centroids trained
+    integer-exact (squared-L2 assignment — divisionless, the PQ
+    standard), queries vec_id < 5 ranked by broadcast-lookup-table ADC
+    over the CODES relation.  Scores are exact BIGINTs — the entire
+    index, codes, and ranking replay bit-for-bit in DuckDB.  The
+    memory-bound counterpart of similarity_ivf_sql's compute-pruning:
+    at 100 TB the scan reads n_sub small ints per vector, not the
+    float payload."""
+    from icebergproject_spark.llm.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, k=5, n_sub=8, dsub=8, ksub=16, query_max_id=5)
+
+
+# stage-for-stage mirror of pq_adc_topk: same integer quantization, the
+# same single chain over all 8 subspaces (m is data, not an unrolled
+# loop), same L2 polynomial <a,a>-2<a,b>+<b,b> (exact integer-valued
+# doubles), same round(sum/n) centroid rescale, same broadcast-ADC sum.
+ORACLE_SIMILARITY_PQ_ADC = """
+WITH v AS (
+  SELECT vec_id AS cid,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+flat AS (
+  SELECT cid, m, q[m*8+1 : m*8+8] AS sub
+  FROM v CROSS JOIN (SELECT UNNEST(range(8)) AS m)
+),
+seeds AS (
+  SELECT m, CAST(cid AS INTEGER) AS cluster_id, sub AS c FROM flat WHERE cid < 16
+),
+a0 AS (
+  SELECT cid, m, cluster_id AS code FROM (
+    SELECT f.cid, f.m, s.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY f.cid, f.m ORDER BY
+             (list_dot_product(f.sub, f.sub) - 2 * list_dot_product(f.sub, s.c)
+              + list_dot_product(s.c, s.c)) ASC, s.cluster_id ASC) AS rn
+    FROM flat f JOIN seeds s ON s.m = f.m
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT m, cluster_id, pos, SUM(CAST(x AS BIGINT)) AS s, COUNT(*) AS n
+  FROM (
+    SELECT f.m, a0.code AS cluster_id,
+           UNNEST(range(1, len(f.sub) + 1)) AS pos, UNNEST(f.sub) AS x
+    FROM flat f JOIN a0 ON a0.cid = f.cid AND a0.m = f.m
+  )
+  GROUP BY m, cluster_id, pos
+),
+cents AS (
+  SELECT m, cluster_id,
+         array_agg(CAST(ROUND(s / n) AS DOUBLE) ORDER BY pos) AS c
+  FROM sums GROUP BY m, cluster_id
+),
+codes AS (
+  SELECT cid, m, cluster_id AS code FROM (
+    SELECT f.cid, f.m, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY f.cid, f.m ORDER BY
+             (list_dot_product(f.sub, f.sub) - 2 * list_dot_product(f.sub, c.c)
+              + list_dot_product(c.c, c.c)) ASC, c.cluster_id ASC) AS rn
+    FROM flat f JOIN cents c ON c.m = f.m
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT f.cid AS qid, f.m, c.cluster_id,
+         list_dot_product(f.sub, c.c) AS part
+  FROM flat f JOIN cents c ON c.m = f.m
+  WHERE f.cid < 5
+),
+adc AS (
+  SELECT q.qid AS query_id, cd.cid AS neighbor_id,
+         CAST(SUM(q.part) AS BIGINT) AS adc_score
+  FROM codes cd
+  JOIN qtab q ON q.m = cd.m AND q.cluster_id = cd.code
+  WHERE cd.cid <> q.qid
+  GROUP BY q.qid, cd.cid
+)
+SELECT query_id, neighbor_id, adc_score, rank FROM (
+  SELECT query_id, neighbor_id, adc_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
     # r6 PROMOTION: the 12-round training loop itself, hash-checked —
@@ -731,6 +820,8 @@ R6_REGISTRY: dict[str, Query] = {
     # r6 second session: full Gopher rule suite (registered outside the
     # 50-row driver window — locally gated now, windowed in r7)
     "gopher_rules": Query(q_gopher_rules, ORACLE_GOPHER_RULES),
+    # r6 second session: PQ-ADC ANN, integer-exact (outside window, r7)
+    "similarity_pq_adc": Query(q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
 }
 
 

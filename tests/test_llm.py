@@ -170,6 +170,64 @@ def test_minhash_error_audit_properties(spark):
         assert r.shared <= min(r.size_a, r.size_b)
 
 
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ-ADC invariants on sf0.001 embeddings (everything is
+    deterministic — data seeds, integer arithmetic — so floors are
+    stable): (a) recall@5 vs the exact inner-product ranking beats
+    chance (5/500 = 1%) by a wide margin at the registered 4-bit
+    codebook; (b) a larger codebook strictly improves recall (the PQ
+    tradeoff the operator exists to expose); (c) codes are well-formed:
+    8 subspace codes per vector, each in [0, ksub)."""
+    from collections import defaultdict
+
+    from pyspark.sql.window import Window
+
+    from icebergproject_spark.llm.similarity import (
+        _dot,
+        int_quantized_base,
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = int_quantized_base(emb)
+    qs = base.filter(F.col("cid") < 5).select(
+        F.col("cid").alias("qid"), F.col("q").alias("qv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("ip").desc(), F.col("nid").asc())
+    exact = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", F.col("cid").alias("nid"), _dot("q", "qv").alias("ip"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    )
+    truth = defaultdict(set)
+    for r in exact:
+        truth[r.qid].add(r.nid)
+
+    def recall(ksub: int) -> float:
+        got = defaultdict(set)
+        for r in pq_adc_topk(emb, k=5, ksub=ksub, query_max_id=5).collect():
+            got[r.query_id].add(r.neighbor_id)
+        return sum(len(got[q] & truth[q]) for q in truth) / (5 * len(truth))
+
+    r16, r128 = recall(16), recall(128)
+    assert r16 >= 0.15  # measured 0.28 on isotropic vectors; chance = 0.01
+    assert r128 >= 0.40  # measured 0.48
+    assert r128 > r16  # bigger codebook -> strictly better reconstruction
+
+    _, codes, _ = pq_codes(base, ksub=16)
+    rows = codes.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    ).collect()
+    assert all(r.n == 8 and 0 <= r.lo and r.hi < 16 for r in rows)
+    assert len(rows) == emb.count()
+
+
 def test_gopher_rules_flags(spark):
     """Each Gopher rule must flip independently on a doc built to
     violate exactly that rule, and the healthy doc must keep=true."""
