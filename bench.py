@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "minhash_error_audit",
     "gopher_rules",
     "similarity_pq_adc",
+    "count_min_audit",
 ]
 
 # the exact query set BENCH_r04/r05 reported (identical 55-query set) —
@@ -119,7 +120,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         "similarity_ivf_sql2", "text_hash_features", "doc_clusters_sql",
         "dedup_simhash_sql", "minhash_error_audit",
-        "gopher_rules", "similarity_pq_adc",
+        "gopher_rules", "similarity_pq_adc", "count_min_audit",
     )
 }
 

@@ -65,6 +65,79 @@ def text_stats(df: DataFrame, content_col: str = "text", id_col: str = "doc_id")
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def count_min_audit(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) estimator audit:
+    build a ``depth × width`` CMS over the corpus token stream with
+    md5-derived row hashes (value of the first 4 hex digits of
+    ``md5("cms<r>-" + token)`` mod width), then report, for the
+    ``top_n`` highest-frequency tokens, the sketch estimate (min over
+    the ``depth`` row counters) against the exact count — the
+    one-sided guarantee ``estimate >= exact`` holds by construction and
+    ships as hash-checked data.
+
+    Counter math: counter[r][b] = Σ exact_count over tokens hashing to
+    (r, b) — identical to incrementing per occurrence, but computed from
+    the per-token aggregate so the corpus-wide shuffle carries
+    (token, count) pairs once.  At 100 TB the production sketch updates
+    (r, b) partials map-side and shuffles ``depth × width`` integers per
+    partition; the exact side exists here to MEASURE the estimator,
+    exactly as minhash_error_audit measures LSH.
+
+    Output: (token, exact_count, cms_estimate, overestimate), the
+    ``top_n`` tokens by (count desc, token asc).
+    """
+    tok = df.select(
+        F.explode(_tokens(content_col)).alias("token")
+    )
+    exact = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    ).localCheckpoint(eager=False)  # sketch + buckets + top all reuse it
+
+    def bucket(r: int) -> Column:
+        hx = F.md5(F.concat(F.lit(f"cms{r}-"), F.col("token")))
+        return (
+            F.conv(F.substring(hx, 1, 4), 16, 10).cast("long") % width
+        )
+
+    buck = exact.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "p.r", "p.b")
+    sketch = (
+        buck.join(exact, "token")
+        .groupBy("r", "b")
+        .agg(F.sum("exact_count").cast("long").alias("counter"))
+    )
+    est = (
+        buck.join(sketch, ["r", "b"])
+        .groupBy("token")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("token").asc()
+    ).limit(top_n)
+    return top.join(est, "token").select(
+        "token",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     content_col: str = "text",

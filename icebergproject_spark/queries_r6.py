@@ -803,6 +803,69 @@ SELECT query_id, neighbor_id, adc_score, rank FROM (
 """
 
 
+def q_count_min_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch estimator audit at ORACLE strength: build a
+    d=4 x w=256 CMS over the corpus token stream with md5-derived row
+    hashes, then for the 20 highest-frequency tokens report the CMS
+    estimate (min over the 4 row counters) next to the exact count and
+    the overestimate.  Pins the sketch's one-sided guarantee — estimate
+    >= exact, ALWAYS — as data the driver hash-checks, plus how loose
+    the w=256 bound is on this vocabulary.
+
+    The sketch is the 100 TB shape for frequency tracking: the corpus
+    shuffles only (row, bucket) partial counts — d*w integers total per
+    partition — never the vocabulary; the exact side here exists to
+    measure the estimator, exactly like minhash_error_audit measures
+    LSH.  Everything md5-derived, so DuckDB replays sketch AND truth."""
+    from icebergproject_spark.llm.text import count_min_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return count_min_audit(docs, depth=4, width=256, top_n=20)
+
+
+def _cms_audit_oracle_sql(depth: int = 4, width: int = 256, top_n: int = 20) -> str:
+    """Mirror of count_min_audit: same md5 bucket derivation
+    (_md5_prefix4_sql of md5('cms<r>-' || token) % width), same sketch
+    counters, same min-over-rows estimate, same top-N selection (count
+    desc, token asc)."""
+    return f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+buck AS (
+  SELECT token, r,
+         {_md5_prefix4_sql("md5('cms' || CAST(r AS VARCHAR) || '-' || token)")}
+           % {width} AS b
+  FROM (SELECT DISTINCT token FROM tok)
+  CROSS JOIN (SELECT UNNEST(range({depth})) AS r)
+),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY token
+),
+sketch AS (
+  SELECT bk.r, bk.b, CAST(SUM(e.exact_count) AS BIGINT) AS counter
+  FROM buck bk JOIN exact e USING (token)
+  GROUP BY bk.r, bk.b
+),
+est AS (
+  SELECT bk.token, MIN(s.counter) AS cms_estimate
+  FROM buck bk JOIN sketch s ON s.r = bk.r AND s.b = bk.b
+  GROUP BY bk.token
+),
+top AS (
+  SELECT token, exact_count FROM exact
+  ORDER BY exact_count DESC, token ASC LIMIT {top_n}
+)
+SELECT t.token, t.exact_count, e.cms_estimate,
+       e.cms_estimate - t.exact_count AS overestimate
+FROM top t JOIN est e USING (token)
+"""
+
+
+ORACLE_COUNT_MIN_AUDIT = _cms_audit_oracle_sql(4, 256, 20)
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
     # r6 PROMOTION: the 12-round training loop itself, hash-checked —
@@ -822,6 +885,8 @@ R6_REGISTRY: dict[str, Query] = {
     "gopher_rules": Query(q_gopher_rules, ORACLE_GOPHER_RULES),
     # r6 second session: PQ-ADC ANN, integer-exact (outside window, r7)
     "similarity_pq_adc": Query(q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
+    # r6 second session: sketch-tier estimator audit (outside window, r7)
+    "count_min_audit": Query(q_count_min_audit, ORACLE_COUNT_MIN_AUDIT),
 }
 
 

@@ -170,6 +170,27 @@ def test_minhash_error_audit_properties(spark):
         assert r.shared <= min(r.size_a, r.size_b)
 
 
+def test_count_min_audit_invariants(spark):
+    """CMS one-sided guarantee on a corpus engineered for collisions:
+    estimate >= exact for every token at ANY width; a tiny width=2
+    sketch MUST overestimate something (160 tokens into 2x4 buckets),
+    and a wide sketch's estimates for the heavy hitters stay exact on
+    this tiny vocabulary (no collision among top tokens)."""
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(i % 40)) + " common common")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    tight = text.count_min_audit(docs, depth=4, width=2, top_n=20).collect()
+    assert all(r.cms_estimate >= r.exact_count for r in tight)
+    assert all(r.overestimate == r.cms_estimate - r.exact_count for r in tight)
+    assert any(r.overestimate > 0 for r in tight)  # collisions forced
+    wide = text.count_min_audit(docs, depth=4, width=65536, top_n=5).collect()
+    assert all(r.overestimate == 0 for r in wide)
+    top = max(wide, key=lambda r: r.exact_count)
+    assert top.token == "common" and top.exact_count == 80
+
+
 def test_pq_adc_recall_and_determinism(spark):
     """PQ-ADC invariants on sf0.001 embeddings (everything is
     deterministic — data seeds, integer arithmetic — so floors are
