@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "similarity_pq_adc",
     "count_min_audit",
+    "ngram_novelty",
 ]
 
 # the exact query set BENCH_r04/r05 reported (identical 55-query set) —
@@ -121,6 +122,7 @@ PREV_ROUND_QUERIES = {
         "similarity_ivf_sql2", "text_hash_features", "doc_clusters_sql",
         "dedup_simhash_sql", "minhash_error_audit",
         "gopher_rules", "similarity_pq_adc", "count_min_audit",
+        "ngram_novelty",
     )
 }
 

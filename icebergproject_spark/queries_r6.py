@@ -866,6 +866,64 @@ FROM top t JOIN est e USING (token)
 ORACLE_COUNT_MIN_AUDIT = _cms_audit_oracle_sql(4, 256, 20)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in ingestion (doc_id) order — the
+    dataset-curation metric behind 'how much NEW content does each
+    document add': a doc's distinct 3-grams are NOVEL iff their global
+    first occurrence (min doc_id holding the gram) is this doc.  One
+    inverted-index aggregate (min doc per gram) + one count join —
+    never a pairwise comparison, so the shape is linear at 100 TB where
+    the pairwise overlap ops (source_overlap) are quadratic in sources.
+    Integer counts + one deterministically-rounded ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    from icebergproject_spark.llm.dedup import word_shingles
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    )
+    flat = sh.select("id", F.explode("sh").alias("g"))
+    first = flat.groupBy("g").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        flat.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("novelty_ratio"),
+    )
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH sh AS (
+  SELECT doc_id AS id, UNNEST(grams) AS g FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, GREATEST(len(toks)-2, 1) + 1)]) AS grams
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+first AS (SELECT g, MIN(id) AS first_id FROM sh GROUP BY g)
+SELECT sh.id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+FROM sh JOIN first f USING (g)
+GROUP BY sh.id
+"""
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
     # r6 PROMOTION: the 12-round training loop itself, hash-checked —
@@ -887,6 +945,8 @@ R6_REGISTRY: dict[str, Query] = {
     "similarity_pq_adc": Query(q_similarity_pq_adc, ORACLE_SIMILARITY_PQ_ADC),
     # r6 second session: sketch-tier estimator audit (outside window, r7)
     "count_min_audit": Query(q_count_min_audit, ORACLE_COUNT_MIN_AUDIT),
+    # r6 second session: ingestion-order novelty curve (outside window, r7)
+    "ngram_novelty": Query(q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
 }
 
 

@@ -170,6 +170,32 @@ def test_minhash_error_audit_properties(spark):
         assert r.shared <= min(r.size_a, r.size_b)
 
 
+def test_ngram_novelty_semantics(spark):
+    """Ingestion-order novelty: the first doc is 100% novel, an exact
+    duplicate later contributes zero novel grams, and a half-overlapping
+    doc scores exactly its fresh-gram fraction."""
+    from icebergproject_spark.queries import REGISTRY
+    import tempfile
+
+    a = "a b c d e"            # grams: abc bcd cde
+    dup = a                     # all grams first seen in doc 0
+    half = "c d e f g h"        # cde (old) + def efg fgh  -> 3/4 novel
+    docs = spark.createDataFrame(
+        [(0, a, "en", "s", 9), (1, dup, "en", "s", 9), (2, half, "en", "s", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["ngram_novelty"].fn(spark, d).collect()
+        }
+    assert out[0].n_novel == out[0].n_grams == 3
+    assert out[1].n_novel == 0 and out[1].n_grams == 3
+    assert out[2].n_grams == 4 and out[2].n_novel == 3
+    assert out[2].novelty_ratio == 0.75
+
+
 def test_count_min_audit_invariants(spark):
     """CMS one-sided guarantee on a corpus engineered for collisions:
     estimate >= exact for every token at ANY width; a tiny width=2
