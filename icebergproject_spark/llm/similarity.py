@@ -858,6 +858,91 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    query_max_id: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ — the FAISS production ANN layout, composed from the two
+    independently oracle-proven halves over ONE shared
+    :func:`int_quantized_base` relation:
+
+    - **coarse quantizer** (:func:`int_lloyd_cells`, cosine, one
+      integer-exact Lloyd step): corpus partitioned into
+      ``n_centroids`` cells; each query probes its ``nprobe`` closest;
+    - **fine quantizer** (:func:`pq_codes`, squared-L2, integer-exact):
+      every vector stored as ``n_sub`` PQ codes;
+    - **scoring**: ADC inner-product sum via the broadcast per-query
+      lookup table, restricted to vectors in PROBED cells only.
+
+    This is the shape that actually runs at 100 TB: IVF prunes the scan
+    to ``nprobe/n_centroids`` of the corpus, PQ makes what remains a
+    codes-only memory scan, and the single corpus-wide shuffle is the
+    partial-combined (query, neighbor) ADC sum over pruned candidates.
+    Scores are exact BIGINTs; training, cells, probes, codes, and
+    ranking all replay bit-for-bit in the DuckDB twin.
+
+    Output: (query_id, neighbor_id, adc_score BIGINT, rank), self
+    excluded, ties to the smaller neighbor id.
+    """
+    base = int_quantized_base(corpus, vec_col=vec_col, id_col=id_col)
+    cells, centroids = int_lloyd_cells(base, n_centroids, steps=1)
+    w_probe = Window.partitionBy("cid").orderBy(
+        F.col("__cos").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        base.select("cid", "q")
+        .filter(F.col("cid") < query_max_id)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", _cos_int("q", "c"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("cid").alias("qid"), F.col("cluster_id").alias("__cell"))
+    )
+    flat, codes, pq_cents = pq_codes(base, n_sub=n_sub, dsub=dsub, ksub=ksub)
+    qt = (
+        flat.filter(F.col("cid") < query_max_id)
+        .join(F.broadcast(pq_cents), "m")
+        .select(
+            F.col("cid").alias("qid"),
+            "m",
+            F.col("cluster_id").alias("code"),
+            _dot(F.col("sub"), F.col("c")).alias("part"),
+        )
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "__cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+    )
+    adc = (
+        cand.join(codes, "cid")
+        .join(F.broadcast(qt), ["qid", "m", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("part").cast("long").alias("adc_score"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("adc_score").desc(), F.col("cid").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "adc_score",
+            "rank",
+        )
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Per-vector stats: dimension, L2 norm, min/max component."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

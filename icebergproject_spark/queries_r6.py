@@ -924,6 +924,140 @@ GROUP BY sh.id
 """
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the FAISS production ANN layout — at ORACLE strength
+    (llm/similarity.ivfpq_topk): cosine IVF coarse quantizer (16 cells,
+    nprobe=4, the int_lloyd_cells chain shared with similarity_ivf_sql)
+    pruning the corpus, squared-L2 PQ fine quantizer (8×16, the
+    pq_codes chain shared with similarity_pq_adc) scoring survivors by
+    broadcast-table ADC.  Both halves are independently oracle-proven;
+    this composes them over ONE shared quantized base.  Scores exact
+    BIGINTs — training, cells, probes, codes, and ranking replay
+    bit-for-bit in DuckDB."""
+    from icebergproject_spark.llm.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, k=5, n_centroids=16, nprobe=4, n_sub=8, dsub=8, ksub=16,
+        query_max_id=5,
+    )
+
+
+# the IVF half is ORACLE_SIMILARITY_IVF_SQL's one-step chain (v → seeds
+# → a0 → sums → centroids → a1: cells rn=1, probes rn<=4); the PQ half
+# is ORACLE_SIMILARITY_PQ_ADC's chain with p-prefixed CTE names; cand
+# restricts the ADC sum to probed cells.
+ORACLE_SIMILARITY_IVFPQ = """
+WITH v AS (
+  SELECT vec_id AS cid,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(cid AS INTEGER) AS cluster_id, q AS c FROM v WHERE cid < 16
+),
+a0 AS (
+  SELECT cid, cluster_id FROM (
+    SELECT v.cid, s.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY v.cid ORDER BY
+             list_dot_product(v.q, s.c) /
+               (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(s.c, s.c))) DESC,
+             s.cluster_id ASC) AS rn
+    FROM v CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+flat1 AS (
+  SELECT a0.cluster_id,
+         UNNEST(range(1, len(v.q) + 1)) AS pos,
+         UNNEST(v.q) AS x
+  FROM v JOIN a0 USING (cid)
+),
+sums1 AS (
+  SELECT cluster_id, pos, SUM(CAST(x AS BIGINT)) AS s, COUNT(*) AS n
+  FROM flat1 GROUP BY cluster_id, pos
+),
+centroids1 AS (
+  SELECT cluster_id,
+         array_agg(CAST(ROUND(s / n) AS DOUBLE) ORDER BY pos) AS c
+  FROM sums1 GROUP BY cluster_id
+),
+a1 AS (
+  SELECT v.cid, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY v.cid ORDER BY
+           list_dot_product(v.q, c.c) /
+             (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+           c.cluster_id ASC) AS rn
+  FROM v CROSS JOIN centroids1 c
+),
+cells AS (SELECT cid, cluster_id AS cell FROM a1 WHERE rn = 1),
+probes AS (SELECT cid AS qid, cluster_id AS cell FROM a1 WHERE rn <= 4 AND cid < 5),
+psub AS (
+  SELECT cid, m, q[m*8+1 : m*8+8] AS sub
+  FROM v CROSS JOIN (SELECT UNNEST(range(8)) AS m)
+),
+pseeds AS (
+  SELECT m, CAST(cid AS INTEGER) AS cluster_id, sub AS c FROM psub WHERE cid < 16
+),
+pa0 AS (
+  SELECT cid, m, cluster_id AS code FROM (
+    SELECT f.cid, f.m, s.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY f.cid, f.m ORDER BY
+             (list_dot_product(f.sub, f.sub) - 2 * list_dot_product(f.sub, s.c)
+              + list_dot_product(s.c, s.c)) ASC, s.cluster_id ASC) AS rn
+    FROM psub f JOIN pseeds s ON s.m = f.m
+  ) WHERE rn = 1
+),
+psums AS (
+  SELECT m, cluster_id, pos, SUM(CAST(x AS BIGINT)) AS s, COUNT(*) AS n
+  FROM (
+    SELECT f.m, pa0.code AS cluster_id,
+           UNNEST(range(1, len(f.sub) + 1)) AS pos, UNNEST(f.sub) AS x
+    FROM psub f JOIN pa0 ON pa0.cid = f.cid AND pa0.m = f.m
+  )
+  GROUP BY m, cluster_id, pos
+),
+pcents AS (
+  SELECT m, cluster_id,
+         array_agg(CAST(ROUND(s / n) AS DOUBLE) ORDER BY pos) AS c
+  FROM psums GROUP BY m, cluster_id
+),
+codes AS (
+  SELECT cid, m, cluster_id AS code FROM (
+    SELECT f.cid, f.m, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY f.cid, f.m ORDER BY
+             (list_dot_product(f.sub, f.sub) - 2 * list_dot_product(f.sub, c.c)
+              + list_dot_product(c.c, c.c)) ASC, c.cluster_id ASC) AS rn
+    FROM psub f JOIN pcents c ON c.m = f.m
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT f.cid AS qid, f.m, c.cluster_id AS code,
+         list_dot_product(f.sub, c.c) AS part
+  FROM psub f JOIN pcents c ON c.m = f.m
+  WHERE f.cid < 5
+),
+cand AS (
+  SELECT p.qid, c.cid
+  FROM cells c JOIN probes p ON p.cell = c.cell
+  WHERE c.cid <> p.qid
+),
+adc AS (
+  SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
+         CAST(SUM(q.part) AS BIGINT) AS adc_score
+  FROM cand
+  JOIN codes cd ON cd.cid = cand.cid
+  JOIN qtab q ON q.qid = cand.qid AND q.m = cd.m AND q.code = cd.code
+  GROUP BY cand.qid, cand.cid
+)
+SELECT query_id, neighbor_id, adc_score, rank FROM (
+  SELECT query_id, neighbor_id, adc_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
 R6_REGISTRY: dict[str, Query] = {
     "similarity_ivf_sql2": Query(q_similarity_ivf_sql2, ORACLE_SIMILARITY_IVF_SQL2),
     # r6 PROMOTION: the 12-round training loop itself, hash-checked —
@@ -947,6 +1081,8 @@ R6_REGISTRY: dict[str, Query] = {
     "count_min_audit": Query(q_count_min_audit, ORACLE_COUNT_MIN_AUDIT),
     # r6 second session: ingestion-order novelty curve (outside window, r7)
     "ngram_novelty": Query(q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    # r6 second session: IVFPQ composition of the two proven ANN halves
+    "similarity_ivfpq": Query(q_similarity_ivfpq, ORACLE_SIMILARITY_IVFPQ),
 }
 
 
