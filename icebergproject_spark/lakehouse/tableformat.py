@@ -476,38 +476,60 @@ class LakehouseTable:
         # delete's effect is preserved as row addresses, which survive
         # any schema change (real Iceberg applies eq deletes by field id
         # against file columns; this fallback's scans project by the
-        # live schema, so conversion is the sound equivalent)
-        cur = self.current_snapshot()
-        if cur:
-            st0 = self._load_schema_state()
+        # live schema, so conversion is the sound equivalent).  The
+        # check is RE-RUN UNDER THE COMMIT LOCK: a concurrent
+        # delete_by_key keyed on this column can land between an
+        # unlocked pre-check and the schema commit, which would strand
+        # an active eq delete with no live key column.  Conversion
+        # itself commits (needs the lock), so on a dirty re-check we
+        # release, convert, and loop — delete_by_key retries bound the
+        # loop in practice.
+        def keyed_on(cur: dict | None, st: dict) -> bool:
+            if not cur:
+                return False
             fid = next(
                 (
                     f.get("id")
-                    for f in self._fields_of(st0, st0["current-schema-id"])
+                    for f in self._fields_of(st, st["current-schema-id"])
                     if f["name"] == name
                 ),
                 None,
             )
-            if any(
+            return any(
                 fid in (e.get("field_ids") or []) or name in e["cols"]
                 for e in cur.get("eq_delete_dirs", [])
-            ):
+            )
+
+        for _ in range(10):
+            if keyed_on(self.current_snapshot(), self._load_schema_state()):
                 self.convert_equality_deletes()
-        lock_token = self._acquire_commit_lock()
-        try:
-            st = self._load_schema_state()
-            fields = [dict(f) for f in self._fields_of(st, st["current-schema-id"])]
-            if name not in {f["name"] for f in fields}:
-                raise ValueError(f"no column {name!r} in current schema")
-            if len(fields) == 1:
-                raise ValueError("cannot drop the last column")
-            fields = [f for f in fields if f["name"] != name]
-            new_id = max((s["schema-id"] for s in st["schemas"]), default=-1) + 1
-            st["schemas"].append({"schema-id": new_id, "fields": fields})
-            st["current-schema-id"] = new_id
-            self._save_schema_state(st)
-        finally:
-            self._release_commit_lock(lock_token)
+            lock_token = self._acquire_commit_lock()
+            try:
+                st = self._load_schema_state()
+                if keyed_on(self.current_snapshot(), st):
+                    continue  # raced by delete_by_key: convert and retry
+                fields = [
+                    dict(f)
+                    for f in self._fields_of(st, st["current-schema-id"])
+                ]
+                if name not in {f["name"] for f in fields}:
+                    raise ValueError(f"no column {name!r} in current schema")
+                if len(fields) == 1:
+                    raise ValueError("cannot drop the last column")
+                fields = [f for f in fields if f["name"] != name]
+                new_id = (
+                    max((s["schema-id"] for s in st["schemas"]), default=-1) + 1
+                )
+                st["schemas"].append({"schema-id": new_id, "fields": fields})
+                st["current-schema-id"] = new_id
+                self._save_schema_state(st)
+                return
+            finally:
+                self._release_commit_lock(lock_token)
+        raise RuntimeError(
+            f"drop_column({name!r}): equality deletes keyed on the column "
+            "kept landing concurrently; quiesce the delete stream and retry"
+        )
 
     def _commit(
         self,
@@ -1136,7 +1158,9 @@ class LakehouseTable:
                 addressed = addressed.join(
                     F.broadcast(dels), ["__file", "__pos"], "left_anti"
                 )
-            df = self._apply_eq_deletes(addressed, eq_entries).drop(
+            df = self._apply_eq_deletes(
+                addressed, eq_entries, eff_schema_id=eff_sid
+            ).drop(
                 "__file", "__pos"
             )
             if "__p" in df.columns:
@@ -1678,7 +1702,10 @@ class LakehouseTable:
                 # allowMissingColumns = additive schema evolution: rows
                 # written before a column existed read back as null
                 df = df.unionByName(p, allowMissingColumns=True)
-            return self._apply_deletes(df, delete_dirs, with_address, where, eq_deletes)
+            return self._apply_deletes(
+                df, delete_dirs, with_address, where, eq_deletes,
+                eff_schema_id=eff_sid,
+            )
         if partition_values is not None:
             raise ValueError("table is not partitioned")
         if any(renames.values()) or any(drops.values()):
@@ -1707,7 +1734,10 @@ class LakehouseTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-            return self._apply_deletes(df, delete_dirs, with_address, where, eq_deletes)
+            return self._apply_deletes(
+                df, delete_dirs, with_address, where, eq_deletes,
+                eff_schema_id=eff_sid,
+            )
         # mergeSchema: the union of every file's schema (additive schema
         # evolution); without it the first file's schema wins and columns
         # added by later snapshots silently vanish
@@ -1727,7 +1757,10 @@ class LakehouseTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-        return self._apply_deletes(df, delete_dirs, with_address, where, eq_deletes)
+        return self._apply_deletes(
+                df, delete_dirs, with_address, where, eq_deletes,
+                eff_schema_id=eff_sid,
+            )
 
     def _dir_may_match(self, d: str, conjuncts: list[tuple[str, str, object]]) -> bool:
         """Can any row in directory ``d`` satisfy every conjunct? False
@@ -1762,6 +1795,7 @@ class LakehouseTable:
         with_address: bool,
         where: str | None = None,
         eq_deletes: list[dict] | None = None,
+        eff_schema_id: int | None = None,
     ) -> DataFrame:
         """Row filter + positional/equality-delete subtraction for a scan."""
         if where:
@@ -1777,13 +1811,19 @@ class LakehouseTable:
             # not an OOM
             dels = self.spark.read.parquet(*delete_dirs).select("__file", "__pos")
             df = df.join(dels, ["__file", "__pos"], "left_anti")
-        df = self._apply_eq_deletes(df, eq_deletes or [])
+        df = self._apply_eq_deletes(
+            df, eq_deletes or [], eff_schema_id=eff_schema_id
+        )
         if not with_address and "__file" in df.columns:
             df = df.drop("__file", "__pos")
         return df
 
     def _apply_eq_deletes(
-        self, df: DataFrame, eq_deletes: list[dict], invert: bool = False
+        self,
+        df: DataFrame,
+        eq_deletes: list[dict],
+        invert: bool = False,
+        eff_schema_id: int | None = None,
     ) -> DataFrame:
         """Iceberg v2 EQUALITY-delete subtraction (K6/T8 extension —
         the CDC ``tp=delete`` shape the reference drops,
@@ -1798,8 +1838,11 @@ class LakehouseTable:
         Scale shape: the key relation is O(deleted keys) — usually tiny
         (AQE broadcasts the join); cost is one hash join per distinct
         equality-column set, zero table rewrite at delete time.  The
-        delete columns are resolved by FIELD ID against the live schema,
-        so renames after the delete don't orphan it.
+        delete columns are resolved by FIELD ID against the schema the
+        scan was RENDERED under (``eff_schema_id``; live schema when
+        None) — renames after the delete don't orphan it, and explicit
+        time travel to a pre-rename snapshot joins on the names that
+        snapshot's scan actually carries.
 
         ``invert=True`` returns only the rows the deletes HIDE (matched
         AND in scope) — the maintenance path
@@ -1809,8 +1852,13 @@ class LakehouseTable:
             return df.limit(0) if invert else df
         hidden: list[DataFrame] = []
         schema_st = self._load_schema_state()
-        live_fields = self._fields_of(schema_st, schema_st["current-schema-id"])
-        by_id = {f["id"]: f["name"] for f in live_fields if "id" in f}
+        sid = (
+            eff_schema_id
+            if eff_schema_id is not None
+            else schema_st["current-schema-id"]
+        )
+        eff_fields = self._fields_of(schema_st, sid)
+        by_id = {f["id"]: f["name"] for f in eff_fields if "id" in f}
         for e in eq_deletes:
             ids = e.get("field_ids") or []
             cols = [
@@ -1875,14 +1923,23 @@ class LakehouseTable:
         to earlier snapshots still sees the rows."""
         cols = list(cols or keys.columns)
         key_df = keys.select(*cols).dropDuplicates()
+        if self.current_snapshot() is None:
+            raise FileNotFoundError(
+                f"table {self.db}.{self.name} has no snapshots"
+            )
+        # the key parquet is written ONCE, before the CAS loop: a retry
+        # only re-reads the new head and recomputes the snapshot-scoped
+        # metadata (applies_to_dirs, field ids) — re-writing the dir per
+        # attempt would strand an orphan dir under eq-deletes/ for every
+        # lost race until remove_orphan_files
+        d = os.path.join(self.eq_deletes_root, uuid.uuid4().hex)
+        key_df.write.mode("overwrite").parquet(d)
 
         def attempt(cur):
             if cur is None:
                 raise FileNotFoundError(
                     f"table {self.db}.{self.name} has no snapshots"
                 )
-            d = os.path.join(self.eq_deletes_root, uuid.uuid4().hex)
-            key_df.write.mode("overwrite").parquet(d)
             st = self._load_schema_state()
             by_name = {
                 f["name"]: f.get("id")
@@ -1907,7 +1964,11 @@ class LakehouseTable:
                 expected_parent_id=self._cas_id(cur),
             )
 
-        return self._retry_cas(attempt)
+        try:
+            return self._retry_cas(attempt)
+        except BaseException:
+            shutil.rmtree(d, ignore_errors=True)  # don't orphan on failure
+            raise
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """M1: rewrite_data_files — many small dirs → one rewritten dir.

@@ -1073,6 +1073,30 @@ def connected_components(
     return out
 
 
+def _near_pair_blocks(size_based, rows_est, count) -> int:
+    """Block-count decision for :func:`embedding_near_pairs` (pure, so the
+    clamp is unit-testable): the LARGER of the bytes-based and rows-based
+    estimates — bytes alone under-provision when parquet compresses the
+    vectors hard, because the per-tile memory budget is ROWS × dims, not
+    file bytes (ADVICE r6 #3 restored this floor).  ``rows_est`` is a
+    free row count (plan stats / footer walk) or None; ``count`` is the
+    pay-one-job fallback, only invoked when stats are missing or at the
+    floor."""
+    if size_based is not None and size_based > 4:
+        count_based = (
+            min(256, max(4, rows_est // 25_000 + 1))
+            if rows_est is not None
+            else 4
+        )
+        return max(size_based, count_based)
+    # stats missing (in-memory relations) or at the floor (tiny or
+    # over-compressed input): one exact count — for bare parquet scans
+    # that's footer metadata only, and for derived plans the floor case
+    # means the input is small anyway
+    rows = rows_est if rows_est is not None else count()
+    return max(size_based or 4, min(256, max(4, rows // 25_000 + 1)))
+
+
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -1112,25 +1136,34 @@ def embedding_near_pairs(
         # highly-compressible file can also under-report (blocks larger
         # than the ~13 MB/side budget); a cheap row-count FLOOR (parquet
         # count = footer metadata only, no data scan) clamps that.
+        rows_est = None
         try:
-            size = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+            jstats = df._jdf.queryExecution().optimizedPlan().stats()
+            size = int(jstats.sizeInBytes())
+            # CBO / footer row counts ride along for free when present
+            jrc = jstats.rowCount()
+            if jrc.isDefined():
+                rows_est = int(str(jrc.get()))
         except Exception:
             size = 1 << 50  # stats unavailable: use the count path
         size_based = min(256, max(4, size // (8 << 20) + 1)) if size < (1 << 50) else None
-        if size_based is not None and size_based > 4:
-            # stats available and clearly above the floor: trust them —
-            # no extra job (ADVICE r5 #4: don't re-run a derived upstream
-            # plan for a count when the byte estimate already sizes us)
-            n_blocks = size_based
-        else:
-            # stats missing (in-memory relations) or at the floor (tiny
-            # or over-compressed input): pay one exact count — for bare
-            # parquet scans that's footer metadata only, and for derived
-            # plans the floor case means the input is small anyway
-            count_based = min(256, max(4, df.count() // 25_000 + 1))
-            n_blocks = max(size_based or 4, count_based)
+        if rows_est is None and size_based is not None and size_based > 4:
+            # heavy compression can make the byte estimate under-count
+            # rows by an order of magnitude (the per-tile memory budget
+            # is ROWS × dims, not parquet bytes): when the plan is a
+            # bare scan (Project/Filter over one file relation), a
+            # count() is footer-metadata-only — pay it for the row
+            # floor.  Derived plans (joins/aggs upstream) skip it and
+            # trust bytes (ADVICE r5 #4: don't re-run a derived plan).
+            try:
+                jplan = df._jdf.queryExecution().optimizedPlan()
+                while jplan.getClass().getSimpleName() in ("Project", "Filter"):
+                    jplan = jplan.children().head()
+                if "Relation" in jplan.getClass().getSimpleName():
+                    rows_est = df.count()
+            except Exception:
+                rows_est = None
+        n_blocks = _near_pair_blocks(size_based, rows_est, df.count)
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b")

@@ -60,6 +60,7 @@ def upsert_dims_with_deletes(
     dim_records: DataFrame,
     config_rows: list[dict],
     op_col: str = "type",
+    seq_col: str | None = None,
 ) -> dict[str, dict[str, int]]:
     """K6/T8 extension BEYOND reference parity: honor the CDC deletes
     the reference drops (dim/DimDataToHBase.scala:67 only processes
@@ -69,8 +70,67 @@ def upsert_dims_with_deletes(
     (:meth:`LakehouseTable.delete_by_key`) — write cost O(deleted
     keys), no table scan, folded out by the next compaction.
 
+    **Event order**: with ``seq_col`` (a per-record ordering column —
+    Kafka offset, binlog position, event timestamp), each key keeps
+    only its LAST event in the batch and is routed to merge OR delete
+    accordingly, so a delete followed by a re-insert of the same key
+    ends inserted — the source stream's final state.  The key window is
+    partitioned per primary key (no global sort; scales).  Without
+    ``seq_col`` there is no order to recover: all merges apply, then
+    all deletes, so a mixed delete+reinsert batch for one key resolves
+    to DELETED — pass ``seq_col`` when batches can mix ops per key.
+
     Returns {sink_table: {"merged": n, "deleted": n}}.
     """
+    if seq_col is not None:
+        from pyspark.sql.window import Window
+
+        both = dim_records.filter(
+            F.col(op_col).isin(*UPSERT_OPS, "delete")
+        )
+        out: dict[str, dict[str, int]] = {}
+        for cfg in config_rows:
+            cols = [c.strip() for c in cfg["cols"].split(",")]
+            stats = {"merged": 0, "deleted": 0}
+            recs = both.filter(F.col("table") == cfg["tbl_name"])
+            # last event per pk wins; ties (same seq) break toward the
+            # delete so replayed tombstones stay tombstones
+            w = Window.partitionBy(
+                F.col("data").getItem(cfg["pk_col"])
+            ).orderBy(
+                F.col(seq_col).desc(),
+                (F.col(op_col) == "delete").desc(),
+            )
+            last = (
+                recs.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            payload = extract_map_payload(
+                last.filter(F.col(op_col).isin(*UPSERT_OPS)),
+                "data",
+                {c: c for c in cols},
+            )
+            n = payload.count()
+            if n:
+                catalog.table(cfg["sink_tbl_name"]).merge(
+                    payload, [cfg["pk_col"]]
+                )
+                stats["merged"] = n
+            keys = extract_map_payload(
+                last.filter(F.col(op_col) == "delete"),
+                "data",
+                {cfg["pk_col"]: cfg["pk_col"]},
+            ).dropDuplicates()
+            nd = keys.count()
+            if nd:
+                catalog.table(cfg["sink_tbl_name"]).delete_by_key(
+                    keys, [cfg["pk_col"]]
+                )
+                stats["deleted"] = nd
+            if stats["merged"] or stats["deleted"]:
+                out[cfg["sink_tbl_name"]] = stats
+        return out
     live = filter_upsert_ops(dim_records, op_col)
     dels = dim_records.filter(F.col(op_col) == "delete")
     out: dict[str, dict[str, int]] = {}

@@ -1607,3 +1607,107 @@ def test_equality_delete_lifecycle_model_based(spark, catalog):
             t.compact()
         got = sorted((r.id, r.v) for r in t.read().collect())
         assert got == sorted(model), f"divergence at step {step} (op {r})"
+
+
+def test_equality_delete_time_travel_after_key_rename(spark, catalog):
+    """ADVICE r6 #1: an equality delete keyed on a column that is later
+    RENAMED must still apply when time-travelling to a snapshot that
+    carries it — the key columns resolve by field id against the schema
+    the scan is RENDERED under (snapshot-time names for explicit travel,
+    live names for current reads), not unconditionally the live one."""
+    t = catalog.table("EQDEL_RENAME")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+    sdel = t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    t.rename_column("id", "uid")
+
+    # current read renders live names: key join on uid
+    assert {r.uid for r in t.read().collect()} == {"1", "3"}
+    # explicit time travel to the delete-carrying snapshot renders the
+    # snapshot-time schema (column still named id) — the eq delete must
+    # join on THAT name, not the live one
+    old = t.read(snapshot_id=sdel["snapshot_id"])
+    assert "id" in old.columns and "uid" not in old.columns
+    assert {r.id for r in old.collect()} == {"1", "3"}
+    # tag-based travel takes the same snapshot-schema path
+    t.create_tag("pre-rename", sdel["snapshot_id"])
+    assert {r.id for r in t.read(ref="pre-rename").collect()} == {"1", "3"}
+
+
+def test_drop_column_locked_recheck_converts_racing_eq_delete(spark, catalog):
+    """ADVICE r6 #2: a delete_by_key keyed on the dropped column that
+    lands BETWEEN drop_column's unlocked pre-check and its schema commit
+    must not strand an active equality delete — the re-check under the
+    commit lock detects it, converts, and retries."""
+    t = catalog.table("DROP_RACE")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+
+    orig_acquire = t._acquire_commit_lock
+    state = {"injected": False}
+
+    def hooked():
+        if not state["injected"]:
+            state["injected"] = True
+            # the racing writer: eq delete keyed on the column being
+            # dropped, committed while drop_column is between its clean
+            # pre-check and taking the lock
+            t.delete_by_key(spark.createDataFrame([("b",)], ["v"]), ["v"])
+        return orig_acquire()
+
+    t._acquire_commit_lock = hooked
+    try:
+        t.drop_column("v")
+    finally:
+        t._acquire_commit_lock = orig_acquire
+
+    assert state["injected"], "race was not exercised"
+    cur = t.current_snapshot()
+    # no active equality delete keyed on the dropped column survives
+    assert cur["eq_delete_dirs"] == []
+    # the racing delete's EFFECT is preserved (converted to positional)
+    assert {r.id for r in t.read().collect()} == {"1", "3"}
+    assert t.read().columns == ["id"]
+
+
+def test_delete_by_key_cas_retry_leaves_no_orphan_key_dirs(spark, catalog):
+    """ADVICE r6 #5: the key parquet is written once before the CAS
+    loop — a lost race re-reads the head and recomputes metadata only,
+    and a terminal failure cleans the dir up."""
+    import os
+
+    from icebergproject_spark.lakehouse.tableformat import CommitConflictError
+
+    t = catalog.table("EQDEL_CAS")
+    t.append(df_of(spark, [("1", "a"), ("2", "b")]))
+    base_dirs = set(os.listdir(t.eq_deletes_root))
+
+    orig_commit = t._commit
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflictError("injected conflict")
+        return orig_commit(*a, **kw)
+
+    t._commit = flaky
+    try:
+        t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    finally:
+        t._commit = orig_commit
+    assert calls["n"] == 2  # one lost race + one success
+    after = set(os.listdir(t.eq_deletes_root)) - base_dirs
+    # exactly ONE new dir: the committed key file — no orphan per retry
+    assert len(after) == 1
+    assert {r.id for r in t.read().collect()} == {"1"}
+
+    # terminal failure: the pre-written dir is cleaned up, not orphaned
+    def always_conflict(*a, **kw):
+        raise CommitConflictError("permanent")
+
+    t._commit = always_conflict
+    try:
+        with pytest.raises(CommitConflictError):
+            t.delete_by_key(spark.createDataFrame([("1",)], ["id"]))
+    finally:
+        t._commit = orig_commit
+    assert set(os.listdir(t.eq_deletes_root)) - base_dirs == after

@@ -1333,3 +1333,24 @@ def test_pack_sequences_scale_mode_plan_and_parity(spark):
             acc[s] = acc.get(s, 0) + n
             ref[(s, d)] = acc[s]
         assert got == ref
+
+
+def test_near_pair_block_count_row_floor():
+    """ADVICE r6 #3: the rows-based floor applies even when the bytes
+    estimate is above the minimum — heavy parquet compression must not
+    under-provision tiles (budget is rows × dims, not file bytes)."""
+    from icebergproject_spark.llm.dedup import _near_pair_blocks
+
+    def boom():  # count() must NOT run when stats decide
+        raise AssertionError("unexpected count job")
+
+    # compressed input: bytes say 10 blocks, rows say 41 → rows win
+    assert _near_pair_blocks(10, 1_000_000, boom) == 41
+    # bytes above floor, no cheap row count (derived plan): trust bytes
+    assert _near_pair_blocks(10, None, boom) == 10
+    # at the bytes floor with no row estimate: pay one count
+    assert _near_pair_blocks(4, None, lambda: 500_000) == 21
+    # stats missing entirely: count decides, floor of 4 holds
+    assert _near_pair_blocks(None, None, lambda: 30_000) == 4
+    # caps: never more than 256 blocks
+    assert _near_pair_blocks(5, 100_000_000, boom) == 256

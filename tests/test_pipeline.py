@@ -469,3 +469,67 @@ def test_cdc_deletes_applied_via_equality_delete_files(spark, tmp_path):
         for r in t.read(snapshot_id=pre["snapshot_id"]).collect()
     }
     assert old == {("u1", "gold"), ("u2", "silver")}
+
+
+def test_cdc_delete_then_reinsert_ordered_by_seq(spark, tmp_path):
+    """ADVICE r6 #4: with ``seq_col``, per-key CDC event order is
+    honored — a delete followed by a re-insert of the same key within
+    one batch ends INSERTED (the source stream's final state), and an
+    insert followed by a delete ends deleted."""
+    from icebergproject_spark.plans.dim import upsert_dims_with_deletes
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path), db="testdb")
+    cfg = [{
+        "tbl_name": "mc_member_info", "tbl_db": "lakehousedb",
+        "pk_col": "user_id", "cols": "user_id,member_level",
+        "sink_tbl_name": "DIM_MEMBER_SEQ",
+    }]
+    schema = (
+        "database string, table string, type string, ts string, "
+        "seq long, data map<string,string>"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ("lakehousedb", "mc_member_info", "insert", "1", 1,
+             {"user_id": "u1", "member_level": "gold"}),
+            ("lakehousedb", "mc_member_info", "insert", "1", 2,
+             {"user_id": "u2", "member_level": "silver"}),
+        ],
+        schema,
+    )
+    upsert_dims_with_deletes(catalog, batch1, cfg, seq_col="seq")
+    t = catalog.table("DIM_MEMBER_SEQ")
+
+    # u1: delete (seq 3) then RE-INSERT (seq 4) → final state inserted;
+    # u2: update (seq 5) then delete (seq 6) → final state deleted
+    batch2 = spark.createDataFrame(
+        [
+            ("lakehousedb", "mc_member_info", "delete", "2", 3,
+             {"user_id": "u1", "member_level": "gold"}),
+            ("lakehousedb", "mc_member_info", "insert", "2", 4,
+             {"user_id": "u1", "member_level": "platinum"}),
+            ("lakehousedb", "mc_member_info", "update", "2", 5,
+             {"user_id": "u2", "member_level": "bronze"}),
+            ("lakehousedb", "mc_member_info", "delete", "2", 6,
+             {"user_id": "u2", "member_level": "bronze"}),
+        ],
+        schema,
+    )
+    out = upsert_dims_with_deletes(catalog, batch2, cfg, seq_col="seq")
+    assert out == {"DIM_MEMBER_SEQ": {"merged": 1, "deleted": 1}}
+    rows = {(r.user_id, r.member_level) for r in t.read().collect()}
+    assert rows == {("u1", "platinum")}
+
+    # equal-seq tie breaks toward the delete (replayed tombstone)
+    batch3 = spark.createDataFrame(
+        [
+            ("lakehousedb", "mc_member_info", "insert", "3", 7,
+             {"user_id": "u1", "member_level": "gold"}),
+            ("lakehousedb", "mc_member_info", "delete", "3", 7,
+             {"user_id": "u1", "member_level": "gold"}),
+        ],
+        schema,
+    )
+    out3 = upsert_dims_with_deletes(catalog, batch3, cfg, seq_col="seq")
+    assert out3 == {"DIM_MEMBER_SEQ": {"merged": 0, "deleted": 1}}
+    assert t.read().count() == 0
