@@ -1480,11 +1480,21 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums (driver collects O(partitions)×33 KB, never data), d×d
     eigh on the driver, Arrow-batched projection. Rows-only check —
     eigendecomposition has no SQL oracle; invariants are pytest-verified
-    (orthonormality, variance ordering, match vs local numpy PCA)."""
+    (orthonormality, variance ordering, match vs local numpy PCA).
+
+    Driver rendering: the ``pc`` array is CSV-joined — the driver's
+    rows-only canonicalizer sorts every output column and pandas cannot
+    sort raw list cells (r6 window recorded an err row for exactly
+    that).  :func:`llm.linalg.pca` keeps the array schema."""
     from icebergproject_spark.llm.linalg import pca
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pca(emb, dim=64, k=8)
+    return pca(emb, dim=64, k=8).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("pc", lambda x: x.cast("string"))
+        ).alias("pc_csv"),
+    )
 
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

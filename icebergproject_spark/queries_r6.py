@@ -139,13 +139,25 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trainer-input artifact downstream of bpe_merges.  The training
     loop is iterative (no SQL twin → rows-only); kernel semantics are
     pytest-pinned: vocab round-trip reconstructs every word exactly and
-    counts agree with the independent bpe_encode kernel."""
+    counts agree with the independent bpe_encode kernel.
+
+    Driver rendering: the ``array<int>`` id sequence is CSV-joined — the
+    driver's rows-only canonicalizer sorts every output column and
+    pandas cannot sort raw list cells (r6 window recorded an err row for
+    exactly that).  The API (:func:`llm.bpe.bpe_tokenize`) keeps the
+    trainer-facing array schema; only this registry arm renders."""
     from icebergproject_spark.llm import bpe
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, num_merges=12)
     vocab = bpe.bpe_vocab(docs, merges)
-    return bpe.bpe_tokenize(docs, merges, vocab)
+    return bpe.bpe_tokenize(docs, merges, vocab).select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids_csv"),
+        "n_tokens",
+    )
 
 
 
