@@ -765,38 +765,27 @@ REGISTRY.update(R4_REGISTRY)
 DRIVER_WINDOW = [
     # flagship
     "user_points",
-    # never-driver-checked: windowed / temporal / relational analytics
-    "events_moving_avg", "ods_union_multiplex", "source_length_histogram",
-    "customer_order_reconciliation", "balance_deciles",
-    "above_nation_avg_balance", "supplier_revenue_share",
-    "orders_profile", "purchase_with_state_scd2", "concurrency_peaks",
-    "forecast_revenue", "user_daily_gapfill", "value_moments",
-    "audience_overlap", "constraint_checks", "events_json_props",
-    # never-driver-checked: text / embedding analytics
-    "doc_keywords", "lang_confusion", "label_centroids",
-    # never-driver-checked: TPC-H analog batches 2-3
-    "returned_item_revenue", "customer_order_distribution",
-    "promo_revenue_share", "large_order_customers", "disjunctive_revenue",
-    "idle_rich_customers", "cheapest_regional_supplier",
-    "nation_market_share", "product_profit_by_nation",
-    "important_part_values", "top_revenue_supplier",
-    "supplier_count_by_part", "excess_share_suppliers",
-    # never-driver-checked: rows-only production arms (weaker check by
-    # design — the driver records rows+schema; their oracle-strength
-    # siblings are already multi-round green).  bpe_merges was PROMOTED
-    # to oracle strength in-round (unrolled-CTE training replay).
-    "dedup_clusters_lsh", "lm_quality_score", "embedding_pca",
-    "embedding_kmeans", "quantity_quantiles_approx", "quality_buckets",
-    "dedup_semantic", "dsir_weights", "bpe_merges",
-    # new this round: two-step-Lloyd IVF at oracle strength + full BPE
-    # corpus tokenization (rows-only, iterative training)
-    "similarity_ivf_sql2", "bpe_tokenize", "bpe_tokenize_sql",
-    "text_hash_features", "doc_clusters_sql", "pack_sequences_bpe",
-    # new this round, second session: oracle-strength SimHash (pigeonhole-
-    # exact banding) + MinHash estimator-error audit — these take the two
-    # pad slots (top_events_global / revenue_rollup are already
-    # driver-green r1-r3, so no coverage is lost)
-    "dedup_simhash_sql", "minhash_error_audit",
+    # never-driver-checked (registered after the r6 window froze)
+    "gopher_rules", "similarity_pq_adc", "count_min_audit",
+    "ngram_novelty", "similarity_ivfpq",
+    # stale refresh: every row last checked in ROUND 1 (15)
+    "active_customers_semi", "approx_distinct_users", "big_spender_exists",
+    "dedup_embedding_lsh", "dedup_simhash", "distinct_users",
+    "multimodal_features", "purchasers_who_err", "revenue_rollup",
+    "similarity_lsh", "top_events_global", "user_points_salted",
+    "user_type_pivot", "user_value_deltas", "viewers_never_buy",
+    # stale refresh: every row last checked in ROUND 2 (15)
+    "cdc_latest", "conversion_funnel", "customers_without_orders",
+    "daily_retention", "dedup_minhash_lsh", "dm_user_login_info",
+    "events_cube", "hierarchy_flatten", "orders_grouping_sets",
+    "priority_with_returns", "product_visit_10s", "scalar_suite",
+    "shipmode_priority", "similarity_ivf", "user_last_state",
+    # stale refresh: round-3 rows (14 of 33 — the rest rotate in r8)
+    "asof_trade_quote", "basket_pairs", "blame_last_supplier",
+    "browse_pipeline_e2e", "browse_wide", "dedup_exact",
+    "doc_fingerprint", "dwd_cleanse", "lang_id", "lateral_top_orders",
+    "multimodal_meta", "ods_browselog", "range_join_shipments",
+    "route_dim",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
