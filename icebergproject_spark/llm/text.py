@@ -1070,3 +1070,88 @@ def hash_features(
             ).alias("features"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson/Spärck Jones) — the
+    lexical-retrieval baseline of every RAG / training-data curation
+    stack, at ORACLE strength.
+
+    ``queries``: ``[(query_id, "space separated terms"), ...]`` — a
+    bounded, driver-known set (the batch-retrieval shape: scoring a
+    query workload against the corpus).
+
+    Determinism: the per-(query, doc, term) score is ONE float
+    expression — ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` — with
+    no accumulation, quantized to integer micro-points BEFORE the
+    per-doc sum, so the total is an order-independent BIGINT sum that
+    hash-matches any engine (the repo's established micro-integer
+    convention; see unigram_logprob_micro).
+
+    100 TB shape: tf/dl are one (doc, term) shuffle each; df and the
+    corpus stats are vocabulary-sized / single-row BROADCASTS; the query
+    relation is tiny and broadcast into the tf join, so the corpus is
+    never shuffled again after tokenization. Top-k is a per-query window
+    over ≤ |matched docs| rows, partitioned by query_id — no global
+    sort.
+
+    Output: (query_id, rank, doc_id, score_micro).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(content_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    )
+    q = df.sparkSession.createDataFrame(
+        [(qid, t) for qid, text in queries for t in text.split()],
+        "query_id int, term string",
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n")
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + F.lit(1)))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl)
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(w * F.lit(1_000_000)).cast("bigint").alias("si"),
+        )
+    )
+    tot = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("si").alias("score_micro")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        tot.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )

@@ -64,3 +64,54 @@ def tumbling_window_count(
             F.col(count_col),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    z: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier detection: median / MAD (median absolute
+    deviation), the standard heavy-tail-safe alternative to mean/stddev
+    z-scores (Leys et al. 2013) — data-quality triage for event streams
+    and numeric columns at ingestion.
+
+    A row is an outlier iff ``|v − median| > z · MAD`` (groups with
+    MAD = 0 are skipped: every deviation would be infinitely many MADs).
+    Exact interpolated medians (``percentile``, not approx) so the
+    result is engine-reproducible; the z comparison operates on the same
+    doubles both engines derive, and the reported ``mad_z`` is rounded
+    to 6 places per the repo's float-output convention.
+
+    Scale shape: two grouped exact percentiles (each one shuffle on the
+    group key, sort-based within groups) + two BROADCAST joins of the
+    per-group stats back onto the rows — the data is never reshuffled.
+    At 100 TB swap ``percentile`` for ``percentile_approx`` and the plan
+    shape is unchanged (documented tradeoff; the exact form is the
+    oracle contract).
+
+    Output: id_cols + group_cols + (value rounded, mad_z rounded).
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(__adev, 0.5)").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .filter(
+            (F.col("__mad") > 0) & (F.col("__adev") > F.lit(z) * F.col("__mad"))
+        )
+        .select(
+            *id_cols,
+            *group_cols,
+            F.round(F.col(value_col), 6).alias("value_r"),
+            F.round(F.col("__adev") / F.col("__mad"), 6).alias("mad_z"),
+        )
+    )

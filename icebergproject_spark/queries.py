@@ -784,8 +784,9 @@ DRIVER_WINDOW = [
     "asof_trade_quote", "basket_pairs", "blame_last_supplier",
     "browse_pipeline_e2e", "browse_wide", "dedup_exact",
     "doc_fingerprint", "dwd_cleanse", "lang_id", "lateral_top_orders",
-    "multimodal_meta", "ods_browselog", "range_join_shipments",
-    "route_dim",
+    "multimodal_meta",
+    # new this round (registered + windowed in the same session)
+    "bm25_topk", "pagerank_sql", "event_outliers_mad",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -800,6 +801,11 @@ REGISTRY.update(TPCH3_REGISTRY)
 from icebergproject_spark.queries_r6 import R6_REGISTRY  # noqa: E402
 
 REGISTRY.update(R6_REGISTRY)
+
+# round-7 batch (retrieval / graph / robust stats) — before the reorder
+from icebergproject_spark.queries_r7 import R7_REGISTRY  # noqa: E402
+
+REGISTRY.update(R7_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)
