@@ -783,8 +783,11 @@ DRIVER_WINDOW = [
     # stale refresh: round-3 rows (14 of 33 — the rest rotate in r8)
     "asof_trade_quote", "basket_pairs", "blame_last_supplier",
     "browse_pipeline_e2e", "browse_wide", "dedup_exact",
-    "doc_fingerprint", "dwd_cleanse", "lang_id", "lateral_top_orders",
-    "multimodal_meta",
+    "doc_fingerprint", "dwd_cleanse", "lateral_top_orders",
+    # r6's only two err rows (driver canon crashed on array columns;
+    # fixed by CSV-rendering) — windowed to validate the fix; displaced
+    # multimodal_meta + lang_id, each already 3x driver-green
+    "embedding_pca", "bpe_tokenize",
     # new this round (registered + windowed in the same session)
     "bm25_topk", "pagerank_sql", "event_outliers_mad",
 ]
