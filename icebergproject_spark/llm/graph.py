@@ -91,3 +91,80 @@ def pagerank_micro(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits_micro(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """K-iteration integer-grid HITS (Kleinberg 1999): hubs point to
+    good authorities, authorities are pointed to by good hubs.
+
+    The float fixpoint normalizes by the L2 norm each iteration — an
+    order-dependent float sum.  This implementation normalizes by the
+    MAX on an integer grid instead:
+
+        a_raw(v) = Σ_{u→v} h(u)          (exact BIGINT sum)
+        a(v)     = (a_raw(v) · scale) DIV max_v a_raw(v)
+        h_raw(u) = Σ_{u→v} a(v)          (with the NEW a)
+        h(u)     = (h_raw(u) · scale) DIV max_u h_raw(u)
+
+    Max-normalization keeps the same ranking as L2 (both are positive
+    rescalings) while every quantity stays a BIGINT — K iterations are
+    bit-identical on any engine and CTE-unrollable for the oracle.
+
+    Overflow bound: raw ≤ max_degree · scale, and the rescale
+    multiplies by ``scale`` before DIV — so max_degree · scale² must
+    stay ≪ 2^63.  The 1e6 default grid supports max degree ~9e6; for
+    denser graphs at 100 TB, drop ``scale`` (ranking granularity trades
+    against headroom) — the recurrence is unchanged.
+
+    100 TB shape mirrors pagerank_micro: per iteration, one broadcast-
+    able join of the score vector onto the static (src, dst) edge list
+    plus one map-side-combined SUM shuffle; the scalar MAX is a
+    single-row broadcast.  Output: (node, hub_micro, auth_micro) for
+    every node appearing as src or dst (nodes with no in-edges have
+    authority 0; no out-edges, hub 0).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("s"))
+
+    def _step(scores: DataFrame, join_on: str, emit: str) -> DataFrame:
+        raw = (
+            e.join(
+                scores.select(F.col("node").alias(join_on), "s"), join_on
+            )
+            .groupBy(F.col(emit).alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("m"))
+        normed = raw.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr(f"CAST((raw * {scale}) DIV m AS BIGINT)").alias("s")
+        )
+        return nodes.join(normed, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        )
+
+    auths = None
+    for _ in range(iterations):
+        auths = _step(hubs, "src", "dst").localCheckpoint(eager=False)
+        hubs = _step(auths, "dst", "src").localCheckpoint(eager=False)
+    return (
+        hubs.select("node", F.col("s").alias("hub_micro"))
+        .join(
+            auths.select("node", F.col("s").alias("auth_micro")), "node"
+        )
+        .select("node", "hub_micro", "auth_micro")
+    )

@@ -66,6 +66,56 @@ def tumbling_window_count(
     )
 
 
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-series OHLC downsampling: per (group, time bucket) —
+    open / high / low / close / volume / integer-micro turnover — the
+    canonical resample of tick data into bars (and of any event stream
+    into per-interval summaries).
+
+    Determinism: open/close are ``min_by``/``max_by`` on the UNIQUE
+    composite order key (ts, id) — hash aggregates with map-side
+    partial combine, not windows, so no per-partition sort of the full
+    stream and no ties; the value sum is micro-integer-quantized per
+    row BEFORE aggregation (order-independent BIGINT sum, the repo's
+    convention); high/low/volume are plain min/max/count.  The bucket
+    renders as a string (no raw timestamps in oracle outputs).
+
+    Scale shape: ONE shuffle on (group, bucket) with partial
+    aggregation map-side — the natural 100 TB rollup; nothing else.
+    """
+    b = F.date_format(
+        F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    ).alias("bucket_start")
+    key = F.struct(F.col(ts_col), F.col(id_col))
+    return (
+        df.select(
+            *group_cols,
+            b,
+            F.col(value_col).alias("__v"),
+            key.alias("__k"),
+            F.round(F.col(value_col) * 1_000_000)
+            .cast("bigint")
+            .alias("__vi"),
+        )
+        .groupBy(*group_cols, "bucket_start")
+        .agg(
+            F.round(F.expr("min_by(__v, __k)"), 6).alias("open"),
+            F.round(F.max("__v"), 6).alias("high"),
+            F.round(F.min("__v"), 6).alias("low"),
+            F.round(F.expr("max_by(__v, __k)"), 6).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("__vi").alias("turnover_micro"),
+        )
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

@@ -782,14 +782,16 @@ DRIVER_WINDOW = [
     "shipmode_priority", "similarity_ivf", "user_last_state",
     # stale refresh: round-3 rows (14 of 33 — the rest rotate in r8)
     "asof_trade_quote", "basket_pairs", "blame_last_supplier",
-    "browse_pipeline_e2e", "browse_wide", "dedup_exact",
-    "doc_fingerprint", "dwd_cleanse", "lateral_top_orders",
+    "browse_pipeline_e2e", "browse_wide",
+    "lateral_top_orders",
     # r6's only two err rows (driver canon crashed on array columns;
     # fixed by CSV-rendering) — windowed to validate the fix; displaced
     # multimodal_meta + lang_id, each already 3x driver-green
     "embedding_pca", "bpe_tokenize",
-    # new this round (registered + windowed in the same session)
+    # new this round (registered + windowed in the same session);
+    # displaced doc_fingerprint, dwd_cleanse, dedup_exact (3x green each)
     "bm25_topk", "pagerank_sql", "event_outliers_mad",
+    "hybrid_rrf", "events_ohlc", "graph_hits",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

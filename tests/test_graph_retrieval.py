@@ -8,7 +8,7 @@ import math
 
 import pyspark.sql.functions as F
 
-from icebergproject_spark.llm.graph import pagerank_micro
+from icebergproject_spark.llm.graph import hits_micro, pagerank_micro
 from icebergproject_spark.llm.text import bm25_topk
 from icebergproject_spark.operators.aggregates import mad_outliers
 
@@ -122,6 +122,102 @@ def test_bm25_rank_order_and_k(spark):
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] [0] == 1
     assert len(rows) == 2          # k truncation
     assert all(r.doc_id != 4 for r in rows)
+
+
+# --- hits_micro ------------------------------------------------------------
+
+def _hits_ref(edges, iterations, scale=10**6):
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    h = {n: scale for n in nodes}
+
+    def norm(raw):
+        m = max(raw.values())
+        return {n: (raw.get(n, 0) * scale) // m for n in nodes}
+
+    for _ in range(iterations):
+        a_raw = {}
+        for s, d in edges:
+            a_raw[d] = a_raw.get(d, 0) + h[s]
+        a = norm(a_raw)
+        h_raw = {}
+        for s, d in edges:
+            h_raw[s] = h_raw.get(s, 0) + a[d]
+        h = norm(h_raw)
+    return h, a
+
+
+def test_hits_bipartite_matches_python_replay(spark):
+    # suppliers 1-3 -> parts 10-12; supplier 1 points at every part
+    edges_py = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    want_h, want_a = _hits_ref(edges_py, 5)
+    rows = hits_micro(edges, iterations=5).collect()
+    got_h = {r.node: r.hub_micro for r in rows}
+    got_a = {r.node: r.auth_micro for r in rows}
+    assert got_h == want_h and got_a == want_a
+    # structure: 1 is the best hub (max grid), 10 the best authority;
+    # pure authorities have hub 0 and vice versa
+    assert got_h[1] == 10**6 and got_a[10] == 10**6
+    assert got_h[10] == 0 and got_a[1] == 0
+
+
+# --- dense_topk / rrf_fuse -------------------------------------------------
+
+def test_dense_topk_orders_by_cosine(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.6, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    from icebergproject_spark.llm.retrieval import dense_topk
+
+    rows = dense_topk(emb, [0], k=3).collect()
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert order == [0, 1, 3]  # self first, then by cosine to [1, 0]
+
+
+def test_rrf_fuse_hand_example(spark):
+    from icebergproject_spark.llm.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id int, doc_id long, rank int"
+    )
+    den = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id int, doc_id long, rank int"
+    )
+    got = {r.doc_id: (r.rank, r.rrf_micro)
+           for r in rrf_fuse([lex, den], k=3).collect()}
+    s = 10**9
+    assert got[11] == (1, s // 62 + s // 61)  # in both lists -> fused top
+    assert got[10] == (2, s // 61)
+    assert got[12] == (3, s // 62)
+
+
+# --- ohlc_resample ---------------------------------------------------------
+
+def test_ohlc_resample_hand_bars(spark):
+    from datetime import datetime as dt
+
+    from icebergproject_spark.operators.aggregates import ohlc_resample
+
+    rows = [
+        (1, dt(2024, 1, 1, 9, 5), "t", 10.0),
+        (2, dt(2024, 1, 1, 9, 20), "t", 30.0),
+        (3, dt(2024, 1, 1, 9, 50), "t", 5.0),
+        (4, dt(2024, 1, 1, 10, 1), "t", 7.0),
+        # same-ts tie inside hour 10: event_id breaks it
+        (5, dt(2024, 1, 1, 10, 30), "t", 9.0),
+        (6, dt(2024, 1, 1, 10, 30), "t", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.bucket_start: r for r in
+           ohlc_resample(df, "ts", "value", ["event_type"], "event_id").collect()}
+    b9 = out["2024-01-01 09:00:00"]
+    assert (b9.open, b9.high, b9.low, b9.close, b9.volume) == (10.0, 30.0, 5.0, 5.0, 3)
+    assert b9.turnover_micro == 45_000_000
+    b10 = out["2024-01-01 10:00:00"]
+    assert (b10.open, b10.close) == (7.0, 8.0)  # close: ts tie -> higher event_id
 
 
 # --- mad_outliers ----------------------------------------------------------
