@@ -148,6 +148,10 @@ def hits_micro(
             )
             .groupBy(F.col(emit).alias("node"))
             .agg(F.sum("s").alias("raw"))
+            # referenced twice below (scalar MAX + normalize join) and
+            # Spark recomputes both branches of a self-reference —
+            # materialize once
+            .localCheckpoint(eager=False)
         )
         mx = raw.agg(F.max("raw").alias("m"))
         normed = raw.crossJoin(F.broadcast(mx)).select(

@@ -1072,6 +1072,66 @@ def hash_features(
     )
 
 
+def bigram_logprob_micro(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram LM quality score with add-1 smoothing, at ORACLE strength —
+    the next rung above :func:`unigram_logprob_micro` on the KenLM
+    ladder: fluency (token-order) signal, not just vocabulary typicality.
+
+    Per bigram type: ``ln((C(w1,w2) + 1) / (C(w1) + V))`` — every input
+    an exact integer rendered as a double, quantized ONCE to integer
+    micro-nats; the per-document score is the BIGINT sum over its bigram
+    stream (order-independent, partitioning-independent).
+
+    Plan shape: bigrams come from ``arrays_zip(slice, slice)`` on the
+    token ARRAY — per-row array ops in whole-stage codegen, NO window
+    and no per-doc shuffle to form pairs.  Then: one bigram-count
+    aggregate, one unigram-count aggregate (vocabulary-sized,
+    broadcast), one scalar V, one per-doc aggregate.  All linear.
+    Output: (doc_id, n_bigrams, sum_lp_micro).
+    """
+    toks = _tokens(content_col)
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    big = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = df.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        bc.join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                (
+                    F.log((F.col("c2") + F.lit(1)).cast("double"))
+                    - F.log((F.col("c1") + F.col("v")).cast("double"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lpm"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lpm").alias("sum_lp_micro"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: list[tuple[int, str]],
