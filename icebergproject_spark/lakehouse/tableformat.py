@@ -1945,6 +1945,21 @@ class LakehouseTable:
                 f["name"]: f.get("id")
                 for f in self._fields_of(st, st["current-schema-id"])
             }
+            # guard the drop_column↔delete_by_key race in THIS direction
+            # too: if a concurrent drop_column committed first, a key
+            # column may no longer exist in the live schema — committing
+            # the entry would strand field_ids=[None] with a name absent
+            # from every later schema, and _apply_eq_deletes's name
+            # fallback would raise on ALL subsequent reads.  Refuse the
+            # commit instead; the rmtree cleanup below removes the key
+            # dir (ADVICE r7, tableformat.py:1956).
+            missing = [c for c in cols if by_name.get(c) is None]
+            if missing:
+                raise ValueError(
+                    f"delete_by_key: key column(s) {missing} not in the "
+                    f"current schema of {self.db}.{self.name} (a "
+                    "drop_column may have committed concurrently)"
+                )
             with open(os.path.join(d, "_eq.json"), "w") as f:
                 json.dump(
                     {"cols": cols, "field_ids": [by_name.get(c) for c in cols]},

@@ -129,6 +129,10 @@ def hits_micro(
     every node appearing as src or dst (nodes with no in-edges have
     authority 0; no out-edges, hub 0).
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_micro requires iterations >= 1, got {iterations}"
+        )
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),

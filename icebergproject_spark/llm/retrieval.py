@@ -51,9 +51,15 @@ def dense_topk(
     probes = base.filter(F.col("doc_id").isin(probe_ids)).select(
         F.col("doc_id").alias("query_id"), F.col("q").alias("pq")
     )
-    cos = _dot(F.col("q"), F.col("pq")) / (
+    # nullif(denominator, 0): a zero vector would give 0/0, which
+    # Spark's non-ANSI Divide renders NULL while DuckDB's IEEE mode
+    # yields NaN — ordering and the oracle hash would diverge.  With
+    # the guard BOTH engines produce NULL, which both ORDER BY ... DESC
+    # sort last (ADVICE r7, retrieval.py:58; same guard in the oracle).
+    cos = _dot(F.col("q"), F.col("pq")) / F.nullif(
         F.sqrt(_dot(F.col("q"), F.col("q")))
-        * F.sqrt(_dot(F.col("pq"), F.col("pq")))
+        * F.sqrt(_dot(F.col("pq"), F.col("pq"))),
+        F.lit(0.0),
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("doc_id").asc()

@@ -228,8 +228,8 @@ probes AS (
 dcos AS (
   SELECT p.query_id, b.doc_id,
          list_dot_product(b.qv, p.pq)
-           / (sqrt(list_dot_product(b.qv, b.qv))
-              * sqrt(list_dot_product(p.pq, p.pq))) AS cos
+           / nullif(sqrt(list_dot_product(b.qv, b.qv))
+                    * sqrt(list_dot_product(p.pq, p.pq)), 0) AS cos
   FROM qbase b CROSS JOIN probes p
 ),
 dense AS (

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
+import pytest
 
 from icebergproject_spark.llm.graph import hits_micro, pagerank_micro
 from icebergproject_spark.llm.text import bm25_topk
@@ -246,3 +247,32 @@ def test_mad_outliers_symmetric_tail(spark):
     got = {r.event_id for r in
            mad_outliers(df, "value", ["event_type"], ["event_id"], z=3).collect()}
     assert got == {0, 6}  # median 12, MAD 1.0 -> -50 and 80
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """ADVICE r7 (graph.py:164): iterations < 1 must raise a clear
+    ValueError, not crash with AttributeError on the final join."""
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits_micro(edges, iterations=0)
+
+
+def test_dense_topk_zero_vector_ranks_last(spark):
+    """ADVICE r7 (retrieval.py:58): a zero probe/corpus vector gives a
+    0-denominator cosine — the nullif guard must yield NULL (ranked
+    last by the DESC order) on the Spark arm, matching DuckDB's
+    NULLS-LAST default, instead of a NaN/NULL engine divergence."""
+    from icebergproject_spark.llm.retrieval import dense_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero vector
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = dense_topk(emb, probe_ids=[1], k=3).collect()
+    by_rank = {r.rank: r.doc_id for r in out}
+    assert by_rank[1] == 1 and by_rank[2] == 2
+    assert by_rank[3] == 3  # zero vector sorts last, deterministically

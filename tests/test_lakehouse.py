@@ -1711,3 +1711,24 @@ def test_delete_by_key_cas_retry_leaves_no_orphan_key_dirs(spark, catalog):
     finally:
         t._commit = orig_commit
     assert set(os.listdir(t.eq_deletes_root)) - base_dirs == after
+
+
+def test_delete_by_key_rejects_column_missing_from_live_schema(spark, catalog):
+    """ADVICE r7 (tableformat.py:1956): the reverse drop_column race —
+    if the key column was dropped before delete_by_key's commit attempt,
+    the attempt must raise (never commit field_ids=[None]) and the
+    pre-written key dir must be cleaned up, so later reads survive."""
+    import os
+
+    t = catalog.table("EQDEL_DROPRACE")
+    t.append(df_of(spark, [("1", "a"), ("2", "b")]))
+    base_dirs = set(os.listdir(t.eq_deletes_root))
+    t.drop_column("v")  # simulates the concurrent drop committing first
+    with pytest.raises(ValueError, match="not in the current schema"):
+        t.delete_by_key(spark.createDataFrame([("x",)], ["v"]))
+    # no stranded key dir, and the table still reads fine
+    assert set(os.listdir(t.eq_deletes_root)) == base_dirs
+    assert {r.id for r in t.read().collect()} == {"1", "2"}
+    # a key on a LIVE column still works after the rejected attempt
+    t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
+    assert {r.id for r in t.read().collect()} == {"1"}
