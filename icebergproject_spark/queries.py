@@ -812,6 +812,11 @@ from icebergproject_spark.queries_r7 import R7_REGISTRY  # noqa: E402
 
 REGISTRY.update(R7_REGISTRY)
 
+# round-8 batch (oracle-strength integer-grid PCA) — before the reorder
+from icebergproject_spark.queries_r8 import R8_REGISTRY  # noqa: E402
+
+REGISTRY.update(R8_REGISTRY)
+
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)
 REGISTRY = {

@@ -1354,3 +1354,39 @@ def test_near_pair_block_count_row_floor():
     assert _near_pair_blocks(None, None, lambda: 30_000) == 4
     # caps: never more than 256 blocks
     assert _near_pair_blocks(5, 100_000_000, boom) == 256
+
+
+def test_pca_micro_matches_float_arm_and_is_partitioning_independent(
+    spark, embeddings
+):
+    """Integer-grid PCA (the embedding_pca_sql oracle arm): the top-2
+    directions must agree with the float arm's eigh to |cos| > 0.999,
+    the pc1 sample variance must dominate pc2's, and the projection
+    must be BIT-IDENTICAL under a different partitioning (the integer
+    chain is order-independent because every sum is exact)."""
+    import numpy as np
+
+    from icebergproject_spark.llm.linalg import (
+        pca_components,
+        pca_micro,
+        pca_micro_components,
+    )
+
+    comps, sums, n = pca_micro_components(embeddings, dim=64, k=2)
+    fcomps, fvar, _ = pca_components(embeddings, dim=64, k=2)
+    for j in range(2):
+        vi = np.asarray(comps[j], dtype=np.float64)
+        vi /= np.linalg.norm(vi)
+        assert abs(float(vi @ fcomps[j])) > 0.999, j
+
+    out = {r.vec_id: (r.pc1_q, r.pc2_q)
+           for r in pca_micro(embeddings, dim=64, k=2).collect()}
+    assert len(out) == n
+    p = np.asarray(list(out.values()), dtype=np.float64)
+    assert p[:, 0].var() > p[:, 1].var()  # explained variance ordered
+
+    out2 = {r.vec_id: (r.pc1_q, r.pc2_q)
+            for r in pca_micro(
+                embeddings.repartition(7, "label"), dim=64, k=2
+            ).collect()}
+    assert out == out2  # exact integers — partitioning cannot move them
