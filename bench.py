@@ -122,8 +122,10 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "events_ohlc",
     "event_outliers_mad",
-    # round 8: integer-grid PCA oracle twin (VERDICT r7 ask #2)
+    # round 8: integer-grid PCA oracle twin (VERDICT r7 ask #2) + real
+    # PPM/BMP decode arm (ask #6)
     "embedding_pca_sql",
+    "multimodal_decode",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -137,7 +139,7 @@ PREV_ROUND_QUERIES = {
         # entered the bench in round 8
         "bm25_topk", "pagerank_sql", "graph_hits",
         "hybrid_rrf", "events_ohlc", "event_outliers_mad",
-        "embedding_pca_sql",
+        "embedding_pca_sql", "multimodal_decode",
     )
 }
 

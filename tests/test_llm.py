@@ -1390,3 +1390,67 @@ def test_pca_micro_matches_float_arm_and_is_partitioning_independent(
                 embeddings.repartition(7, "label"), dim=64, k=2
             ).collect()}
     assert out == out2  # exact integers — partitioning cannot move them
+
+
+def test_ppm_bmp_roundtrip_and_dispatch():
+    """Real codecs (VERDICT r7 ask #6): encode→decode round-trips are
+    bit-exact for both containers, BMP handles non-multiple-of-4 row
+    widths (stride padding), and dispatch rejects foreign magics."""
+    import numpy as np
+    import pytest as _pytest
+
+    from icebergproject_spark.llm.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (4, 4), (2, 24)]:  # w=5: stride pad 1
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(px))[2] == px).all()
+        assert (decode_bmp(encode_bmp(px))[2] == px).all()
+        dw, dh, dpx = decode_image(encode_bmp(px))
+        assert (dw, dh) == (w, h) and (dpx == px).all()
+    # header parse: PPM comments and multi-whitespace are legal netpbm
+    px = np.arange(6, dtype=np.uint8).reshape(1, 2, 3)
+    commented = b"P6\n# a comment\n 2  1\n255\n" + px.tobytes()
+    assert (decode_ppm(commented)[2] == px).all()
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"P6\n2 1\n255\n\x00")  # truncated raster
+
+
+def test_image_features_exact_values(spark):
+    """The decode arm's integer milli-means match hand arithmetic on
+    authored bytes, and undecodable payloads quarantine as -1 rows."""
+    import numpy as np
+
+    from icebergproject_spark.llm.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        image_features,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[:, :, 0] = 10  # R plane constant 10
+    px[0, 0, 1] = 200  # one G pixel
+    rows = [
+        (1, "image", bytearray(encode_ppm(px)), 0, ""),
+        (2, "image", bytearray(encode_bmp(px)), 0, ""),
+        (3, "image", bytearray(b"GIF89a..."), 0, ""),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, n_bytes long, content_md5 string"
+    )
+    got = {r.media_id: r for r in image_features(media).collect()}
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r.width, r.height, r.channels) == (2, 2, 3)
+        assert r.mean_r_milli == 10_000  # 1000·40 // 4
+        assert r.mean_g_milli == (1000 * 200) // 4 == 50_000
+        assert r.mean_b_milli == 0
+    assert got[3].width == -1 and got[3].mean_r_milli == -1  # quarantined
