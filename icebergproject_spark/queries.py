@@ -752,46 +752,38 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-6 rotation (VERDICT r5 ask
-# #1, the round's top ask): every query that has NEVER earned a driver
-# row fills the window — all 41 of them (32 oracle-backed + 9 rows-only
-# arms), plus the new oracle-strength similarity_ivf_sql2, plus 7
-# once-green oracle rows, plus user_points (flagship continuity, in
-# every round's window).  After this round the cumulative
-# driver-checked count reaches 155 of 155 registered queries — no
-# registry entry will ever have shipped without driver evidence.
-# Rotated-out queries remain registered and locally gated after
-# position 50 (tools/check_oracle.py runs ALL of them at sf0.01).
+# ordering is a visibility decision.  Round-8 rotation (VERDICT r7 ask
+# #4): the window takes the STALEST rows first — all 27 rows last
+# driver-checked in round 3 (every older row was refreshed in r7) —
+# plus the new r8 heads, the flagship, and the oldest round-5 rows to
+# fill to 50.  After this round every registry row has driver evidence
+# from round 5 or later.  Rotated-out queries remain registered and
+# locally gated after position 50 (tools/check_oracle.py runs ALL of
+# them at sf0.01).
 DRIVER_WINDOW = [
-    # flagship
+    # flagship (in every round's window)
     "user_points",
-    # never-driver-checked (registered after the r6 window froze)
-    "gopher_rules", "similarity_pq_adc", "count_min_audit",
-    "ngram_novelty", "similarity_ivfpq",
-    # stale refresh: every row last checked in ROUND 1 (15)
-    "active_customers_semi", "approx_distinct_users", "big_spender_exists",
-    "dedup_embedding_lsh", "dedup_simhash", "distinct_users",
-    "multimodal_features", "purchasers_who_err", "revenue_rollup",
-    "similarity_lsh", "top_events_global", "user_points_salted",
-    "user_type_pivot", "user_value_deltas", "viewers_never_buy",
-    # stale refresh: every row last checked in ROUND 2 (15)
-    "cdc_latest", "conversion_funnel", "customers_without_orders",
-    "daily_retention", "dedup_minhash_lsh", "dm_user_login_info",
-    "events_cube", "hierarchy_flatten", "orders_grouping_sets",
-    "priority_with_returns", "product_visit_10s", "scalar_suite",
-    "shipmode_priority", "similarity_ivf", "user_last_state",
-    # stale refresh: round-3 rows (14 of 33 — the rest rotate in r8)
-    "asof_trade_quote", "basket_pairs", "blame_last_supplier",
-    "browse_pipeline_e2e", "browse_wide",
-    "lateral_top_orders",
-    # r6's only two err rows (driver canon crashed on array columns;
-    # fixed by CSV-rendering) — windowed to validate the fix; displaced
-    # multimodal_meta + lang_id, each already 3x driver-green
-    "embedding_pca", "bpe_tokenize",
-    # new this round (registered + windowed in the same session);
-    # displaced doc_fingerprint, dwd_cleanse, dedup_exact (3x green each)
-    "bm25_topk", "pagerank_sql", "event_outliers_mad",
-    "hybrid_rrf", "events_ohlc", "graph_hits",
+    # new this round: integer-grid PCA oracle twin + real decode arm
+    "embedding_pca_sql", "multimodal_decode",
+    # stale refresh: every row last checked in ROUND 3 (27 of 27)
+    "dedup_embedding", "dedup_exact", "dedup_ngram_jaccard",
+    "doc_fingerprint", "dwd_cleanse", "embedding_stats", "lang_id",
+    "local_supplier_volume", "multimodal_meta", "nation_volume_shipping",
+    "ods_browselog", "part_taxonomy", "pricing_summary",
+    "quantity_price_corr", "range_join_shipments", "revenue_pareto",
+    "rolling_30d_revenue", "route_dim", "route_fact", "shipping_priority",
+    "similarity_topk", "small_quantity_revenue", "text_stats",
+    "token_count_bpe", "top_parts_by_revenue", "user_login_wide",
+    "user_sessions",
+    # stale refresh: oldest ROUND-5 rows, alphabetical head (20 of 49;
+    # the rest rotate in r9)
+    "bpe_pair_counts", "chunk_documents", "contamination_spans",
+    "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
+    "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
+    "dedup_embedding_lsh_sql", "dedup_incremental",
+    "dedup_minhash_lsh_sql", "dedup_rate_by_source", "dedup_semantic_sql",
+    "dedup_survivors", "dedup_verified", "dedup_verified_strict",
+    "dsir_weights_sql", "duplicate_spans", "embedding_kmeans_sql",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
