@@ -93,6 +93,192 @@ def pagerank_micro(
     return ranks
 
 
+def pagerank_micro_history(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> list[DataFrame]:
+    """:func:`pagerank_micro`, but returning EVERY iteration's rank
+    vector ``[r_0, …, r_K]`` — the stored state that makes exact
+    incremental maintenance possible (:func:`pagerank_micro_delta`).
+    ``r_K`` is bit-identical to ``pagerank_micro(...)``'s output.  At
+    100 TB the history is K+1 |V|-row tables (store partitioned by
+    iteration in the lakehouse); K is small (5 here)."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (100 - damping_pct) * scale // 100
+    hist = [
+        nodes.select("node", F.lit(scale).cast("long").alias("rank_micro"))
+    ]
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = ed.join(
+            hist[-1].select(
+                F.col("node").alias("src"), F.col("rank_micro").alias("r")
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr(f"({damping_pct} * r) DIV (100 * outdeg)").alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+        hist.append(
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0)))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hist
+
+
+def pagerank_micro_delta(
+    edges_full: DataFrame,
+    edges_delta: DataFrame,
+    history: list[DataFrame],
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    stats: dict | None = None,
+) -> list[DataFrame]:
+    """EXACT incremental PageRank maintenance (VERDICT r7 ask #8): when
+    an edge-delta batch lands (e.g. drained from a lakehouse table via
+    ``incremental_batches``), update the stored K-iteration history to
+    what a full recompute over ``edges_full`` would produce — BIT
+    IDENTICAL, by incremental view maintenance of the unrolled
+    recurrence rather than approximate warm-starting (a warm start
+    converges *near* the cold-start fixpoint but not to the same
+    integers, so it could not be oracle-checked).
+
+    The insight: ``r_i(v)`` can differ from the stored history only if
+    some in-neighbor's ``r_{i-1}`` changed, or an in-edge is new, or an
+    in-neighbor's outdeg changed (all new-edge sources).  So the dirty
+    set starts at ``D`` = destinations of edges whose src gained
+    out-edges (plus brand-new nodes) and grows ONE HOP per iteration:
+    ``F_i = N_out(F_{i-1}) ∪ D``.  Each iteration recomputes ranks for
+    ``F_i`` only, reading unchanged in-neighbor ranks from the stored
+    ``history[i-1]`` — cost O(Σ_i |edges into F_i|), independent of
+    graph size for a localized delta, which is the point at 100 TB:
+    the nightly crawl-graph delta touches the K-hop neighborhood of
+    new links, not the whole web graph.
+
+    ``edges_full`` must be the complete post-delta edge set (old ∪
+    delta, deltas strictly additive); ``history`` is the prior run's
+    ``pagerank_micro_history`` output (its length fixes K).  Returns
+    the updated history; ``[-1]`` is the new rank vector.  When
+    ``stats`` is passed, ``stats["frontier_sizes"]`` records |F_i| per
+    iteration — the measurable incrementality claim (tests pin that a
+    localized delta keeps frontiers ≪ |V|)."""
+    iterations = len(history) - 1
+    e = edges_full.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    de = edges_delta.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (100 - damping_pct) * scale // 100
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+
+    delta_srcs = de.select("src").distinct()
+    new_nodes = nodes.join(
+        history[0].select("node"), "node", "left_anti"
+    )
+    # dirty seed: every dst an affected source points at (its per-edge
+    # contribution changed via outdeg, or the edge itself is new), plus
+    # nodes absent from the stored history entirely
+    dirty = (
+        ed.join(delta_srcs, "src").select(F.col("dst").alias("node"))
+        .union(new_nodes.select("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    new_hist = [
+        nodes.select("node", F.lit(scale).cast("long").alias("rank_micro"))
+    ]
+    frontier = dirty
+    updated_prev: DataFrame | None = None  # updated rows at level i-1
+    for i in range(1, iterations + 1):
+        if i > 1:
+            frontier = (
+                ed.join(
+                    frontier.select(F.col("node").alias("src")), "src"
+                )
+                .select(F.col("dst").alias("node"))
+                .union(dirty.select("node"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+        # merged r_{i-1}: recomputed frontier rows override the stored
+        # history; level 0 is the constant `scale` for every node
+        if i == 1:
+            r_prev = new_hist[0]
+        else:
+            r_prev = updated_prev.unionByName(
+                history[i - 1].join(
+                    updated_prev.select("node"), "node", "left_anti"
+                )
+            )
+        contrib = (
+            ed.join(frontier.select(F.col("node").alias("dst")), "dst")
+            .join(
+                r_prev.select(
+                    F.col("node").alias("src"), F.col("rank_micro").alias("r")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({damping_pct} * r) DIV (100 * outdeg)").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+        updated = (
+            frontier.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0)))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_hist.append(
+            updated.unionByName(
+                history[i].join(updated.select("node"), "node", "left_anti")
+            )
+        )
+        if stats is not None:
+            stats.setdefault("frontier_sizes", []).append(frontier.count())
+        updated_prev = updated
+    return new_hist
+
+
 def hits_micro(
     edges: DataFrame,
     iterations: int = 5,

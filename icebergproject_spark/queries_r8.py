@@ -252,7 +252,43 @@ FROM dims d LEFT JOIN sums s USING (doc_id)
 """
 
 
+def q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank maintenance (VERDICT r7 ask #8) at ORACLE
+    strength: the supplier-part edge set is split deterministically
+    into a base graph and a delta batch ((src+dst) % 5 == 0); ranks
+    are built on the base via pagerank_micro_history, then maintained
+    through the delta with pagerank_micro_delta — exact incremental
+    view maintenance of the unrolled 5-iteration recurrence, so the
+    result is BIT-IDENTICAL to a full recompute and the driver checks
+    it against the SAME unrolled-CTE oracle as ``pagerank_sql``
+    (queries_r7.ORACLE_PAGERANK_SQL).  The oracle never sees the
+    base/delta split: a hash match IS the delta-equals-full proof."""
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro_delta,
+        pagerank_micro_history,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    is_delta = (F.col("src") + F.col("dst")) % 5 == 0
+    base = edges.filter(~is_delta)
+    delta = edges.filter(is_delta)
+    hist = pagerank_micro_history(base, iterations=5)
+    return pagerank_micro_delta(edges, delta, hist)[-1]
+
+
+# queries.py imports this module after queries_r7, so the shared
+# full-recompute oracle is importable here without a cycle
+from icebergproject_spark.queries_r7 import ORACLE_PAGERANK_SQL  # noqa: E402
+
 R8_REGISTRY: dict[str, Query] = {
     "embedding_pca_sql": Query(q_embedding_pca_sql, ORACLE_EMBEDDING_PCA_SQL),
     "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
+    "pagerank_delta": Query(q_pagerank_delta, ORACLE_PAGERANK_SQL),
 }

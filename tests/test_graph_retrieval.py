@@ -276,3 +276,90 @@ def test_dense_topk_zero_vector_ranks_last(spark):
     by_rank = {r.rank: r.doc_id for r in out}
     assert by_rank[1] == 1 and by_rank[2] == 2
     assert by_rank[3] == 3  # zero vector sorts last, deterministically
+
+
+def test_pagerank_delta_equals_full_recompute(spark):
+    """Incremental PageRank (r8): maintaining the stored K-iteration
+    history through an edge-delta batch reproduces the full recompute
+    BIT FOR BIT — including brand-new nodes — and a localized delta
+    keeps every recompute frontier far below |V|."""
+    import random
+
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro,
+        pagerank_micro_delta,
+        pagerank_micro_history,
+    )
+
+    random.seed(11)
+    edges = list({(random.randrange(40), random.randrange(40))
+                  for _ in range(120)})
+    # delta includes edges touching node 100+: brand-new nodes
+    delta = [e for e in edges if (e[0] + e[1]) % 5 == 0]
+    delta += [(1, 100), (100, 101)]
+    base = [e for e in edges if (e[0] + e[1]) % 5 != 0]
+    full_df = spark.createDataFrame(base + delta, ["src", "dst"])
+    hist = pagerank_micro_history(
+        spark.createDataFrame(base, ["src", "dst"]), iterations=5
+    )
+    new_hist = pagerank_micro_delta(
+        full_df, spark.createDataFrame(delta, ["src", "dst"]), hist
+    )
+    got = {r.node: r.rank_micro for r in new_hist[-1].collect()}
+    want = {r.node: r.rank_micro
+            for r in pagerank_micro(full_df, iterations=5).collect()}
+    assert got == want
+
+    # localized delta on a disjoint 3-chain next to the main graph:
+    # the frontier must stay within the chain's K-hop neighborhood
+    chain = [(200, 201), (201, 202)]
+    base2 = base + [(202, 200)]  # close the cycle so nothing dangles
+    full2 = spark.createDataFrame(base2 + chain, ["src", "dst"])
+    hist2 = pagerank_micro_history(
+        spark.createDataFrame(base2, ["src", "dst"]), iterations=5
+    )
+    stats: dict = {}
+    new2 = pagerank_micro_delta(
+        full2, spark.createDataFrame(chain, ["src", "dst"]), hist2,
+        stats=stats,
+    )
+    got2 = {r.node: r.rank_micro for r in new2[-1].collect()}
+    want2 = {r.node: r.rank_micro
+             for r in pagerank_micro(full2, iterations=5).collect()}
+    assert got2 == want2
+    n_nodes = len(want2)
+    assert all(f <= 3 for f in stats["frontier_sizes"]), stats
+    assert max(stats["frontier_sizes"]) < n_nodes / 5
+
+
+def test_pagerank_delta_composes_with_lakehouse_feed(spark, tmp_path):
+    """The streaming-first composition (SURVEY §3): edge batches land
+    in a lakehouse table; the consumer drains them via
+    incremental_batches and maintains ranks through
+    pagerank_micro_delta — end state equals a cold recompute over the
+    table's full contents."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro,
+        pagerank_micro_delta,
+        pagerank_micro_history,
+    )
+
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path), db="graphdb")
+    t = cat.table("EDGES")
+    batch1 = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 1)]
+    batch2 = [(4, 5), (5, 1), (3, 4)]
+    t.append(spark.createDataFrame(batch1, ["src", "dst"]))
+    hist = pagerank_micro_history(t.read(), iterations=4)
+    offset = t.current_snapshot()["snapshot_id"]
+
+    s2 = t.append(spark.createDataFrame(batch2, ["src", "dst"]))
+    feed = t.incremental_batches(from_snapshot_id=offset)
+    assert [sid for sid, _, _ in feed] == [s2["snapshot_id"]]
+    for _, op, batch in feed:
+        assert op == "append"
+        hist = pagerank_micro_delta(t.read(), batch, hist)
+    got = {r.node: r.rank_micro for r in hist[-1].collect()}
+    want = {r.node: r.rank_micro
+            for r in pagerank_micro(t.read(), iterations=4).collect()}
+    assert got == want
