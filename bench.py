@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     # PPM/BMP decode arm (ask #6)
     "embedding_pca_sql",
     "multimodal_decode",
+    "pagerank_delta",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -139,7 +140,7 @@ PREV_ROUND_QUERIES = {
         # entered the bench in round 8
         "bm25_topk", "pagerank_sql", "graph_hits",
         "hybrid_rrf", "events_ohlc", "event_outliers_mad",
-        "embedding_pca_sql", "multimodal_decode",
+        "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
     )
 }
 
