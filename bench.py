@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "embedding_pca_sql",
     "multimodal_decode",
     "pagerank_delta",
+    "hll_audit",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -141,6 +142,7 @@ PREV_ROUND_QUERIES = {
         "bm25_topk", "pagerank_sql", "graph_hits",
         "hybrid_rrf", "events_ohlc", "event_outliers_mad",
         "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
+        "hll_audit",
     )
 }
 

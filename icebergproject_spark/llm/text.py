@@ -1215,3 +1215,89 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_micro")
     )
+
+
+def hll_audit(
+    df: DataFrame,
+    value_col: str = "event_id",
+    group_col: str = "event_type",
+    precision_bits: int = 8,
+) -> DataFrame:
+    """HyperLogLog (Flajolet 2007) estimator audit — the cardinality
+    sibling of :func:`count_min_audit`: build m = 2^p md5-derived
+    registers per group, compute the HLL estimate (with the standard
+    linear-counting small-range correction), and ship it NEXT TO the
+    exact distinct count as hash-checked data.
+
+    Deterministic by construction, so DuckDB replays it: the register
+    for a value is ``max(rho)`` over md5-derived (bucket, rho) pairs —
+    integer maxes of integer hashes (bucket = first 2 hex digits, rho =
+    49 − bit_length of the next 48 bits) — and the harmonic sum is the
+    EXACT BIGINT ``Σ 2^(54 − reg)`` (register ≤ 49 ⇒ max term 2^54,
+    256 terms ⇒ < 2^63).  The only float steps are one double division
+    by that integer (ROUND to 3) and, in the small-range branch,
+    ``m·ln(m/V)`` on small integers — the repo's proven
+    round-late-and-once discipline.
+
+    At 100 TB the production sketch is the same math with map-side
+    partial registers: each partition shuffles m small ints per group
+    (not rows), merged by max — this audit MEASURES that estimator
+    against truth at test scale, exactly as count_min_audit and
+    minhash_error_audit do for their sketches.
+
+    Output: (group, exact_distinct, hll_estimate, rel_err_pct).
+    """
+    m = 1 << precision_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << 54)
+    hx = F.md5(
+        F.concat(F.lit("hll-"), F.col(value_col).cast("string"))
+    )
+    vals = df.select(group_col, value_col).distinct()
+    hashed = vals.select(
+        F.col(group_col).alias("g"),
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(hx, 3, 12), 16, 10).cast("long").alias("v"),
+    ).select(
+        "g",
+        "bucket",
+        F.when(F.col("v") == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(F.col("v"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = hashed.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+    groups = df.select(F.col(group_col).alias("g")).distinct()
+    buckets = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    full = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(regs, ["g", "bucket"], "left")
+        .withColumn("reg", F.coalesce(F.col("reg"), F.lit(0)))
+    )
+    per_group = full.groupBy("g").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 54 - reg)"))
+        .alias("s_q"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(value_col).cast("long").alias("exact_distinct")
+    )
+    est_raw = F.lit(c_num) / F.col("s_q").cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(est_raw)
+    return (
+        per_group.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "exact_distinct",
+            F.round(est, 3).alias("hll_estimate"),
+            F.round(
+                F.lit(100.0)
+                * F.abs(F.round(est, 3) - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                2,
+            ).alias("rel_err_pct"),
+        )
+    )

@@ -283,6 +283,87 @@ def q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro_delta(edges, delta, hist)[-1]
 
 
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog estimator audit (llm/text.hll_audit): m=256
+    md5-derived registers per event_type over distinct event_ids; the
+    HLL estimate (incl. the linear-counting small-range branch, which
+    fires at sf0.001 where per-type cardinality < 2.5m) ships next to
+    the exact distinct count as hash-checked data — the cardinality
+    sibling of count_min_audit."""
+    from icebergproject_spark.llm.text import hll_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_audit(ev, value_col="event_id", group_col="event_type")
+
+
+def _hexval_sql(col: str, start: int, n: int) -> str:
+    """BIGINT value of ``n`` lowercase hex digits of ``col`` starting
+    at 1-based ``start`` (DuckDB instr arithmetic, the
+    _md5_prefix12_sql pattern generalized)."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr({col}, {start + j}, 1)) - 1)"
+            f" * {16 ** (n - 1 - j)}"
+            for j in range(n)
+        )
+        + ")"
+    )
+
+
+def _hll_oracle_sql(m: int = 256) -> str:
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << 54)
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT event_type AS g, event_id AS val FROM events
+),
+hx AS (SELECT g, md5('hll-' || CAST(val AS VARCHAR)) AS h FROM vals),
+hashed AS (
+  SELECT g, {_hexval_sql('h', 1, 2)} AS bucket, {_hexval_sql('h', 3, 12)} AS v
+  FROM hx
+),
+rhod AS (
+  SELECT g, bucket,
+         CASE WHEN v = 0 THEN 49 ELSE 49 - length(to_base(v, 2)) END AS rho
+  FROM hashed
+),
+regs AS (SELECT g, bucket, MAX(rho) AS reg FROM rhod GROUP BY g, bucket),
+grp AS (SELECT DISTINCT event_type AS g FROM events),
+filled AS (
+  SELECT gr.g, b.bucket, COALESCE(r.reg, 0) AS reg
+  FROM grp gr CROSS JOIN (SELECT UNNEST(range({m})) AS bucket) b
+  LEFT JOIN regs r ON r.g = gr.g AND r.bucket = b.bucket
+),
+agg AS (
+  SELECT g, SUM(CAST(1 AS BIGINT) << (54 - reg)) AS s_q,
+         SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM filled GROUP BY g
+),
+est AS (
+  SELECT g,
+         CASE WHEN ({c_num!r} / CAST(s_q AS DOUBLE)) <= {2.5 * m}
+                   AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+              ELSE {c_num!r} / CAST(s_q AS DOUBLE) END AS e
+  FROM agg
+),
+exact AS (
+  SELECT event_type AS g,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.g AS event_type, x.exact_distinct,
+       ROUND(a.e, 3) AS hll_estimate,
+       ROUND(100.0 * ABS(ROUND(a.e, 3) - x.exact_distinct)
+             / x.exact_distinct, 2) AS rel_err_pct
+FROM est a JOIN exact x ON x.g = a.g
+"""
+
+
+ORACLE_HLL_AUDIT = _hll_oracle_sql()
+
+
 # queries.py imports this module after queries_r7, so the shared
 # full-recompute oracle is importable here without a cycle
 from icebergproject_spark.queries_r7 import ORACLE_PAGERANK_SQL  # noqa: E402
@@ -291,4 +372,5 @@ R8_REGISTRY: dict[str, Query] = {
     "embedding_pca_sql": Query(q_embedding_pca_sql, ORACLE_EMBEDDING_PCA_SQL),
     "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
     "pagerank_delta": Query(q_pagerank_delta, ORACLE_PAGERANK_SQL),
+    "hll_audit": Query(q_hll_audit, ORACLE_HLL_AUDIT),
 }

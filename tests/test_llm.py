@@ -1454,3 +1454,32 @@ def test_image_features_exact_values(spark):
         assert r.mean_g_milli == (1000 * 200) // 4 == 50_000
         assert r.mean_b_milli == 0
     assert got[3].width == -1 and got[3].mean_r_milli == -1  # quarantined
+
+
+def test_hll_audit_properties(spark):
+    """HLL estimator audit: duplicates don't move the estimate (it is
+    a function of the DISTINCT value set), the estimate lands within
+    the sketch's error envelope, and results are bit-stable under a
+    different partitioning (register maxes and the harmonic sum are
+    exact integers)."""
+    from icebergproject_spark.llm.text import hll_audit
+
+    rows = [(i, "a") for i in range(1000)] + [(i, "b") for i in range(150)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type"])
+    out = {r.event_type: r for r in hll_audit(df).collect()}
+    assert out["a"].exact_distinct == 1000
+    assert out["b"].exact_distinct == 150
+    for g in ("a", "b"):
+        assert abs(out[g].hll_estimate - out[g].exact_distinct) \
+            <= 0.3 * out[g].exact_distinct, out[g]
+
+    dup = df.union(df).union(df.limit(400))
+    out_dup = {r.event_type: (r.hll_estimate, r.exact_distinct)
+               for r in hll_audit(dup).collect()}
+    assert out_dup == {g: (out[g].hll_estimate, out[g].exact_distinct)
+                       for g in out}
+
+    out_rep = {r.event_type: (r.hll_estimate, r.rel_err_pct)
+               for r in hll_audit(df.repartition(13, "event_id")).collect()}
+    assert out_rep == {g: (out[g].hll_estimate, out[g].rel_err_pct)
+                       for g in out}
