@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "pagerank_delta",
     "hll_audit",
+    "dedup_prefix_filter",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -142,7 +143,7 @@ PREV_ROUND_QUERIES = {
         "bm25_topk", "pagerank_sql", "graph_hits",
         "hybrid_rrf", "events_ohlc", "event_outliers_mad",
         "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
-        "hll_audit",
+        "hll_audit", "dedup_prefix_filter",
     )
 }
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 
 def content_digest(c: F.Column | str) -> F.Column:
@@ -1678,4 +1679,118 @@ def window_contamination(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(F.col("id").alias(id_col), "n_hits")
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold_pct: int = 30,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join by PREFIX FILTERING (AllPairs,
+    Bayardo 2007 / PPJoin, Xiao 2008) — the third classic candidate
+    generator next to the inverted-index expansion (ngram_jaccard) and
+    LSH banding (minhash), and unlike LSH it is LOSSLESS: every pair
+    with shingle-set Jaccard ≥ t is guaranteed found.  Operates on the
+    family's standard distinct word ``shingle_n``-grams (unigram sets
+    are non-discriminative on a shared vocabulary: measured ≥0.8
+    unigram Jaccard on 30k of 125k fixture pairs).
+
+    Mechanism: order each document's DISTINCT shingles by global
+    rarity (document frequency asc, shingle asc — a canonical total
+    order both engines reproduce), keep only the first
+    ``|x| − ceil(t·|x|) + 1`` as the doc's *prefix* (the theorem: two
+    sets with Jaccard ≥ t must share at least one prefix element under
+    any shared total order), self-join ON PREFIX SHINGLES ONLY, then
+    verify candidates exactly with integer cross-multiplication
+    (``100·inter ≥ t_pct·(|a|+|b|−inter)``).
+
+    100 TB shape: the join key set is the RAREST tokens only — the
+    candidate volume is Σ_token df(token)² over prefix tokens, which
+    rarity-ordering minimizes (frequent tokens never become join
+    keys), vs the full inverted index's sum over ALL tokens.  Every
+    step is a groupBy/join on (id, token) — no windows over the corpus
+    (the ordering window partitions BY DOCUMENT), no driver state —
+    and the whole chain is exact integers, so DuckDB replays mechanism
+    and verification bit-for-bit.
+
+    Output: (id_a, id_b, inter_count, union_count, jaccard_milli),
+    jaccard_milli = (1000·inter) DIV union.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(content_col, shingle_n)).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes, prefix, and verify reuse it
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(dfreq, "token")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("token").asc()
+                )
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # ceil(t·n) with t = threshold_pct/100, in integers
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"CAST(({threshold_pct} * n + 99) DIV 100 AS INT)")
+        + F.lit(1)
+    ).select("id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    # intersection size per candidate pair: expand a's token set, then
+    # equi-join on (id_b, token) — each pair costs O(|a| + matches),
+    # never the |a|×|b| cross of the two lists
+    inter = (
+        cand.join(toks.select(F.col("id").alias("id_a"), "token"), "id_a")
+        .join(
+            toks.select(F.col("id").alias("id_b"), "token"),
+            ["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_count"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            100 * F.col("inter_count")
+            >= threshold_pct * (F.col("na") + F.col("nb") - F.col("inter_count"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_count").cast("long").alias("inter_count"),
+            (F.col("na") + F.col("nb") - F.col("inter_count"))
+            .cast("long")
+            .alias("union_count"),
+            F.expr(
+                "CAST((1000 * inter_count) DIV (na + nb - inter_count) AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
     )

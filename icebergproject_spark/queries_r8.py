@@ -296,6 +296,68 @@ def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_audit(ev, value_col="event_id", group_col="event_type")
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering
+    (llm/dedup.prefix_filter_pairs — AllPairs/PPJoin): the lossless
+    counterpart of the LSH dedup arms, token-set Jaccard ≥ 0.30 on
+    distinct unigrams.  The oracle replays the MECHANISM (rarity
+    ordering, prefix cutoff, prefix-token join, integer verify), so a
+    hash match pins both the theorem's application and the result."""
+    from icebergproject_spark.llm.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, threshold_pct=30)
+
+
+# shingle CTE shape shared with ORACLE_DEDUP_MINHASH_LSH_SQL (same
+# 3-gram windows, same short-doc whole-text fallback)
+ORACLE_DEDUP_PREFIX_FILTER = """
+WITH t0 AS (
+  SELECT doc_id AS id, text, string_split(text, ' ') AS t FROM documents
+),
+g0 AS (
+  SELECT id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS token
+  FROM t0
+),
+toks AS (SELECT DISTINCT id, token FROM g0),
+sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+ordered AS (
+  SELECT t.id, t.token, s.n,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.id ORDER BY d.df ASC, t.token ASC
+         ) AS pos
+  FROM toks t JOIN dfreq d USING (token) JOIN sizes s USING (id)
+),
+pfx AS (
+  SELECT id, token FROM ordered
+  WHERE pos <= n - ((30 * n + 99) // 100) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pfx a JOIN pfx b ON a.token = b.token AND a.id < b.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter_count
+  FROM cand c
+  JOIN toks ta ON ta.id = c.id_a
+  JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter_count AS BIGINT) AS inter_count,
+       CAST(sa.n + sb.n - i.inter_count AS BIGINT) AS union_count,
+       CAST((1000 * i.inter_count) // (sa.n + sb.n - i.inter_count) AS BIGINT)
+         AS jaccard_milli
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE 100 * i.inter_count >= 30 * (sa.n + sb.n - i.inter_count)
+"""
+
+
 def _hexval_sql(col: str, start: int, n: int) -> str:
     """BIGINT value of ``n`` lowercase hex digits of ``col`` starting
     at 1-based ``start`` (DuckDB instr arithmetic, the
@@ -373,4 +435,7 @@ R8_REGISTRY: dict[str, Query] = {
     "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
     "pagerank_delta": Query(q_pagerank_delta, ORACLE_PAGERANK_SQL),
     "hll_audit": Query(q_hll_audit, ORACLE_HLL_AUDIT),
+    "dedup_prefix_filter": Query(
+        q_dedup_prefix_filter, ORACLE_DEDUP_PREFIX_FILTER
+    ),
 }

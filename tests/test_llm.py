@@ -1483,3 +1483,47 @@ def test_hll_audit_properties(spark):
                for r in hll_audit(df.repartition(13, "event_id")).collect()}
     assert out_rep == {g: (out[g].hll_estimate, out[g].rel_err_pct)
                        for g in out}
+
+
+def test_prefix_filter_is_lossless_vs_inverted_index(spark, docs):
+    """Prefix filtering (AllPairs/PPJoin) must find EXACTLY the pairs
+    the inverted-index exact join finds at the same threshold — the
+    losslessness theorem, checked on the fixture corpus — and its
+    candidate prefix join must touch fewer (id, shingle) postings than
+    the full index."""
+    from icebergproject_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    got = {(r.id_a, r.id_b): (r.inter_count, r.union_count)
+           for r in prefix_filter_pairs(docs, threshold_pct=30).collect()}
+    want = {(r.id_a, r.id_b): r.shared
+            for r in ngram_jaccard_pairs(
+                docs, threshold_num=3, threshold_den=10
+            ).collect()}
+    assert set(got) == set(want)
+    for pair, (inter, union) in got.items():
+        assert inter == want[pair]
+        assert 10 * inter >= 3 * union
+
+
+def test_prefix_filter_tiny_corpus_semantics(spark):
+    """Hand-checkable case: identical docs pair with jaccard 1000,
+    disjoint docs never pair, and a doc pairs with its superset at the
+    exact integer Jaccard."""
+    from icebergproject_spark.llm.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "a b c d e f"),          # 4 shingles
+        (2, "a b c d e f"),          # identical
+        (3, "x y z w q r"),          # disjoint
+        (4, "a b c d e f g h"),      # superset: 6 shingles, inter 4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): (r.inter_count, r.union_count, r.jaccard_milli)
+           for r in prefix_filter_pairs(df, threshold_pct=30).collect()}
+    assert out[(1, 2)] == (4, 4, 1000)
+    assert out[(1, 4)] == (4, 6, 666)
+    assert out[(2, 4)] == (4, 6, 666)
+    assert not any(3 in p for p in out)
