@@ -52,6 +52,11 @@ def _count(plan: str, node: str) -> int:
         ("events_props_variant", 2, 0),
         # value-RANGE window: single hash shuffle by customer
         ("rolling_30d_revenue", 1, 0),
+        # round 8: integer-grid PCA projection and the real-decode arm
+        # are PURE MAPS — components/rasters ride in closures or
+        # literals, so ANY shuffle is a regression
+        ("embedding_pca_sql", 0, 0),
+        ("multimodal_decode", 0, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
