@@ -1217,6 +1217,38 @@ def bm25_topk(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    value_col: str = "event_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Sparse HLL register table (g, bucket, reg) for :func:`hll_audit`.
+
+    Exposed separately because registers are the sketch's MERGEABLE
+    state — the 100 TB contract: registers of a union are the
+    element-wise MAX of per-partition/per-batch registers (pinned by
+    ``test_hll_registers_merge_by_max``), so shards/streams combine by
+    a ``groupBy(g, bucket).max(reg)`` of m-row sketches, never by
+    re-reading rows."""
+    hx = F.md5(
+        F.concat(F.lit("hll-"), F.col(value_col).cast("string"))
+    )
+    vals = df.select(group_col, value_col).distinct()
+    hashed = vals.select(
+        F.col(group_col).alias("g"),
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(hx, 3, 12), 16, 10).cast("long").alias("v"),
+    ).select(
+        "g",
+        "bucket",
+        F.when(F.col("v") == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(F.col("v"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    return hashed.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+
+
 def hll_audit(
     df: DataFrame,
     value_col: str = "event_id",
@@ -1250,23 +1282,7 @@ def hll_audit(
     m = 1 << precision_bits
     alpha = 0.7213 / (1 + 1.079 / m)
     c_num = alpha * m * m * float(1 << 54)
-    hx = F.md5(
-        F.concat(F.lit("hll-"), F.col(value_col).cast("string"))
-    )
-    vals = df.select(group_col, value_col).distinct()
-    hashed = vals.select(
-        F.col(group_col).alias("g"),
-        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("bucket"),
-        F.conv(F.substring(hx, 3, 12), 16, 10).cast("long").alias("v"),
-    ).select(
-        "g",
-        "bucket",
-        F.when(F.col("v") == 0, F.lit(49))
-        .otherwise(F.lit(49) - F.length(F.bin(F.col("v"))))
-        .cast("int")
-        .alias("rho"),
-    )
-    regs = hashed.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+    regs = hll_registers(df, value_col, group_col)
     groups = df.select(F.col(group_col).alias("g")).distinct()
     buckets = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
     full = (

@@ -1527,3 +1527,31 @@ def test_prefix_filter_tiny_corpus_semantics(spark):
     assert out[(1, 4)] == (4, 6, 666)
     assert out[(2, 4)] == (4, 6, 666)
     assert not any(3 in p for p in out)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The sketch's mergeability contract: registers of a UNION equal
+    the element-wise max of each part's registers — so shards merge by
+    groupBy(bucket).max(reg), never by re-reading rows — and the
+    merged estimate equals the estimate over the union."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.llm.text import hll_audit, hll_registers
+
+    a = spark.createDataFrame(
+        [(i, "g") for i in range(600)], ["event_id", "event_type"]
+    )
+    b = spark.createDataFrame(
+        [(i, "g") for i in range(400, 900)], ["event_id", "event_type"]
+    )
+    union = a.union(b)
+    merged = (
+        hll_registers(a).union(hll_registers(b))
+        .groupBy("g", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    want = {(r.g, r.bucket): r.reg for r in hll_registers(union).collect()}
+    got = {(r.g, r.bucket): r.reg for r in merged.collect()}
+    assert got == want
+    est_union = hll_audit(union).collect()[0].hll_estimate
+    assert abs(est_union - 900) <= 0.3 * 900
