@@ -1546,6 +1546,45 @@ class LakehouseTable:
 
         return self._retry_cas(attempt)
 
+    def merge_max(self, partials: DataFrame, key_cols: list[str]) -> dict:
+        """Incremental SKETCH maintenance: MERGE partial states by
+        ELEMENT-WISE MAX (WHEN MATCHED THEN UPDATE SET v =
+        GREATEST(t.v, s.v)) — the lattice-join for max-mergeable
+        sketches: HyperLogLog registers (llm/text.hll_registers — union
+        of value sets == max of registers, pinned by
+        test_hll_registers_merge_by_max), high-watermarks, last-seen
+        versions.  The streaming twin of :meth:`merge_additive`: each
+        micro-batch merges its m-row register partials and the table
+        always holds the union sketch — idempotent under replay (max is
+        absorbing, so at-least-once delivery cannot inflate it, unlike
+        a sum).
+
+        All non-key numeric columns are maxed; ``partials`` should
+        already be one row per key (a groupBy output).
+        """
+        # CAS-guarded like merge_additive: concurrent micro-batches must
+        # not lose each other's registers (max is commutative, but a
+        # lost update still drops state)
+        def attempt(cur):
+            if cur is None:
+                new_dir = self._write_data(partials)
+                return self._commit(
+                    "merge_max", [new_dir], expected_parent_id=None
+                )
+            target = self.read()
+            val_cols = [c for c in partials.columns if c not in key_cols]
+            merged = (
+                target.unionByName(partials)
+                .groupBy(*key_cols)
+                .agg(*[F.max(c).alias(c) for c in val_cols])
+            )
+            new_dir = self._write_data(merged)
+            return self._commit(
+                "merge_max", [new_dir], expected_parent_id=self._cas_id(cur)
+            )
+
+        return self._retry_cas(attempt)
+
     @staticmethod
     def _address(df: DataFrame) -> DataFrame:
         """Prefix a scan with the Iceberg v2 row address: (file, pos) from

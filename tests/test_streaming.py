@@ -1287,3 +1287,71 @@ def test_streaming_cdc_deletes_via_equality_files(spark, tmp_path):
     t.compact()
     assert t.current_snapshot()["eq_delete_dirs"] == []
     assert {r.user_id: r.member_level for r in t.read().collect()} == out
+
+
+def test_streaming_hll_registers_via_merge_max(spark, tmp_path):
+    """Streaming cardinality monitoring: each micro-batch computes its
+    HLL register partials and merge_max-es them into a lakehouse
+    serving table.  Because max is the sketch's exact merge (union of
+    value sets == element-wise register max), the table's final state
+    is BIT-IDENTICAL to the registers of the full stream — and
+    re-merging a batch is a no-op (max is absorbing), so at-least-once
+    replay cannot inflate the estimate, unlike an additive state."""
+    import os
+    import time as time_mod
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.llm.text import hll_registers
+
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+
+    def write_file(name, ids, mtime):
+        df = spark.createDataFrame(
+            [(i, "g") for i in ids], ["event_id", "event_type"]
+        )
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("b1", range(0, 400), time_mod.time() - 60)
+    write_file("b2", range(300, 700), time_mod.time())  # overlap on purpose
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="mon")
+    schema = spark.read.parquet(f"{src}/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+
+    def sink(batch, _):
+        catalog.table("HLL_STATE").merge_max(
+            hll_registers(batch), ["g", "bucket"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    t = catalog.table("HLL_STATE")
+    got = {(r.g, r.bucket): r.reg for r in t.read().collect()}
+    full = spark.createDataFrame(
+        [(i, "g") for i in range(0, 700)], ["event_id", "event_type"]
+    )
+    want = {(r.g, r.bucket): r.reg for r in hll_registers(full).collect()}
+    assert got == want
+
+    # replay a batch: absorbing merge leaves the state untouched
+    snap_before = t.current_snapshot()["snapshot_id"]
+    t.merge_max(
+        hll_registers(spark.read.parquet(f"{src}/b1")), ["g", "bucket"]
+    )
+    assert {(r.g, r.bucket): r.reg for r in t.read().collect()} == want
+    assert t.current_snapshot()["snapshot_id"] != snap_before  # committed, same state
