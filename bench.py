@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "pagerank_delta",
     "hll_audit",
     "dedup_prefix_filter",
+    "doc_lsa_sql",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -143,7 +144,7 @@ PREV_ROUND_QUERIES = {
         "bm25_topk", "pagerank_sql", "graph_hits",
         "hybrid_rrf", "events_ohlc", "event_outliers_mad",
         "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
-        "hll_audit", "dedup_prefix_filter",
+        "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
     )
 }
 

@@ -304,30 +304,39 @@ def pca_micro_components(
     g = np.asarray(gram, dtype=np.int64)
     s = np.asarray(sums, dtype=np.int64)
     craw = n * g - np.outer(s, s)
-    mat = _renorm_grid(craw, grid)
-    # accelerate: iterate on M^(2^squarings) — embedding covariances
-    # have CLUSTERED spectra (fixture λ2/λ1 is 0.93 at sf0.001 and 0.98
-    # at sf0.1), so plain power iteration needs hundreds of rounds for
-    # 1e-2 residual; squaring the grid matrix 6× (one d×d integer
-    # matmul each, renormalized back to the grid) makes T=16 rounds act
-    # like 1024 — and in SQL each squaring is ONE 64×64 self-join CTE,
-    # far cheaper than unrolled matvecs.  Validated vs numpy eigh:
-    # |cos| = 1.0000 for both components at sf0.001/0.01/0.1.
-    # Eigenvectors are unchanged (covariance is PSD, so λ^8 keeps the
-    # same top direction); deflation below uses the squared matrix's
-    # own Rayleigh quotient, which is what annihilates v1 in it.
-    for _ in range(squarings):
-        mat = _renorm_grid(mat @ mat, grid)
+    base = _renorm_grid(craw, grid)
     comps: list[list[int]] = []
     for _ in range(k):
-        v, w = _power_iterate(mat, grid, iters)
+        # accelerate: iterate on M^(2^squarings) — embedding covariances
+        # can have CLUSTERED spectra (fixture λ2/λ1 is 0.93 at sf0.001
+        # and 0.98 at sf0.1), so plain power iteration needs hundreds of
+        # rounds for 1e-2 residual; squaring the grid matrix 6× (one d×d
+        # integer matmul each, renormalized back to the grid) makes T=16
+        # rounds act like 1024 — and in SQL each squaring is ONE 64×64
+        # self-join CTE, far cheaper than unrolled matvecs.  Validated
+        # vs numpy eigh: |cos| = 1.0000 for both components at
+        # sf0.001/0.01/0.1 (embeddings) and for LSA's hashed counts.
+        #
+        # The squared matrix finds ONLY this component's direction;
+        # deflation happens on the UNSQUARED base and the next component
+        # re-squares the deflated base.  Deflating the squared matrix
+        # instead fails with a WIDE eigengap (hashed-count LSA measures
+        # λ2/λ1 = 0.16): (λ2/λ1)^64 underflows the integer grid, so the
+        # squared matrix holds pure v1 and its deflation is truncation
+        # noise.
+        mat = base
+        for _ in range(squarings):
+            mat = _renorm_grid(mat @ mat, grid)
+        v, _w = _power_iterate(mat, grid, iters)
         comps.append([int(x) for x in v])
+        # integral Rayleigh deflation of the BASE matrix (num ≤
+        # d²·grid³ = 4.1e18 < 2^63 — exact in int64)
+        w0 = base @ v
         den = int(v @ v)
-        num = int(v @ w)  # ≤ d²·grid³ = 4.1e18 < 2^63 — exact in int64
+        num = int(v @ w0)
         lam = _tdiv(num, den)
         u = _tdiv_np(lam * v * grid, den)
-        deflated = mat - _tdiv_np(np.outer(u, v), grid)
-        mat = _renorm_grid(deflated, grid)
+        base = _renorm_grid(base - _tdiv_np(np.outer(u, v), grid), grid)
     return comps, [int(x) for x in sums], n
 
 

@@ -756,9 +756,9 @@ REGISTRY.update(R4_REGISTRY)
 # #4): the window takes the STALEST rows first — all 27 rows last
 # driver-checked in round 3 (every older row was refreshed in r7) —
 # plus the new r8 heads, the flagship, and the oldest round-5 rows to
-# fill to 50 (17 of 49 — the five r8 heads displaced
-# embedding_kmeans_sql, duplicate_spans, dsir_weights_sql; the rest
-# rotate in r9).  After this round every
+# fill to 50 (16 of 49 — the six r8 heads displaced
+# embedding_kmeans_sql, duplicate_spans, dsir_weights_sql,
+# dedup_verified_strict; the rest rotate in r9).  After this round every
 # registry row has driver evidence from round 5 or later.  Rotated-out queries remain registered and
 # locally gated after position 50 (tools/check_oracle.py runs ALL of
 # them at sf0.01).
@@ -767,7 +767,7 @@ DRIVER_WINDOW = [
     "user_points",
     # new this round: integer-grid PCA oracle twin + real decode arm
     "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
-    "hll_audit", "dedup_prefix_filter",
+    "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
     # stale refresh: every row last checked in ROUND 3 (27 of 27)
     "dedup_embedding", "dedup_exact", "dedup_ngram_jaccard",
     "doc_fingerprint", "dwd_cleanse", "embedding_stats", "lang_id",
@@ -785,7 +785,7 @@ DRIVER_WINDOW = [
     "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
     "dedup_embedding_lsh_sql", "dedup_incremental",
     "dedup_minhash_lsh_sql", "dedup_rate_by_source", "dedup_semantic_sql",
-    "dedup_survivors", "dedup_verified", "dedup_verified_strict",
+    "dedup_survivors", "dedup_verified",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

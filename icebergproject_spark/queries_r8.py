@@ -64,6 +64,8 @@ def _pca_oracle_sql(
     grid: int = PCA_GRID,
     squarings: int = PCA_SQUARINGS,
     iters: int = PCA_ITERS,
+    source_cte: str | None = None,
+    id_out: str = "vec_id",
 ) -> str:
     """Unrolled-CTE replay of llm/linalg.pca_micro — the repo's
     iterative-algorithm oracle pattern (Lloyd steps, BPE merges,
@@ -74,7 +76,11 @@ def _pca_oracle_sql(
     HUGEINT sum-widening is invisible here because every stage was
     SIZED to fit int64 (see pca_micro_components' bounds note)."""
     ctes = [
-        f"""vv AS MATERIALIZED (
+        # the quantized-source CTE is injectable: any relation emitting
+        # (cid, q BIGINT[dim]) runs through the identical chain — used
+        # by doc_lsa_sql with hashed term counts (already integers)
+        source_cte
+        or f"""vv AS MATERIALIZED (
   SELECT vec_id AS cid,
          [CAST(ROUND(x * {quant}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS q
   FROM embeddings
@@ -93,26 +99,31 @@ def _pca_oracle_sql(
   SELECT a, b, (SELECT n FROM nn) * g - sa.s * sb.s AS c
   FROM gm JOIN st sa ON sa.i = gm.a JOIN st sb ON sb.i = gm.b
 )""",
-        f"""m0 AS MATERIALIZED (
+        f"""b0 AS MATERIALIZED (
   SELECT a, b, CAST(c // GREATEST((SELECT MAX(ABS(c)) FROM cr) // {grid}, 1) AS BIGINT) AS c
   FROM cr
 )""",
     ]
-    # matrix squarings: m{s} = renorm(m{s-1} @ m{s-1})
-    for s in range(1, squarings + 1):
-        ctes.append(
-            f"""q{s} AS MATERIALIZED (
+
+    def squaring_ctes(p: str, base: str) -> str:
+        """Append the squaring chain {p}m1..{p}m{squarings} over base
+        matrix CTE ``base`` (renorm(M@M) per step)."""
+        prev = base
+        for s in range(1, squarings + 1):
+            ctes.append(
+                f"""{p}q{s} AS MATERIALIZED (
   SELECT x.a, y.b, SUM(x.c * y.c) AS c
-  FROM m{s - 1} x JOIN m{s - 1} y ON x.b = y.a GROUP BY x.a, y.b
+  FROM {prev} x JOIN {prev} y ON x.b = y.a GROUP BY x.a, y.b
 )"""
-        )
-        ctes.append(
-            f"""m{s} AS MATERIALIZED (
-  SELECT a, b, CAST(c // GREATEST((SELECT MAX(ABS(c)) FROM q{s}) // {grid}, 1) AS BIGINT) AS c
-  FROM q{s}
+            )
+            ctes.append(
+                f"""{p}m{s} AS MATERIALIZED (
+  SELECT a, b, CAST(c // GREATEST((SELECT MAX(ABS(c)) FROM {p}q{s}) // {grid}, 1) AS BIGINT) AS c
+  FROM {p}q{s}
 )"""
-        )
-    msq = f"m{squarings}"
+            )
+            prev = f"{p}m{s}"
+        return prev
 
     def power_ctes(p: str, mat: str) -> str:
         """Append T power-iteration rounds for vector family ``p``
@@ -136,12 +147,18 @@ def _pca_oracle_sql(
             )
         return f"{p}v{iters}"
 
-    v1 = power_ctes("p1", msq)
-    # Rayleigh deflation: D = M - (u v1ᵀ) // grid, u = (lam·v1·grid) // den
+    # component 1: square the base, iterate on the squared matrix; the
+    # direction-finding matrix is used ONLY here — deflation below
+    # happens on the UNSQUARED b0 (wide-eigengap sources would
+    # underflow λ2 off the grid in the squared matrix, see
+    # pca_micro_components)
+    v1 = power_ctes("p1", squaring_ctes("c1", "b0"))
+    # integral Rayleigh deflation of b0: D = b0 - (u v1ᵀ) // grid,
+    # u = (lam·v1·grid) // den, lam and den from b0's own matvec
     ctes.append(
         f"""fw1 AS MATERIALIZED (
-  SELECT {msq}.a AS i, SUM({msq}.c * pv.v) AS w
-  FROM {msq} JOIN {v1} pv ON {msq}.b = pv.i GROUP BY {msq}.a
+  SELECT b0.a AS i, SUM(b0.c * pv.v) AS w
+  FROM b0 JOIN {v1} pv ON b0.b = pv.i GROUP BY b0.a
 )"""
     )
     ctes.append(
@@ -159,17 +176,18 @@ def _pca_oracle_sql(
     )
     ctes.append(
         f"""df0 AS MATERIALIZED (
-  SELECT {msq}.a, {msq}.b, {msq}.c - CAST((uu.u * pb.v) // {grid} AS BIGINT) AS c
-  FROM {msq} JOIN uu ON uu.i = {msq}.a JOIN {v1} pb ON pb.i = {msq}.b
+  SELECT b0.a, b0.b, b0.c - CAST((uu.u * pb.v) // {grid} AS BIGINT) AS c
+  FROM b0 JOIN uu ON uu.i = b0.a JOIN {v1} pb ON pb.i = b0.b
 )"""
     )
     ctes.append(
-        f"""d0 AS MATERIALIZED (
+        f"""b1 AS MATERIALIZED (
   SELECT a, b, CAST(c // GREATEST((SELECT MAX(ABS(c)) FROM df0) // {grid}, 1) AS BIGINT) AS c
   FROM df0
 )"""
     )
-    v2 = power_ctes("p2", "d0")
+    # component 2: re-square the DEFLATED base and iterate
+    v2 = power_ctes("p2", squaring_ctes("c2", "b1"))
     # centered projection stays integral: n·(q−s/n)·v = n·(q·v) − s·v
     ctes.append(
         f"""dots AS MATERIALIZED (
@@ -192,7 +210,7 @@ def _pca_oracle_sql(
     # comparable milli-units (IEEE sqrt is correctly rounded → floor is
     # identical across engines and Python's math.sqrt in pca_micro)
     return f"""WITH {body}
-SELECT cid AS vec_id,
+SELECT cid AS {id_out},
        CAST((((n * d1 - sv1) // n) * 1000) // isq1 AS BIGINT) AS pc1_q,
        CAST((((n * d2 - sv2) // n) * 1000) // isq2 AS BIGINT) AS pc2_q
 FROM dots CROSS JOIN sdot
@@ -200,6 +218,57 @@ FROM dots CROSS JOIN sdot
 
 
 ORACLE_EMBEDDING_PCA_SQL = _pca_oracle_sql()
+
+
+def q_doc_lsa_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSA document coordinates at ORACLE strength: integer-grid PCA
+    (the embedding_pca_sql chain, unchanged) over the md5
+    feature-hashed term-count vectors (the text_hash_features chain,
+    unchanged) — latent semantic analysis with NO trained vocabulary
+    and no float in the covariance.  Counts are already integers, so
+    quant=1 and the whole text→topic-coordinates pipeline is one exact
+    BIGINT recurrence end to end.  Output: (doc_id, pc1_q, pc2_q)."""
+    from icebergproject_spark.llm.linalg import pca_micro
+    from icebergproject_spark.llm.text import hash_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hash_features(docs, dim=64)
+    return pca_micro(
+        feats,
+        dim=64,
+        k=2,
+        iters=PCA_ITERS,
+        squarings=PCA_SQUARINGS,
+        quant=1,
+        grid=PCA_GRID,
+        vec_col="features",
+        id_col="doc_id",
+    )
+
+
+def _lsa_source_cte() -> str:
+    from icebergproject_spark.queries_r6 import _md5_prefix4_sql
+
+    return f"""vv AS MATERIALIZED (
+  SELECT g.doc_id AS cid,
+         array_agg(CAST(COALESCE(c.c, 0) AS BIGINT) ORDER BY g.pos) AS q
+  FROM (SELECT doc_id, UNNEST(range(0, 64)) AS pos FROM documents) g
+  LEFT JOIN (
+    SELECT doc_id, b, COUNT(*) AS c FROM (
+      SELECT doc_id,
+             {_md5_prefix4_sql("md5('feat0' || '-' || w)")} % 64 AS b
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ) GROUP BY doc_id, b
+  ) c ON c.doc_id = g.doc_id AND c.b = g.pos
+  GROUP BY g.doc_id
+)"""
+
+
+ORACLE_DOC_LSA_SQL = _pca_oracle_sql(
+    quant=1, source_cte=_lsa_source_cte(), id_out="doc_id"
+)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,4 +517,5 @@ R8_REGISTRY: dict[str, Query] = {
     "dedup_prefix_filter": Query(
         q_dedup_prefix_filter, ORACLE_DEDUP_PREFIX_FILTER
     ),
+    "doc_lsa_sql": Query(q_doc_lsa_sql, ORACLE_DOC_LSA_SQL),
 }
