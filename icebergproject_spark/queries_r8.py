@@ -437,6 +437,81 @@ WHERE 100 * i.inter_count >= 30 * (sa.n + sb.n - i.inter_count)
 """
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank (Haveliwala 2002) at ORACLE strength:
+    teleport restricted to the supplier seed set (node <= 50) over the
+    symmetrized supplier-part graph — rank measures proximity to the
+    seeds, with unreachable nodes pinned at exactly 0.  Same
+    integer-grid recurrence and unrolled-CTE replay as pagerank_sql
+    (llm/graph.pagerank_personalized_micro)."""
+    from icebergproject_spark.llm.graph import pagerank_personalized_micro
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") <= 50)
+    )
+    return pagerank_personalized_micro(edges, seeds, iterations=5)
+
+
+def _oracle_pagerank_personalized(
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    seed_max: int = 50,
+) -> str:
+    """queries_r7._oracle_pagerank with the teleport term gated on the
+    seed set node <= ``seed_max`` (r0 = scale·[seed]; per-iteration
+    base only for seeds)."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"""e0 AS (
+  SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst FROM lineitem
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node <= {seed_max} THEN {scale} ELSE 0 END AS BIGINT)
+           AS rank_micro
+  FROM nodes
+)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node <= {seed_max} THEN {base} ELSE 0 END
+              + COALESCE(c.s, 0) AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(({damping_pct} * r.rank_micro) // (100 * d.outdeg)) AS s
+    FROM edges e
+    JOIN r{i} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT node, rank_micro FROM r{iters}
+"""
+
+
+ORACLE_PAGERANK_PERSONALIZED = _oracle_pagerank_personalized()
+
+
 def _hexval_sql(col: str, start: int, n: int) -> str:
     """BIGINT value of ``n`` lowercase hex digits of ``col`` starting
     at 1-based ``start`` (DuckDB instr arithmetic, the
@@ -518,4 +593,7 @@ R8_REGISTRY: dict[str, Query] = {
         q_dedup_prefix_filter, ORACLE_DEDUP_PREFIX_FILTER
     ),
     "doc_lsa_sql": Query(q_doc_lsa_sql, ORACLE_DOC_LSA_SQL),
+    "pagerank_personalized": Query(
+        q_pagerank_personalized, ORACLE_PAGERANK_PERSONALIZED
+    ),
 }

@@ -363,3 +363,30 @@ def test_pagerank_delta_composes_with_lakehouse_feed(spark, tmp_path):
     want = {r.node: r.rank_micro
             for r in pagerank_micro(t.read(), iterations=4).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_structural_properties(spark):
+    """PPR (seed-restricted teleport): nodes unreachable from the seed
+    set have rank EXACTLY 0; seeds dominate their own neighborhoods;
+    with the seed set = all nodes the recurrence degenerates to the
+    global pagerank_micro bit-for-bit."""
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro,
+        pagerank_personalized_micro,
+    )
+
+    # two disjoint cycles; seeds only in the first
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r.node: r.rank_micro
+           for r in pagerank_personalized_micro(e, seeds).collect()}
+    assert out[10] == 0 and out[11] == 0  # unreachable from seeds
+    assert out[1] > out[2] > 0 and out[3] > 0
+
+    all_nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 10, 11)],
+                                      ["node"])
+    ppr_all = {r.node: r.rank_micro
+               for r in pagerank_personalized_micro(e, all_nodes).collect()}
+    glob = {r.node: r.rank_micro for r in pagerank_micro(e).collect()}
+    assert ppr_all == glob
