@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 
 def group_sum_points(
@@ -164,4 +165,171 @@ def mad_outliers(
             F.round(F.col(value_col), 6).alias("value_r"),
             F.round(F.col("__adev") / F.col("__mad"), 6).alias("mad_z"),
         )
+    )
+
+
+def hdr_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 6,
+) -> DataFrame:
+    """Log-linear (HdrHistogram-style) quantile sketch over a POSITIVE
+    integer column: bucket id = ``k·2^sub_bits + sub`` where ``k`` is
+    the bit length of the value minus one (its octave) and ``sub`` the
+    linear sub-bucket inside the octave — pure integer arithmetic (bit
+    length via ``bin()``, shifts, integer division), so every engine
+    derives the identical sketch.  Relative error of any quantile read
+    from the sketch is bounded by ``2^-sub_bits`` (default 1/64 ≈
+    1.6%); values below ``2^sub_bits`` are represented EXACTLY (the
+    sub-bucket width collapses to 1).
+
+    This is the quantile member of the repo's mergeable-sketch family
+    (count_min_audit = frequency, hll_audit = cardinality): the sketch
+    is just (group, bucket) → count, so partial sketches merge by
+    ADDING counts — map-side combine does it for free, and the shuffle
+    carries ≤ ~64·64 small rows per group regardless of input size.
+
+    Rows with value < 1 are dropped (positive-domain sketch; a
+    mirrored negative sketch is the standard extension, out of scope).
+
+    Output: group_cols + (bucket, cnt, lo, hi) with [lo, hi] the
+    bucket's integer value bounds (hi of the top sub-bucket = 2^(k+1)).
+    """
+    s = 1 << sub_bits
+    v = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("__v") >= 1)
+    b = (
+        v.withColumn("__k", (F.length(F.bin(F.col("__v"))) - 1).cast("int"))
+        .withColumn("__p2k", F.expr("shiftleft(CAST(1 AS BIGINT), __k)"))
+        .withColumn(
+            "__sub",
+            F.expr(f"shiftleft(__v - __p2k, {sub_bits}) DIV __p2k").cast("int"),
+        )
+        .withColumn("bucket", (F.col("__k") * s + F.col("__sub")).cast("int"))
+    )
+    counts = b.groupBy(*group_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.withColumn("__k", F.expr(f"bucket DIV {s}"))
+        .withColumn("__sub", F.expr(f"bucket % {s}"))
+        .withColumn("__p2k", F.expr("shiftleft(CAST(1 AS BIGINT), __k)"))
+        .withColumn(
+            "lo", F.expr(f"__p2k + (__sub * __p2k) DIV {s}").cast("long")
+        )
+        .withColumn(
+            "hi", F.expr(f"__p2k + ((__sub + 1) * __p2k) DIV {s}").cast("long")
+        )
+        .select(*group_cols, "bucket", "cnt", "lo", "hi")
+    )
+
+
+def hdr_quantiles_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+    sub_bits: int = 6,
+) -> DataFrame:
+    """Quantile-sketch estimator audit — the quantile sibling of
+    ``llm/text.count_min_audit`` / ``hll_audit``: read the requested
+    percentiles from the :func:`hdr_sketch` and ship them NEXT TO the
+    exact rank-based quantiles as hash-checked data, plus the measured
+    error in basis points and the containment invariant.
+
+    Definitions (all integer, engine-identical):
+
+    - target rank ``r = ceil(q·n/100) = (q·n + 99) DIV 100`` (type-1 /
+      lower empirical quantile);
+    - estimated bucket = first bucket whose cumulative count reaches
+      ``r`` (bucket id is monotone in the value, so this is exactly the
+      bucket holding the rank-r value);
+    - ``est = (lo + hi) DIV 2``; ``err_bp = (10000·|est − exact|) DIV
+      exact``; ``in_bucket = [lo ≤ exact ≤ hi]`` — 1 by construction
+      (the theorem shipped as data; ``≤ hi`` inclusive because the
+      sub-2^sub_bits collapse makes lo = hi = exact for small values).
+
+    Scale shape: the SKETCH arm is one map + one tiny groupBy (map-side
+    combined, ≤ ~4k buckets/group on the wire) + a per-group running
+    sum over those buckets — this is the 100 TB production path.  The
+    EXACT arm (per-group full sort for row_number) exists only to
+    measure the estimator against truth, exactly as hll_audit's
+    exact_distinct does.
+
+    Output: (group, q_pct, exact, est, err_bp, in_bucket) — names
+    suffixed by the caller's aliasing.
+    """
+    spark = df.sparkSession
+    # the (g, v) projection feeds FOUR consumers (sketch, n, ranked,
+    # and targets via n); Spark re-executes shared subtrees per branch
+    # (no cross-branch exchange reuse), so checkpoint the 2-column
+    # projection once instead of scanning the source four times
+    v = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .filter(F.col("__v") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    sk = hdr_sketch(v, "__v", ["g"], sub_bits=sub_bits)
+    cum = sk.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("g")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in quantiles], "q_pct int"
+    )
+    targets = n.crossJoin(F.broadcast(qdf)).select(
+        "g", "q_pct", F.expr("(q_pct * n + 99) DIV 100").alias("r")
+    )
+    est = (
+        cum.join(F.broadcast(targets), "g")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("g", "q_pct")
+        .agg(
+            F.min_by(F.col("lo"), F.col("bucket")).alias("lo"),
+            F.min_by(F.col("hi"), F.col("bucket")).alias("hi"),
+        )
+        .select(
+            "g",
+            "q_pct",
+            F.expr("(lo + hi) DIV 2").cast("long").alias("est"),
+            "lo",
+            "hi",
+        )
+    )
+    ranked = v.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("__v"))
+    )
+    tg = targets.select(
+        F.col("g").alias("__tg"), "q_pct", F.col("r").alias("rn")
+    )
+    exact = ranked.join(
+        F.broadcast(tg),
+        (ranked["g"] == tg["__tg"]) & (ranked["rn"] == tg["rn"]),
+    ).select(ranked["g"], "q_pct", F.col("__v").alias("exact"))
+    return est.join(exact, ["g", "q_pct"]).select(
+        "g",
+        "q_pct",
+        F.col("exact"),
+        F.col("est"),
+        F.expr("(10000 * abs(est - exact)) DIV exact").cast("long").alias(
+            "err_bp"
+        ),
+        F.when(
+            (F.col("exact") >= F.col("lo")) & (F.col("exact") <= F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("in_bucket"),
     )

@@ -512,6 +512,98 @@ SELECT node, rank_micro FROM r{iters}
 ORACLE_PAGERANK_PERSONALIZED = _oracle_pagerank_personalized()
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-linear quantile-sketch audit (operators/aggregates.
+    hdr_quantiles_audit) — the quantile member of the mergeable-sketch
+    family (count_min_audit = frequency, hll_audit = cardinality):
+    HdrHistogram-style integer bucketing (octave = bit length, 64
+    linear sub-buckets) of l_extendedprice cents per l_returnflag;
+    estimated p1/p5/p25/p50/p75/p95/p99 ship next to the exact
+    rank-based quantiles with the measured error in basis points and
+    the containment invariant as hash-checked data."""
+    from icebergproject_spark.operators.aggregates import (
+        hdr_quantiles_audit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    out = hdr_quantiles_audit(li, "cents", "l_returnflag")
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        "q_pct",
+        F.col("exact").alias("exact_cents"),
+        F.col("est").alias("est_cents"),
+        "err_bp",
+        "in_bucket",
+    )
+
+
+ORACLE_HDR_QUANTILES = """
+WITH v0 AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+v AS (SELECT g, v FROM v0 WHERE v >= 1),
+b AS (
+  SELECT g, v, length(to_base(v, 2)) - 1 AS k FROM v
+),
+bk AS (
+  SELECT g, v, k,
+         ((v - (CAST(1 AS BIGINT) << k)) << 6) // (CAST(1 AS BIGINT) << k)
+           AS sub
+  FROM b
+),
+counts AS (
+  SELECT g, k * 64 + sub AS bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bucket,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum
+  FROM counts
+),
+n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+q AS (SELECT UNNEST([1, 5, 25, 50, 75, 95, 99]) AS q_pct),
+t AS (
+  SELECT n.g, q.q_pct, (q.q_pct * n.n + 99) // 100 AS r
+  FROM n CROSS JOIN q
+),
+eb AS (
+  SELECT t.g, t.q_pct, MIN(c.bucket) AS bucket
+  FROM t JOIN cum c ON c.g = t.g AND c.cum >= t.r
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT g, q_pct,
+         (CAST(1 AS BIGINT) << (bucket // 64))
+           + ((bucket % 64) * (CAST(1 AS BIGINT) << (bucket // 64))) // 64
+           AS lo,
+         (CAST(1 AS BIGINT) << (bucket // 64))
+           + ((bucket % 64 + 1) * (CAST(1 AS BIGINT) << (bucket // 64))) // 64
+           AS hi
+  FROM eb
+),
+ranked AS (
+  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM v
+),
+ex AS (
+  SELECT t.g, t.q_pct, r.v AS exact_cents
+  FROM t JOIN ranked r ON r.g = t.g AND r.rn = t.r
+)
+SELECT e.g AS l_returnflag, e.q_pct, x.exact_cents,
+       CAST((e.lo + e.hi) // 2 AS BIGINT) AS est_cents,
+       CAST((10000 * ABS((e.lo + e.hi) // 2 - x.exact_cents))
+            // x.exact_cents AS BIGINT) AS err_bp,
+       CAST(CASE WHEN x.exact_cents >= e.lo AND x.exact_cents <= e.hi
+                 THEN 1 ELSE 0 END AS INTEGER) AS in_bucket
+FROM est e JOIN ex x ON x.g = e.g AND x.q_pct = e.q_pct
+"""
+
+
 def _hexval_sql(col: str, start: int, n: int) -> str:
     """BIGINT value of ``n`` lowercase hex digits of ``col`` starting
     at 1-based ``start`` (DuckDB instr arithmetic, the
@@ -596,4 +688,5 @@ R8_REGISTRY: dict[str, Query] = {
     "pagerank_personalized": Query(
         q_pagerank_personalized, ORACLE_PAGERANK_PERSONALIZED
     ),
+    "hdr_quantiles": Query(q_hdr_quantiles, ORACLE_HDR_QUANTILES),
 }

@@ -230,3 +230,85 @@ def test_column_profile_approx_mode(spark, sf_dir):
                                       approx=True).collect()}
     for c in exact:
         assert abs(approx[c] - exact[c]) <= max(1, exact[c] * 0.2)
+
+
+def test_hdr_sketch_buckets_and_bounds(spark):
+    """Bucket id is monotone in the value; [lo, hi] contains every value
+    mapped to the bucket; values below 2^sub_bits are represented
+    EXACTLY (lo = hi = value)."""
+    from icebergproject_spark.operators.aggregates import hdr_sketch
+
+    vals = [1, 2, 3, 63, 64, 65, 127, 128, 1000, 10**6, 10**9]
+    # check bucket bounds per value through the sketch on singletons
+    for v in vals:
+        one = hdr_sketch(
+            spark.createDataFrame([("g", v)], ["g", "v"]), "v", ["g"]
+        ).collect()[0]
+        assert one.lo <= v <= one.hi
+        if v < 64:
+            assert one.lo == one.hi == v  # sub-octave exactness
+    # monotone: sort values, buckets must be non-decreasing
+    buckets = [
+        hdr_sketch(
+            spark.createDataFrame([("g", v)], ["g", "v"]), "v", ["g"]
+        ).collect()[0].bucket
+        for v in sorted(vals)
+    ]
+    assert buckets == sorted(buckets)
+
+
+def test_hdr_sketch_merges_by_adding_counts(spark):
+    """Partial sketches over any split of the data merge by SUMMING
+    counts into exactly the global sketch (the mergeability contract
+    that makes the 100 TB map-side-combine shape correct)."""
+    from icebergproject_spark.operators.aggregates import hdr_sketch
+
+    rows = [("a", 7 * i % 997 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    whole = {
+        (r.g, r.bucket): r.cnt for r in hdr_sketch(df, "v", ["g"]).collect()
+    }
+    rows1, rows2 = rows[:200], rows[200:]
+    merged: dict = {}
+    for part in (rows1, rows2):
+        for r in hdr_sketch(
+            spark.createDataFrame(part, ["g", "v"]), "v", ["g"]
+        ).collect():
+            merged[(r.g, r.bucket)] = merged.get((r.g, r.bucket), 0) + r.cnt
+    assert merged == whole
+
+
+def test_hdr_quantiles_error_envelope_and_adversarial(spark):
+    """Estimated quantiles vs a pure-Python replay of the exact ranks:
+    err_bp within the 2^-sub_bits relative-error bound (with the k=6
+    half-bucket slack), in_bucket invariant always 1, and the
+    adversarial shapes — all-equal values, exact powers of two at
+    octave boundaries, a two-point bimodal — behave."""
+    from icebergproject_spark.operators.aggregates import hdr_quantiles_audit
+
+    cases = {
+        "uniformish": [(i * 37) % 5000 + 1 for i in range(1, 800)],
+        "all_equal": [4242] * 100,
+        "pow2_edges": [2**k for k in range(1, 20) for _ in range(5)],
+        "bimodal": [10] * 50 + [10**8] * 50,
+    }
+    rows = [(g, v) for g, vs in cases.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = hdr_quantiles_audit(df, "v", "g")
+    got = {(r.g, r.q_pct): r for r in out.collect()}
+    for g, vs in cases.items():
+        s = sorted(vs)
+        n = len(s)
+        for q in (1, 5, 25, 50, 75, 95, 99):
+            r = got[(g, q)]
+            exact = s[(q * n + 99) // 100 - 1]
+            assert r.exact == exact, (g, q)
+            assert r.in_bucket == 1, (g, q)
+            # relative error bound: half bucket width each side; bucket
+            # width <= 2^k/64 + 1 around the exact value
+            k = exact.bit_length() - 1
+            width = max(1, (1 << k) // 64 + 1)
+            assert abs(r.est - exact) <= width, (g, q, r.est, exact)
+    # all-equal: every quantile estimate within one sub-bucket of 4242
+    for q in (1, 50, 99):
+        assert abs(got[("all_equal", q)].est - 4242) <= (4096 // 64 + 1)

@@ -1355,3 +1355,74 @@ def test_streaming_hll_registers_via_merge_max(spark, tmp_path):
     )
     assert {(r.g, r.bucket): r.reg for r in t.read().collect()} == want
     assert t.current_snapshot()["snapshot_id"] != snap_before  # committed, same state
+
+
+def test_streaming_hdr_sketch_via_merge_additive(spark, tmp_path):
+    """Streaming quantile monitoring: each micro-batch computes its HDR
+    bucket-count partials and merge_additive-s them into a lakehouse
+    serving table.  ADD is the sketch's exact merge over row-disjoint
+    batches (counts are multiplicities), so the table's final state is
+    BIT-IDENTICAL to the sketch of the full stream; exactly-once comes
+    from the streaming checkpoint (each file one micro-batch), the
+    complement of merge_max's absorbing-replay story — lo/hi stay OUT
+    of the merged state (derived from the bucket id, not additive)."""
+    import os
+    import time as time_mod
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.operators.aggregates import hdr_sketch
+
+    src = str(tmp_path / "hdr_src")
+    os.makedirs(src)
+
+    def write_file(name, vals, mtime):
+        df = spark.createDataFrame([(v, "g") for v in vals], ["v", "grp"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # value overlap on purpose: additive merge counts multiplicity
+    write_file("b1", [(i * 13) % 3000 + 1 for i in range(400)],
+               time_mod.time() - 60)
+    write_file("b2", [(i * 13) % 3000 + 1 for i in range(200, 600)],
+               time_mod.time())
+
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"), db="mon")
+    schema = spark.read.parquet(f"{src}/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+
+    def sink(batch, _):
+        partial = hdr_sketch(batch, "v", ["grp"]).select(
+            "grp", "bucket", "cnt"
+        )
+        catalog.table("HDR_STATE").merge_additive(
+            partial, ["grp", "bucket"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.grp, r.bucket): r.cnt
+        for r in catalog.table("HDR_STATE").read().collect()
+    }
+    full_vals = [(i * 13) % 3000 + 1 for i in range(400)] + [
+        (i * 13) % 3000 + 1 for i in range(200, 600)
+    ]
+    full = spark.createDataFrame([(v, "g") for v in full_vals], ["v", "grp"])
+    want = {
+        (r.grp, r.bucket): r.cnt
+        for r in hdr_sketch(full, "v", ["grp"]).collect()
+    }
+    assert got == want
