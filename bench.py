@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "doc_lsa_sql",
     "pagerank_personalized",
     "hdr_quantiles",
+    "lm_bigram_score",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -147,7 +148,7 @@ PREV_ROUND_QUERIES = {
         "hybrid_rrf", "events_ohlc", "event_outliers_mad",
         "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
         "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
-        "pagerank_personalized", "hdr_quantiles",
+        "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
     )
 }
 

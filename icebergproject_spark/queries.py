@@ -756,10 +756,10 @@ REGISTRY.update(R4_REGISTRY)
 # #4): the window takes the STALEST rows first — all 27 rows last
 # driver-checked in round 3 (every older row was refreshed in r7) —
 # plus the new r8 heads, the flagship, and the oldest round-5 rows to
-# fill to 50 (14 of 49 — the eight r8 heads displaced
+# fill to 50 (13 of 49 — the nine r8 heads displaced
 # embedding_kmeans_sql, duplicate_spans, dsir_weights_sql,
-# dedup_verified_strict, dedup_verified, dedup_survivors; the rest
-# rotate in r9).  After this round every
+# dedup_verified_strict, dedup_verified, dedup_survivors,
+# dedup_semantic_sql; the rest rotate in r9).  After this round every
 # registry row has driver evidence from round 5 or later.  Rotated-out queries remain registered and
 # locally gated after position 50 (tools/check_oracle.py runs ALL of
 # them at sf0.01).
@@ -769,7 +769,7 @@ DRIVER_WINDOW = [
     # new this round: integer-grid PCA oracle twin + real decode arm
     "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
     "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
-    "pagerank_personalized", "hdr_quantiles",
+    "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
     # stale refresh: every row last checked in ROUND 3 (27 of 27)
     "dedup_embedding", "dedup_exact", "dedup_ngram_jaccard",
     "doc_fingerprint", "dwd_cleanse", "embedding_stats", "lang_id",
@@ -780,13 +780,13 @@ DRIVER_WINDOW = [
     "similarity_topk", "small_quantity_revenue", "text_stats",
     "token_count_bpe", "top_parts_by_revenue", "user_login_wide",
     "user_sessions",
-    # stale refresh: oldest ROUND-5 rows, alphabetical head (14 of 49;
+    # stale refresh: oldest ROUND-5 rows, alphabetical head (13 of 49;
     # the rest rotate in r9)
     "bpe_pair_counts", "chunk_documents", "contamination_spans",
     "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
     "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
     "dedup_embedding_lsh_sql", "dedup_incremental",
-    "dedup_minhash_lsh_sql", "dedup_rate_by_source", "dedup_semantic_sql",
+    "dedup_minhash_lsh_sql", "dedup_rate_by_source",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -604,6 +604,51 @@ FROM est e JOIN ex x ON x.g = e.g AND x.q_pct = e.q_pct
 """
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM fluency score at ORACLE strength
+    (llm/text.bigram_logprob_micro): add-1-smoothed conditional
+    log-probability ln((C(w1,w2)+1)/(C(w1)+V)) per bigram TYPE,
+    quantized ONCE to integer micro-nats, per-doc score as the
+    partitioning-independent BIGINT sum over the doc's bigram stream —
+    the next rung above ``lm_quality_score_sql`` on the CCNet/KenLM
+    quality ladder (token-ORDER signal, not just vocabulary
+    typicality)."""
+    from icebergproject_spark.llm import text as llm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return llm_text.bigram_logprob_micro(docs)
+
+
+ORACLE_LM_BIGRAM_SCORE = """
+WITH t0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         UNNEST([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS g
+  FROM t0
+),
+bc AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY g),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(t) AS w1 FROM t0) GROUP BY w1
+),
+v AS (SELECT COUNT(*) AS v FROM uni),
+model AS (
+  SELECT bc.g,
+         CAST(ROUND((ln(CAST(bc.c2 + 1 AS DOUBLE))
+                     - ln(CAST(u.c1 + v.v AS DOUBLE))) * 1000000.0)
+              AS BIGINT) AS lpm
+  FROM bc JOIN uni u ON u.w1 = split_part(bc.g, ' ', 1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(m.lpm) AS BIGINT) AS sum_lp_micro
+FROM big JOIN model m USING (g)
+GROUP BY doc_id
+"""
+
+
 def _hexval_sql(col: str, start: int, n: int) -> str:
     """BIGINT value of ``n`` lowercase hex digits of ``col`` starting
     at 1-based ``start`` (DuckDB instr arithmetic, the
@@ -689,4 +734,5 @@ R8_REGISTRY: dict[str, Query] = {
         q_pagerank_personalized, ORACLE_PAGERANK_PERSONALIZED
     ),
     "hdr_quantiles": Query(q_hdr_quantiles, ORACLE_HDR_QUANTILES),
+    "lm_bigram_score": Query(q_lm_bigram_score, ORACLE_LM_BIGRAM_SCORE),
 }

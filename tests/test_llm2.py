@@ -803,3 +803,53 @@ def test_hash_features_histogram_properties(spark):
     again = {r.doc_id: list(r.features)
              for r in hash_features(docs.repartition(5), dim=16).collect()}
     assert again == out
+
+
+def test_bigram_logprob_micro_matches_reference(spark):
+    """Bigram micro-nat fluency score equals a pure-Python replay:
+    add-1 smoothed ln((C(w1,w2)+1)/(C(w1)+V)) per bigram type,
+    quantized once, summed over the doc's bigram OCCURRENCES (repeats
+    count); docs with fewer than 2 tokens emit no row."""
+    import math
+    from collections import Counter
+
+    from icebergproject_spark.llm.text import bigram_logprob_micro
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "the the the the",
+        4: "solo",
+        5: "repeated phrase repeated phrase repeated phrase",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    uni: Counter = Counter(t for s in texts.values() for t in s.split(" "))
+    v = len(uni)
+    big: Counter = Counter()
+    for s in texts.values():
+        toks = s.split(" ")
+        big.update(zip(toks, toks[1:]))
+    lpm = {
+        (w1, w2): round(
+            (math.log(float(c + 1)) - math.log(float(uni[w1] + v)))
+            * 1000000.0
+        )
+        for (w1, w2), c in big.items()
+    }
+    want = {}
+    for i, s in texts.items():
+        toks = s.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if pairs:
+            want[i] = (len(pairs), sum(lpm[p] for p in pairs))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_lp_micro"])
+        for r in bigram_logprob_micro(docs).collect()
+    }
+    assert got == want
+    assert 4 not in got  # single-token doc: no bigrams, no row
+    # fluency separation: the doc made of one repeated high-count bigram
+    # scores higher per bigram than the all-distinct-bigram doc
+    assert got[5][1] / got[5][0] > got[1][1] / got[1][0]
