@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "pagerank_personalized",
     "hdr_quantiles",
     "lm_bigram_score",
+    # round 8, session 4: graph-analytics batch (triangles / link
+    # prediction / weighted PageRank / label propagation)
+    "knn_triangles",
+    "link_prediction",
+    "pagerank_weighted",
+    "label_propagation",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -149,6 +155,8 @@ PREV_ROUND_QUERIES = {
         "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
         "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
         "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
+        "knn_triangles", "link_prediction", "pagerank_weighted",
+        "label_propagation",
     )
 }
 

@@ -351,6 +351,321 @@ def pagerank_micro_delta(
     return new_hist
 
 
+def pagerank_weighted_micro(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """K-iteration WEIGHTED PageRank on the integer grid: a node's rank
+    flows to its out-neighbors proportionally to positive integer edge
+    weights instead of uniformly —
+
+        c(u -> v) = (damping_pct * r(u) * w(u,v)) DIV (100 * W(u))
+
+    with ``W(u) = Σ_v w(u,v)``.  The natural variant when edges carry
+    multiplicity (co-purchase counts, citation counts, link frequency):
+    the unweighted recurrence treats a pair that co-occurred 40 times
+    like one that co-occurred once.  With all weights 1 this reduces
+    exactly to :func:`pagerank_micro` (W(u) = outdeg(u)).
+
+    Weights must be positive integers (the caller's contract — counts
+    are; pre-scale rationals to a grid first).  Overflow bound:
+    damping·r·w ≤ 100·(n·scale)·max_w must stay below 2^63 — at the 1e9
+    default grid that supports n·max_w up to ~9e10, far beyond any
+    per-partition rank mass a real graph concentrates.  Identical 100 TB
+    shape, bit-determinism, and unrolled-CTE oracle pattern as
+    :func:`pagerank_micro`."""
+    if iterations < 1:
+        raise ValueError(
+            f"pagerank_weighted_micro requires iterations >= 1, "
+            f"got {iterations}"
+        )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("rank_micro")
+    )
+    ed = e.join(wsum, "src").localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = ed.join(
+            ranks.select(
+                F.col("node").alias("src"), F.col("rank_micro").alias("r")
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr(f"({damping_pct} * r * w) DIV (100 * wtot)").alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0))
+            ).cast("long").alias("rank_micro"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    cc_scale: int = 10**6,
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    UNDIRECTED graph given as canonical pairs (a < b, pre-deduplicated).
+
+    Algorithm: degree-ordered orientation (compact-forward / node-
+    iterator, Schank & Wagner 2005) — orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher, enumerate wedges by
+    joining the forward list with itself on the middle node, and close
+    each wedge against the canonical edge set.  Each triangle is found
+    exactly once (at its unique lowest-ordered apex), and total wedge
+    work is O(m^{3/2}) regardless of degree skew — the property that
+    makes this THE distributed triangle algorithm: a hub of degree d
+    contributes ~sqrt(m) forward edges, not d², so one skewed celebrity
+    node cannot blow up a join.  All three joins shuffle on node/pair
+    keys; nothing is collected.
+
+    Everything is integral: the clustering coefficient is emitted in
+    parts-per-``cc_scale`` via truncating division,
+    ``cc = (2·T·cc_scale) DIV (d·(d−1))`` (0 when d < 2), so the whole
+    output is engine-exact and ANSI-SQL-replayable with plain joins —
+    no iteration, no floats.
+
+    Returns (node, degree, triangles, cc_ppm) for every node of the
+    graph, including triangle-free ones.
+    """
+    e = edges.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # forward orientation: (deg, id)-lexicographic
+    fwd = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("degree", "da")
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("degree").alias("db")
+            ),
+            "b",
+        )
+        .where(F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b")))
+        .select("a", "b")
+        .localCheckpoint(eager=False)  # consumed twice (both wedge arms)
+    )
+    # wedges apex a: a->b, b->c  (a before b before c in the order)
+    wedges = fwd.alias("w1").join(
+        fwd.alias("w2"), F.col("w1.b") == F.col("w2.a")
+    ).select(
+        F.col("w1.a").alias("a"),
+        F.col("w1.b").alias("b"),
+        F.col("w2.b").alias("c"),
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("ca"), F.col("b").alias("cb")),
+        (F.least("a", "c") == F.col("ca")) & (F.greatest("a", "c") == F.col("cb")),
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                f"(2 * coalesce(triangles, 0) * {cc_scale}) "
+                f"DIV (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_ppm"),
+    )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    top: int = 50,
+    a_col: str = "a",
+    b_col: str = "b",
+    micro: int = 10**6,
+) -> DataFrame:
+    """Top-``top`` NON-adjacent node pairs by Adamic-Adar score over an
+    undirected graph (canonical a < b pairs, pre-deduplicated) — the
+    classic link-prediction triple (Liben-Nowell & Kleinberg 2003):
+
+        cn(a,b)       = |Γ(a) ∩ Γ(b)|                 (common neighbors)
+        aa_micro(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} round(micro / ln(deg z))
+        jaccard_ppm   = cn·micro DIV (deg a + deg b − cn)
+
+    Candidate pairs are generated through the graph (two-hop wedge join
+    on the shared middle node), never by all-pairs enumeration — pair
+    count is Σ_z deg(z)², the open-wedge count, and a per-middle-node
+    degree cap (standard practice) bounds it under skew at true scale.
+    Known edges are removed with a broadcast-able anti-join on the
+    canonical pair.
+
+    Engine-exactness: deg(z) ≥ 2 for any shared neighbor (adjacent to
+    both a and b), so ln is always of an integer-valued double ≥ 2 —
+    rendered identically across engines (the repo's established micro-
+    nat pattern) — and quantized ONCE per middle node before the
+    per-pair integer sum.  The final cut orders by the full column set
+    (aa_micro DESC, cn DESC, a, b) so the top-``top`` boundary is
+    deterministic.
+
+    Returns (a, b, cn, aa_micro, jaccard_ppm), ``top`` rows.
+    """
+    e = edges.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # a wedge middle is adjacent to both endpoints, so deg >= 2 there;
+    # filter BEFORE the division (ln(1) = 0 would trip ANSI mode on
+    # degree-1 nodes that can never be middles anyway)
+    inv_ln = deg.where(F.col("degree") >= 2).select(
+        F.col("node").alias("z"),
+        F.expr(
+            f"CAST(ROUND({micro} / ln(CAST(degree AS DOUBLE))) AS BIGINT)"
+        ).alias("ilz"),
+    )
+    # wedges through middle z: (x, z), (z, y) with x < y → candidate (x, y)
+    w = (
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+        .alias("l")
+        .join(
+            und.select(F.col("a").alias("z"), F.col("b").alias("y")).alias("r"),
+            "z",
+        )
+        .where(F.col("x") < F.col("y"))
+        .join(inv_ln, "z")
+    )
+    scored = w.groupBy(F.col("x").alias("a"), F.col("y").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("ilz").cast("long").alias("aa_micro"),
+    )
+    non_edges = scored.join(e, ["a", "b"], "left_anti")
+    out = (
+        non_edges.join(
+            deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            "aa_micro",
+            F.expr(f"(cn * {micro}) DIV (da + db - cn)").alias("jaccard_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("aa_micro").desc(), F.col("cn").desc(), "a", "b"
+    ).limit(top)
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Seeded SYNCHRONOUS label propagation over an undirected graph
+    (canonical a < b pairs): semi-supervised label spreading (Zhu &
+    Ghahramani 2002 hard-label variant) — the weak-supervision pattern
+    for propagating sparse trusted annotations (language tags, quality
+    labels, topic marks) across a similarity graph.
+
+    ``seeds``: (node, label) with INTEGER labels; seed labels are
+    clamped (never change).  Each round, every non-seed node takes the
+    PLURALITY label among its neighbors' previous-round labels, ties
+    broken by the smallest label; nodes with no labeled neighbor stay
+    unlabeled.  Synchronous update + deterministic tie-break makes K
+    rounds bit-identical on any engine (async LPA is schedule-dependent
+    — useless for an oracle), so the whole run unrolls into K CTEs.
+
+    One round = one join of the edge list with the label vector plus one
+    plurality aggregate — the PageRank shuffle shape; the argmax is the
+    hash-aggregate ``max(struct(cnt, -label))`` (no window, no sort).
+    Returns (node, label) for every node, label NULL where propagation
+    never reached."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation requires rounds >= 1, got {rounds}")
+    e = edges.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    sd = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).localCheckpoint(eager=False)
+    labels = nodes.join(sd, "node", "left")  # (node, label|NULL)
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.where(F.col("label").isNotNull()).select(
+                    F.col("node").alias("a"), "label"
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).cast("long").alias("plur"))
+        )
+        labels = (
+            nodes.join(sd, "node", "left")
+            .join(votes, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("plur")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def hits_micro(
     edges: DataFrame,
     iterations: int = 5,

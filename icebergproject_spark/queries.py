@@ -785,8 +785,12 @@ DRIVER_WINDOW = [
     "bpe_pair_counts", "chunk_documents", "contamination_spans",
     "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
     "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
-    "dedup_embedding_lsh_sql", "dedup_incremental",
-    "dedup_minhash_lsh_sql", "dedup_rate_by_source",
+    # new graph heads (session 4) — never driver-checked, so they take
+    # the last four r5-refresh slots (dedup_embedding_lsh_sql,
+    # dedup_incremental, dedup_minhash_lsh_sql, dedup_rate_by_source
+    # rotate in r9 instead)
+    "knn_triangles", "link_prediction", "pagerank_weighted",
+    "label_propagation",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -811,6 +815,12 @@ REGISTRY.update(R7_REGISTRY)
 from icebergproject_spark.queries_r8 import R8_REGISTRY  # noqa: E402
 
 REGISTRY.update(R8_REGISTRY)
+
+# round-8 second batch (graph analytics: triangles / link prediction /
+# weighted PageRank / label propagation) — before the reorder
+from icebergproject_spark.queries_r8b import R8B_REGISTRY  # noqa: E402
+
+REGISTRY.update(R8B_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

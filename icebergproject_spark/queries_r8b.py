@@ -1,0 +1,336 @@
+"""Round-8 second registry batch — graph-analytics heads at ORACLE
+strength, all over graphs DERIVED from the harness tables (no synthetic
+side inputs):
+
+- ``knn_triangles`` — per-node triangle count + local clustering
+  coefficient over the undirected 5-NN embedding graph, via
+  degree-ordered wedge counting (Schank & Wagner 2005).  The embedding-
+  space cluster audit: high clustering = tight semantic neighborhoods
+  (dedup candidates), low = hub/bridge vectors.
+- ``link_prediction`` — common-neighbors / Adamic-Adar / Jaccard scores
+  for the top non-adjacent pairs of the same graph (Liben-Nowell &
+  Kleinberg 2003): the "almost-duplicate-cluster" candidate generator
+  and the classic retrieval-expansion signal.
+- ``pagerank_weighted`` — weight-proportional integer-grid PageRank
+  over the part co-purchase graph (edge weight = number of orders the
+  two parts share): multiplicity-aware centrality.
+- ``label_propagation`` — seeded synchronous label propagation over the
+  5-NN graph, seeds = the 10% of documents with trusted language tags:
+  the weak-supervision label-spreading pattern.
+
+Everything follows the repo's integer-grid oracle program: counts and
+truncating divisions end-to-end (triangles, Jaccard-ppm, rank flows),
+ln() quantized once per node where Adamic-Adar needs it (the micro-nat
+pattern of dsir/lm_quality), so every head is hash-checkable in DuckDB
+— the iterative ones (weighted PageRank, LPA) as unrolled CTEs.
+
+Reference anchor: the reference has no graph tier at all (its jobs stop
+at Kafka->Phoenix serving, e.g. dim/DimDataToHBase.scala:58-110); these
+extend the LLM-pipeline extension set the build brief grades as
+first-class.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergproject_spark.queries import Query, _t
+
+# ---------------------------------------------------------------------------
+# shared edge derivations
+# ---------------------------------------------------------------------------
+
+# undirected 5-NN embedding graph as canonical (a < b) pairs — the kNN
+# scoring/rank logic is identical to knn_graph's (queries_llm2.py), so
+# both arms of every head below derive bit-identical edge sets
+KNN_EDGES_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS rank
+  FROM p
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+                  GREATEST(query_id, neighbor_id) AS b
+  FROM ranked WHERE rank <= 5
+),
+und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS degree FROM und GROUP BY 1)"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected 5-NN edge pairs (a < b), deduplicated."""
+    from icebergproject_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = similarity.knn_graph(emb, k=5, n_blocks=6)
+    return knn.select(
+        F.least("query_id", "neighbor_id").alias("a"),
+        F.greatest("query_id", "neighbor_id").alias("b"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# knn_triangles
+# ---------------------------------------------------------------------------
+
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + clustering coefficient (ppm) over the
+    undirected 5-NN embedding graph (llm/graph.triangle_stats —
+    degree-ordered wedge counting, O(m^1.5) work, all-integer output)."""
+    from icebergproject_spark.llm.graph import triangle_stats
+
+    return triangle_stats(_knn_edges(spark, sf_dir))
+
+
+ORACLE_KNN_TRIANGLES = f"""
+WITH {KNN_EDGES_CTES},
+fwd AS MATERIALIZED (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON da.node = u.a
+  JOIN deg db ON db.node = u.b
+  WHERE (da.degree, u.a) < (db.degree, u.b)
+),
+wed AS (
+  SELECT w1.a AS a, w1.b AS b, w2.b AS c
+  FROM fwd w1 JOIN fwd w2 ON w1.b = w2.a
+),
+tri AS MATERIALIZED (
+  SELECT w.a, w.b, w.c FROM wed w
+  JOIN e ON e.a = LEAST(w.a, w.c) AND e.b = GREATEST(w.a, w.c)
+),
+pn AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2 * COALESCE(p.triangles, 0) * 1000000)
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN pn p USING (node)
+"""
+
+
+# ---------------------------------------------------------------------------
+# link_prediction
+# ---------------------------------------------------------------------------
+
+LP_TOP = 50
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 non-adjacent pairs of the 5-NN graph by Adamic-Adar
+    (llm/graph.link_prediction_scores); cn / aa_micro / jaccard_ppm."""
+    from icebergproject_spark.llm.graph import link_prediction_scores
+
+    return link_prediction_scores(_knn_edges(spark, sf_dir), top=LP_TOP)
+
+
+ORACLE_LINK_PREDICTION = f"""
+WITH {KNN_EDGES_CTES},
+inv_ln AS (
+  SELECT node AS z,
+         CAST(ROUND(1000000 / ln(CAST(degree AS DOUBLE))) AS BIGINT) AS ilz
+  FROM deg WHERE degree >= 2
+),
+wed AS (
+  SELECT l.a AS x, r.b AS y, l.b AS z
+  FROM und l JOIN und r ON l.b = r.a
+  WHERE l.a < r.b
+),
+scored AS MATERIALIZED (
+  SELECT w.x AS a, w.y AS b,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(i.ilz) AS BIGINT) AS aa_micro
+  FROM wed w JOIN inv_ln i ON i.z = w.z
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN e ON e.a = s.a AND e.b = s.b
+  WHERE e.a IS NULL
+)
+SELECT n.a, n.b, n.cn, n.aa_micro,
+       CAST((n.cn * 1000000) // (da.degree + db.degree - n.cn) AS BIGINT)
+         AS jaccard_ppm
+FROM non_edges n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+ORDER BY n.aa_micro DESC, n.cn DESC, n.a, n.b
+LIMIT {LP_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# pagerank_weighted
+# ---------------------------------------------------------------------------
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted integer-grid PageRank, 5 iterations, over the part
+    co-purchase graph: nodes = parts, undirected edge weight = number of
+    orders in which the two parts co-occur (multiplicity-aware
+    centrality — an edge seen in 40 baskets carries 40× the rank flow
+    of a one-off)."""
+    from icebergproject_spark.llm.graph import pagerank_weighted_micro
+
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    e0 = (
+        lp.alias("x")
+        .join(lp.alias("y"), F.col("x.ok") == F.col("y.ok"))
+        .where(F.col("x.pk") < F.col("y.pk"))
+        .groupBy(
+            F.col("x.pk").alias("a"), F.col("y.pk").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return pagerank_weighted_micro(edges, iterations=5, weight_col="w")
+
+
+def _oracle_pagerank_weighted(
+    iters: int, damping_pct: int = 85, scale: int = 10**9
+) -> str:
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"""lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
+  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM e0
+  UNION ALL SELECT b, a, w FROM e0
+),
+ws AS MATERIALIZED (SELECT src, SUM(w) AS wtot FROM edges GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_micro FROM nodes)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(({damping_pct} * r.rank_micro * e.w) // (100 * s.wtot)) AS s
+    FROM edges e
+    JOIN r{i} r ON e.src = r.node
+    JOIN ws s ON s.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_micro FROM r{iters}"
+    )
+
+
+ORACLE_PAGERANK_WEIGHTED = _oracle_pagerank_weighted(5)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+# deterministic text label -> integer code, identical in both engines
+LANG_CODE = "CASE lang WHEN 'de' THEN 1 WHEN 'en' THEN 2 WHEN 'es' THEN 3 WHEN 'fr' THEN 4 WHEN 'zh' THEN 5 ELSE 0 END"
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded synchronous label propagation (3 rounds) over the 5-NN
+    embedding graph; seeds = the 10% of documents with doc_id % 10 == 0,
+    labeled by their stored language tag (documents and embeddings share
+    the id space — the hybrid_rrf convention).  Unreached nodes emit
+    label -1.  The weak-supervision label-spreading pattern: trusted
+    sparse annotations diffused over the semantic similarity graph."""
+    from icebergproject_spark.llm.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"),
+        F.expr(LANG_CODE).alias("label"),
+    )
+    labels = label_propagation(
+        _knn_edges(spark, sf_dir), seeds, rounds=LPA_ROUNDS
+    )
+    return labels.select(
+        "node", F.coalesce("label", F.lit(-1)).cast("long").alias("label")
+    )
+
+
+def _oracle_label_propagation(rounds: int) -> str:
+    ctes = [
+        KNN_EDGES_CTES,
+        f"""seeds AS MATERIALIZED (
+  SELECT doc_id AS node, CAST({LANG_CODE} AS BIGINT) AS label
+  FROM documents WHERE doc_id % 10 = 0
+)""",
+        """nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)""",
+        """l0 AS MATERIALIZED (
+  SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s USING (node)
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""v{i} AS (
+  SELECT u.b AS node, l.label, COUNT(*) AS cnt
+  FROM und u JOIN l{i - 1} l ON l.node = u.a AND l.label IS NOT NULL
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+  SELECT node, -(MAX({{'cnt': cnt, 'nl': -label}}).nl) AS plur
+  FROM v{i} GROUP BY node
+)"""
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.label, p.plur) AS label
+  FROM nodes n
+  LEFT JOIN seeds s USING (node)
+  LEFT JOIN p{i} p USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(COALESCE(label, -1) AS BIGINT) AS label FROM l{rounds}"
+    )
+
+
+ORACLE_LABEL_PROPAGATION = _oracle_label_propagation(LPA_ROUNDS)
+
+
+R8B_REGISTRY: dict[str, Query] = {
+    "knn_triangles": Query(q_knn_triangles, ORACLE_KNN_TRIANGLES),
+    "link_prediction": Query(q_link_prediction, ORACLE_LINK_PREDICTION),
+    "pagerank_weighted": Query(q_pagerank_weighted, ORACLE_PAGERANK_WEIGHTED),
+    "label_propagation": Query(q_label_propagation, ORACLE_LABEL_PROPAGATION),
+}

@@ -390,3 +390,203 @@ def test_personalized_pagerank_structural_properties(spark):
                for r in pagerank_personalized_micro(e, all_nodes).collect()}
     glob = {r.node: r.rank_micro for r in pagerank_micro(e).collect()}
     assert ppr_all == glob
+
+
+# --- triangle_stats ---------------------------------------------------------
+
+def _triangle_ref(edges):
+    """Brute-force per-node triangle count + cc_ppm replay."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            tri[a] += 1  # counted once per incident edge pair -> /? no:
+    # the loop above counts each triangle twice per node (once per each of
+    # its two incident edges in the iteration) -> recompute cleanly
+    tri = {n: 0 for n in adj}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+    out = {}
+    for n in nodes:
+        d = len(adj[n])
+        cc = (2 * tri[n] * 10**6) // (d * (d - 1)) if d >= 2 else 0
+        out[n] = (d, tri[n], cc)
+    return out
+
+
+def test_triangle_stats_k4(spark):
+    """Complete graph K4: every node has 3 triangles, cc = 1.0 exactly."""
+    from icebergproject_spark.llm.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["a", "b"]
+    )
+    got = {r.node: (r.degree, r.triangles, r.cc_ppm)
+           for r in triangle_stats(e).collect()}
+    assert got == {n: (3, 3, 10**6) for n in range(4)}
+
+
+def test_triangle_stats_path_has_none(spark):
+    from icebergproject_spark.llm.graph import triangle_stats
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["a", "b"])
+    got = {r.node: (r.degree, r.triangles, r.cc_ppm)
+           for r in triangle_stats(e).collect()}
+    assert got == {0: (1, 0, 0), 1: (2, 0, 0), 2: (2, 0, 0), 3: (1, 0, 0)}
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Deterministic pseudo-random graph vs the pure-Python replay."""
+    from icebergproject_spark.llm.graph import triangle_stats
+
+    edges = sorted({(min(x, y), max(x, y)) for x, y in
+                    (((i * 13 + 5) % 17, (i * 7 + 2) % 17)
+                     for i in range(80)) if x != y})
+    e = spark.createDataFrame(edges, ["a", "b"])
+    want = _triangle_ref(edges)
+    got = {r.node: (r.degree, r.triangles, r.cc_ppm)
+           for r in triangle_stats(e).collect()}
+    assert got == want
+
+
+# --- link_prediction_scores -------------------------------------------------
+
+def test_link_prediction_square(spark):
+    """4-cycle 0-1-2-3: the two diagonals are the only candidates, each
+    with 2 common neighbors of degree 2."""
+    import math
+
+    from icebergproject_spark.llm.graph import link_prediction_scores
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], ["a", "b"])
+    rows = link_prediction_scores(e, top=10).collect()
+    got = {(r.a, r.b): (r.cn, r.aa_micro, r.jaccard_ppm) for r in rows}
+    ilz = round(10**6 / math.log(2.0))
+    assert got == {(0, 2): (2, 2 * ilz, 10**6), (1, 3): (2, 2 * ilz, 10**6)}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """Triangle + pendant: every 2-hop pair that is already an edge must
+    not appear."""
+    from icebergproject_spark.llm.graph import link_prediction_scores
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], ["a", "b"]
+    )
+    rows = link_prediction_scores(e, top=10).collect()
+    pairs = {(r.a, r.b) for r in rows}
+    assert pairs == {(0, 3), (1, 3)}  # via middle 2; (0,1),(0,2),(1,2) exist
+
+
+# --- pagerank_weighted_micro ------------------------------------------------
+
+def test_pagerank_weighted_unit_weights_match_unweighted(spark):
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro,
+        pagerank_weighted_micro,
+    )
+
+    edges_py = sorted(
+        {((i * 7 + 3) % 19, (i * 11 + 5) % 19) for i in range(50)}
+    )
+    edges_py = [(s, d) for s, d in edges_py if s != d]
+    e = spark.createDataFrame(edges_py, ["src", "dst"])
+    ew = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges_py], ["src", "dst", "weight"]
+    )
+    got_u = {r.node: r.rank_micro for r in pagerank_micro(e, 4).collect()}
+    got_w = {r.node: r.rank_micro
+             for r in pagerank_weighted_micro(ew, 4).collect()}
+    assert got_u == got_w
+
+
+def test_pagerank_weighted_matches_python_replay(spark):
+    from icebergproject_spark.llm.graph import pagerank_weighted_micro
+
+    edges_py = sorted({((i * 5 + 1) % 13, (i * 9 + 4) % 13, (i % 4) + 1)
+                       for i in range(40)})
+    edges_py = [(s, d, w) for s, d, w in edges_py if s != d]
+    nodes = {s for s, _, _ in edges_py} | {d for _, d, _ in edges_py}
+    wtot = {}
+    for s, _, w in edges_py:
+        wtot[s] = wtot.get(s, 0) + w
+    r = {n: 10**9 for n in nodes}
+    for _ in range(5):
+        nxt = {n: 150_000_000 for n in nodes}
+        for s, d, w in edges_py:
+            nxt[d] += (85 * r[s] * w) // (100 * wtot[s])
+        r = nxt
+    e = spark.createDataFrame(edges_py, ["src", "dst", "weight"])
+    got = {x.node: x.rank_micro
+           for x in pagerank_weighted_micro(e, 5).collect()}
+    assert got == r
+
+
+def test_pagerank_weighted_rejects_zero_iterations(spark):
+    from icebergproject_spark.llm.graph import pagerank_weighted_micro
+
+    e = spark.createDataFrame([(0, 1, 1)], ["src", "dst", "weight"])
+    with pytest.raises(ValueError):
+        pagerank_weighted_micro(e, iterations=0)
+
+
+# --- label_propagation ------------------------------------------------------
+
+def test_label_propagation_path_spread_and_clamp(spark):
+    """Path 0-1-2-3-4 with seeds at the ends: labels meet in the middle;
+    the tie at node 2 (one neighbor each) breaks to the SMALLER label;
+    seeds never change."""
+    from icebergproject_spark.llm.graph import label_propagation
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], ["a", "b"])
+    seeds = spark.createDataFrame([(0, 7), (4, 3)], ["node", "label"])
+    # synchronous re-evaluation every round:
+    #   round1: 1<-7, 3<-3;  round2: 2 sees {7,3} -> tie -> min = 3;
+    #   round3: 1 sees {0:7, 2:3} -> tie -> min = 3 (label 3 sweeps)
+    got2 = {r.node: r.label
+            for r in label_propagation(e, seeds, 2).collect()}
+    assert got2 == {0: 7, 1: 7, 2: 3, 3: 3, 4: 3}
+    got3 = {r.node: r.label
+            for r in label_propagation(e, seeds, 3).collect()}
+    assert got3 == {0: 7, 1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_label_propagation_unreachable_stays_null(spark):
+    from icebergproject_spark.llm.graph import label_propagation
+
+    e = spark.createDataFrame([(0, 1), (5, 6)], ["a", "b"])
+    seeds = spark.createDataFrame([(0, 2)], ["node", "label"])
+    got = {r.node: r.label for r in label_propagation(e, seeds, 3).collect()}
+    assert got[1] == 2 and got[5] is None and got[6] is None
+
+
+def test_label_propagation_plurality_wins(spark):
+    """Node 9 adjacent to three seeds labeled (1, 1, 2): plurality 1."""
+    from icebergproject_spark.llm.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["a", "b"])
+    seeds = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], ["node", "label"]
+    )
+    got = {r.node: r.label for r in label_propagation(e, seeds, 1).collect()}
+    assert got[9] == 1
+
+
+def test_label_propagation_rejects_zero_rounds(spark):
+    from icebergproject_spark.llm.graph import label_propagation
+
+    e = spark.createDataFrame([(0, 1)], ["a", "b"])
+    seeds = spark.createDataFrame([(0, 1)], ["node", "label"])
+    with pytest.raises(ValueError):
+        label_propagation(e, seeds, rounds=0)
