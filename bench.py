@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "link_prediction",
     "pagerank_weighted",
     "label_propagation",
+    "fuzzy_join_parts",
+    "events_autocorr",
+    "gapfill_interpolate",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -156,7 +159,8 @@ PREV_ROUND_QUERIES = {
         "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
         "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
         "knn_triangles", "link_prediction", "pagerank_weighted",
-        "label_propagation",
+        "label_propagation", "fuzzy_join_parts", "events_autocorr",
+        "gapfill_interpolate",
     )
 }
 

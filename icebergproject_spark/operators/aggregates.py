@@ -333,3 +333,91 @@ def hdr_quantiles_audit(
         .cast("int")
         .alias("in_bucket"),
     )
+
+
+def lag_autocorr(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    lags: tuple[int, ...] = (1, 2, 3),
+    quant: int = 100,
+) -> DataFrame:
+    """Exact lag-k autocorrelation per group — the time-series
+    seasonality/persistence diagnostic (the first panel of any ACF
+    plot), computed distributedly with NO per-group global window sort.
+
+    The series is quantized ONCE (``xq = ROUND(value·quant)`` as
+    BIGINT): Pearson over the integer series needs only the six exact
+    partial sums (n, Σx, Σy, Σxy, Σx², Σy²), which are order-independent
+    BIGINTs — so the result is engine-exact (the quantity_price_corr
+    pattern extended to self-joined lagged pairs).  The final
+    correlation is a single double expression over the exact sums,
+    rounded to 1e-6.
+
+    Ordering uses :func:`llm.sharding.exact_global_rank` over
+    ``group_cols + order_exprs`` — group-major, so ranks within a group
+    are consecutive and lag-k pairs are a plain equi-join on
+    ``(group, rank + k)``; at 100 TB no stage ever sorts more than one
+    range partition (a low-cardinality group column would otherwise
+    funnel the whole table through a handful of window partitions).
+
+    Overflow bound: Σx² ≤ n·(max·quant)² must stay below 2^63 — at
+    quant=100 that is ~9e8 rows per group at value≈500; beyond that,
+    center on an integer pre-mean or drop ``quant``.
+
+    Returns one row per (group, lag): (``*group_cols``, lag, n_pairs,
+    autocorr) with autocorr NULL when a side has zero variance.
+    """
+    from icebergproject_spark.llm.sharding import exact_global_rank
+
+    q = df.withColumn(
+        "__xq", F.expr(f"CAST(ROUND({value_col} * {quant}) AS BIGINT)")
+    )
+    ranked, _ = exact_global_rank(
+        q, [F.col(c) for c in group_cols] + order_exprs
+    )
+    ranked = ranked.select(*group_cols, "__rn", "__xq").localCheckpoint(
+        eager=False  # consumed once per lag on both join sides
+    )
+    left = ranked.select(
+        *group_cols, F.col("__rn"), F.col("__xq").alias("x")
+    )
+    per_lag = []
+    for k in lags:
+        right = ranked.select(
+            *group_cols,
+            (F.col("__rn") - k).alias("__rn"),
+            F.col("__xq").alias("y"),
+        )
+        pairs = left.join(right, [*group_cols, "__rn"])
+        per_lag.append(
+            pairs.groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+            )
+            .withColumn("lag", F.lit(k).cast("integer"))
+        )
+    u = per_lag[0]
+    for p in per_lag[1:]:
+        u = u.unionByName(p)
+    # identical expression text on the oracle side — double arithmetic
+    # over exact BIGINTs renders the same in both engines
+    return u.select(
+        *group_cols,
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / NULLIF(SQRT(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * SQRT(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+            "   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)"
+        ).alias("autocorr"),
+    )

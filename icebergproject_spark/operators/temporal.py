@@ -157,3 +157,74 @@ def range_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("__bucket")
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation over a dense per-group daily spine — the
+    densify-and-fill step for irregular time series (sensor feeds,
+    sparse activity metrics) before any windowed statistic.
+
+    ``df`` holds OBSERVED (group, day, value) rows (day = DATE, one row
+    per group-day).  The spine spans each group's [min(day), max(day)]
+    via ``sequence()`` (no driver-side calendar); missing days get
+
+        v = (v_prev·(d_next − d) + v_next·(d − d_prev)) / (d_next − d_prev)
+
+    between the nearest observed neighbors — found with
+    ``last/first(..., ignorenulls)`` over per-group ordered windows (two
+    window passes over one shuffle; per-group series are short relative
+    to partition counts at any scale, the user_daily_gapfill argument).
+    Spine endpoints are observed by construction, so interior gaps
+    always have both neighbors.  Day differences are exact integers;
+    the single LERP division is one double expression rounded to 1e-6 —
+    engine-exact on identical inputs.
+
+    Returns (group, day, value, interpolated) — ``value`` rounded to
+    1e-6, ``interpolated`` true on filled rows.
+    """
+    span = df.groupBy(group_col).agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    spine = span.select(
+        group_col, F.explode(F.sequence("__d0", "__d1")).alias(day_col)
+    )
+    obs = spine.join(df, [group_col, day_col], "left")
+    w_prev = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    vc, dc = F.col(value_col), F.col(day_col)
+    enriched = obs.select(
+        group_col,
+        day_col,
+        value_col,
+        F.last(vc, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(F.when(vc.isNotNull(), dc), ignorenulls=True)
+        .over(w_prev)
+        .alias("__pd"),
+        F.first(vc, ignorenulls=True).over(w_next).alias("__nv"),
+        F.first(F.when(vc.isNotNull(), dc), ignorenulls=True)
+        .over(w_next)
+        .alias("__nd"),
+    )
+    lerp = (
+        F.col("__pv") * F.datediff(F.col("__nd"), dc)
+        + F.col("__nv") * F.datediff(dc, F.col("__pd"))
+    ) / F.datediff(F.col("__nd"), F.col("__pd"))
+    return enriched.select(
+        group_col,
+        day_col,
+        F.round(F.coalesce(vc, lerp), 6).alias(value_col),
+        vc.isNull().alias("interpolated"),
+    )

@@ -18,6 +18,18 @@ side inputs):
   5-NN graph, seeds = the 10% of documents with trusted language tags:
   the weak-supervision label-spreading pattern.
 
+Plus three non-graph heads in the same batch:
+
+- ``fuzzy_join_parts`` — blocked entity resolution (token blocking +
+  Levenshtein verify + argmax resolve) of a deterministically-dirtied
+  part-name feed against the clean name catalog.
+- ``events_autocorr`` — exact lag-1/2/3 autocorrelation per event type
+  on the centi-quantized value series, ranked distributedly
+  (exact_global_rank), Pearson from exact BIGINT partial sums.
+- ``gapfill_interpolate`` — the dense daily spine with missing days
+  LINEARLY INTERPOLATED between nearest observed neighbors
+  (ignore-nulls window scans; exact integer day arithmetic).
+
 Everything follows the repo's integer-grid oracle program: counts and
 truncating divisions end-to-end (triangles, Jaccard-ppm, rank flows),
 ln() quantized once per node where Adamic-Adar needs it (the micro-nat
@@ -328,9 +340,225 @@ def _oracle_label_propagation(rounds: int) -> str:
 ORACLE_LABEL_PROPAGATION = _oracle_label_propagation(LPA_ROUNDS)
 
 
+# ---------------------------------------------------------------------------
+# fuzzy_join_parts — blocked entity resolution
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution under edit distance (operators/fuzzy
+    .blocked_fuzzy_match): a DIRTY feed — every part row with one
+    character deterministically deleted from its name (position keyed on
+    p_partkey; shifted off spaces so no tokens fuse) — matched back to
+    the CLEAN name catalog (distinct p_name, id = min partkey) via token
+    blocking + Levenshtein <= 2 + best-match resolve.  The classic
+    record-linkage shape: block, verify, resolve — never all-pairs."""
+    from icebergproject_spark.operators.fuzzy import blocked_fuzzy_match
+
+    parts = _t(spark, sf_dir, "part")
+    clean = parts.groupBy(F.col("p_name").alias("clean_name")).agg(
+        F.min("p_partkey").alias("clean_id")
+    )
+    dirty = (
+        parts.select(F.col("p_partkey").alias("dirty_id"), "p_name")
+        .withColumn(
+            "__p0",
+            (F.col("dirty_id") % F.length("p_name") + 1).cast("int"),
+        )
+        .withColumn(
+            "__pos",
+            F.when(
+                F.expr("substring(p_name, __p0, 1)") == " ",
+                F.col("__p0") + 1,
+            ).otherwise(F.col("__p0")),
+        )
+        .select(
+            "dirty_id",
+            F.expr(
+                "concat(substring(p_name, 1, __pos - 1),"
+                " substring(p_name, __pos + 1))"
+            ).alias("dirty_name"),
+        )
+    )
+    return blocked_fuzzy_match(dirty, clean, max_dist=2)
+
+
+ORACLE_FUZZY_JOIN_PARTS = """
+WITH base AS (
+  SELECT p_partkey AS dirty_id, p_name,
+         CAST(p_partkey % length(p_name) + 1 AS INT) AS p0
+  FROM part
+),
+dirty AS (
+  SELECT dirty_id,
+         concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1))
+           AS dirty_name
+  FROM (
+    SELECT dirty_id, p_name,
+           CASE WHEN substring(p_name, p0, 1) = ' ' THEN p0 + 1 ELSE p0 END
+             AS pos
+    FROM base
+  )
+),
+clean AS (
+  SELECT p_name AS clean_name, MIN(p_partkey) AS clean_id
+  FROM part GROUP BY 1
+),
+dt AS (
+  SELECT dirty_id, dirty_name,
+         UNNEST(string_split(dirty_name, ' ')) AS tok
+  FROM dirty
+),
+ct AS (
+  SELECT clean_id, clean_name,
+         UNNEST(string_split(clean_name, ' ')) AS tok
+  FROM clean
+),
+cand AS (
+  SELECT DISTINCT d.dirty_id, d.dirty_name, c.clean_id, c.clean_name
+  FROM dt d JOIN ct c USING (tok)
+),
+ver AS (
+  SELECT dirty_id, dirty_name, clean_id, clean_name,
+         levenshtein(dirty_name, clean_name) AS dist
+  FROM cand
+  WHERE levenshtein(dirty_name, clean_name) <= 2
+),
+best AS (
+  SELECT dirty_id, dirty_name,
+         MAX({'nd': -dist, 'nc': -clean_id, 'cn': clean_name}) AS m
+  FROM ver GROUP BY 1, 2
+)
+SELECT dirty_id, dirty_name,
+       CAST(-(m.nc) AS BIGINT) AS clean_id,
+       m.cn AS clean_name,
+       CAST(-(m.nd) AS INT) AS dist
+FROM best
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_autocorr — exact lag-k autocorrelation
+# ---------------------------------------------------------------------------
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the (centi-quantized) value series
+    per event type, ordered by (ts, event_id) — exact integer partial
+    sums, no per-group global window (operators/aggregates
+    .lag_autocorr via exact_global_rank)."""
+    from icebergproject_spark.operators.aggregates import lag_autocorr
+
+    ev = _t(spark, sf_dir, "events")
+    return lag_autocorr(
+        ev, "value", ["event_type"], [F.col("ts"), F.col("event_id")],
+        lags=(1, 2, 3), quant=100,
+    )
+
+
+ORACLE_EVENTS_AUTOCORR = """
+WITH q AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS xq,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+),
+pairs AS (
+  SELECT l.event_type, k.lag, l.xq AS x, r.xq AS y
+  FROM q l
+  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS lag) k
+  JOIN q r ON r.event_type = l.event_type AND r.rn = l.rn + k.lag
+),
+s AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+       ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(SQRT(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * SQRT(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)
+         AS autocorr
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# gapfill_interpolate — LERP over the dense daily spine
+# ---------------------------------------------------------------------------
+
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_daily_gapfill's missing days filled by LINEAR INTERPOLATION
+    between the nearest observed neighbors (operators/temporal
+    .interpolate_gaps); the observed per-day series is MAX(value)
+    (order-independent, engine-exact)."""
+    from icebergproject_spark.operators.temporal import interpolate_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max("value").alias("v")
+    )
+    out = interpolate_gaps(daily, "user_id", "d", "v")
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "v",
+        "interpolated",
+    )
+
+
+ORACLE_GAPFILL_INTERPOLATE = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM per_day GROUP BY 1
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+  FROM span
+),
+obs AS (
+  SELECT s.user_id, s.d, p.v
+  FROM spine s LEFT JOIN per_day p ON s.user_id = p.user_id AND s.d = p.d
+),
+enr AS (
+  SELECT user_id, d, v,
+         LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER w_prev AS pd,
+         FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER w_next AS nd
+  FROM obs
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       ROUND(COALESCE(v, (pv * (nd - d) + nv * (d - pd)) / (nd - pd)), 6)
+         AS v,
+       (v IS NULL) AS interpolated
+FROM enr
+"""
+
+
 R8B_REGISTRY: dict[str, Query] = {
     "knn_triangles": Query(q_knn_triangles, ORACLE_KNN_TRIANGLES),
     "link_prediction": Query(q_link_prediction, ORACLE_LINK_PREDICTION),
     "pagerank_weighted": Query(q_pagerank_weighted, ORACLE_PAGERANK_WEIGHTED),
     "label_propagation": Query(q_label_propagation, ORACLE_LABEL_PROPAGATION),
+    "fuzzy_join_parts": Query(q_fuzzy_join_parts, ORACLE_FUZZY_JOIN_PARTS),
+    "events_autocorr": Query(q_events_autocorr, ORACLE_EVENTS_AUTOCORR),
+    "gapfill_interpolate": Query(
+        q_gapfill_interpolate, ORACLE_GAPFILL_INTERPOLATE
+    ),
 }

@@ -312,3 +312,118 @@ def test_hdr_quantiles_error_envelope_and_adversarial(spark):
     # all-equal: every quantile estimate within one sub-bucket of 4242
     for q in (1, 50, 99):
         assert abs(got[("all_equal", q)].est - 4242) <= (4096 // 64 + 1)
+
+
+# --- blocked_fuzzy_match ----------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_match_best_and_tiebreak(spark):
+    from icebergproject_spark.operators.fuzzy import blocked_fuzzy_match
+
+    dirty = spark.createDataFrame(
+        [(1, "smal ring"), (2, "red widgt")], ["dirty_id", "dirty_name"]
+    )
+    clean = spark.createDataFrame(
+        [(10, "small ring"), (11, "smalt ring"), (20, "red widget")],
+        ["clean_id", "clean_name"],
+    )
+    # dirty 1 is at distance 1 from BOTH "small ring" (insert l) and
+    # "smalt ring" (insert t): tie -> min clean_id = 10
+    assert _lev("smal ring", "small ring") == 1
+    assert _lev("smal ring", "smalt ring") == 1
+    got = {r.dirty_id: (r.clean_id, r.clean_name, r.dist)
+           for r in blocked_fuzzy_match(dirty, clean).collect()}
+    assert got == {1: (10, "small ring", 1), 2: (20, "red widget", 1)}
+
+
+def test_fuzzy_match_blocking_is_the_recall_contract(spark):
+    """A pair sharing NO token is never considered, even within the
+    distance tolerance — the documented blocking trade-off."""
+    from icebergproject_spark.operators.fuzzy import blocked_fuzzy_match
+
+    dirty = spark.createDataFrame([(1, "abc xyz")], ["dirty_id", "dirty_name"])
+    clean = spark.createDataFrame(
+        [(9, "abd xyw")], ["clean_id", "clean_name"]
+    )
+    assert _lev("abc xyz", "abd xyw") == 2
+    assert blocked_fuzzy_match(dirty, clean).count() == 0
+
+
+def test_fuzzy_match_distance_threshold(spark):
+    from icebergproject_spark.operators.fuzzy import blocked_fuzzy_match
+
+    dirty = spark.createDataFrame([(1, "alpha beta")], ["dirty_id", "dirty_name"])
+    clean = spark.createDataFrame(
+        [(5, "alpha gamma")], ["clean_id", "clean_name"]
+    )
+    # shares token "alpha" -> blocked in; distance 5 > 2 -> verified out
+    assert blocked_fuzzy_match(dirty, clean, max_dist=2).count() == 0
+    assert blocked_fuzzy_match(dirty, clean, max_dist=5).count() == 1
+
+
+# --- lag_autocorr -----------------------------------------------------------
+
+def test_lag_autocorr_ramp_and_alternating(spark):
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import lag_autocorr
+
+    rows = []
+    for i in range(40):
+        rows.append(("ramp", i, float(i)))          # linear: r = 1 at any lag
+        rows.append(("alt", i, float(1 if i % 2 == 0 else -1)))
+        rows.append(("const", i, 7.0))              # zero variance -> NULL
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = lag_autocorr(df, "v", ["g"], [F.col("t")], lags=(1, 2))
+    got = {(r.g, r.lag): (r.n_pairs, r.autocorr) for r in out.collect()}
+    assert got[("ramp", 1)] == (39, 1.0)
+    assert got[("ramp", 2)] == (38, 1.0)
+    assert got[("alt", 1)] == (39, -1.0)
+    assert got[("alt", 2)] == (38, 1.0)
+    assert got[("const", 1)][1] is None
+    assert got[("const", 2)][1] is None
+
+
+def test_lag_autocorr_matches_numpy(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import lag_autocorr
+
+    vals = [round(((i * 37 + 11) % 101) / 7.0, 2) for i in range(200)]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], "g string, t long, v double"
+    )
+    out = lag_autocorr(df, "v", ["g"], [F.col("t")], lags=(1, 3))
+    got = {r.lag: r.autocorr for r in out.collect()}
+    xq = np.array([round(v * 100) for v in vals], dtype=np.int64)
+    for k in (1, 3):
+        want = np.corrcoef(xq[:-k], xq[k:])[0, 1]
+        assert abs(got[k] - round(want, 6)) <= 1e-6
+
+
+def test_lag_autocorr_survives_repartitioning(spark):
+    """Same result under a hostile input partitioning (the rank path
+    must not depend on physical layout)."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import lag_autocorr
+
+    rows = [("a", i, float((i * 13 + 5) % 17)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    base = {(r.g, r.lag): r.autocorr
+            for r in lag_autocorr(df, "v", ["g"], [F.col("t")]).collect()}
+    shuffled = df.repartition(7, "v")
+    got = {(r.g, r.lag): r.autocorr
+           for r in lag_autocorr(shuffled, "v", ["g"], [F.col("t")]).collect()}
+    assert got == base

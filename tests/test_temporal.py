@@ -122,3 +122,57 @@ def test_range_join_semantics(spark):
         points, intervals, "ts", "start_ts", "end_ts", bucket="30 days"
     ).collect()}
     assert out30 == out
+
+
+# --- interpolate_gaps -------------------------------------------------------
+
+def test_interpolate_gaps_lerp(spark):
+    import datetime
+
+    from icebergproject_spark.operators.temporal import interpolate_gaps
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 10.0), (1, d(2024, 1, 4), 40.0),
+         (2, d(2024, 2, 1), 5.0)],
+        "u long, d date, v double",
+    )
+    out = interpolate_gaps(df, "u", "d", "v").collect()
+    got = {(r.u, str(r.d)): (r.v, r.interpolated) for r in out}
+    assert got == {
+        (1, "2024-01-01"): (10.0, False),
+        (1, "2024-01-02"): (20.0, True),
+        (1, "2024-01-03"): (30.0, True),
+        (1, "2024-01-04"): (40.0, False),
+        (2, "2024-02-01"): (5.0, False),
+    }
+
+
+def test_interpolate_gaps_uneven_spacing(spark):
+    """LERP weights by actual day distance, not gap index."""
+    import datetime
+
+    from icebergproject_spark.operators.temporal import interpolate_gaps
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 0.0), (1, d(2024, 1, 11), 5.0)],
+        "u long, d date, v double",
+    )
+    out = {str(r.d): r.v
+           for r in interpolate_gaps(df, "u", "d", "v").collect()}
+    assert out["2024-01-03"] == 1.0   # 2/10 of the way
+    assert out["2024-01-08"] == 3.5   # 7/10
+
+
+def test_interpolate_gaps_dense_series_passthrough(spark):
+    import datetime
+
+    from icebergproject_spark.operators.temporal import interpolate_gaps
+
+    d = datetime.date
+    rows = [(1, d(2024, 3, 1 + i), float(i * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "u long, d date, v double")
+    out = interpolate_gaps(df, "u", "d", "v").collect()
+    assert all(not r.interpolated for r in out)
+    assert {r.v for r in out} == {0.0, 1.0, 4.0, 9.0, 16.0}
