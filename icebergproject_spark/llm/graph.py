@@ -388,7 +388,8 @@ def pagerank_weighted_micro(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by wsum, nodes (×2), ed —
+    # a caller-side weighted-edge aggregation would otherwise replay 4×
     wsum = e.groupBy("src").agg(F.sum("w").alias("wtot"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -455,7 +456,9 @@ def triangle_stats(
     e = edges.select(
         F.col(a_col).cast("long").alias("a"),
         F.col(b_col).cast("long").alias("b"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by und (×2), closure join —
+    # without the cut, an expensive caller-side edge derivation (e.g. the
+    # kNN blocked gemm) replays once per branch
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -545,7 +548,8 @@ def link_prediction_scores(
     e = edges.select(
         F.col(a_col).cast("long").alias("a"),
         F.col(b_col).cast("long").alias("b"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by und (×2 wedge arms),
+    # deg, and the known-edge anti-join — cut the caller's derivation once
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")

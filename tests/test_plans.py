@@ -57,6 +57,22 @@ def _count(plan: str, node: str) -> int:
         # literals, so ANY shuffle is a regression
         ("embedding_pca_sql", 0, 0),
         ("multimodal_decode", 0, 0),
+        # round 8, session 4: the graph heads cut the kNN edge
+        # derivation with one localCheckpoint, so the visible plan is
+        # the triangle/wedge join chain only (before the cut the gemm
+        # replayed per branch: 22 and 48 shuffles respectively); the
+        # remaining joins on the small edge list broadcast
+        ("knn_triangles", 2, 4),
+        ("link_prediction", 4, 3),
+        # blocked fuzzy ER: token-block join shuffles; the 64-name clean
+        # catalog broadcasts
+        ("fuzzy_join_parts", 2, 1),
+        # spine join + one per-user window pass
+        ("gapfill_interpolate", 2, 1),
+        # rank path (1 range exchange) + three lag self-joins + union
+        # aggregate; a 10th exchange means the checkpointed rank relation
+        # stopped being reused across lags
+        ("events_autocorr", 9, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
