@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "fuzzy_join_parts",
     "events_autocorr",
     "gapfill_interpolate",
+    "trend_theil_sen",
+    "events_cusum",
+    "benford_audit",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -160,7 +163,8 @@ PREV_ROUND_QUERIES = {
         "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
         "knn_triangles", "link_prediction", "pagerank_weighted",
         "label_propagation", "fuzzy_join_parts", "events_autocorr",
-        "gapfill_interpolate",
+        "gapfill_interpolate", "trend_theil_sen", "events_cusum",
+        "benford_audit",
     )
 }
 

@@ -421,3 +421,174 @@ def lag_autocorr(
             "   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)"
         ).alias("autocorr"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — the standard
+    outlier-resistant alternative to OLS for drift/trend monitoring
+    (29.3% breakdown point vs OLS's zero).
+
+    ``x_col`` must be integer-valued (day index, epoch day, rank) and
+    unique per group; ``y_col`` integer-valued (counts, quantized
+    values) — every slope is then one exact integer division rendered
+    identically across engines, and the exact interpolated median
+    (the mad_outliers contract) is engine-stable on those doubles.
+
+    Scale shape: the pair join is O(points²) PER GROUP — intended for
+    PRE-AGGREGATED series (daily/hourly rollups: bounded by days², not
+    rows²).  For long series switch to the repeated-median or a
+    pair-sampling variant; this operator is the exact baseline tier.
+
+    Returns (``*group_cols``, n_pairs, slope) — slope rounded 1e-6.
+    """
+    a = df.select(*group_cols, F.col(x_col).alias("__xa"), F.col(y_col).alias("__ya"))
+    b = df.select(*group_cols, F.col(x_col).alias("__xb"), F.col(y_col).alias("__yb"))
+    pairs = a.join(b, group_cols).where(F.col("__xa") < F.col("__xb"))
+    slope = (
+        (F.col("__yb") - F.col("__ya")).cast("double")
+        / (F.col("__xb") - F.col("__xa")).cast("double")
+    )
+    return (
+        pairs.withColumn("__s", slope)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.expr("percentile(__s, 0.5)"), 6).alias("slope"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    tiebreak_expr: str,
+    payload_cols: list[tuple[str, str]] | None = None,
+    quant: int = 100,
+) -> DataFrame:
+    """Single-changepoint estimate per group via the CUSUM argmax
+    (Page 1954; the max-|CUSUM| location is the classic mean-shift
+    changepoint estimator and the backbone of drift detection on
+    ingestion pipelines).
+
+    Exact-integer construction: with ``x`` the quant-grid series,
+    ``S_t`` its prefix sum, ``n``/``S_n`` the group totals, the
+    centered statistic is ``D_t = n·S_t − t·S_n`` (the ×n-scaled CUSUM
+    — same argmax, no division).  The trick that keeps it ONE pass:
+    ``D_t`` is itself the prefix sum of the per-row value
+    ``n·x_i − S_n``, so a single :func:`llm.sharding.exact_prefix_sum`
+    over the (group, order) range partitioning produces it without any
+    per-group global window.  The argmax is a hash-aggregate
+    ``max(struct(|D|, tiebreak))`` — deterministic, no sort.
+
+    Overflow bound: |D_t| ≤ n·Σ|x| ≤ n²·max|x|·quant must stay below
+    2^63 — n up to ~4e8 rows per group at value≈500, quant=100; shrink
+    ``quant`` for longer groups.
+
+    ``tiebreak_expr``: SQL expression over ``df``'s columns, unique per
+    row within a group, whose MAX among |D| ties picks the canonical
+    row (e.g. ``-event_id`` → earliest id wins).  ``payload_cols``:
+    (alias, sql_expr) pairs carried through to describe the changepoint
+    row (they ride in the argmax struct AFTER the unique tiebreak, so
+    they never influence the comparison).
+
+    Returns one row per group: (``*group_cols``, n, dmax, *payload).
+    """
+    from icebergproject_spark.llm.sharding import exact_prefix_sum
+
+    payload_cols = payload_cols or []
+    q = df.withColumn(
+        "__xq", F.expr(f"CAST(ROUND({value_col} * {quant}) AS BIGINT)")
+    )
+    totals = q.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__xq").alias("__sn"),
+    )
+    centered = q.join(F.broadcast(totals), group_cols).withColumn(
+        "__v", F.col("__n") * F.col("__xq") - F.col("__sn")
+    )
+    cum = exact_prefix_sum(
+        centered, "__v", order_exprs, group_cols=group_cols, sum_col="__d"
+    )
+    struct_fields = [
+        F.abs(F.col("__d")).alias("ad"),
+        F.expr(tiebreak_expr).alias("tb"),
+    ] + [F.expr(expr).alias(alias) for alias, expr in payload_cols]
+    best = cum.groupBy(*group_cols).agg(
+        F.max(F.struct(*struct_fields)).alias("m"),
+        F.max("__n").alias("n"),  # constant within the group
+    )
+    return best.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("m.ad").cast("long").alias("dmax"),
+        *[F.col(f"m.{alias}").alias(alias) for alias, _ in payload_cols],
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    micro: int = 10**6,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    fabricated-data / unit-drift audit for financial-style columns
+    (Nigrini 2012): natural multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); a flat or spiked profile flags synthetic or
+    corrupted feeds.
+
+    Engine-exact: values go to integer cents (``ROUND(v·100)``), the
+    first digit comes from the integer's decimal string (no float
+    log10 — exact at powers of ten), shares are integer ppm via
+    truncating division, and the per-digit chi-square term
+    ``(obs−exp)² DIV exp`` stays integral; the Benford expectation is
+    quantized once per digit from ``ln``'s identical rendering (the
+    micro-nat pattern).  Non-positive values are excluded (no leading
+    digit).  One hash aggregate over 9 groups + a one-row broadcast —
+    nothing about this changes at 100 TB.
+
+    Returns 9 rows: (digit, cnt, obs_ppm, exp_ppm, chi2_term).
+    """
+    digits = (
+        df.select(
+            F.expr(
+                f"CAST(ROUND({value_col} * 100) AS BIGINT)"
+            ).alias("__c")
+        )
+        .where(F.col("__c") > 0)
+        .select(
+            F.expr(
+                "CAST(substring(CAST(__c AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("obs_ppm", F.expr(f"(cnt * {micro}) DIV __tot"))
+        .withColumn(
+            "exp_ppm",
+            F.expr(
+                f"CAST(ROUND({micro} * ln(1 + 1.0 / digit) / ln(10)) AS BIGINT)"
+            ),
+        )
+        .select(
+            "digit",
+            "cnt",
+            F.col("obs_ppm").cast("long").alias("obs_ppm"),
+            "exp_ppm",
+            F.expr(
+                "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm"
+            ).cast("long").alias("chi2_term"),
+        )
+    )

@@ -551,6 +551,147 @@ FROM enr
 """
 
 
+# ---------------------------------------------------------------------------
+# trend_theil_sen — robust trend per event type
+# ---------------------------------------------------------------------------
+
+def q_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the DAILY event-count series per event
+    type (operators/aggregates.theil_sen_trend): median of all pairwise
+    slopes over the per-day rollup — drift monitoring that one bursty
+    day cannot skew (the OLS failure mode)."""
+    from icebergproject_spark.operators.aggregates import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    dx = daily.withColumn(
+        "x", F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long")
+    )
+    return theil_sen_trend(dx, ["event_type"], "x", "y")
+
+
+ORACLE_TREND_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+dx AS (
+  SELECT event_type, CAST(d - DATE '1970-01-01' AS BIGINT) AS x, y
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM dx a JOIN dx b
+    ON a.event_type = b.event_type AND a.x < b.x
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(s, 0.5), 6) AS slope
+FROM pairs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_cusum — changepoint per event type
+# ---------------------------------------------------------------------------
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint per event type via the exact
+    integer CUSUM argmax (operators/aggregates.cusum_changepoint):
+    D_t = n·S_t − t·S_n computed as ONE distributed prefix sum of the
+    centered series, argmax as a hash aggregate."""
+    from icebergproject_spark.operators.aggregates import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev,
+        "value",
+        ["event_type"],
+        [F.col("ts"), F.col("event_id")],
+        tiebreak_expr="-event_id",
+        payload_cols=[
+            ("cp_event_id", "event_id"),
+            ("cp_day", "date_format(ts, 'yyyy-MM-dd')"),
+        ],
+        quant=100,
+    )
+
+
+ORACLE_EVENTS_CUSUM = """
+WITH q AS (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS xq
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(xq) AS sn
+  FROM q GROUP BY 1
+),
+c AS (
+  SELECT q.event_type, q.event_id, q.ts,
+         CAST(SUM(g.n * q.xq - g.sn) OVER (
+           PARTITION BY q.event_type ORDER BY q.ts, q.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS dd
+  FROM q JOIN g USING (event_type)
+),
+b AS (
+  SELECT event_type,
+         MAX({'ad': ABS(dd), 'tb': -event_id,
+              'cp_event_id': event_id,
+              'cp_day': strftime(ts, '%Y-%m-%d')}) AS m
+  FROM c GROUP BY 1
+)
+SELECT b.event_type, g.n,
+       CAST(b.m.ad AS BIGINT) AS dmax,
+       CAST(b.m.cp_event_id AS BIGINT) AS cp_event_id,
+       b.m.cp_day AS cp_day
+FROM b JOIN g USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# benford_audit — first-digit law audit
+# ---------------------------------------------------------------------------
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators/aggregates.benford_profile): per-digit counts, observed
+    vs expected shares in integer ppm, integral chi-square terms."""
+    from icebergproject_spark.operators.aggregates import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+ORACLE_BENFORD_AUDIT = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE ROUND(o_totalprice * 100) > 0
+),
+d AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM c
+),
+cnt AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1
+),
+t AS (SELECT SUM(cnt) AS tot FROM cnt)
+SELECT digit, cnt,
+       CAST((cnt * 1000000) // tot AS BIGINT) AS obs_ppm,
+       CAST(ROUND(1000000 * ln(1 + 1.0 / digit) / ln(10)) AS BIGINT)
+         AS exp_ppm,
+       CAST((CAST((cnt * 1000000) // tot AS BIGINT)
+             - CAST(ROUND(1000000 * ln(1 + 1.0 / digit) / ln(10)) AS BIGINT))
+            * (CAST((cnt * 1000000) // tot AS BIGINT)
+             - CAST(ROUND(1000000 * ln(1 + 1.0 / digit) / ln(10)) AS BIGINT))
+            // CAST(ROUND(1000000 * ln(1 + 1.0 / digit) / ln(10)) AS BIGINT)
+         AS BIGINT) AS chi2_term
+FROM cnt, t
+"""
+
+
 R8B_REGISTRY: dict[str, Query] = {
     "knn_triangles": Query(q_knn_triangles, ORACLE_KNN_TRIANGLES),
     "link_prediction": Query(q_link_prediction, ORACLE_LINK_PREDICTION),
@@ -561,4 +702,7 @@ R8B_REGISTRY: dict[str, Query] = {
     "gapfill_interpolate": Query(
         q_gapfill_interpolate, ORACLE_GAPFILL_INTERPOLATE
     ),
+    "trend_theil_sen": Query(q_trend_theil_sen, ORACLE_TREND_THEIL_SEN),
+    "events_cusum": Query(q_events_cusum, ORACLE_EVENTS_CUSUM),
+    "benford_audit": Query(q_benford_audit, ORACLE_BENFORD_AUDIT),
 }

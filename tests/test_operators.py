@@ -427,3 +427,147 @@ def test_lag_autocorr_survives_repartitioning(spark):
     got = {(r.g, r.lag): r.autocorr
            for r in lag_autocorr(shuffled, "v", ["g"], [F.col("t")]).collect()}
     assert got == base
+
+
+# --- theil_sen_trend --------------------------------------------------------
+
+def test_theil_sen_known_median(spark):
+    from icebergproject_spark.operators.aggregates import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [("g", 0, 0), ("g", 1, 1), ("g", 2, 10)], "g string, x long, y long"
+    )
+    # pairwise slopes: 1/1=1, 10/2=5, 9/1=9 -> median 5
+    rows = theil_sen_trend(df, ["g"], "x", "y").collect()
+    assert rows[0].n_pairs == 3 and rows[0].slope == 5.0
+
+
+def test_theil_sen_is_outlier_robust(spark):
+    """A perfect slope-2 line with one wild outlier: OLS would bend,
+    the pairwise-slope median does not."""
+    from icebergproject_spark.operators.aggregates import theil_sen_trend
+
+    pts = [("g", i, 2 * i) for i in range(9)] + [("g", 9, 1000)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    rows = theil_sen_trend(df, ["g"], "x", "y").collect()
+    assert rows[0].slope == 2.0
+
+
+def test_theil_sen_groups_independent(spark):
+    from icebergproject_spark.operators.aggregates import theil_sen_trend
+
+    pts = [("up", i, 3 * i) for i in range(5)] + [
+        ("down", i, -i) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    got = {r.g: r.slope for r in theil_sen_trend(df, ["g"], "x", "y").collect()}
+    assert got == {"up": 3.0, "down": -1.0}
+
+
+# --- cusum_changepoint ------------------------------------------------------
+
+def _cusum_ref(vals, quant=100):
+    """Pure-Python replay of the n*S_t - t*S_n argmax (earliest id on
+    ties via the -id tiebreak)."""
+    xq = [round(v * quant) for v in vals]
+    n, sn = len(xq), sum(xq)
+    best = None
+    s = 0
+    for t, x in enumerate(xq, 1):
+        s += x
+        d = abs(n * s - t * sn)
+        key = (d, -(t - 1))  # ids are 0-based positions here
+        if best is None or key > best[0]:
+            best = (key, t - 1, d)
+    return best[1], best[2]
+
+
+def test_cusum_step_series(spark):
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import cusum_changepoint
+
+    vals = [0.0] * 4 + [10.0] * 4
+    df = spark.createDataFrame(
+        [("g", i, i, v) for i, v in enumerate(vals)],
+        "g string, t long, id long, v double",
+    )
+    out = cusum_changepoint(
+        df, "v", ["g"], [F.col("t")], tiebreak_expr="-id",
+        payload_cols=[("cp_id", "id")],
+    ).collect()[0]
+    want_idx, want_d = _cusum_ref(vals)
+    assert out.cp_id == want_idx == 3  # last pre-shift row
+    assert out.dmax == want_d and out.n == 8
+
+
+def test_cusum_matches_python_replay(spark):
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import cusum_changepoint
+
+    vals = [round(((i * 29 + 7) % 83) / 3.0 + (5.0 if i > 60 else 0.0), 2)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        [("g", i, i, v) for i, v in enumerate(vals)],
+        "g string, t long, id long, v double",
+    )
+    out = cusum_changepoint(
+        df, "v", ["g"], [F.col("t")], tiebreak_expr="-id",
+        payload_cols=[("cp_id", "id")],
+    ).collect()[0]
+    want_idx, want_d = _cusum_ref(vals)
+    assert (out.cp_id, out.dmax) == (want_idx, want_d)
+
+
+def test_cusum_constant_series_ties_to_earliest(spark):
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("g", i, i, 7.0) for i in range(10)],
+        "g string, t long, id long, v double",
+    )
+    out = cusum_changepoint(
+        df, "v", ["g"], [F.col("t")], tiebreak_expr="-id",
+        payload_cols=[("cp_id", "id")],
+    ).collect()[0]
+    assert out.dmax == 0 and out.cp_id == 0
+
+
+# --- benford_profile --------------------------------------------------------
+
+def test_benford_profile_counts_and_expectation(spark):
+    import math
+
+    from icebergproject_spark.operators.aggregates import benford_profile
+
+    # one value per leading digit + a non-positive row that must drop
+    df = spark.createDataFrame(
+        [(float(d) * 10 ** (d % 3),) for d in range(1, 10)] + [(0.0,)],
+        "v double",
+    )
+    rows = benford_profile(df, "v").collect()
+    got = {r.digit: (r.cnt, r.obs_ppm, r.exp_ppm) for r in rows}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d][0] == 1
+        assert got[d][1] == 10**6 // 9 == 111111
+        assert got[d][2] == round(10**6 * math.log10(1 + 1 / d))
+
+
+def test_benford_chi2_zero_on_perfect_distribution(spark):
+    """A corpus whose observed ppm equals the Benford ppm exactly gives
+    chi2_term 0 for every digit (integer division floors small gaps)."""
+    import math
+
+    from icebergproject_spark.operators.aggregates import benford_profile
+
+    # counts proportional to the Benford masses out of 10^6 scale
+    rows = []
+    for d in range(1, 10):
+        rows.extend([(float(d),)] * round(1000 * math.log10(1 + 1 / d)))
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_profile(df, "v").collect()
+    assert all(r.chi2_term <= 1 for r in out)  # quantization floor only
