@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "trend_theil_sen",
     "events_cusum",
     "benford_audit",
+    "density_clusters",
+    "item_similarity",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -164,7 +166,7 @@ PREV_ROUND_QUERIES = {
         "knn_triangles", "link_prediction", "pagerank_weighted",
         "label_propagation", "fuzzy_join_parts", "events_autocorr",
         "gapfill_interpolate", "trend_theil_sen", "events_cusum",
-        "benford_audit",
+        "benford_audit", "density_clusters", "item_similarity",
     )
 }
 

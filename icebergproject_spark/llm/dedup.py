@@ -1794,3 +1794,98 @@ def prefix_filter_pairs(
             ).alias("jaccard_milli"),
         )
     )
+
+
+def density_clusters(
+    df: DataFrame,
+    threshold: float = 0.30,
+    min_pts: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DBSCAN-style density clustering over the embedding space
+    (Ester et al. 1996, with cosine similarity as the ε-neighborhood
+    relation): the semantic-domain discovery step that — unlike
+    k-means — needs no preset k, finds arbitrarily-shaped clusters, and
+    EXPLICITLY separates noise (the long tail SemDeDup-style curation
+    wants to treat differently from coherent topic clusters).
+
+    Definitions on the ε-graph (exact rounded-cosine pairs ≥
+    ``threshold``): a CORE point has ≥ ``min_pts`` neighbors; clusters
+    are the connected components of the core-core subgraph (one
+    component per density ridge — the standard simplification that
+    makes DBSCAN's "density-reachable" relation a plain CC problem); a
+    BORDER point is a non-core adjacent to ≥ 1 core and joins its best
+    core neighbor's cluster (max score, ties to the smaller core id —
+    deterministic where classic DBSCAN is scan-order-dependent);
+    everything else is NOISE (cluster −1).
+
+    Scale shape: the pair generator is the pluggable tier — this exact
+    all-pairs arm is the verification baseline, the LSH/cell-blocked
+    generators (:func:`embedding_near_pairs_lsh`,
+    :func:`semantic_near_pairs`) the 100 TB path, identical downstream;
+    components run through :func:`connected_components`
+    (O(log²) rounds / driver union-find fast path); the border argmax
+    is a hash aggregate.
+
+    Returns (vec_id, role, cluster_id): role ∈ core/border/noise,
+    cluster_id = min core id of the cluster, −1 for noise."""
+    pairs = embedding_near_pairs(
+        df, threshold=threshold, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint(eager=False)  # consumed by degree, core-edge, and
+    # border branches — the gemm must run once
+    und = pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y"), "score"
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("x"), F.col("id_a").alias("y"), "score"
+        )
+    )
+    deg = und.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    core = deg.where(F.col("d") >= min_pts).select("node").localCheckpoint(
+        eager=False
+    )
+    core_edges = pairs.join(
+        core.select(F.col("node").alias("id_a")), "id_a"
+    ).join(core.select(F.col("node").alias("id_b")), "id_b")
+    labels = connected_components(
+        core_edges, src="id_a", dst="id_b", nodes=core
+    )  # (node, cluster_id); core-only
+    border_best = (
+        und.join(core.select(F.col("node").alias("y")), "y")
+        .join(core.select(F.col("node").alias("x")), "x", "left_anti")
+        .groupBy(F.col("x").alias("node"))
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("y")).alias("ny"))
+            ).alias("m")
+        )
+        .select("node", (-F.col("m.ny")).cast("long").alias("best_core"))
+    )
+    all_nodes = df.select(F.col(id_col).alias("node"))
+    return (
+        all_nodes.join(labels, "node", "left")
+        .join(
+            border_best.join(
+                labels.select(
+                    F.col("node").alias("best_core"),
+                    F.col("cluster_id").alias("__bc"),
+                ),
+                "best_core",
+            ).select("node", "__bc"),
+            "node",
+            "left",
+        )
+        .select(
+            F.col("node").alias(id_col),
+            F.when(F.col("cluster_id").isNotNull(), F.lit("core"))
+            .when(F.col("__bc").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("cluster_id", F.col("__bc"), F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )

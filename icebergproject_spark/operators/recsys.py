@@ -1,0 +1,99 @@
+"""Item-item collaborative filtering — the co-occurrence recommender.
+
+The neighborhood-method recommender (Sarwar et al. 2001; Linden et al.
+2003, "Amazon.com recommendations"): two items are similar when the
+sets of users who interact with them overlap.  With binary baskets the
+natural score is the cosine of the two items' user-incidence vectors,
+
+    sim(a, b) = co(a,b) / sqrt(n_a · n_b)
+
+where ``co`` counts users touching both and ``n_x`` users touching x.
+Everything is a COUNT, so the repo's integer-exactness program applies
+directly: rank on ``sim² in ppm = co²·10⁶ DIV (n_a·n_b)`` — a pure
+BIGINT that orders identically to the cosine (squaring is monotone on
+non-negatives) with no float in the pipeline at all.
+
+Scale shape: candidate pairs are generated THROUGH the interaction
+table (self-join on user → only co-purchased pairs appear, never the
+item×item cross product); a user with B distinct items emits B(B−1)/2
+pairs, so production caps pathological baskets (the same guard as the
+fuzzy join's blocking-key cap — documented, not silent: see
+``max_basket``).  The pair aggregate is one map-side-combined shuffle;
+the top-k cut is a per-item window over each item's candidate list
+(bounded by co-purchase fan-out, not catalog size).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def item_similarity_topk(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    micro: int = 10**6,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Top-``k`` most similar items per item by binary-cosine
+    co-occurrence.  ``interactions``: (user, item) events, deduplicated
+    internally.  ``max_basket`` drops users with more distinct items
+    (the skew cap — a crawler account with 10⁶ items would emit 10¹²
+    pairs; None keeps everything, the exact baseline the oracle
+    checks).
+
+    Returns (item_a, item_b, co_users, sim_ppm, rank), rank 1..k per
+    item_a by (sim desc, co desc, item_b asc) — fully integral and
+    deterministic."""
+    ui = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_basket is not None:
+        sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("__b"))
+        ui = ui.join(
+            sizes.where(F.col("__b") <= max_basket).select("u"), "u"
+        )
+    ui = ui.localCheckpoint(eager=False)  # consumed by counts + both
+    # sides of the pair join
+    ni = ui.groupBy(F.col("i").alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    co = (
+        ui.alias("a")
+        .join(ui.alias("b"), F.col("a.u") == F.col("b.u"))
+        .where(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.select(
+        F.col("ia").alias("item_a"), F.col("ib").alias("item_b"), "co"
+    ).union(
+        co.select(
+            F.col("ib").alias("item_a"), F.col("ia").alias("item_b"), "co"
+        )
+    )
+    scored = (
+        sym.join(ni.select(F.col("item").alias("item_a"),
+                           F.col("n").alias("na")), "item_a")
+        .join(ni.select(F.col("item").alias("item_b"),
+                        F.col("n").alias("nb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co").cast("long").alias("co_users"),
+            F.expr(f"(co * co * {micro}) DIV (na * nb)")
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("sim_ppm").desc(), F.col("co_users").desc(), F.col("item_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= k)
+        .select("item_a", "item_b", "co_users", "sim_ppm", "rank")
+    )

@@ -782,16 +782,17 @@ DRIVER_WINDOW = [
     "user_sessions",
     # stale refresh: oldest ROUND-5 rows, alphabetical head (13 of 49;
     # the rest rotate in r9)
-    "bpe_pair_counts", "chunk_documents", "contamination_spans",
+    "bpe_pair_counts",
     # new heads (session 4) — never driver-checked, so they take the
-    # last ten r5-refresh slots (corpus_pipeline_e2e, curriculum_bins,
+    # last twelve r5-refresh slots (chunk_documents,
+    # contamination_spans, corpus_pipeline_e2e, curriculum_bins,
     # decontamination, dedup_clusters, dedup_clusters_lsh_sql,
     # dedup_containment, dedup_embedding_lsh_sql, dedup_incremental,
     # dedup_minhash_lsh_sql, dedup_rate_by_source rotate in r9 instead)
     "knn_triangles", "link_prediction", "pagerank_weighted",
     "label_propagation", "fuzzy_join_parts", "events_autocorr",
     "gapfill_interpolate", "trend_theil_sen", "events_cusum",
-    "benford_audit",
+    "benford_audit", "density_clusters", "item_similarity",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -692,6 +692,138 @@ FROM cnt, t
 """
 
 
+# ---------------------------------------------------------------------------
+# density_clusters — DBSCAN over the embedding space
+# ---------------------------------------------------------------------------
+
+DBSCAN_TAU = 0.30
+DBSCAN_MINPTS = 3
+
+
+def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering of the embeddings
+    (llm/dedup.density_clusters): ε-graph = exact rounded-cosine pairs
+    ≥ 0.30, core = degree ≥ 3, clusters = core-subgraph components,
+    borders join their best core neighbor, rest is noise (−1)."""
+    from icebergproject_spark.llm.dedup import density_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return density_clusters(emb, threshold=DBSCAN_TAU, min_pts=DBSCAN_MINPTS)
+
+
+ORACLE_DENSITY_CLUSTERS = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           ROUND(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(b.e, b.e))), 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+  ) WHERE score >= {DBSCAN_TAU}
+),
+und AS MATERIALIZED (
+  SELECT ia AS x, ib AS y, score FROM p
+  UNION ALL SELECT ib, ia, score FROM p
+),
+deg AS (SELECT x AS node, COUNT(*) AS d FROM und GROUP BY 1),
+core AS MATERIALIZED (
+  SELECT node FROM deg WHERE d >= {DBSCAN_MINPTS}
+),
+ce AS MATERIALIZED (
+  SELECT p.ia AS s, p.ib AS d FROM p
+  JOIN core ca ON ca.node = p.ia
+  JOIN core cb ON cb.node = p.ib
+),
+ced AS (SELECT s, d FROM ce UNION ALL SELECT d, s FROM ce),
+reach(node, r) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN ced e ON e.s = reach.node
+),
+lab AS MATERIALIZED (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+border AS (
+  SELECT u.x AS node,
+         -(MAX({{'s': u.score, 'ny': -u.y}}).ny) AS best_core
+  FROM und u
+  JOIN core c ON c.node = u.y
+  LEFT JOIN core cx ON cx.node = u.x
+  WHERE cx.node IS NULL
+  GROUP BY u.x
+)
+SELECT n.vec_id,
+       CASE WHEN l.cluster_id IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(l.cluster_id, lb.cluster_id, -1) AS BIGINT)
+         AS cluster_id
+FROM (SELECT vec_id FROM embeddings) n
+LEFT JOIN lab l ON l.node = n.vec_id
+LEFT JOIN border b ON b.node = n.vec_id
+LEFT JOIN lab lb ON lb.node = b.best_core
+"""
+
+
+# ---------------------------------------------------------------------------
+# item_similarity — item-item collaborative filtering
+# ---------------------------------------------------------------------------
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most similar parts per part by binary-cosine co-occurrence
+    over customer baskets (operators/recsys.item_similarity_topk):
+    interactions = (o_custkey, l_partkey) from orders⋈lineitem; ranking
+    on the all-integer sim² ppm, no floats anywhere."""
+    from icebergproject_spark.operators.recsys import item_similarity_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    inter = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select("o_custkey", "l_partkey")
+    return item_similarity_topk(inter, "o_custkey", "l_partkey", k=5)
+
+
+ORACLE_ITEM_SIMILARITY = """
+WITH ui AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+ni AS MATERIALIZED (
+  SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY 1
+),
+co AS MATERIALIZED (
+  SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS co
+  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT ia AS item_a, ib AS item_b, co FROM co
+  UNION ALL SELECT ib, ia, co FROM co
+),
+scored AS (
+  SELECT s.item_a, s.item_b, s.co AS co_users,
+         CAST((s.co * s.co * 1000000) // (na.n * nb.n) AS BIGINT)
+           AS sim_ppm
+  FROM sym s
+  JOIN ni na ON na.item = s.item_a
+  JOIN ni nb ON nb.item = s.item_b
+),
+r AS (
+  SELECT item_a, item_b, co_users, sim_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY item_a
+           ORDER BY sim_ppm DESC, co_users DESC, item_b
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT item_a, item_b, co_users, sim_ppm, rank FROM r WHERE rank <= 5
+"""
+
+
 R8B_REGISTRY: dict[str, Query] = {
     "knn_triangles": Query(q_knn_triangles, ORACLE_KNN_TRIANGLES),
     "link_prediction": Query(q_link_prediction, ORACLE_LINK_PREDICTION),
@@ -705,4 +837,6 @@ R8B_REGISTRY: dict[str, Query] = {
     "trend_theil_sen": Query(q_trend_theil_sen, ORACLE_TREND_THEIL_SEN),
     "events_cusum": Query(q_events_cusum, ORACLE_EVENTS_CUSUM),
     "benford_audit": Query(q_benford_audit, ORACLE_BENFORD_AUDIT),
+    "density_clusters": Query(q_density_clusters, ORACLE_DENSITY_CLUSTERS),
+    "item_similarity": Query(q_item_similarity, ORACLE_ITEM_SIMILARITY),
 }

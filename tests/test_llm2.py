@@ -853,3 +853,127 @@ def test_bigram_logprob_micro_matches_reference(spark):
     # fluency separation: the doc made of one repeated high-count bigram
     # scores higher per bigram than the all-distinct-bigram doc
     assert got[5][1] / got[5][0] > got[1][1] / got[1][0]
+
+
+# --- density_clusters -------------------------------------------------------
+
+def test_density_clusters_roles_and_labels(spark):
+    """Four mutually-close vectors (all core) + one point near a single
+    core (border, inherits the cluster) + one orthogonal point (noise)."""
+    from icebergproject_spark.llm.dedup import density_clusters
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    tilt = [0.98, 0.2, 0.0, 0.0]   # cos ~0.98 with base family
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.15, 0.05, 0.0]),
+        (3, [0.97, 0.2, 0.1, 0.0]),
+        # near ONLY via the similarity cut to some of the family? make it
+        # close to vector 3 but below threshold to 0/1/2 is hard with
+        # cosines this tight — instead give it moderate similarity to all
+        # four (deg 4 would make it core), so push it further out: it
+        # stays within threshold of exactly one member
+        (4, [0.5, 0.86, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: (r.role, r.cluster_id)
+           for r in density_clusters(df, threshold=0.9, min_pts=3).collect()}
+    assert out[0] == ("core", 0)
+    assert out[1] == ("core", 0)
+    assert out[2] == ("core", 0)
+    assert out[3] == ("core", 0)
+    assert out[5] == ("noise", -1)
+    # vector 4: cos with 3 = .5*.97+.86*.2 = .657 < .9 -> actually noise
+    assert out[4] == ("noise", -1)
+
+
+def test_density_clusters_border_attaches_to_best_core(spark):
+    from icebergproject_spark.llm.dedup import density_clusters
+
+    # core triangle {0,1,2} (deg 2 each -> min_pts=2 makes them core),
+    # node 3 adjacent to exactly one core -> border with cluster 0
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),
+        (2, [0.999, -0.04, 0.0]),
+        (3, [0.74, 0.67, 0.0]),   # cos~0.74 w/ 0; ~0.77 w/ 1; below w/ 2
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: (r.role, r.cluster_id)
+           for r in density_clusters(df, threshold=0.75, min_pts=2).collect()}
+    assert out[0][0] == "core" and out[1][0] == "core" and out[2][0] == "core"
+    assert out[0][1] == out[1][1] == out[2][1] == 0
+    assert out[3] == ("border", 0)
+
+
+def test_density_clusters_two_components_and_noise_count(spark):
+    from icebergproject_spark.llm.dedup import density_clusters
+
+    rows = (
+        [(i, [1.0, 0.001 * i, 0.0]) for i in range(4)]          # cluster A
+        + [(10 + i, [0.0, 1.0, 0.001 * i]) for i in range(4)]   # cluster B
+        + [(99, [0.577, 0.577, 0.577])]                          # noise-ish
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = density_clusters(df, threshold=0.95, min_pts=3).collect()
+    got = {r.vec_id: (r.role, r.cluster_id) for r in out}
+    assert {got[i][1] for i in range(4)} == {0}
+    assert {got[10 + i][1] for i in range(4)} == {10}
+    assert got[99] == ("noise", -1)
+
+
+# --- item_similarity_topk ---------------------------------------------------
+
+def test_item_similarity_known_counts(spark):
+    from icebergproject_spark.operators.recsys import item_similarity_topk
+
+    inter = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+         (3, "a")],  # duplicate interaction must not double-count
+        "u long, i string",
+    )
+    rows = item_similarity_topk(inter, "u", "i", k=5).collect()
+    got = {(r.item_a, r.item_b): (r.co_users, r.sim_ppm, r.rank)
+           for r in rows}
+    # n_a=3, n_b=2, n_c=1; co(a,b)=2 -> 4e6//6; co(a,c)=1 -> 1e6//3
+    assert got[("a", "b")] == (2, 666666, 1)
+    assert got[("a", "c")] == (1, 333333, 2)
+    assert got[("b", "a")] == (2, 666666, 1)
+    assert got[("c", "a")] == (1, 333333, 1)
+    assert ("b", "c") not in got and ("c", "b") not in got
+
+
+def test_item_similarity_max_basket_cap(spark):
+    from icebergproject_spark.operators.recsys import item_similarity_topk
+
+    heavy = [(9, f"x{j}") for j in range(10)]
+    inter = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")] + heavy, "u long, i string"
+    )
+    capped = item_similarity_topk(inter, "u", "i", k=5, max_basket=5)
+    pairs = {(r.item_a, r.item_b) for r in capped.collect()}
+    assert pairs == {("a", "b"), ("b", "a")}  # heavy user's pairs dropped
+
+
+def test_item_similarity_rank_is_deterministic_on_ties(spark):
+    from icebergproject_spark.operators.recsys import item_similarity_topk
+
+    # b and c tie exactly vs a (same co, same n) -> item_b ascending
+    inter = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c")],
+        "u long, i string",
+    )
+    rows = {(r.item_a, r.rank): r.item_b
+            for r in item_similarity_topk(inter, "u", "i", k=5).collect()}
+    assert rows[("a", 1)] == "b" and rows[("a", 2)] == "c"
