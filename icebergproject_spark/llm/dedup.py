@@ -1830,6 +1830,8 @@ def density_clusters(
 
     Returns (vec_id, role, cluster_id): role ∈ core/border/noise,
     cluster_id = min core id of the cluster, −1 for noise."""
+    if min_pts < 1:
+        raise ValueError(f"density_clusters requires min_pts >= 1, got {min_pts}")
     pairs = embedding_near_pairs(
         df, threshold=threshold, vec_col=vec_col, id_col=id_col
     ).localCheckpoint(eager=False)  # consumed by degree, core-edge, and

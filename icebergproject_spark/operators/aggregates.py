@@ -371,6 +371,8 @@ def lag_autocorr(
     """
     from icebergproject_spark.llm.sharding import exact_global_rank
 
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lag_autocorr requires lags >= 1, got {lags!r}")
     q = df.withColumn(
         "__xq", F.expr(f"CAST(ROUND({value_col} * {quant}) AS BIGINT)")
     )

@@ -977,3 +977,15 @@ def test_item_similarity_rank_is_deterministic_on_ties(spark):
     rows = {(r.item_a, r.rank): r.item_b
             for r in item_similarity_topk(inter, "u", "i", k=5).collect()}
     assert rows[("a", 1)] == "b" and rows[("a", 2)] == "c"
+
+
+def test_density_clusters_rejects_bad_min_pts(spark):
+    import pytest
+
+    from icebergproject_spark.llm.dedup import density_clusters
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        density_clusters(df, min_pts=0)

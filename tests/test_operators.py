@@ -4,6 +4,7 @@ left-join null attrs, hierarchy flatten, window bucketing boundaries."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from icebergproject_spark.operators import (
     broadcast_route,
@@ -571,3 +572,15 @@ def test_benford_chi2_zero_on_perfect_distribution(spark):
     df = spark.createDataFrame(rows, "v double")
     out = benford_profile(df, "v").collect()
     assert all(r.chi2_term <= 1 for r in out)  # quantization floor only
+
+
+def test_lag_autocorr_rejects_bad_lags(spark):
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.operators.aggregates import lag_autocorr
+
+    df = spark.createDataFrame([("g", 0, 1.0)], "g string, t long, v double")
+    with pytest.raises(ValueError):
+        lag_autocorr(df, "v", ["g"], [F.col("t")], lags=(0,))
+    with pytest.raises(ValueError):
+        lag_autocorr(df, "v", ["g"], [F.col("t")], lags=())
