@@ -782,9 +782,8 @@ DRIVER_WINDOW = [
     "user_sessions",
     # stale refresh: oldest ROUND-5 rows, alphabetical head (13 of 49;
     # the rest rotate in r9)
-    "bpe_pair_counts",
-    # new heads (session 4) — never driver-checked, so they take the
-    # last twelve r5-refresh slots (chunk_documents,
+    # new heads (session 4) — never driver-checked, so they take all
+    # thirteen r5-refresh slots (bpe_pair_counts, chunk_documents,
     # contamination_spans, corpus_pipeline_e2e, curriculum_bins,
     # decontamination, dedup_clusters, dedup_clusters_lsh_sql,
     # dedup_containment, dedup_embedding_lsh_sql, dedup_incremental,
@@ -793,6 +792,7 @@ DRIVER_WINDOW = [
     "label_propagation", "fuzzy_join_parts", "events_autocorr",
     "gapfill_interpolate", "trend_theil_sen", "events_cusum",
     "benford_audit", "density_clusters", "item_similarity",
+    "retrieval_eval",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

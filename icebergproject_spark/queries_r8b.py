@@ -693,6 +693,79 @@ FROM cnt, t
 
 
 # ---------------------------------------------------------------------------
+# retrieval_eval — ANN quality metrics as hash-checked data
+# ---------------------------------------------------------------------------
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness as a QUERY: recall@5 and reciprocal rank
+    of the integer-exact IVF arm (similarity_ivf_sql's index) against
+    the exact cosine top-5, per probe query — the 'measure, don't
+    guess' loop for index tuning (nprobe/centroid sweeps diff this
+    table).  All-integer metrics: hits_at_5 = |approx ∩ exact|,
+    rr_micro = 1e6 DIV rank-of-the-true-top-1-in-approx (0 = missed)."""
+    from icebergproject_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    approx = similarity.ivf_sql_topk(
+        emb, probes, k=5, n_centroids=16, nprobe=4
+    )
+    a = approx.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_nb"),
+        F.col("rank").alias("a_rank"),
+    )
+    joined = exact.join(
+        a,
+        (exact["query_id"] == a["query_id"])
+        & (exact["neighbor_id"] == a["a_nb"]),
+        "left",
+    ).select(exact["query_id"], exact["rank"], a["a_rank"])
+    hits = joined.groupBy("query_id").agg(
+        F.count("a_rank").cast("long").alias("hits_at_5")
+    )
+    rr = joined.where(F.col("rank") == 1).select(
+        "query_id",
+        F.expr("CAST(COALESCE(1000000 DIV a_rank, 0) AS BIGINT)").alias(
+            "rr_micro"
+        ),
+    )
+    return hits.join(rr, "query_id")
+
+
+# compose the two arms' own oracles verbatim — the eval replays the
+# exact scan AND the full integer-exact IVF training chain end-to-end
+from icebergproject_spark.queries import ORACLE_SIMILARITY_TOPK  # noqa: E402
+from icebergproject_spark.queries_r4 import (  # noqa: E402
+    ORACLE_SIMILARITY_IVF_SQL,
+)
+
+ORACLE_RETRIEVAL_EVAL = f"""
+WITH exact AS MATERIALIZED (SELECT * FROM ({ORACLE_SIMILARITY_TOPK})),
+approx AS MATERIALIZED (SELECT * FROM ({ORACLE_SIMILARITY_IVF_SQL})),
+joined AS (
+  SELECT e.query_id, e.rank, a.rank AS a_rank
+  FROM exact e LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+),
+hits AS (
+  SELECT query_id, CAST(COUNT(a_rank) AS BIGINT) AS hits_at_5
+  FROM joined GROUP BY 1
+),
+rr AS (
+  SELECT query_id,
+         CAST(COALESCE(1000000 // a_rank, 0) AS BIGINT) AS rr_micro
+  FROM joined WHERE rank = 1
+)
+SELECT h.query_id, h.hits_at_5, r.rr_micro
+FROM hits h JOIN rr r USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # density_clusters — DBSCAN over the embedding space
 # ---------------------------------------------------------------------------
 
@@ -839,4 +912,5 @@ R8B_REGISTRY: dict[str, Query] = {
     "benford_audit": Query(q_benford_audit, ORACLE_BENFORD_AUDIT),
     "density_clusters": Query(q_density_clusters, ORACLE_DENSITY_CLUSTERS),
     "item_similarity": Query(q_item_similarity, ORACLE_ITEM_SIMILARITY),
+    "retrieval_eval": Query(q_retrieval_eval, ORACLE_RETRIEVAL_EVAL),
 }

@@ -989,3 +989,19 @@ def test_density_clusters_rejects_bad_min_pts(spark):
     )
     with pytest.raises(ValueError):
         density_clusters(df, min_pts=0)
+
+
+def test_retrieval_eval_invariants(spark, sf_dir):
+    """Metric sanity on the fixture: per-query hits in [0,5], rr_micro
+    consistent with a hit list containing the true top-1, and rr>0 only
+    when at least one hit exists."""
+    from icebergproject_spark.queries import REGISTRY
+
+    rows = REGISTRY["retrieval_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    valid_rr = {0} | {10**6 // r for r in range(1, 6)}
+    for r in rows:
+        assert 0 <= r.hits_at_5 <= 5
+        assert r.rr_micro in valid_rr
+        if r.rr_micro > 0:
+            assert r.hits_at_5 >= 1
