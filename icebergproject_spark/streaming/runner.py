@@ -470,3 +470,99 @@ def drain_table_feed(table, fn, from_snapshot_id: int | None = None) -> int | No
         fn(batch, sid)
         last = sid
     return last
+
+
+def drift_monitor_batch(
+    batch: DataFrame,
+    state_table,
+    value_col: str,
+    group_cols: list[str],
+    batch_id: str,
+    z_milli: int = 3000,
+    quant: int = 100,
+) -> DataFrame:
+    """One micro-batch of streaming distribution-drift monitoring (call
+    from ``foreachBatch``): test the batch's per-group mean against the
+    baseline accumulated from ALL PRIOR batches, then fold this batch's
+    sufficient statistics into the lakehouse state exactly-once — the
+    streaming face of the batch robust-stats tier (events_cusum /
+    event_outliers_mad): ingestion-time alerting instead of
+    retrospective scans.
+
+    State is sufficient statistics, not raw data: per (group, batch)
+    partial rows (n, Σx, Σx²) on the centi-quantized integer grid —
+    exact BIGINTs, mergeable by addition, a few rows per batch per
+    group forever (the count-min/HLL/HDR state-size story).  Baseline
+    mean/variance derive from the aggregated partials at read time.
+
+    Exactly-once under replay, both directions: the state write goes
+    through ``idempotent_append`` keyed on ``batch_id`` (a replayed
+    append is a no-op), and the baseline read EXCLUDES rows stamped
+    with this ``batch_id`` — so a micro-batch retried after its append
+    succeeded still tests against the same baseline and emits the
+    identical alert rows.
+
+    The alert is the standard large-sample z-test on the mean:
+    drift ⟺ |mean_b − mean_h| > (z_milli/1000) · sqrt(var_h / n_b).
+    Returns one row per group:
+    (*group_cols, n_batch, mean_batch, mean_hist, z_score, drifted);
+    empty-baseline groups (first batch) emit drifted = false with
+    z_score NULL.
+    """
+    q = batch.withColumn(
+        "__xq", F.expr(f"CAST(ROUND({value_col} * {quant}) AS BIGINT)")
+    )
+    partials = q.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__xq").alias("s"),
+        F.sum(F.col("__xq") * F.col("__xq")).alias("s2"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    try:
+        hist = (
+            state_table.read()
+            .where(F.col("batch_id") != batch_id)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n").alias("N"),
+                F.sum("s").alias("S"),
+                F.sum("s2").alias("S2"),
+            )
+        )
+    except FileNotFoundError:
+        hist = None
+    cur = partials.select(
+        *group_cols,
+        F.col("n").alias("n_batch"),
+        (F.col("s").cast("double") / F.col("n")).alias("__mb"),
+    )
+    if hist is not None:
+        joined = cur.join(hist, group_cols, "left").selectExpr(
+            *group_cols,
+            "n_batch",
+            "__mb",
+            "CASE WHEN N > 0 THEN CAST(S AS DOUBLE) / N END AS __mh",
+            "CASE WHEN N > 0 THEN CAST(S2 AS DOUBLE) / N"
+            " - (CAST(S AS DOUBLE) / N) * (CAST(S AS DOUBLE) / N)"
+            " END AS __vh",
+        )
+    else:
+        joined = cur.selectExpr(
+            *group_cols, "n_batch", "__mb",
+            "CAST(NULL AS DOUBLE) AS __mh", "CAST(NULL AS DOUBLE) AS __vh"
+        )
+    alerts = joined.selectExpr(
+        *group_cols,
+        "n_batch",
+        f"ROUND(__mb / {quant}, 6) AS mean_batch",
+        f"ROUND(__mh / {quant}, 6) AS mean_hist",
+        "ROUND(CASE WHEN __vh > 0 THEN (__mb - __mh) / sqrt(__vh / n_batch) END, 3)"
+        " AS z_score",
+        f"COALESCE(ABS(__mb - __mh) > {z_milli} / 1000.0 * sqrt(__vh / n_batch),"
+        " false) AS drifted",
+    )
+    # materialize alerts BEFORE the state append: foreachBatch callers
+    # typically act on the return value after this call, and the append
+    # below must not shift the baseline under a lazily-evaluated plan
+    alerts = alerts.localCheckpoint(eager=True)
+    state_table.idempotent_append(partials, batch_id=batch_id)
+    return alerts

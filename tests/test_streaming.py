@@ -1426,3 +1426,60 @@ def test_streaming_hdr_sketch_via_merge_additive(spark, tmp_path):
         for r in hdr_sketch(full, "v", ["grp"]).collect()
     }
     assert got == want
+
+
+def test_streaming_drift_monitor_batch(spark, tmp_path):
+    """Streaming drift alerting: stable micro-batches build the
+    baseline; a mean-shifted batch trips the z-test; a REPLAYED batch
+    (same batch_id) re-emits identical alerts and leaves the state
+    unchanged (append is idempotent, baseline excludes own id)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.streaming.runner import drift_monitor_batch
+
+    catalog = LakehouseCatalog(
+        spark, warehouse=str(tmp_path / "wh"), db="drift"
+    )
+    state = catalog.table("DRIFT_STATE")
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [("g", float(v)) for v in vals], "grp string, value double"
+        )
+
+    stable = [10.0 + (i % 5) * 0.1 for i in range(50)]
+
+    # batch 1: no baseline yet -> never drifts
+    a1 = drift_monitor_batch(
+        mk(stable), state, "value", ["grp"], batch_id="q-1"
+    ).collect()
+    assert len(a1) == 1 and not a1[0].drifted and a1[0].z_score is None
+
+    # batch 2: same distribution -> no drift
+    a2 = drift_monitor_batch(
+        mk(stable), state, "value", ["grp"], batch_id="q-2"
+    ).collect()
+    assert not a2[0].drifted and abs(a2[0].z_score) < 3
+
+    # batch 3: mean shifted 10 -> 14 -> drift fires hard
+    a3 = drift_monitor_batch(
+        mk([14.0 + (i % 5) * 0.1 for i in range(50)]),
+        state, "value", ["grp"], batch_id="q-3",
+    ).collect()
+    assert a3[0].drifted and a3[0].z_score > 3
+
+    # replay batch 3: identical alert, state not double-counted
+    n_before = state.read().count()
+    a3r = drift_monitor_batch(
+        mk([14.0 + (i % 5) * 0.1 for i in range(50)]),
+        state, "value", ["grp"], batch_id="q-3",
+    ).collect()
+    assert [tuple(r) for r in a3r] == [tuple(r) for r in a3]
+    assert state.read().count() == n_before
+
+    # batch 4 after the shift landed in state: baseline now mixes the
+    # two regimes; a stable batch may or may not drift — just assert the
+    # monitor keeps running and the state has one partial row per batch
+    drift_monitor_batch(
+        mk(stable), state, "value", ["grp"], batch_id="q-4"
+    ).collect()
+    assert state.read().select("batch_id").distinct().count() == 4
