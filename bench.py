@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "density_clusters",
     "item_similarity",
     "retrieval_eval",
+    "fuzzy_join_snm",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -168,7 +169,7 @@ PREV_ROUND_QUERIES = {
         "label_propagation", "fuzzy_join_parts", "events_autocorr",
         "gapfill_interpolate", "trend_theil_sen", "events_cusum",
         "benford_audit", "density_clusters", "item_similarity",
-        "retrieval_eval",
+        "retrieval_eval", "fuzzy_join_snm",
     )
 }
 

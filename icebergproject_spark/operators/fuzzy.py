@@ -81,3 +81,92 @@ def blocked_fuzzy_match(
         F.col("m.cn").alias(clean_name),
         (-F.col("m.nd")).cast("integer").alias("dist"),
     )
+
+
+def snm_fuzzy_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    window: int = 8,
+    max_dist: int = 2,
+    dirty_id: str = "dirty_id",
+    dirty_name: str = "dirty_name",
+    clean_id: str = "clean_id",
+    clean_name: str = "clean_name",
+) -> DataFrame:
+    """Sorted-Neighborhood blocking (Hernández & Stolfo 1995) — the
+    OTHER classic ER candidate generator: pool both sides, sort by the
+    name key, and consider only record pairs within ``window`` rank
+    positions, then Levenshtein-verify and best-match resolve exactly
+    like :func:`blocked_fuzzy_match`.
+
+    Complementary trade-off to token blocking: SNM needs no
+    tokenizable structure (works on opaque strings) and its candidate
+    count is EXACTLY bounded by n·(2w+1) regardless of key-frequency
+    skew — but a corruption in the string's PREFIX moves the record far
+    away in sort order and the window misses it (token blocking
+    survives any single-token corruption; run both and union for
+    recall, the standard multi-pass SNM).
+
+    100 TB shape: the sort is :func:`llm.sharding.exact_global_rank`
+    (range-partitioned, no global window funnel); the neighborhood
+    pairing is 2w equi-joins on (rank + offset) expressed as one
+    exploded offset array — shuffle-friendly, no range join; verify and
+    resolve as in token blocking.
+
+    Returns (dirty_id, dirty_name, clean_id, clean_name, dist)."""
+    from icebergproject_spark.llm.sharding import exact_global_rank
+
+    pool = dirty.select(
+        F.lit(0).alias("__role"),
+        F.col(dirty_id).alias("__id"),
+        F.col(dirty_name).alias("__name"),
+    ).unionByName(
+        clean.select(
+            F.lit(1).alias("__role"),
+            F.col(clean_id).alias("__id"),
+            F.col(clean_name).alias("__name"),
+        )
+    )
+    ranked, _ = exact_global_rank(
+        pool, [F.col("__name"), F.col("__role"), F.col("__id")]
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # both join sides
+    d = ranked.where(F.col("__role") == 0).select(
+        F.col("__id").alias(dirty_id),
+        F.col("__name").alias(dirty_name),
+        F.col("__rn").alias("__rd"),
+    )
+    c = ranked.where(F.col("__role") == 1).select(
+        F.col("__id").alias(clean_id),
+        F.col("__name").alias(clean_name),
+        F.col("__rn").alias("__rc"),
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(o) for o in range(-window, window + 1)])
+    )
+    cand = (
+        d.withColumn("__off", offsets)
+        .withColumn("__rc", F.col("__rd") + F.col("__off"))
+        .join(c, "__rc")
+        .select(dirty_id, dirty_name, clean_id, clean_name)
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein(F.col(dirty_name), F.col(clean_name))
+    ).where(F.col("dist") <= max_dist)
+    best = verified.groupBy(dirty_id, dirty_name).agg(
+        F.max(
+            F.struct(
+                (-F.col("dist")).alias("nd"),
+                (-F.col(clean_id)).alias("nc"),
+                F.col(clean_name).alias("cn"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        dirty_id,
+        dirty_name,
+        (-F.col("m.nc")).cast("long").alias(clean_id),
+        F.col("m.cn").alias(clean_name),
+        (-F.col("m.nd")).cast("integer").alias("dist"),
+    )

@@ -777,9 +777,11 @@ DRIVER_WINDOW = [
     "ods_browselog", "part_taxonomy", "pricing_summary",
     "quantity_price_corr", "range_join_shipments", "revenue_pareto",
     "rolling_30d_revenue", "route_dim", "route_fact", "shipping_priority",
-    "similarity_topk", "small_quantity_revenue", "text_stats",
+    "similarity_topk", "small_quantity_revenue",
     "token_count_bpe", "top_parts_by_revenue", "user_login_wide",
     "user_sessions",
+    # text_stats (thrice green) yields its slot to the 14th session-4
+    # head; it rotates in r9 with the r5 pool
     # stale refresh: oldest ROUND-5 rows, alphabetical head (13 of 49;
     # the rest rotate in r9)
     # new heads (session 4) — never driver-checked, so they take all
@@ -792,7 +794,7 @@ DRIVER_WINDOW = [
     "label_propagation", "fuzzy_join_parts", "events_autocorr",
     "gapfill_interpolate", "trend_theil_sen", "events_cusum",
     "benford_audit", "density_clusters", "item_similarity",
-    "retrieval_eval",
+    "retrieval_eval", "fuzzy_join_snm",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

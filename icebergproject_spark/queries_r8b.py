@@ -358,28 +358,9 @@ def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = parts.groupBy(F.col("p_name").alias("clean_name")).agg(
         F.min("p_partkey").alias("clean_id")
     )
-    dirty = (
-        parts.select(F.col("p_partkey").alias("dirty_id"), "p_name")
-        .withColumn(
-            "__p0",
-            (F.col("dirty_id") % F.length("p_name") + 1).cast("int"),
-        )
-        .withColumn(
-            "__pos",
-            F.when(
-                F.expr("substring(p_name, __p0, 1)") == " ",
-                F.col("__p0") + 1,
-            ).otherwise(F.col("__p0")),
-        )
-        .select(
-            "dirty_id",
-            F.expr(
-                "concat(substring(p_name, 1, __pos - 1),"
-                " substring(p_name, __pos + 1))"
-            ).alias("dirty_name"),
-        )
+    return blocked_fuzzy_match(
+        _dirty_parts(spark, sf_dir), clean, max_dist=2
     )
-    return blocked_fuzzy_match(dirty, clean, max_dist=2)
 
 
 ORACLE_FUZZY_JOIN_PARTS = """
@@ -426,6 +407,114 @@ ver AS (
 best AS (
   SELECT dirty_id, dirty_name,
          MAX({'nd': -dist, 'nc': -clean_id, 'cn': clean_name}) AS m
+  FROM ver GROUP BY 1, 2
+)
+SELECT dirty_id, dirty_name,
+       CAST(-(m.nc) AS BIGINT) AS clean_id,
+       m.cn AS clean_name,
+       CAST(-(m.nd) AS INT) AS dist
+FROM best
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_snm — sorted-neighborhood blocking, same feed
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 8
+
+
+def _dirty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic dirty feed shared by both blocking strategies:
+    every part row with one character deleted at a p_partkey-keyed,
+    space-shifted position."""
+    parts = _t(spark, sf_dir, "part")
+    return (
+        parts.select(F.col("p_partkey").alias("dirty_id"), "p_name")
+        .withColumn(
+            "__p0",
+            (F.col("dirty_id") % F.length("p_name") + 1).cast("int"),
+        )
+        .withColumn(
+            "__pos",
+            F.when(
+                F.expr("substring(p_name, __p0, 1)") == " ",
+                F.col("__p0") + 1,
+            ).otherwise(F.col("__p0")),
+        )
+        .select(
+            "dirty_id",
+            F.expr(
+                "concat(substring(p_name, 1, __pos - 1),"
+                " substring(p_name, __pos + 1))"
+            ).alias("dirty_name"),
+        )
+    )
+
+
+def q_fuzzy_join_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ER task as fuzzy_join_parts through SORTED-NEIGHBORHOOD
+    blocking (operators/fuzzy.snm_fuzzy_match): pool dirty + clean,
+    exact-global-rank by name, pair within ±8 rank positions, verify,
+    resolve.  Running both heads exposes the two generators' recall
+    difference as data (SNM misses prefix corruptions by design)."""
+    from icebergproject_spark.operators.fuzzy import snm_fuzzy_match
+
+    parts = _t(spark, sf_dir, "part")
+    clean = parts.groupBy(F.col("p_name").alias("clean_name")).agg(
+        F.min("p_partkey").alias("clean_id")
+    )
+    return snm_fuzzy_match(
+        _dirty_parts(spark, sf_dir), clean, window=SNM_WINDOW
+    )
+
+
+ORACLE_FUZZY_JOIN_SNM = f"""
+WITH base AS (
+  SELECT p_partkey AS dirty_id, p_name,
+         CAST(p_partkey % length(p_name) + 1 AS INT) AS p0
+  FROM part
+),
+dirty AS (
+  SELECT dirty_id,
+         concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1))
+           AS dirty_name
+  FROM (
+    SELECT dirty_id, p_name,
+           CASE WHEN substring(p_name, p0, 1) = ' ' THEN p0 + 1 ELSE p0 END
+             AS pos
+    FROM base
+  )
+),
+clean AS (
+  SELECT p_name AS clean_name, MIN(p_partkey) AS clean_id
+  FROM part GROUP BY 1
+),
+pool AS (
+  SELECT 0 AS role, dirty_id AS id, dirty_name AS name FROM dirty
+  UNION ALL SELECT 1, clean_id, clean_name FROM clean
+),
+ranked AS MATERIALIZED (
+  SELECT id, name, role,
+         ROW_NUMBER() OVER (ORDER BY name, role, id) AS rn
+  FROM pool
+),
+d AS (SELECT id AS dirty_id, name AS dirty_name, rn FROM ranked WHERE role = 0),
+c AS (SELECT id AS clean_id, name AS clean_name, rn FROM ranked WHERE role = 1),
+cand AS (
+  SELECT DISTINCT d.dirty_id, d.dirty_name, c.clean_id, c.clean_name
+  FROM d JOIN c
+    ON c.rn BETWEEN d.rn - {SNM_WINDOW} AND d.rn + {SNM_WINDOW}
+),
+ver AS (
+  SELECT dirty_id, dirty_name, clean_id, clean_name,
+         levenshtein(dirty_name, clean_name) AS dist
+  FROM cand
+  WHERE levenshtein(dirty_name, clean_name) <= 2
+),
+best AS (
+  SELECT dirty_id, dirty_name,
+         MAX({{'nd': -dist, 'nc': -clean_id, 'cn': clean_name}}) AS m
   FROM ver GROUP BY 1, 2
 )
 SELECT dirty_id, dirty_name,
@@ -913,4 +1002,5 @@ R8B_REGISTRY: dict[str, Query] = {
     "density_clusters": Query(q_density_clusters, ORACLE_DENSITY_CLUSTERS),
     "item_similarity": Query(q_item_similarity, ORACLE_ITEM_SIMILARITY),
     "retrieval_eval": Query(q_retrieval_eval, ORACLE_RETRIEVAL_EVAL),
+    "fuzzy_join_snm": Query(q_fuzzy_join_snm, ORACLE_FUZZY_JOIN_SNM),
 }

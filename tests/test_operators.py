@@ -584,3 +584,59 @@ def test_lag_autocorr_rejects_bad_lags(spark):
         lag_autocorr(df, "v", ["g"], [F.col("t")], lags=(0,))
     with pytest.raises(ValueError):
         lag_autocorr(df, "v", ["g"], [F.col("t")], lags=())
+
+
+# --- snm_fuzzy_match --------------------------------------------------------
+
+def test_snm_finds_interior_corruption(spark):
+    """Interior deletion keeps the sort prefix, so the window catches
+    the match."""
+    from icebergproject_spark.operators.fuzzy import snm_fuzzy_match
+
+    dirty = spark.createDataFrame(
+        [(1, "small rng")], ["dirty_id", "dirty_name"]
+    )
+    clean = spark.createDataFrame(
+        [(10, "small ring"), (20, "red widget"), (30, "blue bolt")],
+        ["clean_id", "clean_name"],
+    )
+    got = snm_fuzzy_match(dirty, clean, window=2).collect()
+    assert len(got) == 1
+    assert (got[0].clean_id, got[0].dist) == (10, 1)
+
+
+def test_snm_misses_prefix_corruption_the_documented_tradeoff(spark):
+    """A FIRST-character deletion moves the record across the sort
+    order; with enough interposed records the window misses it — the
+    documented SNM recall trade (token blocking finds this case)."""
+    from icebergproject_spark.operators.fuzzy import (
+        blocked_fuzzy_match,
+        snm_fuzzy_match,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, "mall ring")], ["dirty_id", "dirty_name"]  # 'small ring' - 's'
+    )
+    # interpose > window names between 'm...' and 's...'
+    fillers = [(100 + i, f"n{chr(97 + i)} filler") for i in range(6)]
+    clean = spark.createDataFrame(
+        [(10, "small ring")] + fillers, ["clean_id", "clean_name"]
+    )
+    assert snm_fuzzy_match(dirty, clean, window=2).count() == 0
+    assert blocked_fuzzy_match(dirty, clean).count() == 1  # token 'ring'
+
+
+def test_snm_candidate_bound_respects_window(spark):
+    """Every candidate pair is within the rank window by construction —
+    tie-broken resolve still picks min (dist, clean_id)."""
+    from icebergproject_spark.operators.fuzzy import snm_fuzzy_match
+
+    dirty = spark.createDataFrame(
+        [(1, "alpha bet")], ["dirty_id", "dirty_name"]
+    )
+    clean = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "alpha betb")],
+        ["clean_id", "clean_name"],
+    )
+    got = snm_fuzzy_match(dirty, clean, window=4).collect()
+    assert len(got) == 1 and got[0].clean_id == 10 and got[0].dist == 1
