@@ -67,6 +67,8 @@ def item_similarity_topk(
         .where(F.col("a.i") < F.col("b.i"))
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count(F.lit(1)).alias("co"))
+        .localCheckpoint(eager=False)  # the expensive pair aggregate is
+        # consumed by BOTH direction branches of the union — run it once
     )
     sym = co.select(
         F.col("ia").alias("item_a"), F.col("ib").alias("item_b"), "co"

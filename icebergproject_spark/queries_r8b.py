@@ -812,7 +812,10 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact["query_id"] == a["query_id"])
         & (exact["neighbor_id"] == a["a_nb"]),
         "left",
-    ).select(exact["query_id"], exact["rank"], a["a_rank"])
+    ).select(exact["query_id"], exact["rank"], a["a_rank"]).localCheckpoint(
+        eager=False  # hits and rr both consume it — without the cut the
+        # exact scan AND the whole IVF training chain replay per metric
+    )
     hits = joined.groupBy("query_id").agg(
         F.count("a_rank").cast("long").alias("hits_at_5")
     )

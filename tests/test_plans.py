@@ -73,6 +73,21 @@ def _count(plan: str, node: str) -> int:
         # aggregate; a 10th exchange means the checkpointed rank relation
         # stopped being reused across lags
         ("events_autocorr", 9, 0),
+        # robust-stats batch: daily rollup + pair join + grouped median /
+        # one prefix-sum range exchange + argmax / 9-group digit profile
+        ("trend_theil_sen", 3, 1),
+        ("events_cusum", 4, 1),
+        ("benford_audit", 3, 1),
+        # DBSCAN: checkpointed gemm pairs; degree/core/border joins
+        ("density_clusters", 8, 3),
+        # item CF: a 6th exchange means the checkpointed pair aggregate
+        # stopped being reused across the two union directions
+        ("item_similarity", 5, 0),
+        # eval: both ANN arms behind one checkpointed join — the visible
+        # plan is just the two metric aggregates
+        ("retrieval_eval", 2, 0),
+        # SNM: rank path + offset equi-join + resolve
+        ("fuzzy_join_snm", 3, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
