@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "item_similarity",
     "retrieval_eval",
     "fuzzy_join_snm",
+    "events_ks_drift",
+    "trend_ols",
+    "purchase_attribution",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -169,7 +172,8 @@ PREV_ROUND_QUERIES = {
         "label_propagation", "fuzzy_join_parts", "events_autocorr",
         "gapfill_interpolate", "trend_theil_sen", "events_cusum",
         "benford_audit", "density_clusters", "item_similarity",
-        "retrieval_eval", "fuzzy_join_snm",
+        "retrieval_eval", "fuzzy_join_snm", "events_ks_drift",
+        "trend_ols", "purchase_attribution",
     )
 }
 

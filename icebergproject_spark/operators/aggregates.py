@@ -594,3 +594,128 @@ def benford_profile(
             ).cast("long").alias("chi2_term"),
         )
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group OLS line from integer partial sums — the
+    least-squares counterpart to :func:`theil_sen_trend`, so pipelines
+    can ship BOTH trends and read their divergence as an outlier signal
+    (OLS bends toward bursts, Theil-Sen does not).
+
+    ``x_col``/``y_col`` integer-valued: the five sums (n, Σx, Σy, Σxy,
+    Σx²) are exact order-independent BIGINTs; slope and intercept are
+    single double expressions over them (identical rendering both
+    engines), rounded 1e-6.  One map-side-combined hash aggregate —
+    nothing changes at any scale.  Zero-variance x (single point /
+    vertical stack) yields NULL slope via the nullif guard.
+
+    Returns (``*group_cols``, n, slope, intercept)."""
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(x_col)).alias("sx"),
+        F.sum(F.col(y_col)).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+    )
+    slope_expr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+    )
+    return sums.selectExpr(
+        *group_cols,
+        "n",
+        f"ROUND({slope_expr}, 6) AS slope",
+        f"ROUND((CAST(sy AS DOUBLE) - ({slope_expr}) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE), 6) AS intercept",
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str,
+    quant: int = 100,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per group between
+    the group's FIRST and SECOND time halves (split at the midpoint of
+    its epoch-millis span) — the standard nonparametric
+    distribution-shift audit (did the value distribution change, not
+    just its mean — the CUSUM head's complement).
+
+    Exact-integer construction: with per-half cumulative counts c1/c2
+    and totals n1/n2 over the quant-grid value order,
+
+        D = max |c1/n1 − c2/n2|  =  max |c1·n2 − c2·n1| / (n1·n2)
+
+    — the numerator is an exact BIGINT (cross-multiplication, the
+    repo's float-threshold rule), so the argmax value and the final
+    ``ks_micro = D_num·micro DIV (n1·n2)`` are engine-identical.
+    Overflow: n1·n2 < 2^63 ⇒ fine to ~3e9 rows per group.
+
+    Scale shape: one hash aggregate to (group, value) granularity, two
+    range-partitioned prefix sums (:func:`llm.sharding
+    .exact_prefix_sum` — no per-group window funnel), one broadcast of
+    the per-group totals, one argmax hash aggregate.  Groups with an
+    empty half are omitted (KS undefined).
+
+    Returns (``*group_cols``, n1, n2, ks_micro, ks_at_q) — ``ks_at_q``
+    the quant-grid value where the gap is attained (ties → smallest).
+    """
+    from icebergproject_spark.llm.sharding import exact_prefix_sum
+
+    q = df.select(
+        *group_cols,
+        F.unix_millis(F.col(ts_col)).alias("__ms"),
+        F.expr(f"CAST(ROUND({value_col} * {quant}) AS BIGINT)").alias("__xq"),
+    )
+    rng = q.groupBy(*group_cols).agg(
+        F.expr("(MIN(__ms) + MAX(__ms)) DIV 2").alias("__mid")
+    )
+    tagged = q.join(F.broadcast(rng), group_cols).withColumn(
+        "__h", F.when(F.col("__ms") <= F.col("__mid"), 1).otherwise(0)
+    )
+    ns = tagged.groupBy(*group_cols).agg(
+        F.sum("__h").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("__h")).cast("long").alias("n2"),
+    )
+    counts = tagged.groupBy(*group_cols, "__xq").agg(
+        F.sum("__h").cast("long").alias("__d1"),
+        (F.count(F.lit(1)) - F.sum("__h")).cast("long").alias("__d2"),
+    )
+    c1 = exact_prefix_sum(
+        counts, "__d1", [F.col("__xq")], group_cols=group_cols, sum_col="__c1"
+    )
+    c2 = exact_prefix_sum(
+        c1, "__d2", [F.col("__xq")], group_cols=group_cols, sum_col="__c2"
+    )
+    scored = c2.join(F.broadcast(ns), group_cols).withColumn(
+        "__dnum",
+        F.abs(F.col("__c1") * F.col("n2") - F.col("__c2") * F.col("n1")),
+    )
+    best = scored.groupBy(*group_cols).agg(
+        F.max(
+            F.struct(F.col("__dnum"), (-F.col("__xq")).alias("nx"))
+        ).alias("m")
+    )
+    return (
+        best.join(ns, group_cols)
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            *group_cols,
+            "n1",
+            "n2",
+            F.expr(f"CAST((m.__dnum * {micro}) DIV (n1 * n2) AS BIGINT)").alias(
+                "ks_micro"
+            ),
+            (-F.col("m.nx")).cast("long").alias("ks_at_q"),
+        )
+    )

@@ -772,7 +772,7 @@ DRIVER_WINDOW = [
     "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
     # stale refresh: every row last checked in ROUND 3 (27 of 27)
     "dedup_embedding", "dedup_exact", "dedup_ngram_jaccard",
-    "doc_fingerprint", "dwd_cleanse", "embedding_stats", "lang_id",
+    "dwd_cleanse",
     "local_supplier_volume", "multimodal_meta", "nation_volume_shipping",
     "ods_browselog", "part_taxonomy", "pricing_summary",
     "quantity_price_corr", "range_join_shipments", "revenue_pareto",
@@ -795,6 +795,9 @@ DRIVER_WINDOW = [
     "gapfill_interpolate", "trend_theil_sen", "events_cusum",
     "benford_audit", "density_clusters", "item_similarity",
     "retrieval_eval", "fuzzy_join_snm",
+    # three once/twice-green r3 rows (doc_fingerprint, embedding_stats,
+    # lang_id) yield slots to the last session-4 heads; r9 rotation pool
+    "events_ks_drift", "trend_ols", "purchase_attribution",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

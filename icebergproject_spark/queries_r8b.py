@@ -858,6 +858,196 @@ FROM hits h JOIN rr r USING (query_id)
 
 
 # ---------------------------------------------------------------------------
+# events_ks_drift — two-sample KS distribution-shift audit
+# ---------------------------------------------------------------------------
+
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per event type
+    between the type's first and second time halves
+    (operators/aggregates.ks_drift): D as an integer
+    cross-multiplication max — distribution-shift, not just mean-shift
+    (the events_cusum complement)."""
+    from icebergproject_spark.operators.aggregates import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_drift(ev, "value", ["event_type"], "ts", quant=100)
+
+
+ORACLE_EVENTS_KS_DRIFT = """
+WITH q AS (
+  SELECT event_type AS g, epoch_ms(ts) AS ms,
+         CAST(ROUND(value * 100) AS BIGINT) AS xq
+  FROM events
+),
+rng AS (SELECT g, (MIN(ms) + MAX(ms)) // 2 AS mid FROM q GROUP BY 1),
+tagged AS (
+  SELECT q.g, q.xq, CASE WHEN q.ms <= r.mid THEN 1 ELSE 0 END AS h
+  FROM q JOIN rng r USING (g)
+),
+ns AS (
+  SELECT g, CAST(SUM(h) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(h) AS BIGINT) AS n2
+  FROM tagged GROUP BY 1
+),
+counts AS (
+  SELECT g, xq, CAST(SUM(h) AS BIGINT) AS d1,
+         CAST(COUNT(*) - SUM(h) AS BIGINT) AS d2
+  FROM tagged GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, xq,
+         CAST(SUM(d1) OVER w AS BIGINT) AS c1,
+         CAST(SUM(d2) OVER w AS BIGINT) AS c2
+  FROM counts
+  WINDOW w AS (PARTITION BY g ORDER BY xq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT c.g, c.xq, ABS(c.c1 * n.n2 - c.c2 * n.n1) AS dnum
+  FROM cum c JOIN ns n USING (g)
+),
+best AS (
+  SELECT g, MAX({'dnum': dnum, 'nx': -xq}) AS m FROM scored GROUP BY 1
+)
+SELECT b.g AS event_type, n.n1, n.n2,
+       CAST((b.m.dnum * 1000000) // (n.n1 * n.n2) AS BIGINT) AS ks_micro,
+       CAST(-(b.m.nx) AS BIGINT) AS ks_at_q
+FROM best b JOIN ns n USING (g)
+WHERE n.n1 > 0 AND n.n2 > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# trend_ols — the least-squares twin of trend_theil_sen
+# ---------------------------------------------------------------------------
+
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact OLS slope + intercept of the daily event-count series per
+    event type (operators/aggregates.ols_trend) — shipped next to
+    trend_theil_sen so their divergence reads as a burst-outlier
+    signal."""
+    from icebergproject_spark.operators.aggregates import ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    dx = daily.withColumn(
+        "x", F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long")
+    )
+    return ols_trend(dx, ["event_type"], "x", "y")
+
+
+ORACLE_TREND_OLS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+dx AS (
+  SELECT event_type, CAST(d - DATE '1970-01-01' AS BIGINT) AS x, y
+  FROM daily
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM dx GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution — as-of marketing attribution
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_MS = 30 * 60 * 1000
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase event is attributed to the
+    user's most recent 'view' within 30 minutes (operators/temporal
+    .asof_join — one shuffle on user, linear within partition), else
+    unattributed (NULL view / gap).  The marketing-funnel join the
+    reference's serving layer would feed."""
+    from icebergproject_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.unix_millis("ts").alias("p_ms"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("v_id"),
+        F.unix_millis("ts").alias("v_ms"),
+    )
+    att = asof_join(
+        purchases, views,
+        key="user_id", left_ts="ts", right_ts="vts",
+        right_vals=["v_id", "v_ms"], tiebreak="v_id",
+    )
+    in_window = F.col("p_ms") - F.col("v_ms") <= ATTRIB_WINDOW_MS
+    return att.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("purchase_day"),
+        F.when(in_window, F.col("v_id")).cast("long").alias("view_id"),
+        F.when(in_window, F.col("p_ms") - F.col("v_ms"))
+        .cast("long")
+        .alias("gap_ms"),
+    )
+
+
+ORACLE_PURCHASE_ATTRIBUTION = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts, epoch_ms(ts) AS vms
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id, user_id, ts, epoch_ms(ts) AS pms
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT p.event_id AS pid, p.user_id, p.ts AS pts, p.pms,
+         (SELECT vv.event_id FROM v vv
+          WHERE vv.user_id = p.user_id AND vv.ts <= p.ts
+          ORDER BY vv.ts DESC, vv.event_id DESC LIMIT 1) AS vid
+  FROM p
+),
+j AS (
+  SELECT c.pid, c.user_id, c.pts, c.pms, c.vid, v.vms
+  FROM cand c LEFT JOIN v ON v.event_id = c.vid
+)
+SELECT pid AS purchase_id, user_id,
+       strftime(pts, '%Y-%m-%d') AS purchase_day,
+       CAST(CASE WHEN pms - vms <= {ATTRIB_WINDOW_MS} THEN vid END
+            AS BIGINT) AS view_id,
+       CAST(CASE WHEN pms - vms <= {ATTRIB_WINDOW_MS} THEN pms - vms END
+            AS BIGINT) AS gap_ms
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # density_clusters — DBSCAN over the embedding space
 # ---------------------------------------------------------------------------
 
@@ -1006,4 +1196,9 @@ R8B_REGISTRY: dict[str, Query] = {
     "item_similarity": Query(q_item_similarity, ORACLE_ITEM_SIMILARITY),
     "retrieval_eval": Query(q_retrieval_eval, ORACLE_RETRIEVAL_EVAL),
     "fuzzy_join_snm": Query(q_fuzzy_join_snm, ORACLE_FUZZY_JOIN_SNM),
+    "events_ks_drift": Query(q_events_ks_drift, ORACLE_EVENTS_KS_DRIFT),
+    "trend_ols": Query(q_trend_ols, ORACLE_TREND_OLS),
+    "purchase_attribution": Query(
+        q_purchase_attribution, ORACLE_PURCHASE_ATTRIBUTION
+    ),
 }

@@ -640,3 +640,94 @@ def test_snm_candidate_bound_respects_window(spark):
     )
     got = snm_fuzzy_match(dirty, clean, window=4).collect()
     assert len(got) == 1 and got[0].clean_id == 10 and got[0].dist == 1
+
+
+# --- ols_trend --------------------------------------------------------------
+
+def test_ols_trend_exact_line(spark):
+    from icebergproject_spark.operators.aggregates import ols_trend
+
+    df = spark.createDataFrame(
+        [("g", x, 2 * x + 3) for x in range(10)], "g string, x long, y long"
+    )
+    r = ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert (r.n, r.slope, r.intercept) == (10, 2.0, 3.0)
+
+
+def test_ols_vs_theil_sen_divergence_on_burst(spark):
+    """The shipped-pair contract: a burst bends OLS, not Theil-Sen."""
+    from icebergproject_spark.operators.aggregates import (
+        ols_trend,
+        theil_sen_trend,
+    )
+
+    pts = [("g", x, 2 * x) for x in range(9)] + [("g", 9, 500)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    ols = ols_trend(df, ["g"], "x", "y").collect()[0]
+    ts = theil_sen_trend(df, ["g"], "x", "y").collect()[0]
+    assert ts.slope == 2.0 and ols.slope > 10
+
+
+def test_ols_trend_single_point_null_slope(spark):
+    from icebergproject_spark.operators.aggregates import ols_trend
+
+    df = spark.createDataFrame([("g", 5, 7)], "g string, x long, y long")
+    r = ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert r.slope is None and r.intercept is None
+
+
+# --- ks_drift ---------------------------------------------------------------
+
+def _ks_ref(vals_ts, quant=100):
+    """Pure-Python replay: split at epoch-ms midpoint, exact KS."""
+    ms = [int(t) for t, _ in vals_ts]
+    mid = (min(ms) + max(ms)) // 2
+    h1 = sorted(round(v * quant) for t, v in vals_ts if int(t) <= mid)
+    h2 = sorted(round(v * quant) for t, v in vals_ts if int(t) > mid)
+    n1, n2 = len(h1), len(h2)
+    xs = sorted(set(h1) | set(h2))
+    best = (-1, None)
+    import bisect
+    for x in xs:
+        c1 = bisect.bisect_right(h1, x)
+        c2 = bisect.bisect_right(h2, x)
+        d = abs(c1 * n2 - c2 * n1)
+        if d > best[0] or (d == best[0] and x < best[1]):
+            best = (d, x)
+    return n1, n2, best[0] * 10**6 // (n1 * n2), best[1]
+
+
+def test_ks_drift_matches_python_replay(spark):
+    import datetime
+
+    from icebergproject_spark.operators.aggregates import ks_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    vals_ts = []
+    for i in range(200):
+        t = base + datetime.timedelta(minutes=i)
+        # second half shifted +2.5
+        v = ((i * 37 + 11) % 50) / 10.0 + (2.5 if i >= 100 else 0.0)
+        rows.append(("g", t, v))
+        vals_ts.append((t.timestamp() * 1000, v))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = ks_drift(df, "v", ["g"], "ts").collect()[0]
+    n1, n2, ksm, at = _ks_ref(vals_ts)
+    assert (got.n1, got.n2, got.ks_micro, got.ks_at_q) == (n1, n2, ksm, at)
+    assert got.ks_micro > 300000  # the shift is detected
+
+
+def test_ks_drift_no_shift_is_small(spark):
+    import datetime
+
+    from icebergproject_spark.operators.aggregates import ks_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("g", base + datetime.timedelta(minutes=i), ((i * 37 + 11) % 50) / 10.0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = ks_drift(df, "v", ["g"], "ts").collect()[0]
+    assert got.ks_micro < 150000  # same generator both halves

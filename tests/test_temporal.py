@@ -176,3 +176,52 @@ def test_interpolate_gaps_dense_series_passthrough(spark):
     out = interpolate_gaps(df, "u", "d", "v").collect()
     assert all(not r.interpolated for r in out)
     assert {r.v for r in out} == {0.0, 1.0, 4.0, 9.0, 16.0}
+
+
+# --- purchase_attribution (as-of composition) --------------------------------
+
+def test_purchase_attribution_cases(spark):
+    """Within-window view attributed (latest wins); stale view -> NULL;
+    no view at all -> NULL."""
+    import datetime
+
+    # import through the assembled registry — importing queries_r8b
+    # directly re-enters the circular queries<->r8b import
+    from icebergproject_spark.queries import REGISTRY
+
+    q_purchase_attribution = REGISTRY["purchase_attribution"].fn
+
+    # build a tiny parquet sf_dir with just the events table
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, offset_min):
+        return (
+            eid,
+            base + datetime.timedelta(minutes=offset_min),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 100, "view", 0),
+        ev(2, 100, "view", 10),      # latest view before the purchase
+        ev(3, 100, "purchase", 20),  # gap 10 min -> attributed to 2
+        ev(4, 200, "view", 0),
+        ev(5, 200, "purchase", 45),  # gap 45 min -> stale, NULL
+        ev(6, 300, "purchase", 5),   # no view ever -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.purchase_id: (r.view_id, r.gap_ms)
+           for r in q_purchase_attribution(spark, d).collect()}
+    assert got[3] == (2, 10 * 60 * 1000)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
