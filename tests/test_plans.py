@@ -88,6 +88,13 @@ def _count(plan: str, node: str) -> int:
         ("retrieval_eval", 2, 0),
         # SNM: rank path + offset equi-join + resolve
         ("fuzzy_join_snm", 3, 0),
+        # KS: value-grain aggregate + two prefix-sum range exchanges +
+        # argmax; per-group totals and midpoint broadcast
+        ("events_ks_drift", 8, 5),
+        # OLS: one hash aggregate over the daily rollup
+        ("trend_ols", 2, 0),
+        # attribution: ONE shuffle on user (the as-of union window)
+        ("purchase_attribution", 1, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
