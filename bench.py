@@ -211,6 +211,8 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    import gc
+
     for name in BENCH_QUERIES:
         samples = []
         for _ in range(max(runs, 1)):
@@ -218,9 +220,17 @@ def main() -> None:
             df = REGISTRY[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            del df
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         timings_min[name] = round(samples[0], 3)
+        # release lazy-localCheckpoint blocks between queries: the
+        # ContextCleaner only unpersists them once the Python DataFrame
+        # refs are collected, and ~95 queries × 3 runs of graph/rank
+        # heads otherwise accumulate blocks until the driver heap OOMs
+        # (observed at the 94-query mark on an 8g driver)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     comparable = {
