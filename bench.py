@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "events_ks_drift",
     "trend_ols",
     "purchase_attribution",
+    "community_modularity",
+    "pmi_collocations",
+    "revenue_gini",
 ]
 
 # the exact query set BENCH_r07 reported (64 queries) — the
@@ -173,7 +176,8 @@ PREV_ROUND_QUERIES = {
         "gapfill_interpolate", "trend_theil_sen", "events_cusum",
         "benford_audit", "density_clusters", "item_similarity",
         "retrieval_eval", "fuzzy_join_snm", "events_ks_drift",
-        "trend_ols", "purchase_attribution",
+        "trend_ols", "purchase_attribution", "community_modularity",
+        "pmi_collocations", "revenue_gini",
     )
 }
 

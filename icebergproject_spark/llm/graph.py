@@ -753,3 +753,80 @@ def hits_micro(
         )
         .select("node", "hub_micro", "auth_micro")
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    micro: int = 10**6,
+) -> DataFrame:
+    """Newman modularity of a node labeling, per community, on an exact
+    integer grid — the standard quality score for community assignments
+    (label propagation, Louvain, metadata partitions): how many more
+    intra-community edges exist than a degree-preserving random graph
+    would place.
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+          = Σ_c (4m·e_c − d_c²)  /  (4m²)
+
+    so each community's numerator ``4m·e_c − d_c²`` is an exact BIGINT
+    (cross-multiplication — the repo's float-threshold rule) and the
+    reported ``q_micro`` is one truncating division.  Both engines
+    truncate toward zero (negative contributions are real: a community
+    with fewer internal edges than chance scores below 0).
+
+    ``labels``: (node, label); NULL-labeled nodes are EXCLUDED and the
+    graph restricted to edges with both endpoints labeled (m, degrees
+    re-derived on the restriction — documented semantics).  Shape: two
+    broadcast-able joins of labels onto the edge list + two hash
+    aggregates; the per-community relation is tiny at any scale.
+
+    Returns (label, n_nodes, e_in, d_tot, q_micro) per community —
+    ``q_micro`` the community's modularity contribution in micro units;
+    Σ q_micro ≈ overall Q·10⁶ (up to per-row truncation).
+    """
+    lab = labels.where(F.col("label").isNotNull()).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+    e = (
+        edges.select(
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+        )
+        .join(lab.select(F.col("node").alias("a"),
+                         F.col("label").alias("la")), "a")
+        .join(lab.select(F.col("node").alias("b"),
+                         F.col("label").alias("lb")), "b")
+        .localCheckpoint(eager=False)  # m, e_c, and degrees all read it
+    )
+    m = e.count()  # restricted undirected edge count (bounded driver scalar)
+    e_in = (
+        e.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"), F.col("la").alias("label"))
+        .union(e.select(F.col("b").alias("node"), F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d_tot"),
+            F.countDistinct("node").cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        deg.join(e_in, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_tot",
+            F.expr(
+                f"CAST(((4 * {m} * coalesce(e_in, 0) - d_tot * d_tot)"
+                f" * {micro}) DIV (4 * {m} * {m}) AS BIGINT)"
+            ).alias("q_micro"),
+        )
+    )

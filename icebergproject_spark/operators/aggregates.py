@@ -719,3 +719,60 @@ def ks_drift(
             (-F.col("m.nx")).cast("long").alias("ks_at_q"),
         )
     )
+
+
+def gini_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    micro: int = 10**6,
+) -> DataFrame:
+    """Exact Gini concentration index per group over a non-negative
+    INTEGER value column (cents, counts) — the inequality audit behind
+    'top-x% of customers drive y% of revenue' (the revenue_pareto
+    head's scalar summary), and a drift signal for corpus source
+    concentration.
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  x_(i) ascending
+
+    Ranks come from :func:`llm.sharding.exact_global_rank` over
+    (group, value, id) — group-major total order, per-group rank =
+    global rank − the group's min rank + 1, so no per-group window
+    funnel; every term is an exact BIGINT and the result one truncating
+    division to micro units.  Overflow: n·max_rank·max_x < 2^63.
+
+    The micro scaling runs in TWO stages of 10³ (quotient carried, then
+    the remainder rescaled — exactly (G_num·10⁶) DIV d without ever
+    forming G_num·10⁶, which overflows int64 once n·Σx exceeds ~9e12;
+    G_num ≥ 0 by the Chebyshev sum inequality, so truncation is
+    floor on both engines).  Remaining bound: n·Σx·10³ < 2^63.
+
+    Returns (``*group_cols``, n, total, gini_micro); groups with zero
+    total are omitted (Gini undefined)."""
+    from icebergproject_spark.llm.sharding import exact_global_rank
+
+    ranked, _ = exact_global_rank(
+        df.select(*group_cols, F.col(value_col).alias("__x"),
+                  F.col(id_col).alias("__id")),
+        [F.col(c) for c in group_cols] + [F.col("__x"), F.col("__id")],
+    )
+    base = ranked.groupBy(*group_cols).agg(
+        F.min("__rn").alias("__r0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__rn") * F.col("__x")).alias("__rs"),
+    )
+    # per-group Σ i·x = Σ (rn − r0 + 1)·x = __rs − (r0 − 1)·total
+    gnum = "(2 * (__rs - (__r0 - 1) * total) - (n + 1) * total)"
+    half = int(micro**0.5)
+    return base.where(F.col("total") > 0).select(
+        *group_cols,
+        "n",
+        "total",
+        F.expr(
+            f"CAST((({gnum} * {half}) DIV (n * total)) * {half}"
+            f" + ((({gnum} * {half}) % (n * total)) * {half})"
+            f"   DIV (n * total) AS BIGINT)"
+        ).alias("gini_micro"),
+    )

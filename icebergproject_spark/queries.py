@@ -773,12 +773,12 @@ DRIVER_WINDOW = [
     # stale refresh: every row last checked in ROUND 3 (27 of 27)
     "dedup_embedding", "dedup_exact", "dedup_ngram_jaccard",
     "dwd_cleanse",
-    "local_supplier_volume", "multimodal_meta", "nation_volume_shipping",
+    "local_supplier_volume", "nation_volume_shipping",
     "ods_browselog", "part_taxonomy", "pricing_summary",
     "quantity_price_corr", "range_join_shipments", "revenue_pareto",
     "rolling_30d_revenue", "route_dim", "route_fact", "shipping_priority",
-    "similarity_topk", "small_quantity_revenue",
-    "token_count_bpe", "top_parts_by_revenue", "user_login_wide",
+    "small_quantity_revenue",
+    "top_parts_by_revenue", "user_login_wide",
     "user_sessions",
     # text_stats (thrice green) yields its slot to the 14th session-4
     # head; it rotates in r9 with the r5 pool
@@ -798,6 +798,9 @@ DRIVER_WINDOW = [
     # three once/twice-green r3 rows (doc_fingerprint, embedding_stats,
     # lang_id) yield slots to the last session-4 heads; r9 rotation pool
     "events_ks_drift", "trend_ols", "purchase_attribution",
+    # (similarity_topk, token_count_bpe, multimodal_meta — all
+    # twice-green — yield the final three slots; r9 rotation pool)
+    "community_modularity", "pmi_collocations", "revenue_gini",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

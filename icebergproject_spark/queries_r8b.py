@@ -89,7 +89,9 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.select(
         F.least("query_id", "neighbor_id").alias("a"),
         F.greatest("query_id", "neighbor_id").alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # heads that consume the
+    # edge set from several operators (LPA + modularity) must not replay
+    # the gemm per consumer
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +340,223 @@ def _oracle_label_propagation(rounds: int) -> str:
 
 
 ORACLE_LABEL_PROPAGATION = _oracle_label_propagation(LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# community_modularity — quality score of the LPA labeling
+# ---------------------------------------------------------------------------
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity per community of the label_propagation
+    assignment over the 5-NN graph (llm/graph.community_modularity):
+    eval-as-data for the community structure — integral
+    cross-multiplied contributions, NULL-labeled nodes excluded."""
+    from icebergproject_spark.llm.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"),
+        F.expr(LANG_CODE).alias("label"),
+    )
+    edges = _knn_edges(spark, sf_dir)
+    labels = label_propagation(edges, seeds, rounds=LPA_ROUNDS)
+    return community_modularity(edges, labels)
+
+
+_KNN_EDGES_SQL = f"WITH {KNN_EDGES_CTES} SELECT a, b FROM e"
+
+ORACLE_COMMUNITY_MODULARITY = f"""
+WITH lab AS MATERIALIZED (
+  SELECT node, label FROM ({_oracle_label_propagation(LPA_ROUNDS)})
+  WHERE label <> -1
+),
+ed AS MATERIALIZED (SELECT a, b FROM ({_KNN_EDGES_SQL})),
+re AS MATERIALIZED (
+  SELECT ed.a, ed.b, la.label AS la, lb.label AS lb
+  FROM ed
+  JOIN lab la ON la.node = ed.a
+  JOIN lab lb ON lb.node = ed.b
+),
+mm AS (SELECT COUNT(*) AS m FROM re),
+ein AS (
+  SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM re WHERE la = lb GROUP BY 1
+),
+deg AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS d_tot,
+         CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes
+  FROM (
+    SELECT a AS node, la AS label FROM re
+    UNION ALL SELECT b, lb FROM re
+  ) GROUP BY 1
+)
+SELECT d.label, d.n_nodes,
+       CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in, d.d_tot,
+       CAST(((4 * mm.m * COALESCE(e.e_in, 0) - d.d_tot * d.d_tot)
+             * 1000000) // (4 * mm.m * mm.m) AS BIGINT) AS q_micro
+FROM deg d LEFT JOIN ein e USING (label) CROSS JOIN mm
+"""
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations — document-cooccurrence PMI
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB = 200
+PMI_MIN_CO = 5
+PMI_TOP = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-pair collocations by document-cooccurrence PMI
+    (pointwise mutual information, Church & Hanks 1990) over the
+    df-top-200 vocabulary: pmi = ln(n·c_xy / (c_x·c_y)) micro-nat
+    quantized ONCE per pair (the dsir/lm_quality pattern), pairs
+    generated THROUGH documents (never vocab × vocab), c_xy ≥ 5.  The
+    vocabulary cap is the 100 TB guard — pair candidates are bounded by
+    per-doc vocab-hits squared."""
+    docs = _t(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "").distinct()
+    dw = dw.localCheckpoint(eager=False)  # df counts + both pair arms
+    n_docs = docs.count()
+    dfreq = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = (
+        dfreq.orderBy(F.col("c").desc(), "w").limit(PMI_VOCAB)
+    ).localCheckpoint(eager=False)
+    dv = dw.join(vocab, "w")
+    pairs = (
+        dv.alias("x")
+        .join(dv.alias("y"), F.col("x.doc_id") == F.col("y.doc_id"))
+        .where(F.col("x.w") < F.col("y.w"))
+        .groupBy(
+            F.col("x.w").alias("w1"), F.col("y.w").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_CO)
+    )
+    scored = (
+        pairs.join(
+            vocab.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            vocab.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                f"CAST(ROUND(1000000 * ln(CAST({n_docs} * c_xy AS DOUBLE)"
+                f" / CAST(c1 * c2 AS DOUBLE))) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), "w1", "w2"
+    ).limit(PMI_TOP)
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH dw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY 1),
+vocab AS MATERIALIZED (
+  SELECT w, c FROM dfreq ORDER BY c DESC, w LIMIT {PMI_VOCAB}
+),
+dv AS MATERIALIZED (
+  SELECT dw.doc_id, dw.w, v.c FROM dw JOIN vocab v USING (w)
+),
+pairs AS (
+  SELECT x.w AS w1, y.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy,
+         ANY_VALUE(x.c) AS c1, ANY_VALUE(y.c) AS c2
+  FROM dv x JOIN dv y ON x.doc_id = y.doc_id AND x.w < y.w
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_CO}
+)
+SELECT w1, w2, c_xy,
+       CAST(ROUND(1000000 * ln(CAST((SELECT n FROM nd) * c_xy AS DOUBLE)
+            / CAST(c1 * c2 AS DOUBLE))) AS BIGINT) AS pmi_micro
+FROM pairs
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_gini — concentration audit
+# ---------------------------------------------------------------------------
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of per-customer revenue within each
+    market segment (operators/aggregates.gini_index): the scalar
+    inequality summary behind revenue_pareto — cents quantized per
+    ORDER before the customer sum (order-independent BIGINTs), ranks
+    via exact_global_rank, one truncating division to micro units.
+    Customers with no orders are out of scope (revenue relation)."""
+    from icebergproject_spark.operators.aggregates import gini_index
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("__c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("__c").cast("long").alias("revenue_cents"))
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    return gini_index(
+        rev, "revenue_cents", ["c_mktsegment"], "o_custkey"
+    )
+
+
+ORACLE_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+seg AS (
+  SELECT c.c_mktsegment AS g, r.x, r.o_custkey AS id
+  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+),
+rk AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, id) AS BIGINT)
+           AS i
+  FROM seg
+),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(i * x) AS BIGINT) AS rs
+  FROM rk GROUP BY 1
+)
+SELECT g AS c_mktsegment, n, total,
+       CAST((((2 * rs - (n + 1) * total) * 1000) // (n * total)) * 1000
+            + ((((2 * rs - (n + 1) * total) * 1000) % (n * total)) * 1000)
+              // (n * total)
+            AS BIGINT) AS gini_micro
+FROM s WHERE total > 0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1201,4 +1420,9 @@ R8B_REGISTRY: dict[str, Query] = {
     "purchase_attribution": Query(
         q_purchase_attribution, ORACLE_PURCHASE_ATTRIBUTION
     ),
+    "community_modularity": Query(
+        q_community_modularity, ORACLE_COMMUNITY_MODULARITY
+    ),
+    "pmi_collocations": Query(q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
+    "revenue_gini": Query(q_revenue_gini, ORACLE_REVENUE_GINI),
 }

@@ -590,3 +590,56 @@ def test_label_propagation_rejects_zero_rounds(spark):
     seeds = spark.createDataFrame([(0, 1)], ["node", "label"])
     with pytest.raises(ValueError):
         label_propagation(e, seeds, rounds=0)
+
+
+# --- community_modularity ---------------------------------------------------
+
+def test_modularity_two_cliques(spark):
+    """Two 3-cliques joined by one bridge, perfectly labeled: strong
+    positive contributions; replay the arithmetic exactly."""
+    from icebergproject_spark.llm.graph import community_modularity
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    labels = spark.createDataFrame(
+        [(n, 1 if n < 3 else 2) for n in range(6)], ["node", "label"]
+    )
+    got = {r.label: (r.n_nodes, r.e_in, r.d_tot, r.q_micro)
+           for r in community_modularity(e, labels).collect()}
+    m = 7
+    for lab, e_in, d_tot in ((1, 3, 7), (2, 3, 7)):
+        want_q = (4 * m * e_in - d_tot * d_tot) * 10**6 // (4 * m * m)
+        assert got[lab] == (3, e_in, d_tot, want_q)
+
+
+def test_modularity_random_labels_score_lower(spark):
+    from icebergproject_spark.llm.graph import community_modularity
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    good = spark.createDataFrame(
+        [(n, 1 if n < 3 else 2) for n in range(6)], ["node", "label"]
+    )
+    # alternating labels cut across the cliques
+    bad = spark.createDataFrame(
+        [(n, n % 2) for n in range(6)], ["node", "label"]
+    )
+    q_good = sum(r.q_micro for r in community_modularity(e, good).collect())
+    q_bad = sum(r.q_micro for r in community_modularity(e, bad).collect())
+    assert q_good > q_bad
+
+
+def test_modularity_excludes_null_labels(spark):
+    """Edges touching an unlabeled node leave the restricted graph —
+    m and degrees are re-derived on the restriction."""
+    from icebergproject_spark.llm.graph import community_modularity
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, None)], "node long, label long"
+    )
+    rows = community_modularity(e, labels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # restricted graph: one edge (0,1); m=1, e_in=1, d_tot=2 -> q = 0
+    assert (r.label, r.n_nodes, r.e_in, r.d_tot, r.q_micro) == (1, 2, 1, 2, 0)

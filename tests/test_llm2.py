@@ -1005,3 +1005,31 @@ def test_retrieval_eval_invariants(spark, sf_dir):
         assert r.rr_micro in valid_rr
         if r.rr_micro > 0:
             assert r.hits_at_5 >= 1
+
+
+def test_pmi_collocations_known_pair(spark, tmp_path):
+    """Constructed corpus: 'alpha beta' always co-occur, 'alpha gamma'
+    never — the PMI head ranks the true collocation on top with the
+    exactly-quantized score."""
+    import math
+
+    from icebergproject_spark.queries import REGISTRY
+
+    docs = []
+    for i in range(20):
+        docs.append((i, "alpha beta filler%d" % (i % 7), "en", "s", 10))
+    for i in range(20, 40):
+        docs.append((i, "gamma delta filler%d" % (i % 7), "en", "s", 10))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = REGISTRY["pmi_collocations"].fn(spark, d).collect()
+    got = {(r.w1, r.w2): (r.c_xy, r.pmi_micro) for r in rows}
+    # alpha+beta: c_xy=20, c_x=c_y=20, n=40 -> pmi = ln(40*20/400) = ln 2
+    assert got[("alpha", "beta")] == (20, round(10**6 * math.log(2)))
+    assert ("alpha", "gamma") not in got

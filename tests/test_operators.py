@@ -731,3 +731,42 @@ def test_ks_drift_no_shift_is_small(spark):
     df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
     got = ks_drift(df, "v", ["g"], "ts").collect()[0]
     assert got.ks_micro < 150000  # same generator both halves
+
+
+# --- gini_index -------------------------------------------------------------
+
+def test_gini_equal_values_is_zero(spark):
+    from icebergproject_spark.operators.aggregates import gini_index
+
+    df = spark.createDataFrame(
+        [("g", i, 100) for i in range(10)], "g string, id long, v long"
+    )
+    r = gini_index(df, "v", ["g"], "id").collect()[0]
+    assert (r.n, r.total, r.gini_micro) == (10, 1000, 0)
+
+
+def test_gini_total_concentration(spark):
+    """One holder of everything: G = (n-1)/n exactly on the micro grid."""
+    from icebergproject_spark.operators.aggregates import gini_index
+
+    rows = [("g", i, 0) for i in range(9)] + [("g", 9, 1000)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r = gini_index(df, "v", ["g"], "id").collect()[0]
+    assert r.gini_micro == 9 * 10**6 // 10  # 0.9
+
+
+def test_gini_matches_python_replay(spark):
+    from icebergproject_spark.operators.aggregates import gini_index
+
+    vals = [((i * 37 + 11) % 101) for i in range(50)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, id long, v long"
+    )
+    r = gini_index(df, "v", ["g"], "id").collect()[0]
+    xs = sorted(vals)
+    n, total = len(xs), sum(xs)
+    gnum = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * total
+    want = (gnum * 1000) // (n * total) * 1000 + (
+        ((gnum * 1000) % (n * total)) * 1000
+    ) // (n * total)
+    assert r.gini_micro == want == gnum * 10**6 // (n * total)
