@@ -95,6 +95,12 @@ def _count(plan: str, node: str) -> int:
         ("trend_ols", 2, 0),
         # attribution: ONE shuffle on user (the as-of union window)
         ("purchase_attribution", 1, 0),
+        # modularity: checkpointed edge/label relations, three aggregates
+        ("community_modularity", 3, 0),
+        # PMI: doc-word distinct + pair aggregate + top-k; vocab broadcast
+        ("pmi_collocations", 3, 4),
+        # Gini: one range exchange (rank path) + final aggregate
+        ("revenue_gini", 2, 1),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
