@@ -155,9 +155,20 @@ BENCH_QUERIES = [
     "community_modularity",
     "pmi_collocations",
     "revenue_gini",
+    # round 9: scale-path production twins (VERDICT r8 asks #1/#2/#4/#5)
+    # — ANN-graph heads, edge-recall audit, capped item CF, localized
+    # delta-PageRank, LSH-DBSCAN
+    "knn_triangles_ann",
+    "link_prediction_ann",
+    "label_propagation_ann",
+    "community_modularity_ann",
+    "knn_edge_recall",
+    "item_similarity_capped",
+    "pagerank_delta_local",
+    "density_clusters_lsh",
 ]
 
-# the exact query set BENCH_r07 reported (64 queries) — the
+# the exact query set BENCH_r08 reported (99 queries) — the
 # round-over-round continuity baseline. Totals across DIFFERENT sets
 # mislead (the set grows every round), so the output splits the
 # prev-round-comparable subtotal from the genuinely new queries'
@@ -165,19 +176,11 @@ BENCH_QUERIES = [
 PREV_ROUND_QUERIES = {
     q for q in BENCH_QUERIES
     if q not in (
-        # entered the bench in round 8
-        "bm25_topk", "pagerank_sql", "graph_hits",
-        "hybrid_rrf", "events_ohlc", "event_outliers_mad",
-        "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
-        "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
-        "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
-        "knn_triangles", "link_prediction", "pagerank_weighted",
-        "label_propagation", "fuzzy_join_parts", "events_autocorr",
-        "gapfill_interpolate", "trend_theil_sen", "events_cusum",
-        "benford_audit", "density_clusters", "item_similarity",
-        "retrieval_eval", "fuzzy_join_snm", "events_ks_drift",
-        "trend_ols", "purchase_attribution", "community_modularity",
-        "pmi_collocations", "revenue_gini",
+        # entered the bench in round 9
+        "knn_triangles_ann", "link_prediction_ann",
+        "label_propagation_ann", "community_modularity_ann",
+        "knn_edge_recall", "item_similarity_capped",
+        "pagerank_delta_local", "density_clusters_lsh",
     )
 }
 

@@ -1802,6 +1802,7 @@ def density_clusters(
     min_pts: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """DBSCAN-style density clustering over the embedding space
     (Ester et al. 1996, with cosine similarity as the ε-neighborhood
@@ -1820,9 +1821,11 @@ def density_clusters(
     deterministic where classic DBSCAN is scan-order-dependent);
     everything else is NOISE (cluster −1).
 
-    Scale shape: the pair generator is the pluggable tier — this exact
-    all-pairs arm is the verification baseline, the LSH/cell-blocked
-    generators (:func:`embedding_near_pairs_lsh`,
+    Scale shape: the pair generator is the pluggable tier — pass
+    ``pairs`` (an (id_a, id_b, score) ε-edge set, id_a < id_b) to swap
+    it; the default exact all-pairs arm is the verification baseline,
+    the LSH/cell-blocked generators (:func:`embedding_near_pairs_lsh`,
+    :func:`embedding_near_pairs_lsh_sql`,
     :func:`semantic_near_pairs`) the 100 TB path, identical downstream;
     components run through :func:`connected_components`
     (O(log²) rounds / driver union-find fast path); the border argmax
@@ -1832,10 +1835,12 @@ def density_clusters(
     cluster_id = min core id of the cluster, −1 for noise."""
     if min_pts < 1:
         raise ValueError(f"density_clusters requires min_pts >= 1, got {min_pts}")
-    pairs = embedding_near_pairs(
-        df, threshold=threshold, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint(eager=False)  # consumed by degree, core-edge, and
-    # border branches — the gemm must run once
+    if pairs is None:
+        pairs = embedding_near_pairs(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+    pairs = pairs.localCheckpoint(eager=False)  # consumed by degree,
+    # core-edge, and border branches — the generator must run once
     und = pairs.select(
         F.col("id_a").alias("x"), F.col("id_b").alias("y"), "score"
     ).union(

@@ -254,6 +254,8 @@ def decode_ppm(content: bytes):
     while len(toks) < 3:
         while i < len(content) and content[i : i + 1].isspace():
             i += 1
+        if i >= len(content):  # header ran off the end of the payload
+            raise NotImplementedError("truncated PPM header")
         if content[i : i + 1] == b"#":  # comment runs to end of line
             while i < len(content) and content[i : i + 1] != b"\n":
                 i += 1
@@ -261,10 +263,16 @@ def decode_ppm(content: bytes):
         j = i
         while j < len(content) and not content[j : j + 1].isspace():
             j += 1
-        toks.append(int(content[i:j]))
+        try:
+            toks.append(int(content[i:j]))
+        except ValueError:  # non-numeric header token past the magic —
+            # a parse failure is "undecodable", not a job-killing bug
+            raise NotImplementedError("malformed PPM header token") from None
         i = j
     i += 1  # single whitespace after maxval, then raster
     w, h, maxval = toks
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("non-positive PPM dimensions")
     if maxval != 255:
         raise NotImplementedError("only 8-bit PPM supported")
     raster = content[i : i + w * h * 3]
@@ -306,7 +314,7 @@ def decode_bmp(content: bytes):
     offset = struct.unpack_from("<I", content, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
-    if hdr_size < 40 or bpp != 24 or compression != 0 or h <= 0:
+    if hdr_size < 40 or bpp != 24 or compression != 0 or h <= 0 or w <= 0:
         raise NotImplementedError("only uncompressed bottom-up 24-bit BMP")
     row = w * 3
     stride = row + (4 - row % 4) % 4
@@ -399,9 +407,17 @@ def image_features(
     pass) unless ``quarantine_undecodable=False``."""
 
     def one(b):
+        import struct
+
         try:
             w, h, px = decode_image(bytes(b) if b is not None else None)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError, OverflowError, struct.error):
+            # NotImplementedError is the decoders' documented "not
+            # decodable" signal; the rest are parse failures a payload
+            # that passes the magic check can still provoke (corrupt
+            # header fields → int()/frombuffer/reshape errors).  Either
+            # way the production contract is the same: one corrupt
+            # payload must quarantine, not kill the 100 TB pass.
             if quarantine_undecodable:
                 return (-1, -1, -1, -1, -1, -1)
             raise

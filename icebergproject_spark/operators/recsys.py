@@ -37,13 +37,25 @@ def item_similarity_topk(
     k: int = 5,
     micro: int = 10**6,
     max_basket: int | None = None,
+    emit_dropped_count: bool = False,
 ) -> DataFrame:
     """Top-``k`` most similar items per item by binary-cosine
     co-occurrence.  ``interactions``: (user, item) events, deduplicated
     internally.  ``max_basket`` drops users with more distinct items
     (the skew cap — a crawler account with 10⁶ items would emit 10¹²
     pairs; None keeps everything, the exact baseline the oracle
-    checks).
+    checks).  ``emit_dropped_count`` appends a constant
+    ``dropped_baskets`` column (how many users the cap removed) so the
+    cap's effect ships as visible data, never a silent truncation.
+
+    Integer-overflow bound: ``sim_ppm = co²·micro DIV (n_a·n_b)`` keeps
+    every intermediate in BIGINT only while ``co < √(2⁶³/micro)`` ≈
+    3.03e6 co-users at the default ``micro=10⁶`` — past that Spark
+    wraps silently where DuckDB raises, the exact engine divergence the
+    integer-exactness program exists to avoid.  ``co`` is bounded by
+    the largest per-item user count, so corpora within the bound are
+    safe by construction; beyond it, shrink ``micro`` (the rank order
+    is unchanged — sim² is monotone in co²/(n_a·n_b)).
 
     Returns (item_a, item_b, co_users, sim_ppm, rank), rank 1..k per
     item_a by (sim desc, co desc, item_b asc) — fully integral and
@@ -51,8 +63,19 @@ def item_similarity_topk(
     ui = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
+    dropped = None
     if max_basket is not None:
         sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("__b"))
+        if emit_dropped_count:
+            dropped = sizes.agg(
+                F.sum(
+                    (F.col("__b") > max_basket).cast("long")
+                ).alias("dropped_baskets")
+            ).select(
+                F.coalesce("dropped_baskets", F.lit(0))
+                .cast("long")
+                .alias("dropped_baskets")
+            )
         ui = ui.join(
             sizes.where(F.col("__b") <= max_basket).select("u"), "u"
         )
@@ -94,8 +117,12 @@ def item_similarity_topk(
     w = Window.partitionBy("item_a").orderBy(
         F.col("sim_ppm").desc(), F.col("co_users").desc(), F.col("item_b")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("integer"))
         .where(F.col("rank") <= k)
         .select("item_a", "item_b", "co_users", "sim_ppm", "rank")
     )
+    if dropped is not None:
+        # 1-row scalar — a broadcast nested-loop stamp, not a shuffle
+        out = out.crossJoin(F.broadcast(dropped))
+    return out

@@ -752,55 +752,45 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-8 rotation (VERDICT r7 ask
-# #4): the window takes the STALEST rows first — all 27 rows last
-# driver-checked in round 3 (every older row was refreshed in r7) —
-# plus the new r8 heads, the flagship, and the oldest round-5 rows to
-# fill to 50 (13 of 49 — the nine r8 heads displaced
-# embedding_kmeans_sql, duplicate_spans, dsir_weights_sql,
-# dedup_verified_strict, dedup_verified, dedup_survivors,
-# dedup_semantic_sql; the rest rotate in r9).  After this round every
-# registry row has driver evidence from round 5 or later.  Rotated-out queries remain registered and
-# locally gated after position 50 (tools/check_oracle.py runs ALL of
-# them at sf0.01).
+# ordering is a visibility decision.  Round-9 rotation (VERDICT r8 ask
+# #3): the window takes the new r9 heads + the flagship, then the
+# STALEST rows first — all 7 rows last driver-checked in round 3, then
+# the oldest round-5 rows in alphabetical order to fill to 50 (34 of
+# 49; the remaining 15 — pack_sequences, pii_redaction,
+# quality_buckets_sql, quality_filter, quantity_quantiles,
+# remove_duplicate_spans, repetition_score, similarity_ivf_sql,
+# similarity_lsh_sql, similarity_multiprobe, source_overlap,
+# stratified_sample, top_terms, user_sessions_native, weighted_sample —
+# rotate in r10).  After this round every registry row has driver
+# evidence from round 6 or later.  Rotated-out queries remain registered
+# and locally gated after position 50 (tools/check_oracle.py runs ALL
+# of them at sf0.01).
 DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
-    # new this round: integer-grid PCA oracle twin + real decode arm
-    "embedding_pca_sql", "multimodal_decode", "pagerank_delta",
-    "hll_audit", "dedup_prefix_filter", "doc_lsa_sql",
-    "pagerank_personalized", "hdr_quantiles", "lm_bigram_score",
-    # stale refresh: every row last checked in ROUND 3 (27 of 27)
-    "dedup_embedding", "dedup_exact", "dedup_ngram_jaccard",
-    "dwd_cleanse",
-    "local_supplier_volume", "nation_volume_shipping",
-    "ods_browselog", "part_taxonomy", "pricing_summary",
-    "quantity_price_corr", "range_join_shipments", "revenue_pareto",
-    "rolling_30d_revenue", "route_dim", "route_fact", "shipping_priority",
-    "small_quantity_revenue",
-    "top_parts_by_revenue", "user_login_wide",
-    "user_sessions",
-    # text_stats (thrice green) yields its slot to the 14th session-4
-    # head; it rotates in r9 with the r5 pool
-    # stale refresh: oldest ROUND-5 rows, alphabetical head (13 of 49;
-    # the rest rotate in r9)
-    # new heads (session 4) — never driver-checked, so they take all
-    # thirteen r5-refresh slots (bpe_pair_counts, chunk_documents,
-    # contamination_spans, corpus_pipeline_e2e, curriculum_bins,
-    # decontamination, dedup_clusters, dedup_clusters_lsh_sql,
-    # dedup_containment, dedup_embedding_lsh_sql, dedup_incremental,
-    # dedup_minhash_lsh_sql, dedup_rate_by_source rotate in r9 instead)
-    "knn_triangles", "link_prediction", "pagerank_weighted",
-    "label_propagation", "fuzzy_join_parts", "events_autocorr",
-    "gapfill_interpolate", "trend_theil_sen", "events_cusum",
-    "benford_audit", "density_clusters", "item_similarity",
-    "retrieval_eval", "fuzzy_join_snm",
-    # three once/twice-green r3 rows (doc_fingerprint, embedding_stats,
-    # lang_id) yield slots to the last session-4 heads; r9 rotation pool
-    "events_ks_drift", "trend_ols", "purchase_attribution",
-    # (similarity_topk, token_count_bpe, multimodal_meta — all
-    # twice-green — yield the final three slots; r9 rotation pool)
-    "community_modularity", "pmi_collocations", "revenue_gini",
+    # new this round: ANN-graph production twins + edge-recall audit,
+    # capped item CF, localized delta-PageRank, LSH-DBSCAN
+    "knn_triangles_ann", "link_prediction_ann", "label_propagation_ann",
+    "community_modularity_ann", "knn_edge_recall",
+    "item_similarity_capped", "pagerank_delta_local",
+    "density_clusters_lsh",
+    # stale refresh: every row last checked in ROUND 3 (7 of 7)
+    "doc_fingerprint", "embedding_stats", "lang_id", "multimodal_meta",
+    "similarity_topk", "text_stats", "token_count_bpe",
+    # stale refresh: oldest ROUND-5 rows, alphabetical head (34 of 49)
+    "bpe_pair_counts", "chunk_documents", "contamination_spans",
+    "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
+    "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
+    "dedup_embedding_lsh_sql", "dedup_incremental",
+    "dedup_minhash_lsh_sql", "dedup_rate_by_source",
+    "dedup_semantic_sql", "dedup_survivors", "dedup_verified",
+    "dedup_verified_strict", "dsir_weights_sql", "duplicate_spans",
+    "embedding_kmeans_sql", "embedding_quantize", "event_transitions",
+    "events_props_variant", "global_shuffle", "hard_negatives",
+    "knn_graph", "label_agreement", "lang_mismatch",
+    "lineitem_unpivot_profile", "lm_quality_score_sql",
+    "mixing_temperature", "mixing_weights", "multimodal_chunks",
+    "normalize_text",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -831,6 +821,12 @@ REGISTRY.update(R8_REGISTRY)
 from icebergproject_spark.queries_r8b import R8B_REGISTRY  # noqa: E402
 
 REGISTRY.update(R8B_REGISTRY)
+
+# round-9 batch (scale-path production twins: ANN graph heads, capped
+# item CF, localized delta-PageRank, LSH-DBSCAN) — before the reorder
+from icebergproject_spark.queries_r9 import R9_REGISTRY  # noqa: E402
+
+REGISTRY.update(R9_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

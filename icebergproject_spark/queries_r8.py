@@ -332,8 +332,9 @@ FROM dims d LEFT JOIN sums s USING (doc_id)
 
 
 def q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental PageRank maintenance (VERDICT r7 ask #8) at ORACLE
-    strength: the supplier-part edge set is split deterministically
+    """VERIFICATION ARM (full-width delta; production twin =
+    ``pagerank_delta_local``): incremental PageRank maintenance
+    (VERDICT r7 ask #8) at ORACLE strength: the supplier-part edge set is split deterministically
     into a base graph and a delta batch ((src+dst) % 5 == 0); ranks
     are built on the base via pagerank_micro_history, then maintained
     through the delta with pagerank_micro_delta — exact incremental
@@ -379,7 +380,8 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join by prefix filtering
     (llm/dedup.prefix_filter_pairs — AllPairs/PPJoin): the lossless
     counterpart of the LSH dedup arms, token-set Jaccard ≥ 0.30 on
-    distinct unigrams.  The oracle replays the MECHANISM (rarity
+    distinct word 3-gram shingles (the same shingle CTE as the
+    minhash-LSH oracle).  The oracle replays the MECHANISM (rarity
     ordering, prefix cutoff, prefix-token join, integer verify), so a
     hash match pins both the theorem's application and the result."""
     from icebergproject_spark.llm.dedup import prefix_filter_pairs

@@ -99,9 +99,11 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle count + clustering coefficient (ppm) over the
-    undirected 5-NN embedding graph (llm/graph.triangle_stats —
-    degree-ordered wedge counting, O(m^1.5) work, all-integer output)."""
+    """VERIFICATION TIER (exact-gemm edges; production twin =
+    ``knn_triangles_ann``): per-node triangle count + clustering
+    coefficient (ppm) over the undirected 5-NN embedding graph
+    (llm/graph.triangle_stats — degree-ordered wedge counting,
+    O(m^1.5) work, all-integer output)."""
     from icebergproject_spark.llm.graph import triangle_stats
 
     return triangle_stats(_knn_edges(spark, sf_dir))
@@ -148,8 +150,10 @@ LP_TOP = 50
 
 
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 non-adjacent pairs of the 5-NN graph by Adamic-Adar
-    (llm/graph.link_prediction_scores); cn / aa_micro / jaccard_ppm."""
+    """VERIFICATION TIER (exact-gemm edges; production twin =
+    ``link_prediction_ann``): top-50 non-adjacent pairs of the 5-NN
+    graph by Adamic-Adar (llm/graph.link_prediction_scores);
+    cn / aa_micro / jaccard_ppm."""
     from icebergproject_spark.llm.graph import link_prediction_scores
 
     return link_prediction_scores(_knn_edges(spark, sf_dir), top=LP_TOP)
@@ -277,8 +281,9 @@ LANG_CODE = "CASE lang WHEN 'de' THEN 1 WHEN 'en' THEN 2 WHEN 'es' THEN 3 WHEN '
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded synchronous label propagation (3 rounds) over the 5-NN
-    embedding graph; seeds = the 10% of documents with doc_id % 10 == 0,
+    """VERIFICATION TIER (exact-gemm edges; production twin =
+    ``label_propagation_ann``): seeded synchronous label propagation
+    (3 rounds) over the 5-NN embedding graph; seeds = the 10% of documents with doc_id % 10 == 0,
     labeled by their stored language tag (documents and embeddings share
     the id space — the hybrid_rrf convention).  Unreached nodes emit
     label -1.  The weak-supervision label-spreading pattern: trusted
@@ -347,8 +352,10 @@ ORACLE_LABEL_PROPAGATION = _oracle_label_propagation(LPA_ROUNDS)
 # ---------------------------------------------------------------------------
 
 def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Newman modularity per community of the label_propagation
-    assignment over the 5-NN graph (llm/graph.community_modularity):
+    """VERIFICATION TIER (exact-gemm edges; production twin =
+    ``community_modularity_ann``): Newman modularity per community of
+    the label_propagation assignment over the 5-NN graph
+    (llm/graph.community_modularity):
     eval-as-data for the community structure — integral
     cross-multiplied contributions, NULL-labeled nodes excluded."""
     from icebergproject_spark.llm.graph import (
@@ -1275,8 +1282,9 @@ DBSCAN_MINPTS = 3
 
 
 def q_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN-style density clustering of the embeddings
-    (llm/dedup.density_clusters): ε-graph = exact rounded-cosine pairs
+    """VERIFICATION TIER (exact all-pairs ε-graph; production twin =
+    ``density_clusters_lsh``): DBSCAN-style density clustering of the
+    embeddings (llm/dedup.density_clusters): ε-graph = exact rounded-cosine pairs
     ≥ 0.30, core = degree ≥ 3, clusters = core-subgraph components,
     borders join their best core neighbor, rest is noise (−1)."""
     from icebergproject_spark.llm.dedup import density_clusters
@@ -1346,8 +1354,10 @@ LEFT JOIN lab lb ON lb.node = b.best_core
 # ---------------------------------------------------------------------------
 
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 most similar parts per part by binary-cosine co-occurrence
-    over customer baskets (operators/recsys.item_similarity_topk):
+    """EXACT BASELINE (uncapped; production twin =
+    ``item_similarity_capped``): top-5 most similar parts per part by
+    binary-cosine co-occurrence over customer baskets
+    (operators/recsys.item_similarity_topk):
     interactions = (o_custkey, l_partkey) from orders⋈lineitem; ranking
     on the all-integer sim² ppm, no floats anywhere."""
     from icebergproject_spark.operators.recsys import item_similarity_topk

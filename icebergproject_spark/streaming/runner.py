@@ -566,3 +566,125 @@ def drift_monitor_batch(
     alerts = alerts.localCheckpoint(eager=True)
     state_table.idempotent_append(partials, batch_id=batch_id)
     return alerts
+
+
+def ks_drift_monitor_batch(
+    batch: DataFrame,
+    state_table,
+    value_col: str,
+    group_cols: list[str],
+    batch_id: str,
+    d_milli: int = 150,
+    quant: int = 100,
+) -> DataFrame:
+    """One micro-batch of streaming DISTRIBUTION-shift monitoring (call
+    from ``foreachBatch``) — the KS-statistic sibling of
+    :func:`drift_monitor_batch` (VERDICT r8 ask #6): the z-test arm
+    catches mean shifts only; this one compares the batch's whole
+    empirical CDF against the baseline accumulated from all prior
+    batches with the exact two-sample Kolmogorov–Smirnov statistic, the
+    streaming face of the batch ``events_ks_drift`` head
+    (operators/aggregates.ks_drift — same centi-grid, same
+    cross-multiplied integer D).
+
+    State is a sufficient statistic, not raw data: per (group, grid
+    value, batch) COUNT rows — a histogram on the ``round(x·quant)``
+    integer grid, mergeable by addition, bounded by the grid support
+    per batch per group (the HDR-histogram state-size story).  The
+    baseline CDF derives from the aggregated prior counts at read time.
+
+    Exactly-once under replay, both directions (the
+    :func:`drift_monitor_batch` contract): the state write goes through
+    ``idempotent_append`` keyed on ``batch_id`` (a replayed append is a
+    no-op), and the baseline read EXCLUDES rows stamped with this
+    ``batch_id`` — a micro-batch retried after its append succeeded
+    still tests against the same baseline and emits identical alerts.
+
+    The alert is an EFFECT-SIZE threshold, not an α-level: drift ⟺
+    D > d_milli/1000, decided as the exact integer comparison
+    ``1000·max|c1·n2 − c2·n1| > d_milli·n1·n2`` (no float, engine- and
+    partitioning-independent; sound while ``1000·n1·n2`` < 2⁶³, i.e.
+    n_batch·n_history < ~9.2e15 — size ``quant`` and compaction
+    accordingly).  A fixed D threshold is the production posture for
+    large-n monitors: at streaming volumes the classical α-critical
+    value c(α)·√((n1+n2)/(n1·n2)) shrinks toward zero and every batch
+    "significantly" drifts; what you page on is the magnitude.
+
+    Returns one row per group with every metric as DATA:
+    (*group_cols, n_batch, n_hist, ks_d_milli, drifted); empty-baseline
+    groups (first batch) emit drifted = false with ks_d_milli NULL.
+    """
+    q = batch.withColumn(
+        "__xq", F.expr(f"CAST(ROUND({value_col} * {quant}) AS BIGINT)")
+    )
+    partials = (
+        q.groupBy(*group_cols, "__xq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    try:
+        hist = (
+            state_table.read()
+            .where(F.col("batch_id") != batch_id)
+            .groupBy(*group_cols, "__xq")
+            .agg(F.sum("n").alias("nh"))
+        )
+    except FileNotFoundError:
+        hist = None
+    cur = partials.select(*group_cols, "__xq", F.col("n").alias("nb"))
+    if hist is not None:
+        merged = cur.join(hist, [*group_cols, "__xq"], "full_outer").select(
+            *group_cols,
+            "__xq",
+            F.coalesce("nb", F.lit(0)).alias("d1"),
+            F.coalesce("nh", F.lit(0)).alias("d2"),
+        )
+    else:
+        merged = cur.select(
+            *group_cols,
+            "__xq",
+            F.col("nb").alias("d1"),
+            F.lit(0).cast("long").alias("d2"),
+        )
+    w_tot = Window.partitionBy(*group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__xq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = merged.select(
+        *group_cols,
+        F.sum("d1").over(w_tot).alias("n1"),
+        F.sum("d2").over(w_tot).alias("n2"),
+        F.sum("d1").over(w_cum).alias("c1"),
+        F.sum("d2").over(w_cum).alias("c2"),
+    )
+    alerts = (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.max("n1").alias("n_batch"),
+            F.max("n2").alias("n_hist"),
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("__dnum"),
+        )
+        .select(
+            *group_cols,
+            F.col("n_batch").cast("long"),
+            F.col("n_hist").cast("long"),
+            F.expr(
+                "CASE WHEN n_hist > 0 THEN CAST(1000 * __dnum DIV"
+                " (n_batch * n_hist) AS BIGINT) END"
+            ).alias("ks_d_milli"),
+            F.expr(
+                f"COALESCE(1000 * __dnum > {d_milli} * n_batch * n_hist,"
+                " false)"
+            ).alias("drifted"),
+        )
+    )
+    # materialize alerts BEFORE the state append — same reasoning as
+    # drift_monitor_batch: the append must not shift the baseline under
+    # a lazily-evaluated plan
+    alerts = alerts.localCheckpoint(eager=True)
+    state_table.idempotent_append(partials, batch_id=batch_id)
+    return alerts

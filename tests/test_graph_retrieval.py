@@ -643,3 +643,128 @@ def test_modularity_excludes_null_labels(spark):
     r = rows[0]
     # restricted graph: one edge (0,1); m=1, e_in=1, d_tot=2 -> q = 0
     assert (r.label, r.n_nodes, r.e_in, r.d_tot, r.q_micro) == (1, 2, 1, 2, 0)
+
+
+# --- round 9: ANN kNN graph (sign-LSH bucketed) ------------------------------
+
+def test_ann_knn_graph_matches_within_bucket_brute_force(spark):
+    """The ANN graph is EXACTLY the per-bucket brute force: candidates
+    are same-integer-bucket pairs only, ranked by (rounded cosine desc,
+    neighbor asc) — replayed here in python with the same md5-minted
+    hyperplanes."""
+    import hashlib
+
+    import numpy as np
+
+    from icebergproject_spark.llm.similarity import (
+        ann_knn_graph,
+        lsh_weights,
+    )
+
+    dim, planes, k = 8, 3, 2
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in ann_knn_graph(df, dim=dim, k=k, planes=planes).collect()
+    }
+
+    W = np.array(lsh_weights(planes, dim))
+    q = np.round(vecs * 10000).astype(np.int64)
+    buckets = ((q @ W.T >= 0) * (2 ** np.arange(planes))).sum(axis=1)
+    want = {}
+    for i in range(20):
+        cands = [
+            j for j in range(20) if j != i and buckets[j] == buckets[i]
+        ]
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(
+                            vecs[i] @ vecs[j]
+                            / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+                        ),
+                        6,
+                    ),
+                    j,
+                )
+                for j in cands
+            )
+        )
+        for r, (negs, j) in enumerate(scored[:k], start=1):
+            want[(i, r)] = (j, -negs)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        # python round() is banker's, F.round HALF_UP — allow one ulp of
+        # the 1e-6 grid on the score itself; neighbor ids are exact
+        assert abs(got[key][1] - want[key][1]) < 2e-6
+
+
+def test_ann_knn_graph_isolated_bucket_emits_nothing(spark):
+    """A vector alone in its sign bucket has no candidates — it is
+    degree-0 in the ANN graph (recall<1 by design, priced by the
+    knn_edge_recall head)."""
+    from icebergproject_spark.llm.similarity import ann_knn_graph
+
+    # two near-identical vectors share every hyperplane side; the third
+    # is their antipode, alone in the complement bucket
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.2, 0.1, 0.3]),
+            (1, [0.9, 0.21, 0.12, 0.29]),
+            (2, [-1.0, -0.2, -0.1, -0.3]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = ann_knn_graph(df, dim=4, k=2, planes=2).collect()
+    ids = {r.query_id for r in rows}
+    assert 0 in ids and 1 in ids
+    assert 2 not in ids  # antipodal bucket is a singleton
+
+
+def test_pagerank_delta_local_split_is_frontier_localized(spark, sf_dir):
+    """The registered pagerank_delta_local head's delta (edges incident
+    to ONE supplier) seeds a dirty set that is a small fraction of |V|
+    — measured here via the operator's stats side-channel on the same
+    split the head uses (queries_r9.DELTA_SEED_SUPPLIER)."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro_delta,
+        pagerank_micro_history,
+    )
+    from icebergproject_spark.queries import _t
+    from icebergproject_spark.queries_r9 import DELTA_SEED_SUPPLIER
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    is_delta = (F.col("src") == DELTA_SEED_SUPPLIER) | (
+        F.col("dst") == DELTA_SEED_SUPPLIER
+    )
+    base = edges.filter(~is_delta)
+    delta = edges.filter(is_delta)
+    n_nodes = (
+        edges.select("src").union(edges.select("dst")).distinct().count()
+    )
+    hist = pagerank_micro_history(base, iterations=5)
+    stats: dict = {}
+    out = pagerank_micro_delta(edges, delta, hist, stats=stats)[-1]
+    sizes = stats["frontier_sizes"]
+    assert len(sizes) == 5
+    # the dirty seed is one supplier's neighborhood, not ~all dsts (the
+    # pagerank_delta head's 20%-of-edges split dirties ~everything)
+    assert sizes[0] < n_nodes / 2, (sizes, n_nodes)
+    assert sizes == sorted(sizes)  # the ball only grows
+    assert out.count() == n_nodes

@@ -1584,3 +1584,49 @@ def test_lsa_integer_pca_over_hashed_counts(spark, sf_dir):
         vi = np.asarray(comps[j], dtype=np.float64)
         vi /= np.linalg.norm(vi)
         assert abs(float(vi @ fcomps[j])) > 0.999, j
+
+
+def test_image_features_quarantines_corrupt_headers(spark):
+    """ADVICE r8: payloads that PASS the magic check but carry corrupt
+    headers (non-numeric PPM tokens, truncated PPM header, negative BMP
+    width) must quarantine as -1 rows, not kill the job — the decoders
+    re-raise parse failures as NotImplementedError and image_features
+    additionally catches ValueError/OverflowError/struct.error."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from icebergproject_spark.llm.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        image_features,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    bad_bmp = bytearray(encode_bmp(px))
+    struct.pack_into("<i", bad_bmp, 18, -2)  # width := -2
+
+    for payload in (
+        b"P6\nabc def\n255\nxxxxxx",  # non-numeric header token
+        b"P6 2 1 ",  # header runs off the end
+        b"P6\n-2 1\n255\nxxxxxx",  # negative dimensions
+        bytes(bad_bmp),
+    ):
+        with _pytest.raises(NotImplementedError):
+            (decode_bmp if payload[:2] == b"BM" else decode_ppm)(payload)
+
+    rows = [
+        (1, "image", bytearray(b"P6\nabc def\n255\nxxxxxx"), 0, ""),
+        (2, "image", bytearray(b"P6 2 1 "), 0, ""),
+        (3, "image", bytes(bad_bmp), 0, ""),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, n_bytes long,"
+        " content_md5 string",
+    )
+    got = {r.media_id: r for r in image_features(media).collect()}
+    assert len(got) == 3
+    assert all(got[m].width == -1 for m in (1, 2, 3))

@@ -1033,3 +1033,60 @@ def test_pmi_collocations_known_pair(spark, tmp_path):
     # alpha+beta: c_xy=20, c_x=c_y=20, n=40 -> pmi = ln(40*20/400) = ln 2
     assert got[("alpha", "beta")] == (20, round(10**6 * math.log(2)))
     assert ("alpha", "gamma") not in got
+
+
+def test_item_similarity_dropped_count_is_data(spark):
+    """The capped production arm ships the cap's effect as a column:
+    dropped_baskets counts users over max_basket, constant on every
+    row; the surviving pair set matches the cap-filtered input."""
+    from icebergproject_spark.operators.recsys import item_similarity_topk
+
+    heavy = [(9, f"x{j}") for j in range(10)]
+    inter = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")] + heavy, "u long, i string"
+    )
+    rows = item_similarity_topk(
+        inter, "u", "i", k=5, max_basket=5, emit_dropped_count=True
+    ).collect()
+    assert rows and all(r.dropped_baskets == 1 for r in rows)
+    assert {(r.item_a, r.item_b) for r in rows} == {("a", "b"), ("b", "a")}
+    # cap high enough to keep everyone -> zero dropped, heavy pairs back
+    rows2 = item_similarity_topk(
+        inter, "u", "i", k=20, max_basket=10, emit_dropped_count=True
+    ).collect()
+    assert all(r.dropped_baskets == 0 for r in rows2)
+    assert any(r.item_a == "x0" for r in rows2)
+
+
+def test_density_clusters_pluggable_pair_generator(spark):
+    """Passing the exact ε-pair set through the ``pairs`` hook yields
+    the identical clustering as the built-in generator — the contract
+    the LSH-DBSCAN production twin (density_clusters_lsh) relies on."""
+    from icebergproject_spark.llm.dedup import (
+        density_clusters,
+        embedding_near_pairs,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 6))
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(4):
+            v = base[c] + rng.normal(scale=0.05, size=6)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    builtin = {
+        tuple(r) for r in density_clusters(df, threshold=0.6, min_pts=2).collect()
+    }
+    explicit_pairs = embedding_near_pairs(df, threshold=0.6)
+    via_hook = {
+        tuple(r)
+        for r in density_clusters(
+            df, threshold=0.6, min_pts=2, pairs=explicit_pairs
+        ).collect()
+    }
+    assert builtin == via_hook
