@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "label_propagation_ann",
     "community_modularity_ann",
     "knn_edge_recall",
+    "knn_edge_recall_multi",
     "item_similarity_capped",
     "pagerank_delta_local",
     "density_clusters_lsh",
@@ -179,7 +180,8 @@ PREV_ROUND_QUERIES = {
         # entered the bench in round 9
         "knn_triangles_ann", "link_prediction_ann",
         "label_propagation_ann", "community_modularity_ann",
-        "knn_edge_recall", "item_similarity_capped",
+        "knn_edge_recall", "knn_edge_recall_multi",
+        "item_similarity_capped",
         "pagerank_delta_local", "density_clusters_lsh",
     )
 }

@@ -1838,9 +1838,11 @@ def density_clusters(
     if pairs is None:
         pairs = embedding_near_pairs(
             df, threshold=threshold, vec_col=vec_col, id_col=id_col
-        )
-    pairs = pairs.localCheckpoint(eager=False)  # consumed by degree,
-    # core-edge, and border branches — the generator must run once
+        ).localCheckpoint(eager=False)  # consumed by degree, core-edge,
+        # and border branches — the gemm must run once.  Callers passing
+        # their own ``pairs`` checkpoint it themselves (an LSH-join
+        # generator wants EAGER so its ~n² pre-AQE estimate doesn't
+        # poison the downstream joins out of broadcasting).
     und = pairs.select(
         F.col("id_a").alias("x"), F.col("id_b").alias("y"), "score"
     ).union(

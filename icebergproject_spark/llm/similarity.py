@@ -1012,6 +1012,7 @@ def ann_knn_graph(
     quant: int = 10000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph at ORACLE strength — the
     scale-path twin of :func:`knn_graph` (VERDICT r8 ask #1): candidates
@@ -1030,33 +1031,57 @@ def ann_knn_graph(
     replays bit-exactly in ANSI SQL (unlike the xxhash float-weight
     arm, which stays rows-only).
 
-    Recall < 1.0 by design: a node's true neighbor straddling a
-    hyperplane is invisible (raise recall with fewer ``planes`` or
-    multiprobe).  Ship the recall next to the graph as data — see the
-    ``knn_edge_recall`` registry head — instead of guessing.
+    Recall < 1.0 by design, and it is GOVERNED, not guessed: with
+    ``tables`` = L independent hyperplane sets (plane rows
+    t·planes..(t+1)·planes−1 of the same md5 family), a pair whose
+    angle is θ collides in one table with p = (1−θ/π)^planes and is a
+    candidate with 1 − (1−p)^L — the standard multi-table sign-LSH
+    recall dial (Indyk–Motwani / Charikar), measured on this corpus by
+    the ``knn_edge_recall`` / ``knn_edge_recall_multi`` registry heads.
+    Candidate volume scales ~L·n²/2^planes; one extra table costs one
+    more same-bucket join branch, all still shuffle-parallel.
 
     Output matches :func:`knn_graph`: (query_id, neighbor_id, score,
     rank), rank 1..k per query by (rounded score desc, neighbor_id asc);
-    nodes alone in their bucket emit nothing (degree-0 in the graph).
+    nodes alone in their bucket(s) emit nothing (degree-0 in the graph).
     """
-    W = lsh_weights(planes, dim)
+    W = lsh_weights(tables * planes, dim)
     qz = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * quant).cast("long"),
     )
-    bucketed = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
-        int_sign_bucket(qz, W).alias("__bucket"),
+        qz.alias("__q"),
     )
+    if tables == 1:
+        bucketed = base.select(
+            "id", "__v", "__n",
+            int_sign_bucket(F.col("__q"), W).alias("__bucket"),
+        )
+        join_cond = F.col("a.__bucket") == F.col("b.__bucket")
+    else:
+        # one row per (vector, table): candidates = same (table, bucket)
+        bucketed = base.select(
+            "id", "__v", "__n",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        int_sign_bucket(
+                            F.col("__q"), W[t * planes : (t + 1) * planes]
+                        ).alias("bk"),
+                    )
+                    for t in range(tables)
+                ])
+            ).alias("__tb"),
+        )
+        join_cond = F.col("a.__tb") == F.col("b.__tb")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     scored = (
-        a.join(
-            b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
+        a.join(b, join_cond & (F.col("a.id") != F.col("b.id")))
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
@@ -1067,6 +1092,10 @@ def ann_knn_graph(
             ).alias("score"),
         )
     )
+    if tables > 1:
+        # a pair can collide in several tables — the score is a pure
+        # function of the pair, so distinct-on-row dedups candidates
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

@@ -755,8 +755,8 @@ REGISTRY.update(R4_REGISTRY)
 # ordering is a visibility decision.  Round-9 rotation (VERDICT r8 ask
 # #3): the window takes the new r9 heads + the flagship, then the
 # STALEST rows first — all 7 rows last driver-checked in round 3, then
-# the oldest round-5 rows in alphabetical order to fill to 50 (34 of
-# 49; the remaining 15 — pack_sequences, pii_redaction,
+# the oldest round-5 rows in alphabetical order to fill to 50 (33 of
+# 49; the remaining 16 — normalize_text, pack_sequences, pii_redaction,
 # quality_buckets_sql, quality_filter, quantity_quantiles,
 # remove_duplicate_spans, repetition_score, similarity_ivf_sql,
 # similarity_lsh_sql, similarity_multiprobe, source_overlap,
@@ -772,12 +772,12 @@ DRIVER_WINDOW = [
     # capped item CF, localized delta-PageRank, LSH-DBSCAN
     "knn_triangles_ann", "link_prediction_ann", "label_propagation_ann",
     "community_modularity_ann", "knn_edge_recall",
-    "item_similarity_capped", "pagerank_delta_local",
-    "density_clusters_lsh",
+    "knn_edge_recall_multi", "item_similarity_capped",
+    "pagerank_delta_local", "density_clusters_lsh",
     # stale refresh: every row last checked in ROUND 3 (7 of 7)
     "doc_fingerprint", "embedding_stats", "lang_id", "multimodal_meta",
     "similarity_topk", "text_stats", "token_count_bpe",
-    # stale refresh: oldest ROUND-5 rows, alphabetical head (34 of 49)
+    # stale refresh: oldest ROUND-5 rows, alphabetical head (33 of 49)
     "bpe_pair_counts", "chunk_documents", "contamination_spans",
     "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
     "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
@@ -790,7 +790,6 @@ DRIVER_WINDOW = [
     "knn_graph", "label_agreement", "lang_mismatch",
     "lineitem_unpivot_profile", "lm_quality_score_sql",
     "mixing_temperature", "mixing_weights", "multimodal_chunks",
-    "normalize_text",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

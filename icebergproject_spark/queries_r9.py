@@ -44,7 +44,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from icebergproject_spark.queries import Query, _t
-from icebergproject_spark.queries_r7 import ORACLE_PAGERANK_SQL
 from icebergproject_spark.queries_r8b import (
     DBSCAN_MINPTS,
     DBSCAN_TAU,
@@ -77,11 +76,29 @@ def _ann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     knn = ann_knn_graph(emb, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES)
-    return knn.select(
+    e = knn.select(
         F.least("query_id", "neighbor_id").alias("a"),
         F.greatest("query_id", "neighbor_id").alias("b"),
-    ).distinct().localCheckpoint(eager=False)  # several heads consume
-    # the edge set from multiple operators — the LSH join must run once
+    ).distinct()
+    return _materialized_with_stats(e)
+
+
+def _materialized_with_stats(df: DataFrame) -> DataFrame:
+    """Materialize a derived relation so (a) multi-consumer heads run
+    its generator once and (b) Catalyst plans downstream joins from its
+    TRUE size.  A lazy localCheckpoint alone is not enough here: the
+    LSH bucket self-join's pre-AQE cardinality estimate is ~n², the
+    LogicalRDD snapshots that estimate, and every downstream join
+    degrades to SortMerge.  persist→count refreshes the stats from the
+    actual cached bytes, the checkpoint inherits them, and unpersist
+    keeps the cache out of later bench runs (a warm cache would fake
+    the rerun timings).  The 100 TB shape is the same move: persist the
+    edge table once, then iterate on it."""
+    df.persist()
+    df.count()
+    ck = df.localCheckpoint(eager=True)
+    df.unpersist()
+    return ck
 
 
 def _ann_edges_ctes(suffix: str = "", with_deg: bool = True) -> str:
@@ -271,6 +288,127 @@ FROM ne, na, nc
 
 
 # ---------------------------------------------------------------------------
+# knn_edge_recall_multi — the multi-table recall dial, measured
+# ---------------------------------------------------------------------------
+
+ANN_TABLES = 4
+
+
+def q_knn_edge_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall/precision of the MULTI-TABLE ANN graph (L=4
+    independent sign-LSH tables — candidate iff same bucket in ANY
+    table) against the exact graph: the recall dial 1−(1−p)^L measured
+    as hash-checked data next to the single-table baseline
+    (``knn_edge_recall``).  On this corpus the exact 5-NN edges sit
+    near cos≈0.35 (θ≈65°, per-table collision (1−θ/π)^4 ≈ 0.15 — the
+    worst case for sign-LSH), so the measured lift 0.14 → 0.45 at 4
+    tables is the theory curve, not a tuning accident; a near-dup
+    corpus at cos ≥ 0.8 puts the same 4-table config at ~0.99."""
+    from icebergproject_spark.llm.similarity import ann_knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = ann_knn_graph(
+        emb, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES, tables=ANN_TABLES
+    )
+    ann = _materialized_with_stats(
+        knn.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+        ).distinct()
+    )
+    exact = _knn_edges(spark, sf_dir)
+    common = exact.join(ann, ["a", "b"])
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    na = ann.agg(F.count(F.lit(1)).cast("long").alias("n_ann"))
+    nc = common.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return (
+        ne.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_common",
+            F.expr("CAST(n_common * 1000000 DIV n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr("CAST(n_common * 1000000 DIV n_ann AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+        )
+    )
+
+
+def _ann_edges_ctes_multi(suffix: str = "m", tables: int = 4) -> str:
+    """Multi-table variant of :func:`_ann_edges_ctes`: one bucket row
+    per (vector, table) — table t uses plane rows t·planes..(t+1)·planes
+    −1 of the same md5 weight family — and candidates are same-(table,
+    bucket) pairs, deduplicated across tables."""
+    from icebergproject_spark.llm.similarity import lsh_weights
+
+    W = lsh_weights(tables * ANN_PLANES, ANN_DIM)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(q, CAST({W[t * ANN_PLANES + p]} AS DOUBLE[])) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p in range(ANN_PLANES)
+        )
+
+    s = suffix
+    per_table = "\n  UNION ALL ".join(
+        f"SELECT vec_id, e, n, {t} AS tbl, {bucket_expr(t)} AS bucket FROM nv{s}"
+        for t in range(tables)
+    )
+    return f"""v{s} AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+nv{s} AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n, q FROM v{s}
+),
+bk{s} AS MATERIALIZED (
+  {per_table}
+),
+p{s} AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS score
+  FROM bk{s} a JOIN bk{s} b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked{s} AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS rank
+  FROM p{s}
+),
+e{s} AS MATERIALIZED (
+  SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+                  GREATEST(query_id, neighbor_id) AS b
+  FROM ranked{s} WHERE rank <= {ANN_K}
+)"""
+
+
+ORACLE_KNN_EDGE_RECALL_MULTI = f"""
+WITH {KNN_EDGES_CTES},
+{_ann_edges_ctes_multi()},
+ne AS (SELECT COUNT(*) AS n_exact FROM e),
+na AS (SELECT COUNT(*) AS n_ann FROM em),
+nc AS (
+  SELECT COUNT(*) AS n_common
+  FROM e JOIN em ON e.a = em.a AND e.b = em.b
+)
+SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(na.n_ann AS BIGINT) AS n_ann,
+       CAST(nc.n_common AS BIGINT) AS n_common,
+       CAST(nc.n_common * 1000000 // ne.n_exact AS BIGINT) AS recall_ppm,
+       CAST(nc.n_common * 1000000 // na.n_ann AS BIGINT) AS precision_ppm
+FROM ne, na, nc
+"""
+
+
+# ---------------------------------------------------------------------------
 # item_similarity_capped — the skew-capped production twin
 # ---------------------------------------------------------------------------
 
@@ -355,41 +493,81 @@ FROM r CROSS JOIN dropped d WHERE rank <= 5
 # pagerank_delta_local — localized incremental PageRank maintenance
 # ---------------------------------------------------------------------------
 
-DELTA_SEED_SUPPLIER = 7
+DELTA_SEED_NODE = 0
 
 
 def q_pagerank_delta_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCALIZED delta-PageRank maintenance (VERDICT r8 ask #4 — the
-    production twin of ``pagerank_delta``): the delta batch is only the
-    edges incident to supplier 7 (both directions of the symmetrized
-    supplier-part graph), so the dirty set seeds at that supplier's
-    K-hop neighborhood and the frontier machinery in
-    llm/graph.pagerank_micro_delta recomputes ranks for the growing
-    ball only — the nightly-crawl-delta shape, where ``pagerank_delta``'s
-    20%-of-edges split dirties essentially every node up front.  The
-    oracle is the SAME full-recompute unrolled CTE as ``pagerank_sql``
-    (it never sees the split): a hash match IS the proof that localized
+    production twin of ``pagerank_delta``): over the SPARSE ANN 5-NN
+    embedding graph (avg degree ~2k, the web-graph shape where
+    incremental maintenance pays), the delta batch is only the edges
+    incident to node 0, so the dirty set seeds at that node's 2-hop
+    neighborhood (its neighbors' outdegs changed) and the frontier
+    machinery in llm/graph.pagerank_micro_delta recomputes ranks for
+    the growing ball only — the nightly-crawl-delta shape.
+    ``pagerank_delta``'s 20%-of-edges split on the DENSE supplier-part
+    bipartite graph dirties essentially every node up front (measured:
+    frontier = |V| from iteration 1), which is why it is the
+    verification arm and this is the production twin.  The oracle is a
+    full-recompute unrolled CTE over the full post-delta graph (it
+    never sees the split): a hash match IS the proof that localized
     maintenance equals a full recompute, bit for bit."""
     from icebergproject_spark.llm.graph import (
         pagerank_micro_delta,
         pagerank_micro_history,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_suppkey").alias("src"),
-        (F.lit(1_000_000) + F.col("l_partkey")).alias("dst"),
-    ).distinct()
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = _ann_edges(spark, sf_dir)
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    is_delta = (F.col("src") == DELTA_SEED_SUPPLIER) | (
-        F.col("dst") == DELTA_SEED_SUPPLIER
+    is_delta = (F.col("src") == DELTA_SEED_NODE) | (
+        F.col("dst") == DELTA_SEED_NODE
     )
     base = edges.filter(~is_delta)
     delta = edges.filter(is_delta)
     hist = pagerank_micro_history(base, iterations=5)
     return pagerank_micro_delta(edges, delta, hist)[-1]
+
+
+def _oracle_pagerank_ann(
+    iters: int, damping_pct: int = 85, scale: int = 10**9
+) -> str:
+    """Full-recompute unrolled PageRank CTEs (the queries_r7
+    _oracle_pagerank machinery) over the ANN 5-NN edge set — CTE names
+    prefixed pr* to avoid colliding with the edge block's ``deg``."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        _ann_edges_ctes(with_deg=False),
+        """pre AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b, a FROM e)""",
+        "prdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM pre GROUP BY 1)",
+        "prnodes AS MATERIALIZED (SELECT src AS node FROM pre UNION SELECT dst FROM pre)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_micro FROM prnodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank_micro
+  FROM prnodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(({damping_pct} * r.rank_micro) // (100 * d.outdeg)) AS s
+    FROM pre e
+    JOIN r{i} r ON e.src = r.node
+    JOIN prdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_micro FROM r{iters}"
+    )
+
+
+ORACLE_PAGERANK_DELTA_LOCAL = _oracle_pagerank_ann(5)
 
 
 # ---------------------------------------------------------------------------
@@ -412,9 +590,12 @@ def q_density_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_pairs_lsh_sql(
-        emb, dim=ANN_DIM, threshold=DBSCAN_TAU, planes=ANN_PLANES
-    )
+    pairs = _materialized_with_stats(
+        embedding_near_pairs_lsh_sql(
+            emb, dim=ANN_DIM, threshold=DBSCAN_TAU, planes=ANN_PLANES
+        )
+    )  # same move as _ann_edges: give Catalyst the true ε-edge count,
+    # not the bucket join's ~n² estimate, so core/border joins broadcast
     return density_clusters(
         emb, threshold=DBSCAN_TAU, min_pts=DBSCAN_MINPTS, pairs=pairs
     )
@@ -508,10 +689,15 @@ R9_REGISTRY: dict[str, Query] = {
         q_community_modularity_ann, ORACLE_COMMUNITY_MODULARITY_ANN
     ),
     "knn_edge_recall": Query(q_knn_edge_recall, ORACLE_KNN_EDGE_RECALL),
+    "knn_edge_recall_multi": Query(
+        q_knn_edge_recall_multi, ORACLE_KNN_EDGE_RECALL_MULTI
+    ),
     "item_similarity_capped": Query(
         q_item_similarity_capped, ORACLE_ITEM_SIMILARITY_CAPPED
     ),
-    "pagerank_delta_local": Query(q_pagerank_delta_local, ORACLE_PAGERANK_SQL),
+    "pagerank_delta_local": Query(
+        q_pagerank_delta_local, ORACLE_PAGERANK_DELTA_LOCAL
+    ),
     "density_clusters_lsh": Query(
         q_density_clusters_lsh, ORACLE_DENSITY_CLUSTERS_LSH
     ),

@@ -730,28 +730,28 @@ def test_ann_knn_graph_isolated_bucket_emits_nothing(spark):
 
 def test_pagerank_delta_local_split_is_frontier_localized(spark, sf_dir):
     """The registered pagerank_delta_local head's delta (edges incident
-    to ONE supplier) seeds a dirty set that is a small fraction of |V|
-    — measured here via the operator's stats side-channel on the same
-    split the head uses (queries_r9.DELTA_SEED_SUPPLIER)."""
+    to ONE node of the sparse ANN 5-NN graph) seeds a dirty set that is
+    a small fraction of |V| — measured here via the operator's stats
+    side-channel on the same split the head uses
+    (queries_r9.DELTA_SEED_NODE).  On the DENSE supplier-part graph the
+    same machinery measures frontier ≈ |V| from iteration 1, which is
+    why that arm (pagerank_delta) is verification-tier."""
     import pyspark.sql.functions as F
 
     from icebergproject_spark.llm.graph import (
         pagerank_micro_delta,
         pagerank_micro_history,
     )
-    from icebergproject_spark.queries import _t
-    from icebergproject_spark.queries_r9 import DELTA_SEED_SUPPLIER
+    import icebergproject_spark.queries  # noqa: F401 — registry modules
+    # are only importable after the root module finishes its own imports
+    from icebergproject_spark.queries_r9 import DELTA_SEED_NODE, _ann_edges
 
-    li = _t(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_suppkey").alias("src"),
-        (F.lit(1_000_000) + F.col("l_partkey")).alias("dst"),
-    ).distinct()
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = _ann_edges(spark, sf_dir)
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    is_delta = (F.col("src") == DELTA_SEED_SUPPLIER) | (
-        F.col("dst") == DELTA_SEED_SUPPLIER
+    is_delta = (F.col("src") == DELTA_SEED_NODE) | (
+        F.col("dst") == DELTA_SEED_NODE
     )
     base = edges.filter(~is_delta)
     delta = edges.filter(is_delta)
@@ -763,8 +763,63 @@ def test_pagerank_delta_local_split_is_frontier_localized(spark, sf_dir):
     out = pagerank_micro_delta(edges, delta, hist, stats=stats)[-1]
     sizes = stats["frontier_sizes"]
     assert len(sizes) == 5
-    # the dirty seed is one supplier's neighborhood, not ~all dsts (the
+    # the dirty seed is one node's 2-hop ball, not ~all dsts (the
     # pagerank_delta head's 20%-of-edges split dirties ~everything)
-    assert sizes[0] < n_nodes / 2, (sizes, n_nodes)
+    assert sizes[0] < n_nodes / 3, (sizes, n_nodes)
     assert sizes == sorted(sizes)  # the ball only grows
     assert out.count() == n_nodes
+
+
+def test_ann_knn_graph_multi_table_recall_dial(spark):
+    """L independent tables union their candidate sets: every
+    single-table edge survives, recall vs the exact graph can only go
+    up, and candidates match the python replay of the same md5 plane
+    family (table t = plane rows t·planes..(t+1)·planes−1)."""
+    import hashlib
+
+    import numpy as np
+
+    from icebergproject_spark.llm.similarity import ann_knn_graph, lsh_weights
+
+    dim, planes, k = 8, 3, 2
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(24, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def edges(rows):
+        return {
+            (min(r.query_id, r.neighbor_id), max(r.query_id, r.neighbor_id))
+            for r in rows
+        }
+
+    e1 = edges(ann_knn_graph(df, dim=dim, k=k, planes=planes).collect())
+    e4 = edges(
+        ann_knn_graph(df, dim=dim, k=k, planes=planes, tables=4).collect()
+    )
+
+    # python replay of the 4-table candidate mask
+    W = np.array(lsh_weights(4 * planes, dim))
+    q = np.round(vecs * 10000).astype(np.int64)
+    n = len(vecs)
+    mask = np.zeros((n, n), dtype=bool)
+    for t in range(4):
+        Wt = W[t * planes : (t + 1) * planes]
+        bk = ((q @ Wt.T >= 0) * (2 ** np.arange(planes))).sum(axis=1)
+        mask |= bk[:, None] == bk[None, :]
+    np.fill_diagonal(mask, False)
+    norms = np.linalg.norm(vecs, axis=1)
+    S = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+    want = set()
+    for i in range(n):
+        cands = sorted(
+            ((-S[i, j], j) for j in range(n) if mask[i, j])
+        )[:k]
+        for negs, j in cands:
+            want.add((min(i, j), max(i, j)))
+    assert e4 == want
+    # more tables -> more candidates per query, so each node's top-k is
+    # drawn from a superset; the union graph must not shrink
+    assert len(e4) >= len(e1)

@@ -101,6 +101,38 @@ def _count(plan: str, node: str) -> int:
         ("pmi_collocations", 3, 4),
         # Gini: one range exchange (rank path) + final aggregate
         ("revenue_gini", 2, 1),
+        # round-8 heads not yet pinned: integer-grid graph iterations sit
+        # behind lineage cuts (visible plan = final joins only); the
+        # prefix filter broadcasts its size/df side relations
+        ("pagerank_weighted", 0, 0),
+        ("label_propagation", 0, 0),
+        ("pagerank_personalized", 0, 0),
+        ("pagerank_sql", 0, 0),
+        ("pagerank_delta", 2, 0),
+        ("graph_hits", 2, 0),
+        ("dedup_prefix_filter", 0, 9),
+        ("hll_audit", 2, 3),
+        ("hdr_quantiles", 3, 4),
+        ("lm_bigram_score", 2, 3),
+        ("doc_lsa_sql", 1, 1),
+        ("bm25_topk", 4, 4),
+        # round-9 production twins: the ANN edge list is materialized
+        # with TRUE stats (queries_r9._materialized_with_stats), so the
+        # consuming joins broadcast exactly like the exact-gemm twins —
+        # a lost broadcast here means the stats refresh regressed
+        ("knn_triangles_ann", 2, 6),
+        ("link_prediction_ann", 4, 5),
+        ("label_propagation_ann", 0, 0),
+        ("community_modularity_ann", 3, 0),
+        ("knn_edge_recall", 3, 3),
+        ("knn_edge_recall_multi", 3, 3),
+        # capped CF: uncapped's 5 + basket-size aggregate/join + the
+        # 1-row dropped-count broadcast
+        ("item_similarity_capped", 8, 2),
+        ("pagerank_delta_local", 2, 0),
+        # LSH-DBSCAN: 3 visible shuffles vs the exact arm's 8 — the
+        # ε-pair generator is materialized, core/border joins broadcast
+        ("density_clusters_lsh", 3, 4),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
