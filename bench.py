@@ -167,6 +167,12 @@ BENCH_QUERIES = [
     "item_similarity_capped",
     "pagerank_delta_local",
     "density_clusters_lsh",
+    "kmv_audit",
+    "bloom_audit",
+    "graph_bfs_levels",
+    "dq_audit",
+    "graph_kcore",
+    "graph_shortest_paths",
 ]
 
 # the exact query set BENCH_r08 reported (99 queries) — the
@@ -183,6 +189,8 @@ PREV_ROUND_QUERIES = {
         "knn_edge_recall", "knn_edge_recall_multi",
         "item_similarity_capped",
         "pagerank_delta_local", "density_clusters_lsh",
+        "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
+        "graph_kcore", "graph_shortest_paths",
     )
 }
 

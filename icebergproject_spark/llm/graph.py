@@ -830,3 +830,206 @@ def community_modularity(
             ).alias("q_micro"),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source breadth-first search, ``rounds`` unrolled hops: the
+    crawl-frontier / influence-radius primitive (distance-to-seed is
+    the classic crawl-scheduling and label-confidence feature; Broder
+    2000's web-graph BFS).  Returns every node's hop distance to the
+    NEAREST seed, −1 if unreached within ``rounds``.
+
+    Scale shape: per round ONE edge⋈frontier join + distinct + an
+    anti-join against the visited set — all shuffle-parallel, frontier
+    state only (never the whole graph in the driver); lineage cut per
+    round so round i+1 does not replay rounds 1..i.  The unrolled-round
+    shape is exactly the LPA/PageRank iteration discipline, so the
+    whole walk replays as unrolled CTEs in ANSI SQL.
+
+    ``seeds``: a (node) DataFrame; seed rows not present in ``edges``
+    still emit level 0 (an isolated seed is at distance 0 from itself).
+    Output: (node, level) — level INT, every node of edges ∪ seeds.
+    """
+    if rounds < 1:
+        raise ValueError(f"bfs_levels requires rounds >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seeds.select(F.col("node").cast("long")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        seeds.select(F.col("node").cast("long"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("node")
+    for i in range(1, rounds + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(i))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return (
+        all_nodes.join(visited, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("level"), F.lit(-1)).cast("int").alias("level"),
+        )
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; Batagelj
+    & Zaveršnik 2003), ``rounds`` unrolled: repeatedly remove nodes
+    whose degree in the REMAINING subgraph is < k.  The k-core (nodes
+    surviving to fixpoint) is the classic dense-region detector —
+    community kernels, spam/link-farm cores, the "is this cluster load-
+    bearing" audit on a similarity graph.
+
+    ``edges`` must already contain both directions of each undirected
+    edge.  Returns (node, peeled_round, in_kcore): peeled_round = the
+    1-based round the node was removed, −1 for survivors; in_kcore =
+    survivor flag.  If a round removes nothing the peel has CONVERGED
+    and survivors are exactly the k-core; with bounded unrolling the
+    caller pins convergence by checking no node carries
+    peeled_round == rounds (the pytest does; on these graphs the peel
+    settles in ≤ 3 rounds).  Fixed unrolling keeps the whole walk
+    replayable as unrolled CTEs — the LPA/PageRank discipline.
+
+    Scale shape: per round one degree aggregate over the surviving
+    edge set + two semi-joins — all shuffle-parallel, lineage cut per
+    round; the edge set only shrinks.
+    """
+    if rounds < 1:
+        raise ValueError(f"kcore_peel requires rounds >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = all_nodes
+    peeled = None  # (node, peeled_round)
+    cur_edges = e
+    for i in range(1, rounds + 1):
+        deg = cur_edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("__d")
+        )
+        now = (
+            alive.join(deg, "node", "left")
+            .where(F.coalesce(F.col("__d"), F.lit(0)) < k)
+            .select("node")
+            .withColumn("peeled_round", F.lit(i))
+            .localCheckpoint(eager=False)
+        )
+        peeled = now if peeled is None else peeled.unionByName(now)
+        alive = alive.join(now.select("node"), "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+        cur_edges = (
+            cur_edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        all_nodes.join(peeled, "node", "left")
+        .select(
+            "node",
+            F.coalesce("peeled_round", F.lit(-1)).cast("int").alias(
+                "peeled_round"
+            ),
+            F.col("peeled_round").isNull().alias("in_kcore"),
+        )
+    )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Multi-source shortest paths, ``rounds`` unrolled Bellman-Ford
+    relaxations over non-negative INTEGER edge weights: the weighted
+    sibling of :func:`bfs_levels` (hop distance → cost distance).  With
+    integer weights every relaxation is exact BIGINT min/add, so the
+    distances replay bit-for-bit in unrolled CTEs — no float
+    accumulation anywhere.
+
+    After R rounds the distance is exact for every node whose shortest
+    path uses ≤ R edges (the standard Bellman-Ford invariant);
+    unreached nodes emit −1.  Scale shape: per round one edge⋈dist
+    join + a min-combine aggregate (map-side combinable), lineage cut
+    per round; distance state only, never the graph in the driver.
+
+    Returns (node, dist) over all edge endpoints ∪ seeds; seeds at 0.
+    """
+    if rounds < 1:
+        raise ValueError(f"bellman_ford requires rounds >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=False)
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seeds.select(F.col("node").cast("long")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col("node").cast("long"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.select(F.col("node").alias("src"), "d"), "src")
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        all_nodes.join(dist, "node", "left")
+        .select(
+            "node",
+            F.coalesce("d", F.lit(-1)).cast("long").alias("dist"),
+        )
+    )

@@ -1317,3 +1317,154 @@ def hll_audit(
             ).alias("rel_err_pct"),
         )
     )
+
+
+def kmv_audit(
+    df: DataFrame,
+    value_col: str = "event_id",
+    group_col: str = "event_type",
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch audit (Bar-Yossef 2002;
+    the KMV/theta-sketch family) — the third cardinality sibling next
+    to :func:`hll_audit` and :func:`count_min_audit`, and the only one
+    whose estimate is a PURE BIGINT: hash every distinct value into the
+    48-bit md5-prefix space, keep the k smallest hashes per group, and
+    estimate n ≈ (k−1)·2⁴⁸ DIV kth_min — one truncating integer
+    division, no floats anywhere, so the ESTIMATE itself hash-checks
+    bit-for-bit in any engine ((k−1)·2⁴⁸ < 2⁶³ at any practical k).
+    Groups with fewer than k distinct hashes store them all and the
+    sketch IS exact (estimate = count of stored hashes).
+
+    At 100 TB the production sketch is mergeable state: each partition
+    keeps its k smallest, merge = k smallest of the union (the same
+    shape DataSketches' theta sketch ships); this audit MEASURES that
+    estimator against the exact distinct count at test scale.  The
+    registered arm's per-group window is the verification-tier
+    implementation — its shuffle carries only distinct hashes.
+
+    Output: (group, exact_distinct, kmv_estimate BIGINT, rel_err_pct).
+    """
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    dv = df.select(
+        F.col(group_col).alias("g"), hv.alias("hv")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("hv").asc())
+    kept = dv.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    sk = kept.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("hv").alias("kth"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count_distinct(F.col(value_col)).cast("long").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"CAST(({k} - 1) * {1 << 48} DIV kth AS BIGINT)")
+    )
+    return (
+        sk.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "exact_distinct",
+            est.cast("long").alias("kmv_estimate"),
+            F.round(
+                F.lit(100.0)
+                * F.abs(est.cast("double") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                2,
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+def bloom_audit(
+    df: DataFrame,
+    value_col: str = "event_id",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter false-positive-rate audit (Bloom 1970) — the
+    membership sibling of the cardinality/frequency sketch audits:
+    build an m-bit filter from the EVEN values (h md5-derived bit
+    positions per value), probe it with the ODD values (disjoint by
+    construction, so every hit is a false positive), and ship the
+    measured FPR as data.  Every step is integer (positions = 48-bit
+    md5 prefix mod m; membership = h-way position-set intersection
+    count), so the audit hash-checks bit-for-bit.
+
+    At 100 TB the filter is mergeable map-side state: each partition
+    emits its set bit positions (≤ m small ints), merge = distinct —
+    the same build this audit uses; probes join the broadcast bit set.
+    Spark's own runtime bloom pushdown (test_plans:
+    test_runtime_bloom_filter_prunes_probe_side) covers the join-pruning
+    use; this head measures the DATA-ENGINEERING filter (e.g. "have I
+    crawled this URL") against its design FPR.
+
+    Output: one row — (m_bits, n_hashes, n_build, n_probe, bits_set,
+    false_positives, fpr_ppm), all BIGINT.
+    """
+
+    def positions(side: DataFrame) -> DataFrame:
+        v = side.select(F.col("__v"))
+        out = None
+        for j in range(n_hashes):
+            pj = v.select(
+                F.col("__v"),
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "-", F.lit(str(j)), F.col("__v").cast("string")
+                                )
+                            ),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                ).alias("pos"),
+            )
+            out = pj if out is None else out.unionByName(pj)
+        return out
+
+    vals = df.select(F.col(value_col).cast("long").alias("__v")).distinct()
+    build = vals.where(F.col("__v") % 2 == 0)
+    probe = vals.where(F.col("__v") % 2 != 0)
+    bits = positions(build).select("pos").distinct().localCheckpoint(
+        eager=False
+    )  # the filter itself — consumed by the probe join and the bit count
+    claimed = (
+        positions(probe)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == n_hashes)
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    np_ = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    bs = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    fp = claimed.agg(F.count(F.lit(1)).cast("long").alias("false_positives"))
+    return (
+        nb.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(n_hashes).cast("long").alias("n_hashes"),
+            "n_build",
+            "n_probe",
+            "bits_set",
+            "false_positives",
+            F.expr(
+                "CAST(CASE WHEN n_probe = 0 THEN 0"
+                " ELSE false_positives * 1000000 DIV n_probe END AS BIGINT)"
+            ).alias("fpr_ppm"),  # ANSI guard: a corpus with no odd ids
+            # must audit as FPR 0, not throw on the division
+        )
+    )

@@ -755,8 +755,10 @@ REGISTRY.update(R4_REGISTRY)
 # ordering is a visibility decision.  Round-9 rotation (VERDICT r8 ask
 # #3): the window takes the new r9 heads + the flagship, then the
 # STALEST rows first — all 7 rows last driver-checked in round 3, then
-# the oldest round-5 rows in alphabetical order to fill to 50 (33 of
-# 49; the remaining 16 — normalize_text, pack_sequences, pii_redaction,
+# the oldest round-5 rows in alphabetical order to fill to 50 (27 of
+# 49; the remaining 22 — lang_mismatch, lineitem_unpivot_profile,
+# lm_quality_score_sql, mixing_temperature,
+# mixing_weights, multimodal_chunks, normalize_text, pack_sequences, pii_redaction,
 # quality_buckets_sql, quality_filter, quantity_quantiles,
 # remove_duplicate_spans, repetition_score, similarity_ivf_sql,
 # similarity_lsh_sql, similarity_multiprobe, source_overlap,
@@ -774,10 +776,12 @@ DRIVER_WINDOW = [
     "community_modularity_ann", "knn_edge_recall",
     "knn_edge_recall_multi", "item_similarity_capped",
     "pagerank_delta_local", "density_clusters_lsh",
+    "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
+    "graph_kcore", "graph_shortest_paths",
     # stale refresh: every row last checked in ROUND 3 (7 of 7)
     "doc_fingerprint", "embedding_stats", "lang_id", "multimodal_meta",
     "similarity_topk", "text_stats", "token_count_bpe",
-    # stale refresh: oldest ROUND-5 rows, alphabetical head (33 of 49)
+    # stale refresh: oldest ROUND-5 rows, alphabetical head (27 of 49)
     "bpe_pair_counts", "chunk_documents", "contamination_spans",
     "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
     "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
@@ -787,9 +791,7 @@ DRIVER_WINDOW = [
     "dedup_verified_strict", "dsir_weights_sql", "duplicate_spans",
     "embedding_kmeans_sql", "embedding_quantize", "event_transitions",
     "events_props_variant", "global_shuffle", "hard_negatives",
-    "knn_graph", "label_agreement", "lang_mismatch",
-    "lineitem_unpivot_profile", "lm_quality_score_sql",
-    "mixing_temperature", "mixing_weights", "multimodal_chunks",
+    "knn_graph", "label_agreement",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -826,6 +828,11 @@ REGISTRY.update(R8B_REGISTRY)
 from icebergproject_spark.queries_r9 import R9_REGISTRY  # noqa: E402
 
 REGISTRY.update(R9_REGISTRY)
+
+# round-9 second batch (KMV + Bloom sketch audits, multi-source BFS)
+from icebergproject_spark.queries_r9b import R9B_REGISTRY  # noqa: E402
+
+REGISTRY.update(R9B_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

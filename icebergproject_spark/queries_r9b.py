@@ -1,0 +1,467 @@
+"""Round-9 second batch — three ORACLE-strength heads closing sketch and
+graph-primitive gaps:
+
+- ``kmv_audit`` — K-minimum-values distinct sketch (Bar-Yossef 2002 /
+  the theta-sketch family): the third cardinality estimator audit next
+  to HLL and count-min, and the only one whose ESTIMATE is a pure
+  BIGINT ((k−1)·2⁴⁸ DIV kth-smallest-hash), so the approximate value
+  itself hash-checks bit-for-bit.
+- ``bloom_audit`` — Bloom-filter membership FPR measured on a
+  guaranteed-disjoint probe set (even/odd value split): build bits,
+  probe, count false positives — the "have I crawled this URL" filter
+  audited as data, all-integer.
+- ``graph_bfs_levels`` — multi-source BFS over the ANN 5-NN graph
+  (4 unrolled hops): hop-distance-to-nearest-seed, the crawl-frontier /
+  label-confidence primitive, −1 when unreached.  Edge tier = the same
+  production ANN edge set as the r9 graph twins.
+
+Reference anchor: the reference has no sketch or graph tier (its jobs
+stop at Kafka→Phoenix serving, dim/DimDataToHBase.scala:58-110); these
+extend the LLM-pipeline/sketch families the build brief grades as
+first-class.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergproject_spark.queries import Query, _t
+from icebergproject_spark.queries_r4 import _md5_prefix12_sql
+from icebergproject_spark.queries_r9 import ANN_EDGES_CTES, _ann_edges
+
+# ---------------------------------------------------------------------------
+# kmv_audit
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def q_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch audit per event_type
+    (llm/text.kmv_audit): k=64 smallest 48-bit md5 hashes of distinct
+    event_ids; estimate = (k−1)·2⁴⁸ DIV kth — a pure BIGINT shipped
+    next to the exact distinct count."""
+    from icebergproject_spark.llm.text import kmv_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_audit(ev, value_col="event_id", group_col="event_type", k=KMV_K)
+
+
+_KMV_HV = _md5_prefix12_sql("md5(CAST(event_id AS VARCHAR))")
+
+ORACLE_KMV_AUDIT = f"""
+WITH dv AS (
+  SELECT DISTINCT event_type AS g, {_KMV_HV} AS hv FROM events
+),
+kept AS (
+  SELECT g, hv,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv ASC) AS r
+  FROM dv
+),
+sk AS (
+  SELECT g, COUNT(*) AS n_kept, MAX(hv) AS kth
+  FROM kept WHERE r <= {KMV_K} GROUP BY 1
+),
+ex AS (
+  SELECT event_type AS g,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+),
+est AS (
+  SELECT g, n_kept, kth,
+         CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+              ELSE ({KMV_K} - 1) * {1 << 48} // kth END AS BIGINT) AS e
+  FROM sk
+)
+SELECT est.g AS event_type, ex.exact_distinct,
+       est.e AS kmv_estimate,
+       ROUND(100.0 * ABS(CAST(est.e AS DOUBLE) - ex.exact_distinct)
+             / ex.exact_distinct, 2) AS rel_err_pct
+FROM est JOIN ex USING (g)
+"""
+
+
+# ---------------------------------------------------------------------------
+# bloom_audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20
+BLOOM_H = 3
+
+
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter FPR audit (llm/text.bloom_audit): m=2²⁰ bits, 3
+    md5-derived positions per value; build = even event_ids, probe =
+    odd (disjoint by construction → every hit is a false positive);
+    measured FPR shipped as integer ppm."""
+    from icebergproject_spark.llm.text import bloom_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return bloom_audit(ev, value_col="event_id", m_bits=BLOOM_M, n_hashes=BLOOM_H)
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        _md5_prefix12_sql(f"md5('{j}' || '-' || CAST(v AS VARCHAR))")
+        + f" % {BLOOM_M}"
+    )
+
+
+_BLOOM_BUILD_POS = "\n  UNION ALL ".join(
+    f"SELECT {_bloom_pos_sql(j)} AS pos FROM build" for j in range(BLOOM_H)
+)
+_BLOOM_PROBE_POS = "\n  UNION ALL ".join(
+    f"SELECT v, {_bloom_pos_sql(j)} AS pos FROM probe" for j in range(BLOOM_H)
+)
+
+ORACLE_BLOOM_AUDIT = f"""
+WITH vals AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS v FROM events),
+build AS MATERIALIZED (SELECT v FROM vals WHERE v % 2 = 0),
+probe AS MATERIALIZED (SELECT v FROM vals WHERE v % 2 <> 0),
+bits AS MATERIALIZED (
+  SELECT DISTINCT pos FROM ({_BLOOM_BUILD_POS})
+),
+claimed AS (
+  SELECT pp.v FROM ({_BLOOM_PROBE_POS}) pp
+  JOIN bits USING (pos)
+  GROUP BY pp.v HAVING COUNT(*) = {BLOOM_H}
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build FROM build),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe FROM probe),
+bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+fp AS (SELECT CAST(COUNT(*) AS BIGINT) AS false_positives FROM claimed)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_H} AS BIGINT) AS n_hashes,
+       nb.n_build, np.n_probe, bs.bits_set, fp.false_positives,
+       CAST(CASE WHEN np.n_probe = 0 THEN 0
+            ELSE fp.false_positives * 1000000 // np.n_probe END AS BIGINT) AS fpr_ppm
+FROM nb, np, bs, fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_levels
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+
+
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the ANN 5-NN embedding graph
+    (llm/graph.bfs_levels): seeds = vec_id % 50 == 0, 4 unrolled hops;
+    (node, level) with −1 for nodes outside every seed's 4-ball — the
+    crawl-frontier / influence-radius primitive on the same production
+    edge tier as the r9 graph twins."""
+    from icebergproject_spark.llm.graph import bfs_levels
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    edges = _ann_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return bfs_levels(und, seeds, rounds=BFS_ROUNDS)
+
+
+def _oracle_bfs(rounds: int) -> str:
+    ctes = [
+        ANN_EDGES_CTES,
+        "seeds AS MATERIALIZED (SELECT vec_id AS node FROM embeddings WHERE vec_id % 50 = 0)",
+        """allnodes AS MATERIALIZED (
+  SELECT a AS node FROM und UNION SELECT node FROM seeds
+)""",
+        "ball0 AS MATERIALIZED (SELECT node FROM seeds)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""ball{i} AS MATERIALIZED (
+  SELECT u.b AS node FROM und u JOIN ball{i - 1} b0 ON b0.node = u.a
+  UNION
+  SELECT node FROM ball{i - 1}
+)"""
+        )
+    tagged = "\n    UNION ALL ".join(
+        f"SELECT node, {i} AS i FROM ball{i}" for i in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lvl AS (
+  SELECT node, MIN(i) AS level FROM (
+    {tagged}
+  ) GROUP BY 1
+)
+SELECT n.node, CAST(COALESCE(l.level, -1) AS INT) AS level
+FROM allnodes n LEFT JOIN lvl l USING (node)"""
+    )
+
+
+ORACLE_GRAPH_BFS_LEVELS = _oracle_bfs(BFS_ROUNDS)
+
+
+R9B_REGISTRY: dict[str, Query] = {
+    "kmv_audit": Query(q_kmv_audit, ORACLE_KMV_AUDIT),
+    "bloom_audit": Query(q_bloom_audit, ORACLE_BLOOM_AUDIT),
+    "graph_bfs_levels": Query(q_graph_bfs_levels, ORACLE_GRAPH_BFS_LEVELS),
+}
+
+
+# ---------------------------------------------------------------------------
+# dq_audit — Deequ-style data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES_CLEAN = ["click", "purchase", "signup", "view"]
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (operators/dq — the Deequ-style
+    ingest gate): completeness, pk uniqueness, FK orphan counts, domain
+    and range membership, JSON parseability — eleven checks over five
+    tables as ONE long-format table of (entity, check, violations,
+    total, pass_ppm).  The clean-stream bar (`domain:event_type`
+    excluding 'error') fires on purpose: error events ARE the
+    violations that page, proving the violation path end-to-end; the
+    rest pin the fixtures' integrity at 10⁶ ppm."""
+    from icebergproject_spark.operators import dq
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    docs = _t(spark, sf_dir, "documents")
+    return dq.dq_suite(
+        [
+            dq.completeness(ev, "events", "user_id"),
+            dq.uniqueness(ev, "events", "event_id"),
+            dq.in_domain(ev, "events", "event_type", EVENT_TYPES_CLEAN),
+            dq.json_parseable(ev, "events", "props", "$.k"),
+            dq.uniqueness(cust, "customer", "c_custkey"),
+            dq.fk_integrity(orders, "orders", "o_custkey", cust, "c_custkey"),
+            dq.fk_integrity(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
+            dq.fk_integrity(li, "lineitem", "l_partkey",
+                            _t(spark, sf_dir, "part"), "p_partkey"),
+            dq.in_range(li, "lineitem", "l_quantity", 1, 50),
+            dq.non_empty(docs, "documents", "text"),
+            dq.in_domain(docs, "documents", "lang", DOC_LANGS),
+        ]
+    )
+
+
+def _dq_row(entity: str, check: str, viol: str, total: str, frm: str) -> str:
+    return f"""SELECT '{entity}' AS entity, '{check}' AS "check",
+       CAST({viol} AS BIGINT) AS violations,
+       CAST({total} AS BIGINT) AS total,
+       CAST(CASE WHEN {total} = 0 THEN 1000000
+            ELSE ({total} - ({viol})) * 1000000 // ({total}) END AS BIGINT)
+         AS pass_ppm
+FROM {frm}"""
+
+
+_DQ_TYPES = ", ".join(f"'{t}'" for t in EVENT_TYPES_CLEAN)
+_DQ_LANGS = ", ".join(f"'{x}'" for x in DOC_LANGS)
+
+ORACLE_DQ_AUDIT = "\nUNION ALL\n".join(
+    [
+        _dq_row("events", "complete:user_id",
+                "COUNT(*) - COUNT(user_id)", "COUNT(*)", "events"),
+        _dq_row("events", "unique:event_id",
+                "COUNT(event_id) - COUNT(DISTINCT event_id)", "COUNT(*)",
+                "events"),
+        _dq_row("events", "domain:event_type",
+                f"SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ({_DQ_TYPES}) THEN 1 ELSE 0 END)",
+                "COUNT(*)", "events"),
+        _dq_row("events", "json:props.k",
+                "SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END)",
+                "COUNT(*)", "events"),
+        _dq_row("customer", "unique:c_custkey",
+                "COUNT(c_custkey) - COUNT(DISTINCT c_custkey)", "COUNT(*)",
+                "customer"),
+        _dq_row("orders", "fk:o_custkey",
+                "SUM(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END)",
+                "COUNT(*)",
+                "orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey"),
+        _dq_row("lineitem", "fk:l_orderkey",
+                "SUM(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)",
+                "COUNT(*)",
+                "lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey"),
+        _dq_row("lineitem", "fk:l_partkey",
+                "SUM(CASE WHEN l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 ELSE 0 END)",
+                "COUNT(*)",
+                "lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey"),
+        _dq_row("lineitem", "range:l_quantity",
+                "SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END)",
+                "COUNT(*)", "lineitem"),
+        _dq_row("documents", "nonempty:text",
+                "SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END)",
+                "COUNT(*)", "documents"),
+        _dq_row("documents", "domain:lang",
+                f"SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ({_DQ_LANGS}) THEN 1 ELSE 0 END)",
+                "COUNT(*)", "documents"),
+    ]
+)
+
+R9B_REGISTRY["dq_audit"] = Query(q_dq_audit, ORACLE_DQ_AUDIT)
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — k-core decomposition by unrolled peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the ANN 5-NN graph (llm/graph.kcore_peel,
+    k=3, 4 unrolled peel rounds): nodes removed while their remaining
+    degree < 3; survivors = the 3-core (dense semantic kernels).
+    (node, peeled_round, in_kcore); convergence (no round-4 removals)
+    is pinned by pytest at every SF."""
+    from icebergproject_spark.llm.graph import kcore_peel
+
+    edges = _ann_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return kcore_peel(und, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _oracle_kcore(k: int, rounds: int) -> str:
+    ctes = [
+        ANN_EDGES_CTES,
+        "an AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)",
+        "al0 AS (SELECT node FROM an)",
+        "g0 AS (SELECT a, b FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"dg{i} AS (SELECT a AS node, COUNT(*) AS dd FROM g{i - 1} GROUP BY 1)"
+        )
+        ctes.append(
+            f"""pe{i} AS MATERIALIZED (
+  SELECT al.node, {i} AS peeled_round
+  FROM al{i - 1} al LEFT JOIN dg{i} d USING (node)
+  WHERE COALESCE(d.dd, 0) < {k}
+)"""
+        )
+        ctes.append(
+            f"""al{i} AS MATERIALIZED (
+  SELECT al.node FROM al{i - 1} al
+  LEFT JOIN pe{i} p USING (node) WHERE p.node IS NULL
+)"""
+        )
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT g.a, g.b FROM g{i - 1} g
+  JOIN al{i} x ON x.node = g.a
+  JOIN al{i} y ON y.node = g.b
+)"""
+        )
+    tagged = "\n    UNION ALL ".join(
+        f"SELECT node, peeled_round FROM pe{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+peeled AS (
+    {tagged}
+)
+SELECT n.node,
+       CAST(COALESCE(p.peeled_round, -1) AS INT) AS peeled_round,
+       p.peeled_round IS NULL AS in_kcore
+FROM an n LEFT JOIN peeled p USING (node)"""
+    )
+
+
+ORACLE_GRAPH_KCORE = _oracle_kcore(KCORE_K, KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# graph_shortest_paths — multi-source Bellman-Ford over semantic distances
+# ---------------------------------------------------------------------------
+
+SP_ROUNDS = 4
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source integer Bellman-Ford (llm/graph.bellman_ford) over
+    the ANN 5-NN graph with SEMANTIC DISTANCE weights
+    w = round((1−cos)·10⁶): cheapest-path cost from the nearest seed
+    (vec_id % 50 == 0) within 4 relaxation rounds, −1 unreached — the
+    weighted sibling of graph_bfs_levels (hop count → accumulated
+    dissimilarity), all-BIGINT relaxations."""
+    from icebergproject_spark.llm.graph import bellman_ford
+    from icebergproject_spark.llm.similarity import ann_knn_graph
+    from icebergproject_spark.queries_r9 import (
+        ANN_DIM,
+        ANN_K,
+        ANN_PLANES,
+        _materialized_with_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = ann_knn_graph(emb, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES)
+    ew = _materialized_with_stats(
+        knn.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+            F.expr("CAST(ROUND((1 - score) * 1000000, 0) AS BIGINT)").alias("w"),
+        ).distinct()
+    )
+    undw = ew.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(ew.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    seeds = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    return bellman_ford(undw, seeds, rounds=SP_ROUNDS)
+
+
+def _oracle_shortest_paths(rounds: int) -> str:
+    ctes = [
+        ANN_EDGES_CTES,
+        """ew AS MATERIALIZED (
+  SELECT DISTINCT LEAST(r.query_id, r.neighbor_id) AS a,
+                  GREATEST(r.query_id, r.neighbor_id) AS b,
+                  CAST(ROUND((1 - p.score) * 1000000) AS BIGINT) AS w
+  FROM ranked r
+  JOIN p ON p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id
+  WHERE r.rank <= 5
+)""",
+        "undw AS MATERIALIZED (SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew)",
+        "sd AS MATERIALIZED (SELECT vec_id AS node FROM embeddings WHERE vec_id % 50 = 0)",
+        "alln AS MATERIALIZED (SELECT a AS node FROM undw UNION SELECT node FROM sd)",
+        "dd0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM sd)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""dd{i} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM dd{i - 1}
+    UNION ALL
+    SELECT u.b AS node, p.d + u.w AS d
+    FROM undw u JOIN dd{i - 1} p ON p.node = u.a
+  ) GROUP BY 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.node, CAST(COALESCE(x.d, -1) AS BIGINT) AS dist
+FROM alln n LEFT JOIN dd{rounds} x USING (node)"""
+    )
+
+
+ORACLE_GRAPH_SHORTEST_PATHS = _oracle_shortest_paths(SP_ROUNDS)
+
+R9B_REGISTRY["graph_kcore"] = Query(q_graph_kcore, ORACLE_GRAPH_KCORE)
+R9B_REGISTRY["graph_shortest_paths"] = Query(
+    q_graph_shortest_paths, ORACLE_GRAPH_SHORTEST_PATHS
+)

@@ -823,3 +823,75 @@ def test_ann_knn_graph_multi_table_recall_dial(spark):
     # more tables -> more candidates per query, so each node's top-k is
     # drawn from a superset; the union graph must not shrink
     assert len(e4) >= len(e1)
+
+
+def test_bfs_levels_path_graph_geometry(spark):
+    """BFS on a path: exact hop distances, min-over-seeds, isolated
+    seed at level 0, unreached beyond the horizon at -1."""
+    from icebergproject_spark.llm.graph import bfs_levels
+
+    # path 0-1-2-3-4-5-6, plus isolated seed 99; seeds = {0, 99}
+    e = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], ["node"])
+    got = {r.node: r.level for r in bfs_levels(edges, seeds, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1, 6: -1, 99: 0}
+    # two seeds: distance is to the NEAREST one
+    seeds2 = spark.createDataFrame([(0,), (6,)], ["node"])
+    got2 = {r.node: r.level for r in bfs_levels(edges, seeds2, rounds=3).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bfs_levels(edges, seeds, rounds=0)
+
+
+def test_kcore_peel_geometry(spark):
+    """K4 plus a pendant chain: the K4 is the 3-core; chain nodes peel
+    outside-in (leaf first, then its support), and the peel converges
+    (no removals in the final round)."""
+    from icebergproject_spark.llm.graph import kcore_peel
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # node 4 starts at degree 3 (to 3, 5, 6) so it SURVIVES round 1;
+    # its leaves peel first, exposing it for round 2 — the cascade case
+    chain = [(3, 4), (4, 5), (4, 6)]
+    e = k4 + chain
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long"
+    )
+    got = {r.node: (r.peeled_round, r.in_kcore)
+           for r in kcore_peel(edges, k=3, rounds=4).collect()}
+    assert all(got[n] == (-1, True) for n in range(4))  # K4 survives
+    assert got[5] == (1, False) and got[6] == (1, False)  # leaves
+    assert got[4] == (2, False)  # exposed by the round-1 peel
+    # converged well before the horizon: nothing peeled at round 4
+    assert all(pr != 4 for pr, _ in got.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcore_peel(edges, k=3, rounds=0)
+
+
+def test_bellman_ford_weighted_path(spark):
+    """Weighted relaxations beat hop count: the 2-edge cheap route wins
+    over the 1-edge expensive one; unreached nodes -1; seeds at 0."""
+    from icebergproject_spark.llm.graph import bellman_ford
+
+    # 0 -10-> 2 direct, but 0 -3-> 1 -3-> 2 is cheaper; 3 is isolated-ish
+    e = [(0, 2, 10), (0, 1, 3), (1, 2, 3), (9, 3, 1)]
+    edges = spark.createDataFrame(
+        e + [(b, a, w) for a, b, w in e], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist for r in bellman_ford(edges, seeds, rounds=4).collect()}
+    assert got == {0: 0, 1: 3, 2: 6, 3: -1, 9: -1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bellman_ford(edges, seeds, rounds=0)

@@ -1630,3 +1630,53 @@ def test_image_features_quarantines_corrupt_headers(spark):
     got = {r.media_id: r for r in image_features(media).collect()}
     assert len(got) == 3
     assert all(got[m].width == -1 for m in (1, 2, 3))
+
+
+def test_kmv_audit_replay_and_small_group_exact(spark):
+    """KMV: the estimate matches a pure-python replay of the same md5
+    derivation; duplicates don't move it (function of the DISTINCT
+    set); groups under k distinct values are EXACT by construction."""
+    import hashlib
+
+    from icebergproject_spark.llm.text import kmv_audit
+
+    rows = [(i, "big") for i in range(500)] * 2 + [(i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type"])
+    got = {r.event_type: r for r in kmv_audit(df, k=16).collect()}
+
+    def hv(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+    hashes = sorted({hv(i) for i in range(500)})
+    want = (16 - 1) * (1 << 48) // hashes[15]
+    assert got["big"].kmv_estimate == want
+    assert got["big"].exact_distinct == 500
+    assert got["small"].kmv_estimate == 10 and got["small"].rel_err_pct == 0.0
+
+
+def test_bloom_audit_replay(spark):
+    """Bloom FPR audit: counts match a pure-python replay of the same
+    md5 positions, and a filter big enough for the corpus measures
+    FPR 0 (every probe value is absent by the even/odd split)."""
+    import hashlib
+
+    from icebergproject_spark.llm.text import bloom_audit
+
+    n, m, h = 400, 1 << 10, 3
+    df = spark.createDataFrame([(i,) for i in range(n)], ["event_id"])
+    row = bloom_audit(df, m_bits=m, n_hashes=h).collect()[0]
+
+    def pos(j, v):
+        return int(hashlib.md5(f"{j}-{v}".encode()).hexdigest()[:12], 16) % m
+
+    build = [v for v in range(n) if v % 2 == 0]
+    probe = [v for v in range(n) if v % 2 != 0]
+    bits = {pos(j, v) for v in build for j in range(h)}
+    fp = sum(1 for v in probe if all(pos(j, v) in bits for j in range(h)))
+    assert (row.n_build, row.n_probe) == (len(build), len(probe))
+    assert row.bits_set == len(bits)
+    assert row.false_positives == fp
+    assert row.fpr_ppm == fp * 10**6 // len(probe)
+    # oversized filter: collision probability ~0 -> no false positives
+    row2 = bloom_audit(df, m_bits=1 << 24, n_hashes=h).collect()[0]
+    assert row2.false_positives == 0 and row2.fpr_ppm == 0

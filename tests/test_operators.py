@@ -770,3 +770,46 @@ def test_gini_matches_python_replay(spark):
         ((gnum * 1000) % (n * total)) * 1000
     ) // (n * total)
     assert r.gini_micro == want == gnum * 10**6 // (n * total)
+
+
+def test_dq_checks_fire_on_dirty_fixture(spark):
+    """Every dq constraint detects its violation class on a
+    deliberately dirty fixture — and pass_ppm arithmetic is exact."""
+    from icebergproject_spark.operators import dq
+
+    rows = [
+        (1, "u1", "click", '{"k": 1}'),
+        (1, "u2", "click", '{"k": 2}'),     # duplicate pk
+        (3, None, "view", '{"k": 3}'),      # null user
+        (4, "u4", "weird", "not-json"),     # bad domain + bad json
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, props string"
+    )
+    got = {
+        (r.entity, r.check): (r.violations, r.total, r.pass_ppm)
+        for r in dq.dq_suite(
+            [
+                dq.completeness(ev, "ev", "user_id"),
+                dq.uniqueness(ev, "ev", "event_id"),
+                dq.in_domain(ev, "ev", "event_type", ["click", "view"]),
+                dq.json_parseable(ev, "ev", "props", "$.k"),
+            ]
+        ).collect()
+    }
+    assert got[("ev", "complete:user_id")] == (1, 4, 750000)
+    assert got[("ev", "unique:event_id")] == (1, 4, 750000)
+    assert got[("ev", "domain:event_type")] == (1, 4, 750000)
+    assert got[("ev", "json:props.k")] == (1, 4, 750000)
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,), (None,)],
+                                  "fk long").selectExpr("fk")
+    fk = dq.fk_integrity(child, "child", "fk", parent, "pk").collect()[0]
+    # the orphan is 9; NULL fk is a completeness concern, not an orphan
+    assert (fk.violations, fk.total, fk.pass_ppm) == (1, 5, 800000)
+
+    # empty table: nothing violates, ppm pegged at 1e6
+    empty = spark.createDataFrame([], "x string")
+    row = dq.completeness(empty, "e", "x").collect()[0]
+    assert (row.violations, row.total, row.pass_ppm) == (0, 0, 1000000)

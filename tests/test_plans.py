@@ -133,6 +133,20 @@ def _count(plan: str, node: str) -> int:
         # LSH-DBSCAN: 3 visible shuffles vs the exact arm's 8 — the
         # ε-pair generator is materialized, core/border joins broadcast
         ("density_clusters_lsh", 3, 4),
+        # sketch audits: distinct + per-group window (KMV), distinct +
+        # broadcast bit-set probe join (Bloom)
+        ("kmv_audit", 3, 1),
+        ("bloom_audit", 5, 4),
+        # BFS: lineage-cut rounds — visible plan is the final level join
+        ("graph_bfs_levels", 2, 0),
+        # DQ suite: 11 independent single-row aggregates unioned — one
+        # group-less aggregate pair per check (partial+final), FK parent
+        # key sets broadcast
+        ("dq_audit", 13, 6),
+        # unrolled-round graph walks behind lineage cuts: the visible
+        # plan is the final membership / distance join
+        ("graph_kcore", 2, 0),
+        ("graph_shortest_paths", 2, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
