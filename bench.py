@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "dq_audit",
     "graph_kcore",
     "graph_shortest_paths",
+    "dataset_split",
+    "leakage_safe_split",
 ]
 
 # the exact query set BENCH_r08 reported (99 queries) — the
@@ -191,6 +193,7 @@ PREV_ROUND_QUERIES = {
         "pagerank_delta_local", "density_clusters_lsh",
         "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
         "graph_kcore", "graph_shortest_paths",
+        "dataset_split", "leakage_safe_split",
     )
 }
 

@@ -465,3 +465,211 @@ R9B_REGISTRY["graph_kcore"] = Query(q_graph_kcore, ORACLE_GRAPH_KCORE)
 R9B_REGISTRY["graph_shortest_paths"] = Query(
     q_graph_shortest_paths, ORACLE_GRAPH_SHORTEST_PATHS
 )
+
+
+# ---------------------------------------------------------------------------
+# dataset_split / leakage_safe_split — reproducible train/val/test with a
+# measured near-dup leakage audit
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # md5 percent buckets: <80 train, <90 val
+
+
+def _split_tier(key_col) -> F.Column:
+    b = F.conv(
+        F.substring(F.md5(key_col.cast("string")), 1, 12), 16, 10
+    ).cast("long") % 100
+    return (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
+def _split_audit(assigned: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(split, n_docs, share_ppm, cross_split_dup_pairs) from a
+    (doc_id, split) assignment and a near-dup candidate pair set —
+    cross_split_dup_pairs is THE leakage metric: near-duplicates
+    straddling train/eval inflate benchmarks (Lee et al. 2022)."""
+    assigned = assigned.localCheckpoint(eager=False)  # three consumers
+    # (per-split counts, total, both sides of the pair audit) — without
+    # the cut the upstream closure/hashing replays per consumer
+    counts = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total = assigned.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    cross = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("__sb")
+            ),
+            "id_b",
+        )
+        .agg(
+            F.sum((F.col("__sa") != F.col("__sb")).cast("long")).alias(
+                "cross_split_dup_pairs"
+            )
+        )
+        .select(
+            F.coalesce("cross_split_dup_pairs", F.lit(0))
+            .cast("long")
+            .alias("cross_split_dup_pairs")
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(cross))
+        .select(
+            "split",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV __t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "cross_split_dup_pairs",
+        )
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible doc-hash train/val/test split (md5(doc_id) mod 100:
+    80/10/10) with the near-dup LEAKAGE measured: cross_split_dup_pairs
+    counts minhash-LSH candidate pairs straddling splits — NONZERO here
+    by construction, because hashing documents independently ignores
+    duplicate structure.  The fix is ``leakage_safe_split`` (same
+    schema, cluster-keyed); the pair of heads turns the Lee et al. 2022
+    leakage argument into two hash-checked tables you can diff."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_sql_candidates(docs).select("id_a", "id_b")
+    assigned = docs.select(
+        "doc_id", _split_tier(F.col("doc_id")).alias("split")
+    )
+    return _split_audit(assigned, pairs)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assign whole near-dup
+    CLUSTERS (connected components of the minhash-LSH candidate graph —
+    the dedup_clusters_lsh_sql machinery) to splits by
+    md5(cluster_id) mod 100, so every near-duplicate family lands in
+    ONE split and cross_split_dup_pairs is structurally ZERO — both
+    engines prove it as data.  Share skew vs the doc-hash split is the
+    price of safety (clusters are atomic), also visible in the table."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_sql_candidates(docs).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)  # consumed by the closure AND the audit
+    comp = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    assigned = comp.select(
+        F.col("node").alias("doc_id"),
+        _split_tier(F.col("cluster_id")).alias("split"),
+    )
+    return _split_audit(assigned, pairs)
+
+
+# shared CTE prefix: the md5-minhash banding candidate pairs (verbatim
+# from ORACLE_DEDUP_CLUSTERS_LSH_SQL / ORACLE_DEDUP_MINHASH_LSH_SQL)
+_SPLIT_PAIR_CTES = f"""toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS g
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '-' || g) AS hx
+  FROM grams CROSS JOIN (SELECT UNNEST(range(16)) AS i)
+),
+hmin AS (
+  SELECT doc_id, i, MIN({_md5_prefix12_sql('hx')}) AS h
+  FROM hashed GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_sig
+  FROM hmin GROUP BY doc_id, i // 2
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+)"""
+
+_SPLIT_TIER_SQL = (
+    "CASE WHEN {h} % 100 < "
+    + str(SPLIT_TRAIN)
+    + " THEN 'train' WHEN {h} % 100 < "
+    + str(SPLIT_VAL)
+    + " THEN 'val' ELSE 'test' END"
+)
+
+_SPLIT_AUDIT_SQL = """counts AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM assigned GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM assigned),
+cross_p AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS cross_split_dup_pairs
+  FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.id_a
+  JOIN assigned sb ON sb.doc_id = p.id_b
+)
+SELECT c.split, c.n_docs,
+       CAST(c.n_docs * 1000000 // tot.t AS BIGINT) AS share_ppm,
+       cross_p.cross_split_dup_pairs
+FROM counts c, tot, cross_p"""
+
+_DOC_TIER = _SPLIT_TIER_SQL.format(
+    h="(" + _md5_prefix12_sql("md5(CAST(doc_id AS VARCHAR))") + ")"
+)
+
+ORACLE_DATASET_SPLIT = f"""
+WITH {_SPLIT_PAIR_CTES},
+assigned AS MATERIALIZED (
+  SELECT doc_id, {_DOC_TIER} AS split FROM documents
+),
+{_SPLIT_AUDIT_SQL}
+"""
+
+_CLUSTER_TIER = _SPLIT_TIER_SQL.format(
+    h="(" + _md5_prefix12_sql("md5(CAST(cluster_id AS VARCHAR))") + ")"
+)
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE {_SPLIT_PAIR_CTES},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+lab AS MATERIALIZED (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+assigned AS MATERIALIZED (
+  SELECT doc_id, {_CLUSTER_TIER} AS split FROM lab
+),
+{_SPLIT_AUDIT_SQL}
+"""
+
+R9B_REGISTRY["dataset_split"] = Query(q_dataset_split, ORACLE_DATASET_SPLIT)
+R9B_REGISTRY["leakage_safe_split"] = Query(
+    q_leakage_safe_split, ORACLE_LEAKAGE_SAFE_SPLIT
+)

@@ -147,6 +147,10 @@ def _count(plan: str, node: str) -> int:
         # plan is the final membership / distance join
         ("graph_kcore", 2, 0),
         ("graph_shortest_paths", 2, 0),
+        # split + leakage audit: checkpointed assignment consumed by
+        # counts/total/pair-audit; minhash band joins broadcast
+        ("dataset_split", 0, 5),
+        ("leakage_safe_split", 5, 2),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
