@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "graph_shortest_paths",
     "dataset_split",
     "leakage_safe_split",
+    "label_propagation_ann4",
+    "coreset_kcenter",
 ]
 
 # the exact query set BENCH_r08 reported (99 queries) — the
@@ -194,6 +196,7 @@ PREV_ROUND_QUERIES = {
         "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
         "graph_kcore", "graph_shortest_paths",
         "dataset_split", "leakage_safe_split",
+        "label_propagation_ann4", "coreset_kcenter",
     )
 }
 

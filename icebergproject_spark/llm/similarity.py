@@ -1104,3 +1104,81 @@ def ann_knn_graph(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    quant: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal)
+    — the DIVERSITY-sampling primitive: pick the point farthest from
+    the chosen set, k times, giving a 2-approximation of the optimal
+    k-center cover.  Curation uses it to pick maximally-diverse
+    exemplars (the opposite pole of dedup's near-duplicate removal).
+
+    Integer-exact end to end: vectors quantize to the BIGINT grid
+    (``round(x·quant)``), distances are exact squared-L2 BIGINT sums
+    (|q|≤quant ⇒ per-term ≤ 4·quant², ×dim ≪ 2⁶³), the seed is the
+    minimum id, and every argmax tie-breaks to the smaller id — so any
+    engine replays the identical center sequence and assignment.
+
+    Scale shape: k−1 rounds, each ONE corpus scan computing the
+    distance to the newest center + a 1-row argmax (the driver holds
+    only the k chosen vectors — the bounded-driver-state pattern of
+    ``train_centroids``/FAISS practice); the final assignment is one
+    scan against k broadcast-literal centers.  O(k·n·d) work, no
+    shuffle wider than a 1-row aggregate.
+
+    Returns (vec_id, nearest_center, d2): nearest chosen center by
+    (min d2, min center id) and the exact squared grid distance.
+    """
+    if k < 1:
+        raise ValueError(f"kcenter_coreset requires k >= 1, got {k}")
+    qz = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * quant).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), qz.alias("q")).localCheckpoint(
+        eager=False
+    )  # k+1 scans consume the quantized relation
+
+    def d2_to(center_vec: list[int]):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in center_vec])
+        diff = F.zip_with(F.col("q"), lit, lambda a, b: a - b)
+        return F.aggregate(
+            diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        )
+
+    first = base.orderBy("id").limit(1).collect()[0]
+    centers = [(int(first["id"]), [int(x) for x in first["q"]])]
+    scored = base.withColumn("mind", d2_to(centers[0][1]))
+    for _ in range(1, k):
+        top = (
+            scored.agg(
+                F.max(F.struct(F.col("mind"), (-F.col("id")).alias("ni"))).alias("m")
+            )
+            .select((-F.col("m.ni")).alias("id"))
+            .collect()[0]
+        )
+        nxt_id = int(top["id"])
+        nxt_q = [
+            int(x)
+            for x in base.where(F.col("id") == nxt_id).collect()[0]["q"]
+        ]
+        centers.append((nxt_id, nxt_q))
+        scored = scored.withColumn(
+            "mind", F.least(F.col("mind"), d2_to(nxt_q))
+        ).localCheckpoint(eager=False)  # cut so round t+1 doesn't replay
+        # rounds 1..t
+    best = None
+    for cid, cq in centers:
+        cand = F.struct(d2_to(cq).alias("d2"), F.lit(cid).cast("long").alias("cid"))
+        best = cand if best is None else F.least(best, cand)
+    return base.withColumn("__b", best).select(
+        F.col("id").alias(id_col),
+        F.col("__b.cid").alias("nearest_center"),
+        F.col("__b.d2").alias("d2"),
+    )

@@ -755,8 +755,9 @@ REGISTRY.update(R4_REGISTRY)
 # ordering is a visibility decision.  Round-9 rotation (VERDICT r8 ask
 # #3): the window takes the new r9 heads + the flagship, then the
 # STALEST rows first — all 7 rows last driver-checked in round 3, then
-# the oldest round-5 rows in alphabetical order to fill to 50 (25 of
-# 49; the remaining 24 — knn_graph, label_agreement, lang_mismatch,
+# the oldest round-5 rows in alphabetical order to fill to 50 (23 of
+# 49; the remaining 26 — global_shuffle, hard_negatives,
+# knn_graph, label_agreement, lang_mismatch,
 # lineitem_unpivot_profile,
 # lm_quality_score_sql, mixing_temperature,
 # mixing_weights, multimodal_chunks, normalize_text, pack_sequences, pii_redaction,
@@ -779,11 +780,11 @@ DRIVER_WINDOW = [
     "pagerank_delta_local", "density_clusters_lsh",
     "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
     "graph_kcore", "graph_shortest_paths", "dataset_split",
-    "leakage_safe_split",
+    "leakage_safe_split", "label_propagation_ann4", "coreset_kcenter",
     # stale refresh: every row last checked in ROUND 3 (7 of 7)
     "doc_fingerprint", "embedding_stats", "lang_id", "multimodal_meta",
     "similarity_topk", "text_stats", "token_count_bpe",
-    # stale refresh: oldest ROUND-5 rows, alphabetical head (25 of 49)
+    # stale refresh: oldest ROUND-5 rows, alphabetical head (23 of 49)
     "bpe_pair_counts", "chunk_documents", "contamination_spans",
     "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
     "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
@@ -792,7 +793,7 @@ DRIVER_WINDOW = [
     "dedup_semantic_sql", "dedup_survivors", "dedup_verified",
     "dedup_verified_strict", "dsir_weights_sql", "duplicate_spans",
     "embedding_kmeans_sql", "embedding_quantize", "event_transitions",
-    "events_props_variant", "global_shuffle", "hard_negatives",
+    "events_props_variant",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from icebergproject_spark.queries import Query, _t
 from icebergproject_spark.queries_r4 import _md5_prefix12_sql
-from icebergproject_spark.queries_r9 import ANN_EDGES_CTES, _ann_edges
+from icebergproject_spark.queries_r9 import (
+    ANN_EDGES_CTES,
+    _ann_edges,
+    _ann_edges_ctes_multi,
+)
 
 # ---------------------------------------------------------------------------
 # kmv_audit
@@ -672,4 +676,169 @@ assigned AS MATERIALIZED (
 R9B_REGISTRY["dataset_split"] = Query(q_dataset_split, ORACLE_DATASET_SPLIT)
 R9B_REGISTRY["leakage_safe_split"] = Query(
     q_leakage_safe_split, ORACLE_LEAKAGE_SAFE_SPLIT
+)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_ann4 — the multi-table (higher-recall) edge tier as a
+# REGISTERED default, demonstrated on the LPA head
+# ---------------------------------------------------------------------------
+
+def _ann4_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected ANN 5-NN edges from the L=4 multi-table sign-LSH
+    candidate union (llm/similarity.ann_knn_graph(tables=4)) — the
+    measured-45%-recall tier of SCALE.md §r9, materialized with true
+    stats like _ann_edges."""
+    from icebergproject_spark.llm.similarity import ann_knn_graph
+    from icebergproject_spark.queries_r9 import (
+        ANN_DIM,
+        ANN_K,
+        ANN_PLANES,
+        ANN_TABLES,
+        _materialized_with_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = ann_knn_graph(
+        emb, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES, tables=ANN_TABLES
+    )
+    return _materialized_with_stats(
+        knn.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+        ).distinct()
+    )
+
+
+def q_label_propagation_ann4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation over the MULTI-TABLE (L=4) ANN graph —
+    the registered higher-recall twin of ``label_propagation_ann``
+    (single table): same seeds, same 3 rounds, edges from the 4-table
+    candidate union whose 45% edge recall ``knn_edge_recall_multi``
+    measures.  One registered head demonstrates the dial; every other
+    graph head takes the same ``tables=`` parameter."""
+    from icebergproject_spark.llm.graph import label_propagation
+    from icebergproject_spark.queries_r8b import LANG_CODE, LPA_ROUNDS
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"),
+        F.expr(LANG_CODE).alias("label"),
+    )
+    labels = label_propagation(
+        _ann4_edges(spark, sf_dir), seeds, rounds=LPA_ROUNDS
+    )
+    return labels.select(
+        "node", F.coalesce("label", F.lit(-1)).cast("long").alias("label")
+    )
+
+
+# multi-table edge CTEs with the SAME trailing names (e/und/deg) as
+# KNN_EDGES_CTES, so the r8b LPA oracle body swaps in verbatim — the
+# same structural-identity trick as queries_r9's single-table twins
+ANN4_EDGES_CTES = (
+    _ann_edges_ctes_multi(suffix="")
+    + """,
+und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS degree FROM und GROUP BY 1)"""
+)
+
+from icebergproject_spark.queries_r8b import (  # noqa: E402
+    KNN_EDGES_CTES,
+    ORACLE_LABEL_PROPAGATION,
+)
+
+assert KNN_EDGES_CTES in ORACLE_LABEL_PROPAGATION
+ORACLE_LABEL_PROPAGATION_ANN4 = ORACLE_LABEL_PROPAGATION.replace(
+    KNN_EDGES_CTES, ANN4_EDGES_CTES
+)
+
+R9B_REGISTRY["label_propagation_ann4"] = Query(
+    q_label_propagation_ann4, ORACLE_LABEL_PROPAGATION_ANN4
+)
+
+
+# ---------------------------------------------------------------------------
+# coreset_kcenter — greedy farthest-point diversity sampling
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings
+    (llm/similarity.kcenter_coreset, k=8): the Gonzalez farthest-point
+    traversal — diversity sampling, the opposite pole of near-dup
+    removal.  Integer-exact BIGINT squared-L2 on the quantized grid,
+    min-id seed, smaller-id tie-breaks: the center SEQUENCE and the
+    final (vec_id, nearest_center, d2) assignment replay bit-for-bit
+    as unrolled CTEs."""
+    from icebergproject_spark.llm.similarity import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=KCENTER_K)
+
+
+def _oracle_kcenter(k: int, quant: int = 10000) -> str:
+    d2 = "CAST(v.qq + c.qq - 2 * list_dot_product(v.q, c.q) AS BIGINT)"
+    ctes = [
+        f"""v0 AS (
+  SELECT vec_id,
+         [CAST(ROUND(x * {quant}) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+)""",
+        """vq AS MATERIALIZED (
+  SELECT vec_id, q, list_dot_product(q, q) AS qq FROM v0
+)""",
+        """c1 AS MATERIALIZED (
+  SELECT vec_id AS cid, q, qq FROM vq
+  WHERE vec_id = (SELECT MIN(vec_id) FROM vq)
+)""",
+        f"""m1 AS MATERIALIZED (
+  SELECT v.vec_id, {d2} AS mind FROM vq v, c1 c
+)""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""pk{t} AS (
+  SELECT vec_id FROM m{t - 1} ORDER BY mind DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT v.vec_id AS cid, v.q, v.qq FROM vq v JOIN pk{t} p USING (vec_id)
+)"""
+        )
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT v.vec_id, LEAST(m.mind, {d2}) AS mind
+  FROM vq v JOIN m{t - 1} m USING (vec_id), c{t} c
+)"""
+        )
+    centers = "\n  UNION ALL ".join(
+        f"SELECT cid, q, qq FROM c{t}" for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+centers AS MATERIALIZED (
+  {centers}
+),
+asg AS (
+  SELECT v.vec_id, c.cid,
+         CAST(v.qq + c.qq - 2 * list_dot_product(v.q, c.q) AS BIGINT) AS d2
+  FROM vq v CROSS JOIN centers c
+)
+SELECT vec_id,
+       CAST(MIN({{'d2': d2, 'cid': cid}}).cid AS BIGINT) AS nearest_center,
+       CAST(MIN({{'d2': d2, 'cid': cid}}).d2 AS BIGINT) AS d2
+FROM asg GROUP BY 1"""
+    )
+
+
+ORACLE_CORESET_KCENTER = _oracle_kcenter(KCENTER_K)
+
+R9B_REGISTRY["coreset_kcenter"] = Query(
+    q_coreset_kcenter, ORACLE_CORESET_KCENTER
 )

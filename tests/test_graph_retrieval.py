@@ -895,3 +895,34 @@ def test_bellman_ford_weighted_path(spark):
 
     with _pytest.raises(ValueError):
         bellman_ford(edges, seeds, rounds=0)
+
+
+def test_kcenter_coreset_two_cluster_geometry(spark):
+    """Greedy farthest-point: seed = min id; the second center comes
+    from the OPPOSITE cluster (farthest point); every vector assigns to
+    its own cluster's center with exact integer d2."""
+    import numpy as np
+
+    from icebergproject_spark.llm.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(3)
+    a = np.array([10.0, 0.0, 0.0, 0.0])
+    b = np.array([-10.0, 0.0, 0.0, 0.0])
+    rows = []
+    for i in range(6):
+        rows.append((i, [float(x) for x in a + rng.normal(scale=0.01, size=4)]))
+    for i in range(6, 12):
+        rows.append((i, [float(x) for x in b + rng.normal(scale=0.01, size=4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in kcenter_coreset(df, k=2).collect()}
+    # seed center is id 0 (min id, cluster A); center 2 must be in B
+    centers = {r.nearest_center for r in got.values()}
+    assert 0 in centers and len(centers) == 2
+    other = (centers - {0}).pop()
+    assert other >= 6
+    for i in range(6):
+        assert got[i].nearest_center == 0
+    for i in range(6, 12):
+        assert got[i].nearest_center == other
+    # exact integer distance replay for the seed itself
+    assert got[0].d2 == 0

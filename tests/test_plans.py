@@ -151,6 +151,11 @@ def _count(plan: str, node: str) -> int:
         # counts/total/pair-audit; minhash band joins broadcast
         ("dataset_split", 0, 5),
         ("leakage_safe_split", 5, 2),
+        # multi-table LPA sits fully behind the materialized edge list;
+        # k-center is k map-only scans of the checkpointed grid — ANY
+        # shuffle is a regression
+        ("label_propagation_ann4", 0, 0),
+        ("coreset_kcenter", 0, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
