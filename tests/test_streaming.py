@@ -1539,3 +1539,60 @@ def test_streaming_ks_drift_monitor_batch(spark, tmp_path):
     # and 2 contribute 5 support points each, batch 3 two
     assert state.read().select("batch_id").distinct().count() == 3
     assert state.read().count() == 5 + 5 + 2
+
+
+def test_streaming_ks_drift_monitor_e2e_foreachbatch(spark, tmp_path):
+    """The KS monitor wired through a REAL stream: a file-source
+    readStream drained with availableNow through foreachBatch, each
+    micro-batch tested against the accumulated histogram baseline —
+    and a CHECKPOINT RESTART replay of the same input leaves the state
+    unchanged (idempotent_append keyed on batch_id)."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.streaming.runner import (
+        ks_drift_monitor_batch,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    stable = [("g", 9.8 + (i % 5) * 0.1) for i in range(100)]
+    spark.createDataFrame(stable, "grp string, value double").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    catalog = LakehouseCatalog(
+        spark, warehouse=str(tmp_path / "wh"), db="kse2e"
+    )
+    state = catalog.table("KS_E2E_STATE")
+    alerts: list = []
+
+    def sink(batch, batch_id):
+        out = ks_drift_monitor_batch(
+            batch, state, "value", ["grp"], batch_id=f"b-{batch_id}"
+        )
+        alerts.extend(out.collect())
+
+    schema = "grp string, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_available_now(stream, str(tmp_path / "ckpt"), sink, "ks-e2e")
+    assert len(alerts) == 1 and not alerts[0].drifted  # first batch: no baseline
+    n_state = state.read().count()
+
+    # restart from the SAME checkpoint with no new input: availableNow
+    # replays nothing, state and alerts stay put
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    run_available_now(stream2, str(tmp_path / "ckpt"), sink, "ks-e2e-rs")
+    assert len(alerts) == 1
+    assert state.read().count() == n_state
+
+    # a new bimodal file (same mean, different shape) arrives; a fresh
+    # drain picks it up as the next micro-batch and KS fires
+    bimodal = [("g", 9.8 if i % 2 == 0 else 10.2) for i in range(100)]
+    spark.createDataFrame(bimodal, "grp string, value double").write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    run_available_now(stream3, str(tmp_path / "ckpt"), sink, "ks-e2e-2")
+    assert len(alerts) == 2
+    assert alerts[1].drifted and alerts[1].ks_d_milli >= 300
