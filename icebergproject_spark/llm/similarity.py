@@ -1061,11 +1061,31 @@ def ann_knn_graph(
             "id", "__v", "__n",
             int_sign_bucket(F.col("__q"), W).alias("__bucket"),
         )
-        join_cond = F.col("a.__bucket") == F.col("b.__bucket")
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.__bucket") == F.col("b.__bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"),
+                F.round(
+                    _dot(F.col("a.__v"), F.col("b.__v"))
+                    / (F.col("a.__n") * F.col("b.__n")),
+                    6,
+                ).alias("score"),
+            )
+        )
     else:
-        # one row per (vector, table): candidates = same (table, bucket)
-        bucketed = base.select(
-            "id", "__v", "__n",
+        # one row per (vector, table): candidates = same (table, bucket).
+        # DEDUP BEFORE SCORING: a pair colliding in several tables must
+        # be scored once, and the candidate join should carry only ids —
+        # at production dims the vector payload (d floats × L tables)
+        # dwarfs the two id-joins that re-attach it after the distinct.
+        keyed = base.select(
+            "id",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -1078,24 +1098,42 @@ def ann_knn_graph(
                 ])
             ).alias("__tb"),
         )
-        join_cond = F.col("a.__tb") == F.col("b.__tb")
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    scored = (
-        a.join(b, join_cond & (F.col("a.id") != F.col("b.id")))
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("b.id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("a.__v"), F.col("b.__v"))
-                / (F.col("a.__n") * F.col("b.__n")),
-                6,
-            ).alias("score"),
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__tb") == F.col("b.__tb"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"),
+            )
+            .distinct()
         )
-    )
-    if tables > 1:
-        # a pair can collide in several tables — the score is a pure
-        # function of the pair, so distinct-on-row dedups candidates
-        scored = scored.distinct()
+        va = base.select(
+            F.col("id").alias("query_id"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        vb = base.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        scored = (
+            cand.join(va, "query_id")
+            .join(vb, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                ).alias("score"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
