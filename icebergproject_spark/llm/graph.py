@@ -997,10 +997,24 @@ def bellman_ford(
     """
     if rounds < 1:
         raise ValueError(f"bellman_ford requires rounds >= 1, got {rounds}")
+    wv = F.col(weight_col).cast("long")
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
+        # Enforce the documented non-negative contract in-plan (no extra
+        # job): a negative weight would make the -1 'unreached' sentinel
+        # ambiguous with a legitimate distance, so fail loudly per-row
+        # instead of corrupting silently (r9 ADVICE).
+        F.when(wv >= 0, wv)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bellman_ford requires non-negative weights, got "),
+                    wv.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("w"),
     ).localCheckpoint(eager=False)
     all_nodes = (
         e.select(F.col("src").alias("node"))

@@ -1348,9 +1348,15 @@ def kmv_audit(
     hv = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
-    dv = df.select(
-        F.col(group_col).alias("g"), hv.alias("hv")
-    ).distinct()
+    # NULL values never reach the sketch: count_distinct (the exact arm)
+    # ignores NULL, and a NULL md5 row would also sort NULLS FIRST in
+    # Spark vs NULLS LAST in DuckDB — filter before hashing so both
+    # arms see the same universe (r9 ADVICE).
+    dv = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), hv.alias("hv"))
+        .distinct()
+    )
     w = Window.partitionBy("g").orderBy(F.col("hv").asc())
     kept = dv.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
     sk = kept.groupBy("g").agg(

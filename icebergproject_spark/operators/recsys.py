@@ -64,6 +64,13 @@ def item_similarity_topk(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
     dropped = None
+    if emit_dropped_count and max_basket is None:
+        # No cap ⇒ nothing is ever dropped, but the output schema must
+        # be a function of emit_dropped_count ALONE (r9 ADVICE): emit a
+        # literal 0 so downstream consumers can always select the column.
+        dropped = interactions.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("dropped_baskets")
+        )
     if max_basket is not None:
         sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("__b"))
         if emit_dropped_count:

@@ -259,10 +259,10 @@ def q_knn_edge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_ann",
             "n_common",
-            F.expr("CAST(n_common * 1000000 DIV n_exact AS BIGINT)").alias(
+            F.expr("CAST(CASE WHEN n_exact = 0 THEN 0 ELSE n_common * 1000000 DIV n_exact END AS BIGINT)").alias(
                 "recall_ppm"
             ),
-            F.expr("CAST(n_common * 1000000 DIV n_ann AS BIGINT)").alias(
+            F.expr("CAST(CASE WHEN n_ann = 0 THEN 0 ELSE n_common * 1000000 DIV n_ann END AS BIGINT)").alias(
                 "precision_ppm"
             ),
         )
@@ -281,8 +281,8 @@ nc AS (
 SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
        CAST(na.n_ann AS BIGINT) AS n_ann,
        CAST(nc.n_common AS BIGINT) AS n_common,
-       CAST(nc.n_common * 1000000 // ne.n_exact AS BIGINT) AS recall_ppm,
-       CAST(nc.n_common * 1000000 // na.n_ann AS BIGINT) AS precision_ppm
+       CAST(CASE WHEN ne.n_exact = 0 THEN 0 ELSE nc.n_common * 1000000 // ne.n_exact END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN na.n_ann = 0 THEN 0 ELSE nc.n_common * 1000000 // na.n_ann END AS BIGINT) AS precision_ppm
 FROM ne, na, nc
 """
 
@@ -328,10 +328,10 @@ def q_knn_edge_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_ann",
             "n_common",
-            F.expr("CAST(n_common * 1000000 DIV n_exact AS BIGINT)").alias(
+            F.expr("CAST(CASE WHEN n_exact = 0 THEN 0 ELSE n_common * 1000000 DIV n_exact END AS BIGINT)").alias(
                 "recall_ppm"
             ),
-            F.expr("CAST(n_common * 1000000 DIV n_ann AS BIGINT)").alias(
+            F.expr("CAST(CASE WHEN n_ann = 0 THEN 0 ELSE n_common * 1000000 DIV n_ann END AS BIGINT)").alias(
                 "precision_ppm"
             ),
         )
@@ -402,8 +402,8 @@ nc AS (
 SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
        CAST(na.n_ann AS BIGINT) AS n_ann,
        CAST(nc.n_common AS BIGINT) AS n_common,
-       CAST(nc.n_common * 1000000 // ne.n_exact AS BIGINT) AS recall_ppm,
-       CAST(nc.n_common * 1000000 // na.n_ann AS BIGINT) AS precision_ppm
+       CAST(CASE WHEN ne.n_exact = 0 THEN 0 ELSE nc.n_common * 1000000 // ne.n_exact END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN na.n_ann = 0 THEN 0 ELSE nc.n_common * 1000000 // na.n_ann END AS BIGINT) AS precision_ppm
 FROM ne, na, nc
 """
 

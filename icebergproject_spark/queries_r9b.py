@@ -57,6 +57,7 @@ _KMV_HV = _md5_prefix12_sql("md5(CAST(event_id AS VARCHAR))")
 ORACLE_KMV_AUDIT = f"""
 WITH dv AS (
   SELECT DISTINCT event_type AS g, {_KMV_HV} AS hv FROM events
+  WHERE event_id IS NOT NULL
 ),
 kept AS (
   SELECT g, hv,

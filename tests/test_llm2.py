@@ -966,6 +966,26 @@ def test_item_similarity_max_basket_cap(spark):
     assert pairs == {("a", "b"), ("b", "a")}  # heavy user's pairs dropped
 
 
+def test_item_similarity_schema_depends_only_on_emit_flag(spark):
+    """emit_dropped_count=True must yield a dropped_baskets column (a
+    literal 0) even with max_basket=None — the output schema is a
+    function of the flag alone, never of an unrelated parameter
+    (r9 ADVICE)."""
+    from icebergproject_spark.operators.recsys import item_similarity_topk
+
+    inter = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "u long, i string"
+    )
+    uncapped = item_similarity_topk(
+        inter, "u", "i", k=5, emit_dropped_count=True
+    )
+    capped = item_similarity_topk(
+        inter, "u", "i", k=5, max_basket=5, emit_dropped_count=True
+    )
+    assert uncapped.columns == capped.columns
+    assert all(r.dropped_baskets == 0 for r in uncapped.collect())
+
+
 def test_item_similarity_rank_is_deterministic_on_ties(spark):
     from icebergproject_spark.operators.recsys import item_similarity_topk
 
