@@ -177,9 +177,15 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "label_propagation_ann4",
     "coreset_kcenter",
+    # round 10: ANN evidence closure (VERDICT r9 asks #1/#4) — the
+    # planes dial engaged in-plan, realistic near-dup recall, and
+    # incremental ANN-graph maintenance proved equal to full rebuild
+    "knn_edge_recall_dial",
+    "neardup_pair_recall",
+    "ann_graph_incremental",
 ]
 
-# the exact query set BENCH_r08 reported (99 queries) — the
+# the exact query set BENCH_r09 reported (118 queries) — the
 # round-over-round continuity baseline. Totals across DIFFERENT sets
 # mislead (the set grows every round), so the output splits the
 # prev-round-comparable subtotal from the genuinely new queries'
@@ -187,16 +193,9 @@ BENCH_QUERIES = [
 PREV_ROUND_QUERIES = {
     q for q in BENCH_QUERIES
     if q not in (
-        # entered the bench in round 9
-        "knn_triangles_ann", "link_prediction_ann",
-        "label_propagation_ann", "community_modularity_ann",
-        "knn_edge_recall", "knn_edge_recall_multi",
-        "item_similarity_capped",
-        "pagerank_delta_local", "density_clusters_lsh",
-        "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
-        "graph_kcore", "graph_shortest_paths",
-        "dataset_split", "leakage_safe_split",
-        "label_propagation_ann4", "coreset_kcenter",
+        # entered the bench in round 10
+        "knn_edge_recall_dial", "neardup_pair_recall",
+        "ann_graph_incremental",
     )
 }
 

@@ -1144,6 +1144,115 @@ def ann_knn_graph(
     )
 
 
+def ann_knn_graph_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 4,
+    quant: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prev_graph: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental maintenance of the single-table ANN k-NN graph under
+    an APPEND batch (VERDICT r9 ask #4) — the lakehouse-feed counterpart
+    of :func:`ann_knn_graph`: new vectors hash into the existing bucket
+    space, and only the TOUCHED buckets (buckets containing at least one
+    batch vector) are re-joined.
+
+    Correct by locality, not by approximation: a query node's candidate
+    set is exactly its bucket's membership, so appends can only change
+    the top-k of nodes in touched buckets.  Untouched queries keep their
+    ``prev_graph`` edges verbatim; touched-bucket queries (old AND new)
+    rescore against the bucket's full post-append membership with the
+    identical (rounded score desc, neighbor asc) window.  The result is
+    BIT-EQUAL to ``ann_knn_graph(base ∪ batch)`` — the registered
+    ``ann_graph_incremental`` head hash-checks that equality against a
+    full-rebuild DuckDB oracle every run.
+
+    Scale shape: the batch is small, so ``touched`` (distinct bucket
+    ids) broadcasts; the rescoring self-join is restricted to touched
+    buckets before it happens (a semi-join on the broadcast bucket set
+    prunes the 99%+ of the corpus whose buckets the append missed), and
+    the untouched side of the output is a broadcast anti-join against
+    the affected query ids — no full-graph rebuild, no O(n²/2^planes)
+    re-join.  ``prev_graph`` defaults to ``ann_knn_graph(base)`` (the
+    cold start); production keeps it as a stored table and feeds each
+    lakehouse append batch (``LakehouseTable.incremental_batches``)
+    through this maintenance step.
+
+    ``stats`` (optional dict) receives ``n_touched_buckets``,
+    ``n_affected_nodes`` and ``n_total_nodes`` — the measured locality.
+
+    Output matches :func:`ann_knn_graph`: (query_id, neighbor_id,
+    score, rank)."""
+    W = lsh_weights(planes, dim)
+
+    def prep(df: DataFrame) -> DataFrame:
+        qz = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * quant).cast("long"),
+        )
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
+            int_sign_bucket(qz, W).alias("__bucket"),
+        )
+
+    b_old = prep(base)
+    b_new = prep(batch)
+    touched = b_new.select("__bucket").distinct()
+    # every node (old or new) living in a touched bucket: these are the
+    # only queries whose candidate set the append changed — and also
+    # the complete candidate universe for rescoring them
+    aff = (
+        b_old.unionByName(b_new)
+        .join(F.broadcast(touched), "__bucket")
+        .localCheckpoint(eager=False)  # consumed by both join sides +
+        # the affected-query anti-join key set
+    )
+    a, b = aff.alias("a"), aff.alias("b")
+    rescored = (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    rec_edges = (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+    if prev_graph is None:
+        prev_graph = ann_knn_graph(
+            base, dim=dim, k=k, planes=planes, quant=quant,
+            vec_col=vec_col, id_col=id_col,
+        )
+    aff_q = aff.select(F.col("id").alias("query_id")).distinct()
+    kept = prev_graph.join(F.broadcast(aff_q), "query_id", "left_anti")
+    if stats is not None:
+        stats["n_touched_buckets"] = touched.count()
+        stats["n_affected_nodes"] = aff.count()
+        stats["n_total_nodes"] = b_old.count() + b_new.count()
+    return kept.unionByName(rec_edges)
+
+
 def kcenter_coreset(
     df: DataFrame,
     k: int = 8,

@@ -752,48 +752,49 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-9 rotation (VERDICT r8 ask
-# #3): the window takes the new r9 heads + the flagship, then the
-# STALEST rows first — all 7 rows last driver-checked in round 3, then
-# the oldest round-5 rows in alphabetical order to fill to 50 (23 of
-# 49; the remaining 26 — global_shuffle, hard_negatives,
-# knn_graph, label_agreement, lang_mismatch,
-# lineitem_unpivot_profile,
-# lm_quality_score_sql, mixing_temperature,
-# mixing_weights, multimodal_chunks, normalize_text, pack_sequences, pii_redaction,
-# quality_buckets_sql, quality_filter, quantity_quantiles,
-# remove_duplicate_spans, repetition_score, similarity_ivf_sql,
-# similarity_lsh_sql, similarity_multiprobe, source_overlap,
-# stratified_sample, top_terms, user_sessions_native, weighted_sample —
-# rotate in r10).  After this round every registry row has driver
-# evidence from round 6 or later.  Rotated-out queries remain registered
-# and locally gated after position 50 (tools/check_oracle.py runs ALL
-# of them at sf0.01).
+# ordering is a visibility decision.  Round-10 rotation (VERDICT r9 ask
+# #2): the window takes the flagship + the 3 new r10 heads, then ALL 26
+# remaining round-5 rows (the full list the r9 comment deferred), then
+# the oldest ROUND-6 rows in alphabetical order to fill to 50 (20 of
+# 47; the remaining 27 — excess_share_suppliers, forecast_revenue,
+# idle_rich_customers, important_part_values, label_centroids,
+# lang_confusion, large_order_customers, lm_quality_score,
+# minhash_error_audit, nation_market_share, ods_union_multiplex,
+# orders_profile, pack_sequences_bpe, product_profit_by_nation,
+# promo_revenue_share, purchase_with_state_scd2, quality_buckets,
+# quantity_quantiles_approx, returned_item_revenue, similarity_ivf_sql2,
+# source_length_histogram, supplier_count_by_part,
+# supplier_revenue_share, text_hash_features, top_revenue_supplier,
+# user_daily_gapfill, value_moments — rotate in r11).  After this round
+# every registry row has driver evidence from round 6 or later, and
+# nothing older than round 6 remains.  Rotated-out queries remain
+# registered and locally gated after position 50 (tools/check_oracle.py
+# runs ALL of them at sf0.01).
 DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
-    # new this round: ANN-graph production twins + edge-recall audit,
-    # capped item CF, localized delta-PageRank, LSH-DBSCAN
-    "knn_triangles_ann", "link_prediction_ann", "label_propagation_ann",
-    "community_modularity_ann", "knn_edge_recall",
-    "knn_edge_recall_multi", "item_similarity_capped",
-    "pagerank_delta_local", "density_clusters_lsh",
-    "kmv_audit", "bloom_audit", "graph_bfs_levels", "dq_audit",
-    "graph_kcore", "graph_shortest_paths", "dataset_split",
-    "leakage_safe_split", "label_propagation_ann4", "coreset_kcenter",
-    # stale refresh: every row last checked in ROUND 3 (7 of 7)
-    "doc_fingerprint", "embedding_stats", "lang_id", "multimodal_meta",
-    "similarity_topk", "text_stats", "token_count_bpe",
-    # stale refresh: oldest ROUND-5 rows, alphabetical head (23 of 49)
-    "bpe_pair_counts", "chunk_documents", "contamination_spans",
-    "corpus_pipeline_e2e", "curriculum_bins", "decontamination",
-    "dedup_clusters", "dedup_clusters_lsh_sql", "dedup_containment",
-    "dedup_embedding_lsh_sql", "dedup_incremental",
-    "dedup_minhash_lsh_sql", "dedup_rate_by_source",
-    "dedup_semantic_sql", "dedup_survivors", "dedup_verified",
-    "dedup_verified_strict", "dsir_weights_sql", "duplicate_spans",
-    "embedding_kmeans_sql", "embedding_quantize", "event_transitions",
-    "events_props_variant",
+    # new this round: planes dial engaged + measured, realistic near-dup
+    # recall, incremental ANN-graph maintenance (hash-proved == full)
+    "knn_edge_recall_dial", "neardup_pair_recall", "ann_graph_incremental",
+    # stale refresh: ALL 26 remaining ROUND-5 rows
+    "global_shuffle", "hard_negatives", "knn_graph", "label_agreement",
+    "lang_mismatch", "lineitem_unpivot_profile", "lm_quality_score_sql",
+    "mixing_temperature", "mixing_weights", "multimodal_chunks",
+    "normalize_text", "pack_sequences", "pii_redaction",
+    "quality_buckets_sql", "quality_filter", "quantity_quantiles",
+    "remove_duplicate_spans", "repetition_score", "similarity_ivf_sql",
+    "similarity_lsh_sql", "similarity_multiprobe", "source_overlap",
+    "stratified_sample", "top_terms", "user_sessions_native",
+    "weighted_sample",
+    # stale refresh: oldest ROUND-6 rows, alphabetical head (20 of 47)
+    "above_nation_avg_balance", "audience_overlap", "balance_deciles",
+    "bpe_merges", "bpe_tokenize_sql", "cheapest_regional_supplier",
+    "concurrency_peaks", "constraint_checks",
+    "customer_order_distribution", "customer_order_reconciliation",
+    "dedup_clusters_lsh", "dedup_semantic", "dedup_simhash_sql",
+    "disjunctive_revenue", "doc_clusters_sql", "doc_keywords",
+    "dsir_weights", "embedding_kmeans", "events_json_props",
+    "events_moving_avg",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -835,6 +836,13 @@ REGISTRY.update(R9_REGISTRY)
 from icebergproject_spark.queries_r9b import R9B_REGISTRY  # noqa: E402
 
 REGISTRY.update(R9B_REGISTRY)
+
+# round-10 batch (ANN evidence closure: planes dial engaged, realistic
+# near-dup recall, incremental ANN-graph maintenance) — before the
+# reorder so the new heads can hold driver-window slots
+from icebergproject_spark.queries_r10 import R10_REGISTRY  # noqa: E402
+
+REGISTRY.update(R10_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

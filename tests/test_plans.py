@@ -156,6 +156,13 @@ def _count(plan: str, node: str) -> int:
         # shuffle is a regression
         ("label_propagation_ann4", 0, 0),
         ("coreset_kcenter", 0, 0),
+        # round-10 ANN evidence heads: every derived relation (gated
+        # buckets, true pairs, prev graph) is materialized with true
+        # stats, so the visible plans are broadcast-only — any shuffle
+        # here means a stats refresh or broadcast regressed
+        ("knn_edge_recall_dial", 0, 5),
+        ("neardup_pair_recall", 0, 8),
+        ("ann_graph_incremental", 0, 5),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
