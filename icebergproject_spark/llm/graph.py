@@ -228,6 +228,8 @@ def pagerank_micro_delta(
     src_col: str = "src",
     dst_col: str = "dst",
     stats: dict | None = None,
+    static_state: dict | None = None,
+    emit: str = "merged",
 ) -> list[DataFrame]:
     """EXACT incremental PageRank maintenance (VERDICT r7 ask #8): when
     an edge-delta batch lands (e.g. drained from a lakehouse table via
@@ -256,7 +258,29 @@ def pagerank_micro_delta(
     the updated history; ``[-1]`` is the new rank vector.  When
     ``stats`` is passed, ``stats["frontier_sizes"]`` records |F_i| per
     iteration — the measurable incrementality claim (tests pin that a
-    localized delta keeps frontiers ≪ |V|)."""
+    localized delta keeps frontiers ≪ |V|).
+
+    Two production knobs (added after the r10 crossover probe showed
+    the per-call O(E) setup and O(|V|) merged materialization — not the
+    frontier math — dominate maintenance wall at 256× scale):
+
+    - ``static_state``: ``{"ed": (src, dst, outdeg) DataFrame,
+      "nodes": (node) DataFrame}`` — the degree-annotated edge list and
+      node set read from STORAGE instead of being recomputed from
+      ``edges_full`` (a groupBy + distinct over the whole edge set) on
+      every batch.  Production maintains both incrementally at O(delta)
+      cost per append (new edge rows plus an outdeg upsert for delta
+      sources); ``tools/pagerank_crossover_probe.py`` measures the
+      difference.  Both relations must reflect the POST-delta graph.
+    - ``emit="updates"``: return ``[updated_1, …, updated_K]`` — only
+      the rows whose rank CHANGED at each level (the upsert payload a
+      production batch MERGEs into the stored history, O(frontier)
+      rows), instead of the default fully-merged history views whose
+      materialization is O(|V|) per level.  ``emit="merged"`` (default)
+      keeps the original contract; the registered oracle heads use it —
+      hash-checking needs the full vector."""
+    if emit not in ("merged", "updates"):
+        raise ValueError(f"emit must be 'merged' or 'updates', got {emit!r}")
     iterations = len(history) - 1
     e = edges_full.select(
         F.col(src_col).cast("long").alias("src"),
@@ -266,15 +290,21 @@ def pagerank_micro_delta(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     base = (100 - damping_pct) * scale // 100
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    if static_state is not None:
+        ed = static_state["ed"]
+        nodes = static_state["nodes"].select(
+            F.col(static_state["nodes"].columns[0]).alias("node")
+        )
+    else:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        ed = e.join(deg, "src").localCheckpoint(eager=False)
 
     delta_srcs = de.select("src").distinct()
     new_nodes = nodes.join(
@@ -293,6 +323,7 @@ def pagerank_micro_delta(
     new_hist = [
         nodes.select("node", F.lit(scale).cast("long").alias("rank_micro"))
     ]
+    updates_out: list[DataFrame] = []
     frontier = dirty
     updated_prev: DataFrame | None = None  # updated rows at level i-1
     for i in range(1, iterations + 1):
@@ -345,10 +376,11 @@ def pagerank_micro_delta(
                 history[i].join(updated.select("node"), "node", "left_anti")
             )
         )
+        updates_out.append(updated)
         if stats is not None:
             stats.setdefault("frontier_sizes", []).append(frontier.count())
         updated_prev = updated
-    return new_hist
+    return new_hist if emit == "merged" else updates_out
 
 
 def pagerank_weighted_micro(

@@ -1062,3 +1062,55 @@ def test_ann_graph_incremental_lakehouse_append_feed_e2e(spark, tmp_path):
     p = set(map(key, prev_edges))
     assert set(m) - p == set(f) - p
     assert p - set(m) == p - set(f)
+
+
+def test_pagerank_delta_static_state_and_updates_emission(spark):
+    """The two r10 production knobs are bit-equal to the default path:
+    static_state (stored degree-annotated edges + node set) changes no
+    rank, and emit='updates' yields exactly the upsert payload that,
+    MERGEd onto the stored history, reproduces the full recompute."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.llm.graph import (
+        pagerank_micro,
+        pagerank_micro_delta,
+        pagerank_micro_history,
+    )
+
+    edges_py = sorted({((i * 7 + 3) % 23, (i * 11 + 5) % 23)
+                       for i in range(60)})
+    edges_py = [(s, d) for s, d in edges_py if s != d]
+    full = spark.createDataFrame(edges_py, "src long, dst long")
+    delta = full.where("src = 0 or dst = 0")
+    base = full.where("src != 0 and dst != 0")
+    hist = pagerank_micro_history(base, 4)
+    want = {(r.node, r.rank_micro) for r in pagerank_micro(full, 4).collect()}
+
+    deg = full.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    stored = {
+        "ed": full.join(deg, "src"),
+        "nodes": full.select(F.col("src").alias("node"))
+        .union(full.select(F.col("dst").alias("node")))
+        .distinct(),
+    }
+    got = {
+        (r.node, r.rank_micro)
+        for r in pagerank_micro_delta(
+            full, delta, hist, static_state=stored
+        )[-1].collect()
+    }
+    assert got == want
+
+    ups = pagerank_micro_delta(
+        full, delta, hist, static_state=stored, emit="updates"
+    )
+    assert len(ups) == 4  # one upsert payload per maintained level
+    applied = {r.node: r.rank_micro for r in hist[-1].collect()}
+    for r in ups[-1].collect():  # MERGE the final level's payload
+        applied[r.node] = r.rank_micro
+    assert set(applied.items()) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_micro_delta(full, delta, hist, emit="bogus")
