@@ -63,9 +63,11 @@ DIAL_PMAX = 10  # plane rows minted up-front; the dial gates how many bind
 def _dial_planes_col(n_col: F.Column) -> F.Column:
     """planes = max(1, round(log2(n)) − 5): +2 planes per 4× rows,
     holding expected bucket occupancy near n/2^planes ≈ 32.  At the
-    fixture sizes: n=500 → 4 (the r9 operating point), n=2000 → 6."""
-    return F.greatest(
-        F.lit(1), (F.round(F.log2(n_col)) - F.lit(5)).cast("int")
+    fixture sizes: n=500 → 4 (the r9 operating point), n=2000 → 6.
+    n=0 pins to 1 explicitly (log2(0) is NULL in Spark but -inf in
+    DuckDB, whose int cast would throw — the empty-corpus ANSI trap)."""
+    return F.when(n_col <= 0, F.lit(1)).otherwise(
+        F.greatest(F.lit(1), (F.round(F.log2(n_col)) - F.lit(5)).cast("int"))
     )
 
 
@@ -169,11 +171,13 @@ def q_knn_edge_recall_dial(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vec",
             "planes",
             "n_candidates",
-            F.expr("CAST(n_candidates DIV n_vec AS BIGINT)").alias(
-                "cand_per_node"
-            ),
             F.expr(
-                "CAST(n_candidates * 1000000 DIV (n_vec * (n_vec - 1)) "
+                "CAST(CASE WHEN n_vec = 0 THEN 0 "
+                "ELSE n_candidates DIV n_vec END AS BIGINT)"
+            ).alias("cand_per_node"),
+            F.expr(
+                "CAST(CASE WHEN n_vec <= 1 THEN 0 "
+                "ELSE n_candidates * 1000000 DIV (n_vec * (n_vec - 1)) END "
                 "AS BIGINT)"
             ).alias("cand_fraction_ppm"),
             "n_exact",
@@ -207,7 +211,9 @@ ORACLE_KNN_EDGE_RECALL_DIAL = f"""
 WITH {KNN_EDGES_CTES},
 dial AS (
   SELECT COUNT(*) AS n_vec,
-         GREATEST(1, CAST(ROUND(LOG2(COUNT(*))) AS INTEGER) - 5) AS pl
+         CASE WHEN COUNT(*) = 0 THEN 1
+              ELSE GREATEST(1, CAST(ROUND(LOG2(COUNT(*))) AS INTEGER) - 5)
+         END AS pl
   FROM embeddings
 ),
 vd AS (
@@ -248,9 +254,12 @@ nc AS (
 SELECT CAST(dial.n_vec AS BIGINT) AS n_vec,
        CAST(dial.pl AS BIGINT) AS planes,
        CAST(ncand.n_candidates AS BIGINT) AS n_candidates,
-       CAST(ncand.n_candidates // dial.n_vec AS BIGINT) AS cand_per_node,
-       CAST(ncand.n_candidates * 1000000
-            // (dial.n_vec * (dial.n_vec - 1)) AS BIGINT)
+       CAST(CASE WHEN dial.n_vec = 0 THEN 0
+            ELSE ncand.n_candidates // dial.n_vec END AS BIGINT)
+         AS cand_per_node,
+       CAST(CASE WHEN dial.n_vec <= 1 THEN 0
+            ELSE ncand.n_candidates * 1000000
+                 // (dial.n_vec * (dial.n_vec - 1)) END AS BIGINT)
          AS cand_fraction_ppm,
        CAST(ne.n_exact AS BIGINT) AS n_exact,
        CAST(na.n_ann AS BIGINT) AS n_ann,
