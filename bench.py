@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "knn_edge_recall_dial",
     "neardup_pair_recall",
     "ann_graph_incremental",
+    "ann_graph_incremental_multi",
 ]
 
 # the exact query set BENCH_r09 reported (118 queries) — the
@@ -195,7 +196,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         # entered the bench in round 10
         "knn_edge_recall_dial", "neardup_pair_recall",
-        "ann_graph_incremental",
+        "ann_graph_incremental", "ann_graph_incremental_multi",
     )
 }
 

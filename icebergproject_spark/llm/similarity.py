@@ -1155,12 +1155,22 @@ def ann_knn_graph_incremental(
     id_col: str = "vec_id",
     prev_graph: DataFrame | None = None,
     stats: dict | None = None,
+    tables: int = 1,
 ) -> DataFrame:
-    """Incremental maintenance of the single-table ANN k-NN graph under
-    an APPEND batch (VERDICT r9 ask #4) — the lakehouse-feed counterpart
-    of :func:`ann_knn_graph`: new vectors hash into the existing bucket
+    """Incremental maintenance of the ANN k-NN graph under an APPEND
+    batch (VERDICT r9 ask #4) — the lakehouse-feed counterpart of
+    :func:`ann_knn_graph`: new vectors hash into the existing bucket
     space, and only the TOUCHED buckets (buckets containing at least one
     batch vector) are re-joined.
+
+    With ``tables`` = L > 1 (the multi-table recall tier), a query is
+    affected when it shares ANY (table, bucket) cell with a batch
+    vector; its rescoring must regenerate candidates across ALL of its
+    tables (the top-k is taken over the L-way candidate union), so the
+    multi-table path restricts the A-side of the candidate join to the
+    affected query ids (a broadcast semi-join) while the B-side stays
+    the whole keyed corpus — and keeps the r9 dedup-before-score order
+    (ids through the union, vectors re-attached after the distinct).
 
     Correct by locality, not by approximation: a query node's candidate
     set is exactly its bucket's membership, so appends can only change
@@ -1188,7 +1198,7 @@ def ann_knn_graph_incremental(
 
     Output matches :func:`ann_knn_graph`: (query_id, neighbor_id,
     score, rank)."""
-    W = lsh_weights(planes, dim)
+    W = lsh_weights(tables * planes, dim)
 
     def prep(df: DataFrame) -> DataFrame:
         qz = F.transform(
@@ -1199,41 +1209,122 @@ def ann_knn_graph_incremental(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
             l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
-            int_sign_bucket(qz, W).alias("__bucket"),
+            qz.alias("__q"),
         )
 
-    b_old = prep(base)
-    b_new = prep(batch)
-    touched = b_new.select("__bucket").distinct()
-    # every node (old or new) living in a touched bucket: these are the
-    # only queries whose candidate set the append changed — and also
-    # the complete candidate universe for rescoring them
-    aff = (
-        b_old.unionByName(b_new)
-        .join(F.broadcast(touched), "__bucket")
-        .localCheckpoint(eager=False)  # consumed by both join sides +
-        # the affected-query anti-join key set
-    )
-    a, b = aff.alias("a"), aff.alias("b")
-    rescored = (
-        a.join(
-            b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("b.id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("a.__v"), F.col("b.__v"))
-                / (F.col("a.__n") * F.col("b.__n")),
-                6,
-            ).alias("score"),
-        )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    if tables == 1:
+        b_old = prep(base).select(
+            "id", "__v", "__n", int_sign_bucket(F.col("__q"), W).alias("__bucket")
+        )
+        b_new = prep(batch).select(
+            "id", "__v", "__n", int_sign_bucket(F.col("__q"), W).alias("__bucket")
+        )
+        touched = b_new.select("__bucket").distinct()
+        # every node (old or new) living in a touched bucket: these are
+        # the only queries whose candidate set the append changed — and
+        # also the complete candidate universe for rescoring them
+        aff = (
+            b_old.unionByName(b_new)
+            .join(F.broadcast(touched), "__bucket")
+            .localCheckpoint(eager=False)  # consumed by both join sides
+            # + the affected-query anti-join key set
+        )
+        a, b = aff.alias("a"), aff.alias("b")
+        rescored = (
+            a.join(
+                b,
+                (F.col("a.__bucket") == F.col("b.__bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"),
+                F.round(
+                    _dot(F.col("a.__v"), F.col("b.__v"))
+                    / (F.col("a.__n") * F.col("b.__n")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        aff_q = aff.select(F.col("id").alias("query_id")).distinct()
+        n_touched, n_aff = touched, aff
+    else:
+        # multi-table: one (table, bucket) key row per vector per table
+
+        def keyed(df: DataFrame) -> DataFrame:
+            return df.select(
+                "id",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            int_sign_bucket(
+                                F.col("__q"), W[t * planes : (t + 1) * planes]
+                            ).alias("bk"),
+                        )
+                        for t in range(tables)
+                    ])
+                ).alias("__tb"),
+            )
+
+        p_old, p_new = prep(base), prep(batch)
+        allp = p_old.unionByName(p_new).localCheckpoint(eager=False)
+        k_all = keyed(allp).localCheckpoint(eager=False)
+        touched = keyed(p_new).select("__tb").distinct()
+        # affected queries: share ANY (table, bucket) cell with a batch
+        # vector.  Their rescoring needs candidates from ALL their
+        # tables (the top-k ranks the L-way union), so the A-side of
+        # the candidate join is semi-joined to the affected ids while
+        # the B-side stays the whole keyed corpus.
+        aff_q = (
+            k_all.join(F.broadcast(touched), "__tb")
+            .select(F.col("id").alias("query_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        ka = k_all.join(
+            F.broadcast(aff_q.select(F.col("query_id").alias("id"))), "id"
+        ).alias("ka")
+        kb = k_all.alias("kb")
+        cand = (
+            ka.join(
+                kb,
+                (F.col("ka.__tb") == F.col("kb.__tb"))
+                & (F.col("ka.id") != F.col("kb.id")),
+            )
+            .select(
+                F.col("ka.id").alias("query_id"),
+                F.col("kb.id").alias("neighbor_id"),
+            )
+            .distinct()
+        )
+        va = allp.select(
+            F.col("id").alias("query_id"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        vb = allp.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        rescored = (
+            cand.join(va, "query_id")
+            .join(vb, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        n_touched, n_aff = touched, aff_q
     rec_edges = (
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1242,14 +1333,15 @@ def ann_knn_graph_incremental(
     if prev_graph is None:
         prev_graph = ann_knn_graph(
             base, dim=dim, k=k, planes=planes, quant=quant,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=vec_col, id_col=id_col, tables=tables,
         )
-    aff_q = aff.select(F.col("id").alias("query_id")).distinct()
+    if tables == 1:
+        aff_q = aff.select(F.col("id").alias("query_id")).distinct()
     kept = prev_graph.join(F.broadcast(aff_q), "query_id", "left_anti")
     if stats is not None:
-        stats["n_touched_buckets"] = touched.count()
-        stats["n_affected_nodes"] = aff.count()
-        stats["n_total_nodes"] = b_old.count() + b_new.count()
+        stats["n_touched_buckets"] = n_touched.count()
+        stats["n_affected_nodes"] = n_aff.count()
+        stats["n_total_nodes"] = base.count() + batch.count()
     return kept.unionByName(rec_edges)
 
 

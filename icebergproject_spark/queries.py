@@ -755,8 +755,9 @@ REGISTRY.update(R4_REGISTRY)
 # ordering is a visibility decision.  Round-10 rotation (VERDICT r9 ask
 # #2): the window takes the flagship + the 3 new r10 heads, then ALL 26
 # remaining round-5 rows (the full list the r9 comment deferred), then
-# the oldest ROUND-6 rows in alphabetical order to fill to 50 (20 of
-# 47; the remaining 27 — excess_share_suppliers, forecast_revenue,
+# the oldest ROUND-6 rows in alphabetical order to fill to 50 (19 of
+# 47; the remaining 28 — events_moving_avg (displaced late for the
+# second incremental head), excess_share_suppliers, forecast_revenue,
 # idle_rich_customers, important_part_values, label_centroids,
 # lang_confusion, large_order_customers, lm_quality_score,
 # minhash_error_audit, nation_market_share, ods_union_multiplex,
@@ -774,8 +775,10 @@ DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
     # new this round: planes dial engaged + measured, realistic near-dup
-    # recall, incremental ANN-graph maintenance (hash-proved == full)
+    # recall, incremental ANN-graph maintenance (hash-proved == full;
+    # single-table + the L=4 recall tier)
     "knn_edge_recall_dial", "neardup_pair_recall", "ann_graph_incremental",
+    "ann_graph_incremental_multi",
     # stale refresh: ALL 26 remaining ROUND-5 rows
     "global_shuffle", "hard_negatives", "knn_graph", "label_agreement",
     "lang_mismatch", "lineitem_unpivot_profile", "lm_quality_score_sql",
@@ -786,7 +789,7 @@ DRIVER_WINDOW = [
     "similarity_lsh_sql", "similarity_multiprobe", "source_overlap",
     "stratified_sample", "top_terms", "user_sessions_native",
     "weighted_sample",
-    # stale refresh: oldest ROUND-6 rows, alphabetical head (20 of 47)
+    # stale refresh: oldest ROUND-6 rows, alphabetical head (19 of 47)
     "above_nation_avg_balance", "audience_overlap", "balance_deciles",
     "bpe_merges", "bpe_tokenize_sql", "cheapest_regional_supplier",
     "concurrency_peaks", "constraint_checks",
@@ -794,7 +797,6 @@ DRIVER_WINDOW = [
     "dedup_clusters_lsh", "dedup_semantic", "dedup_simhash_sql",
     "disjunctive_revenue", "doc_clusters_sql", "doc_keywords",
     "dsir_weights", "embedding_kmeans", "events_json_props",
-    "events_moving_avg",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

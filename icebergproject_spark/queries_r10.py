@@ -605,6 +605,139 @@ WHERE rank <= {ANN_K}
 ORACLE_ANN_GRAPH_INCREMENTAL = _ann_inc_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# ann_graph_incremental_multi — maintenance of the L=4 recall tier
+# ---------------------------------------------------------------------------
+
+
+def q_ann_graph_incremental_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the MULTI-TABLE (L=4) ANN 5-NN graph
+    under the same append split — the maintenance story for the
+    high-recall tier ``label_propagation_ann4`` consumes: a query is
+    affected when it shares ANY (table, bucket) cell with a batch
+    vector, and its rescoring regenerates the full L-way candidate
+    union (dedup-before-score order preserved).  Output = maintained
+    directed graph + measured locality, hash-checked against a
+    full-rebuild oracle."""
+    from icebergproject_spark.llm.similarity import (
+        ann_knn_graph,
+        ann_knn_graph_incremental,
+        int_sign_bucket,
+        lsh_weights,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM
+    base, batch = emb.where(~is_batch), emb.where(is_batch)
+    prev = _materialized_with_stats(
+        ann_knn_graph(
+            base, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
+            tables=NEARDUP_TABLES,
+        )
+    )
+    maintained = ann_knn_graph_incremental(
+        base, batch, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
+        prev_graph=prev, tables=NEARDUP_TABLES,
+    )
+    # locality as data: distinct nodes sharing a (table, bucket) cell
+    # with the batch
+    W = lsh_weights(NEARDUP_TABLES * ANN_PLANES, ANN_DIM)
+    qz = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 10000).cast("long"),
+    )
+    keyed = emb.select(
+        "vec_id",
+        is_batch.alias("__isb"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    int_sign_bucket(
+                        qz, W[t * ANN_PLANES : (t + 1) * ANN_PLANES]
+                    ).alias("bk"),
+                )
+                for t in range(NEARDUP_TABLES)
+            ])
+        ).alias("__tb"),
+    ).localCheckpoint(eager=False)
+    touched = keyed.where("__isb").select("__tb").distinct()
+    stats = (
+        keyed.join(F.broadcast(touched), "__tb")
+        .agg(F.count_distinct("vec_id").cast("long").alias("n_recomputed"))
+        .crossJoin(
+            F.broadcast(
+                emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+            )
+        )
+    )
+    return maintained.crossJoin(F.broadcast(stats))
+
+
+def _ann_inc_multi_oracle_sql() -> str:
+    """Full-rebuild multi-table directed graph + the same locality
+    scalars — the incremental L=4 arm must hash-equal this exactly."""
+    from icebergproject_spark.llm.similarity import lsh_weights
+
+    W = lsh_weights(NEARDUP_TABLES * ANN_PLANES, ANN_DIM)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(q, "
+            f"CAST({W[t * ANN_PLANES + p]} AS DOUBLE[])) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p in range(ANN_PLANES)
+        )
+
+    per_table = "\n  UNION ALL ".join(
+        f"SELECT vec_id, e, nm, {t} AS tbl, {bucket_expr(t)} AS bucket "
+        f"FROM nv"
+        for t in range(NEARDUP_TABLES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm, q FROM v
+),
+bk AS MATERIALIZED (
+  {per_table}
+),
+p AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS score
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM p
+),
+touched AS (
+  SELECT DISTINCT tbl, bucket FROM bk
+  WHERE vec_id % {INC_SPLIT_MOD} = {INC_SPLIT_REM}
+),
+stats AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT bk.vec_id) AS BIGINT) FROM bk
+     JOIN touched USING (tbl, bucket)) AS n_recomputed,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_total
+)
+SELECT query_id, neighbor_id, score, rank, n_recomputed, n_total
+FROM ranked CROSS JOIN stats
+WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_ANN_GRAPH_INCREMENTAL_MULTI = _ann_inc_multi_oracle_sql()
+
+
 R10_REGISTRY: dict[str, Query] = {
     "knn_edge_recall_dial": Query(
         q_knn_edge_recall_dial, ORACLE_KNN_EDGE_RECALL_DIAL
@@ -614,5 +747,8 @@ R10_REGISTRY: dict[str, Query] = {
     ),
     "ann_graph_incremental": Query(
         q_ann_graph_incremental, ORACLE_ANN_GRAPH_INCREMENTAL
+    ),
+    "ann_graph_incremental_multi": Query(
+        q_ann_graph_incremental_multi, ORACLE_ANN_GRAPH_INCREMENTAL_MULTI
     ),
 }

@@ -1017,6 +1017,16 @@ def test_ann_graph_incremental_equals_full_rebuild(spark):
         base, batch, dim=8, k=3, planes=3, prev_graph=prev
     )
     assert sorted(map(key, got2.collect())) == sorted(map(key, want.collect()))
+    # multi-table (L=4): affected = shares ANY (table, bucket) cell with
+    # the batch; rescoring regenerates the full L-way candidate union —
+    # still bit-equal to the full multi-table rebuild
+    got4 = ann_knn_graph_incremental(
+        base, batch, dim=8, k=3, planes=3, tables=4
+    )
+    want4 = ann_knn_graph(df, dim=8, k=3, planes=3, tables=4)
+    assert sorted(map(key, got4.collect())) == sorted(
+        map(key, want4.collect())
+    )
 
 
 def test_ann_graph_incremental_lakehouse_append_feed_e2e(spark, tmp_path):

@@ -163,6 +163,7 @@ def _count(plan: str, node: str) -> int:
         ("knn_edge_recall_dial", 0, 5),
         ("neardup_pair_recall", 0, 8),
         ("ann_graph_incremental", 0, 5),
+        ("ann_graph_incremental_multi", 0, 8),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
