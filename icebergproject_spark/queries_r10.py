@@ -57,7 +57,13 @@ from icebergproject_spark.queries_r9 import (
 # knn_edge_recall_dial — the planes dial engaged, occupancy measured
 # ---------------------------------------------------------------------------
 
-DIAL_PMAX = 10  # plane rows minted up-front; the dial gates how many bind
+# Plane rows minted up-front; the dial gates how many bind (p < planes).
+# 10 covers corpora to ~2^15 rows at the n/32 occupancy target — far past
+# every fixture SF.  The cap is a property of this REGISTERED HEAD's
+# static SQL text, not of the design: a 100 TB deployment regenerates the
+# gated expression with P_MAX 20–24 (the SQL builder below is the same
+# one-liner at any width); the dial formula itself never clamps.
+DIAL_PMAX = 10
 
 
 def _dial_planes_col(n_col: F.Column) -> F.Column:
