@@ -1156,6 +1156,8 @@ def ann_knn_graph_incremental(
     prev_graph: DataFrame | None = None,
     stats: dict | None = None,
     tables: int = 1,
+    base_prepped: DataFrame | None = None,
+    emit: str = "merged",
 ) -> DataFrame:
     """Incremental maintenance of the ANN k-NN graph under an APPEND
     batch (VERDICT r9 ask #4) — the lakehouse-feed counterpart of
@@ -1196,8 +1198,25 @@ def ann_knn_graph_incremental(
     ``stats`` (optional dict) receives ``n_touched_buckets``,
     ``n_affected_nodes`` and ``n_total_nodes`` — the measured locality.
 
+    ``base_prepped``: the stored PREPPED base relation — columns
+    (id, __v, __n, __q) as produced by this function's prep step (the
+    quantized grid; buckets derive from it deterministically).  The
+    same stored-state lesson as ``pagerank_micro_delta(static_state=)``,
+    measured by ``tools/ann_incremental_probe.py``: re-prepping the
+    whole base per call is an O(n·d·planes) map that dominates maintain
+    wall once the corpus outgrows the batch; production stores the
+    prepped corpus and appends prep(batch) to it at O(batch) per batch
+    (buckets of EXISTING vectors never change under append).
+
+    ``emit="updates"`` returns ONLY the rescored edges (the MERGE upsert
+    payload for the affected queries, O(affected) rows) instead of the
+    default fully-merged graph view (O(n·k) to materialize) — the same
+    knob pair as ``pagerank_micro_delta``.
+
     Output matches :func:`ann_knn_graph`: (query_id, neighbor_id,
     score, rank)."""
+    if emit not in ("merged", "updates"):
+        raise ValueError(f"emit must be 'merged' or 'updates', got {emit!r}")
     W = lsh_weights(tables * planes, dim)
 
     def prep(df: DataFrame) -> DataFrame:
@@ -1212,12 +1231,20 @@ def ann_knn_graph_incremental(
             qz.alias("__q"),
         )
 
+    p_base = base_prepped if base_prepped is not None else prep(base)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     if tables == 1:
-        b_old = prep(base).select(
-            "id", "__v", "__n", int_sign_bucket(F.col("__q"), W).alias("__bucket")
+        # a stored relation that already carries __bucket skips the
+        # per-call plane projections too (the fully-materialized shape)
+        b_old = (
+            p_base.select("id", "__v", "__n", "__bucket")
+            if "__bucket" in p_base.columns
+            else p_base.select(
+                "id", "__v", "__n",
+                int_sign_bucket(F.col("__q"), W).alias("__bucket"),
+            )
         )
         b_new = prep(batch).select(
             "id", "__v", "__n", int_sign_bucket(F.col("__q"), W).alias("__bucket")
@@ -1270,7 +1297,7 @@ def ann_knn_graph_incremental(
                 ).alias("__tb"),
             )
 
-        p_old, p_new = prep(base), prep(batch)
+        p_old, p_new = p_base.select("id", "__v", "__n", "__q"), prep(batch)
         allp = p_old.unionByName(p_new).localCheckpoint(eager=False)
         k_all = keyed(allp).localCheckpoint(eager=False)
         touched = keyed(p_new).select("__tb").distinct()
@@ -1330,6 +1357,20 @@ def ann_knn_graph_incremental(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+    if stats is not None:
+        stats["n_touched_buckets"] = n_touched.count()
+        stats["n_affected_nodes"] = n_aff.count()
+        stats["n_total_nodes"] = base.count() + batch.count()
+    if emit == "updates":
+        # the upsert payload alone (O(affected) rows): MERGE by query_id
+        # — delete the affected queries' old edges, insert these.  Under
+        # APPEND a query's candidate set only grows, so every affected
+        # query appears here with its full new top-k (no tombstone-only
+        # case); untouched queries' stored edges are untouched by the
+        # MERGE.  The merged view below is O(n·k) to materialize — the
+        # same stored-state/upsert lesson as pagerank_micro_delta,
+        # measured by tools/ann_incremental_probe.py.
+        return rec_edges
     if prev_graph is None:
         prev_graph = ann_knn_graph(
             base, dim=dim, k=k, planes=planes, quant=quant,
@@ -1338,10 +1379,6 @@ def ann_knn_graph_incremental(
     if tables == 1:
         aff_q = aff.select(F.col("id").alias("query_id")).distinct()
     kept = prev_graph.join(F.broadcast(aff_q), "query_id", "left_anti")
-    if stats is not None:
-        stats["n_touched_buckets"] = n_touched.count()
-        stats["n_affected_nodes"] = n_aff.count()
-        stats["n_total_nodes"] = base.count() + batch.count()
     return kept.unionByName(rec_edges)
 
 

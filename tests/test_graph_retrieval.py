@@ -1124,3 +1124,74 @@ def test_pagerank_delta_static_state_and_updates_emission(spark):
 
     with _pytest.raises(ValueError):
         pagerank_micro_delta(full, delta, hist, emit="bogus")
+
+
+def test_ann_graph_incremental_stored_state_and_updates_emission(spark):
+    """The r10 production knobs on the ANN maintenance operator are
+    bit-equal to the default path: base_prepped (the stored quantized/
+    bucketed corpus) changes no edge, and emit='updates' yields exactly
+    the upsert payload that, MERGEd by query_id onto the stored graph,
+    reproduces the full rebuild."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergproject_spark.llm.similarity import (
+        ann_knn_graph,
+        ann_knn_graph_incremental,
+        int_sign_bucket,
+        l2_norm,
+        lsh_weights,
+    )
+
+    rows = _inc_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.where("vec_id % 6 != 2")
+    batch = df.where("vec_id % 6 = 2")
+    key = lambda r: (r.query_id, r.neighbor_id, r.score, r.rank)  # noqa: E731
+    want = {key(r) for r in ann_knn_graph(df, dim=8, k=3, planes=3).collect()}
+
+    W = lsh_weights(3, 8)
+    qz = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 10000).cast("long"),
+    )
+    prepped = base.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("__n"),
+        qz.alias("__q"),
+        int_sign_bucket(qz, W).alias("__bucket"),
+    )
+    got = {
+        key(r)
+        for r in ann_knn_graph_incremental(
+            base, batch, dim=8, k=3, planes=3, base_prepped=prepped
+        ).collect()
+    }
+    assert got == want
+    # multi-table path consumes the stored __q (no __bucket needed)
+    want4 = {
+        key(r)
+        for r in ann_knn_graph(df, dim=8, k=3, planes=3, tables=4).collect()
+    }
+    got4 = {
+        key(r)
+        for r in ann_knn_graph_incremental(
+            base, batch, dim=8, k=3, planes=3, tables=4,
+            base_prepped=prepped.drop("__bucket"),
+        ).collect()
+    }
+    assert got4 == want4
+    # upsert emission: MERGE by query_id over the stored graph == full
+    prev_rows = ann_knn_graph(base, dim=8, k=3, planes=3).collect()
+    ups = ann_knn_graph_incremental(
+        base, batch, dim=8, k=3, planes=3, emit="updates"
+    ).collect()
+    aff = {r.query_id for r in ups}
+    applied = {key(r) for r in prev_rows if r.query_id not in aff} | {
+        key(r) for r in ups
+    }
+    assert applied == want
+
+    with pytest.raises(ValueError):
+        ann_knn_graph_incremental(base, batch, dim=8, k=3, emit="bogus")

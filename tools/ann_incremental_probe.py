@@ -32,17 +32,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
 
+import gc
+
 from icebergproject_spark.llm.similarity import (
     ann_knn_graph,
     ann_knn_graph_incremental,
 )
 from icebergproject_spark.session import build_session
 
+
+def _release(spark) -> None:
+    """bench.py's block-release hygiene: lazy localCheckpoint blocks
+    accumulate until the Python refs are collected, and the 64×
+    replication's 128k×64-dim arrays otherwise skew later arms by
+    ±50% (measured) via GC pressure."""
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/ann_inc_probe"
 OFFSET = 10**7
 RUNS = 3
 DIM, K = 64, 5
+# batch = copy-0 vectors with vec_id % BATCH_MOD == 3; 10 → 200 vectors
+# at sf0.1 (a batch that floods a 2^4–2^8 bucket space — the stress
+# case), 100 → 20 vectors (the bounded nightly-append shape)
+BATCH_MOD = int(os.environ.get("ANN_INC_BATCH_MOD", "10"))
 
 
 def main() -> None:
@@ -55,7 +70,7 @@ def main() -> None:
         "vec_id", "embedding"
     )
     print(f"{'N':>4} {'n':>8} {'planes':>6} {'full_s':>8} {'maint_s':>8} "
-          f"{'ratio':>6}  locality")
+          f"{'stored_s':>8} {'upsert_s':>8} {'f/u':>6}  locality")
     for n in ns:
         planes = 4 + 2 * round(math.log(n, 4))
         corpus = one
@@ -70,7 +85,7 @@ def main() -> None:
         corpus.write.mode("overwrite").parquet(path)
         corpus = spark.read.parquet(path)
         is_batch = (F.col("vec_id") < OFFSET) & (
-            F.col("vec_id") % 10 == 3
+            F.col("vec_id") % BATCH_MOD == 3
         )  # bounded: copy 0 only
         base, batch = corpus.filter(~is_batch), corpus.filter(is_batch)
 
@@ -79,6 +94,27 @@ def main() -> None:
             "overwrite"
         ).parquet(prev_path)
         prev = spark.read.parquet(prev_path)
+        # stored PREPPED+bucketed base (production appends prep(batch) to
+        # it at O(batch)/batch; buckets of existing vectors never change)
+        from icebergproject_spark.llm.similarity import (
+            int_sign_bucket,
+            l2_norm,
+            lsh_weights,
+        )
+
+        Wn = lsh_weights(planes, DIM)
+        qz = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 10000).cast("long"),
+        )
+        base.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+            l2_norm(F.col("embedding").cast("array<double>")).alias("__n"),
+            qz.alias("__q"),
+            int_sign_bucket(qz, Wn).alias("__bucket"),
+        ).write.mode("overwrite").parquet(f"{WORK}/prepped_{n}x")
+        prepped = spark.read.parquet(f"{WORK}/prepped_{n}x")
         nrow = corpus.count()
 
         t_full = []
@@ -88,6 +124,7 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             t_full.append(time.time() - t0)
+            _release(spark)
         t_maint = []
         for _ in range(RUNS):
             t0 = time.time()
@@ -95,6 +132,25 @@ def main() -> None:
                 base, batch, dim=DIM, k=K, planes=planes, prev_graph=prev
             ).write.format("noop").mode("overwrite").save()
             t_maint.append(time.time() - t0)
+            _release(spark)
+        t_stored = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            ann_knn_graph_incremental(
+                base, batch, dim=DIM, k=K, planes=planes, prev_graph=prev,
+                base_prepped=prepped,
+            ).write.format("noop").mode("overwrite").save()
+            t_stored.append(time.time() - t0)
+            _release(spark)
+        t_upsert = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            ann_knn_graph_incremental(
+                base, batch, dim=DIM, k=K, planes=planes, prev_graph=prev,
+                base_prepped=prepped, emit="updates",
+            ).write.format("noop").mode("overwrite").save()
+            t_upsert.append(time.time() - t0)
+            _release(spark)
         stats: dict = {}
         ann_knn_graph_incremental(
             base, batch, dim=DIM, k=K, planes=planes, prev_graph=prev,
@@ -102,8 +158,10 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         tf = sorted(t_full)[len(t_full) // 2]
         tm = sorted(t_maint)[len(t_maint) // 2]
+        ts = sorted(t_stored)[len(t_stored) // 2]
+        tu = sorted(t_upsert)[len(t_upsert) // 2]
         print(f"{n:>4} {nrow:>8} {planes:>6} {tf:>8.2f} {tm:>8.2f} "
-              f"{tf / tm:>6.2f}  {stats}")
+              f"{ts:>8.2f} {tu:>8.2f} {tf / tu:>6.2f}  {stats}")
         spark.catalog.clearCache()
 
     spark.stop()
