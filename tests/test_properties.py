@@ -577,3 +577,38 @@ GROUP BY wid
     got = {wid: syms for wid, syms in rows}
     for k, w in enumerate(words):
         assert got[f"{w}__{k}"] == greedy(list(w)), (w, a, b)
+
+
+# --- incremental ANN maintenance == full rebuild, for ALL inputs ------------
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),  # vector seed
+    st.integers(min_value=2, max_value=7),          # split modulus
+    st.integers(min_value=1, max_value=3),          # tables (L)
+)
+def test_ann_incremental_equals_full_for_all_splits(spark, seed, mod, tables):
+    """The maintain-under-append invariant holds for ANY corpus and ANY
+    append split, not just the fixture: ann_knn_graph_incremental(base,
+    batch) over a random 40-vector corpus equals ann_knn_graph(base ∪
+    batch) edge-for-edge — including empty batches (mod split may leave
+    one side small) and multi-table candidate unions."""
+    import numpy as np
+
+    from icebergproject_spark.llm.similarity import (
+        ann_knn_graph,
+        ann_knn_graph_incremental,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=6).round(3)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.where(f"vec_id % {mod} != 1")
+    batch = df.where(f"vec_id % {mod} = 1")
+    got = ann_knn_graph_incremental(
+        base, batch, dim=6, k=2, planes=3, tables=tables
+    )
+    want = ann_knn_graph(df, dim=6, k=2, planes=3, tables=tables)
+    key = lambda r: (r.query_id, r.neighbor_id, r.score, r.rank)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
