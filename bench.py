@@ -184,6 +184,11 @@ BENCH_QUERIES = [
     "neardup_pair_recall",
     "ann_graph_incremental",
     "ann_graph_incremental_multi",
+    # round 11: ANN scale-policy closure (VERDICT r10 asks #1/#5) — the
+    # flood guard engaged (decision hash-checked) and the bucketed
+    # stored-state path read partition-pruned (equality hash-checked)
+    "ann_graph_flood_guard",
+    "ann_graph_incremental_bucketed",
 ]
 
 # the exact query set BENCH_r09 reported (118 queries) — the
@@ -194,9 +199,8 @@ BENCH_QUERIES = [
 PREV_ROUND_QUERIES = {
     q for q in BENCH_QUERIES
     if q not in (
-        # entered the bench in round 10
-        "knn_edge_recall_dial", "neardup_pair_recall",
-        "ann_graph_incremental", "ann_graph_incremental_multi",
+        # entered the bench in round 11
+        "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
     )
 }
 
@@ -263,19 +267,34 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     # FULL-COVERAGE sweep (VERDICT r9 ask #5): every registry head NOT in
-    # the headline list is timed once (single run, no median) so every
-    # head has a bench number — no silent coverage gap.  These are the
-    # reference-parity micro heads, the relational/TPC-H-analog batch,
-    # and twin arms whose sibling is already in the headline set; the
-    # headline metric and round-over-round continuity stay on
-    # BENCH_QUERIES alone.
+    # the headline list is timed so every head has a bench number — no
+    # silent coverage gap.  These are the reference-parity micro heads,
+    # the relational/TPC-H-analog batch, and twin arms whose sibling is
+    # already in the headline set; the headline metric and
+    # round-over-round continuity stay on BENCH_QUERIES alone.
+    # r10 ADVICE + VERDICT r10 ask #7: (a) the exclusion set is hoisted
+    # out of the generator, (b) each head runs under try/except so one
+    # failure is recorded instead of aborting the collected headline
+    # timings, (c) the sweep is median-of-N too (default 3, tunable via
+    # SPARK_GRAFT_SWEEP_RUNS) so a mover in a non-headline head is
+    # distinguishable from single-run noise.
+    sweep_runs = int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", str(runs)))
+    headline_set = set(BENCH_QUERIES)
     sweep: dict[str, float] = {}
-    for i, name in enumerate(n for n in REGISTRY if n not in set(BENCH_QUERIES)):
-        t0 = time.time()
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        sweep[name] = round(time.time() - t0, 3)
-        del df
+    sweep_errors: dict[str, str] = {}
+    for i, name in enumerate(n for n in REGISTRY if n not in headline_set):
+        try:
+            samples = []
+            for _ in range(max(sweep_runs, 1)):
+                t0 = time.time()
+                df = REGISTRY[name].fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                del df
+            samples.sort()
+            sweep[name] = round(samples[len(samples) // 2], 3)
+        except Exception as exc:  # record, don't abort the bench
+            sweep_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         gc.collect()
         if i % 8 == 7:  # same block-release hygiene, amortized
             spark.sparkContext._jvm.System.gc()
@@ -317,9 +336,10 @@ def main() -> None:
             "names": sorted(new),
         },
         "semantics_changed": sorted(SEMANTICS_CHANGED & set(timings)),
-        "sweep_timing": "single_run",
+        "sweep_timing": f"median_of_{max(sweep_runs, 1)}",
         "sweep_queries": sweep,
         "sweep_total_sec": round(sum(sweep.values()), 3),
+        "sweep_errors": sweep_errors,
         "known_benign_stderr": (
             "any 'attempted to access non-existent accumulator' trace is "
             "the del+GC/ContextCleaner race described in bench.py main(); "
@@ -353,7 +373,8 @@ def main() -> None:
                 "sweep": {
                     "n": len(sweep),
                     "total_sec": round(sum(sweep.values()), 3),
-                    "timing": "single_run",
+                    "timing": f"median_of_{max(sweep_runs, 1)}",
+                    "n_errors": len(sweep_errors),
                 },
                 "queries_detail_file": os.path.basename(detail_path),
             }

@@ -252,8 +252,13 @@ def pagerank_micro_delta(
     the nightly crawl-graph delta touches the K-hop neighborhood of
     new links, not the whole web graph.
 
-    ``edges_full`` must be the complete post-delta edge set (old ∪
-    delta, deltas strictly additive); ``history`` is the prior run's
+    ``edges_full`` must be the complete post-delta edge set;
+    ``edges_delta`` every CHANGED edge row — the new edges for an
+    additive feed, or the full symmetric difference (added ∪ removed)
+    for a replace-style feed such as an ANN-graph maintenance step
+    (r11: the dirty seed includes the delta rows' own dsts so removed
+    in-edges are re-evaluated too; the node set must not shrink).
+    ``history`` is the prior run's
     ``pagerank_micro_history`` output (its length fixes K).  Returns
     the updated history; ``[-1]`` is the new rank vector.  When
     ``stats`` is passed, ``stats["frontier_sizes"]`` records |F_i| per
@@ -272,11 +277,13 @@ def pagerank_micro_delta(
       cost per append (new edge rows plus an outdeg upsert for delta
       sources); ``tools/pagerank_crossover_probe.py`` measures the
       difference.  Both relations must reflect the POST-delta graph.
-    - ``emit="updates"``: return ``[updated_1, …, updated_K]`` — only
-      the rows whose rank CHANGED at each level (the upsert payload a
-      production batch MERGEs into the stored history, O(frontier)
-      rows), instead of the default fully-merged history views whose
-      materialization is O(|V|) per level.  ``emit="merged"`` (default)
+    - ``emit="updates"``: return ``[updated_1, …, updated_K]`` — the
+      RECOMPUTED frontier rows at each level (a superset of the rows
+      whose rank actually changed: a frontier node may recompute to its
+      stored value).  This is the upsert payload a production batch
+      MERGEs into the stored history — O(frontier) rows, which is the
+      claim that matters — instead of the default fully-merged history
+      views whose materialization is O(|V|) per level.  ``emit="merged"`` (default)
       keeps the original contract; the registered oracle heads use it —
       hash-checking needs the full vector."""
     if emit not in ("merged", "updates"):
@@ -312,9 +319,19 @@ def pagerank_micro_delta(
     )
     # dirty seed: every dst an affected source points at (its per-edge
     # contribution changed via outdeg, or the edge itself is new), plus
-    # nodes absent from the stored history entirely
+    # the delta rows' OWN dsts — for a REPLACE-style delta (the caller
+    # passes every CHANGED edge, added or removed, e.g. the edge diff
+    # of an ANN-graph maintenance step) a removed edge's dst lost an
+    # in-contribution but no longer appears among its src's post-delta
+    # out-edges, so only the delta row itself names it.  For a purely
+    # additive delta the extra union is a no-op (de ⊆ ed already puts
+    # those dsts in the seed).  Plus nodes absent from the stored
+    # history entirely.  Contract: the node set must not shrink (true
+    # under append feeds; a kNN maintenance step replaces edges but
+    # keeps every node).
     dirty = (
         ed.join(delta_srcs, "src").select(F.col("dst").alias("node"))
+        .union(de.select(F.col("dst").alias("node")))
         .union(new_nodes.select("node"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -1036,13 +1053,16 @@ def bellman_ford(
         # Enforce the documented non-negative contract in-plan (no extra
         # job): a negative weight would make the -1 'unreached' sentinel
         # ambiguous with a legitimate distance, so fail loudly per-row
-        # instead of corrupting silently (r9 ADVICE).
+        # instead of corrupting silently (r9 ADVICE).  NULL weights take
+        # the same error arm — coalesce the rendered value so the
+        # message stays informative instead of concat-propagating NULL
+        # into raise_error (r10 ADVICE).
         F.when(wv >= 0, wv)
         .otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("bellman_ford requires non-negative weights, got "),
-                    wv.cast("string"),
+                    F.coalesce(wv.cast("string"), F.lit("NULL")),
                 )
             ).cast("long")
         )

@@ -1005,7 +1005,7 @@ def knn_graph(
 
 
 def ann_knn_graph(
-    df: DataFrame,
+    df: DataFrame | None,
     dim: int,
     k: int = 5,
     planes: int = 4,
@@ -1013,6 +1013,7 @@ def ann_knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tables: int = 1,
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph at ORACLE strength — the
     scale-path twin of :func:`knn_graph` (VERDICT r8 ask #1): candidates
@@ -1044,22 +1045,37 @@ def ann_knn_graph(
     Output matches :func:`knn_graph`: (query_id, neighbor_id, score,
     rank), rank 1..k per query by (rounded score desc, neighbor_id asc);
     nodes alone in their bucket(s) emit nothing (degree-0 in the graph).
+
+    ``prepped``: an already-prepped relation with columns (id, __v, __n,
+    __q) — and optionally __bucket for tables=1 — exactly as this
+    function's own prep step produces them (the stored-state pattern:
+    one materialized prep shared between a rebuild and the incremental
+    path, or read back from a stored table).  When given, ``df`` is
+    ignored (may be None) and the O(n·d) quantization/norm map is
+    skipped.
     """
     W = lsh_weights(tables * planes, dim)
-    qz = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * quant).cast("long"),
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
-        qz.alias("__q"),
-    )
+    if prepped is not None:
+        base = prepped
+    else:
+        qz = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * quant).cast("long"),
+        )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            l2_norm(F.col(vec_col).cast("array<double>")).alias("__n"),
+            qz.alias("__q"),
+        )
     if tables == 1:
-        bucketed = base.select(
-            "id", "__v", "__n",
-            int_sign_bucket(F.col("__q"), W).alias("__bucket"),
+        bucketed = (
+            base.select("id", "__v", "__n", "__bucket")
+            if "__bucket" in base.columns
+            else base.select(
+                "id", "__v", "__n",
+                int_sign_bucket(F.col("__q"), W).alias("__bucket"),
+            )
         )
         a, b = bucketed.alias("a"), bucketed.alias("b")
         scored = (
@@ -1158,6 +1174,7 @@ def ann_knn_graph_incremental(
     tables: int = 1,
     base_prepped: DataFrame | None = None,
     emit: str = "merged",
+    rebuild_threshold: float | None = None,
 ) -> DataFrame:
     """Incremental maintenance of the ANN k-NN graph under an APPEND
     batch (VERDICT r9 ask #4) — the lakehouse-feed counterpart of
@@ -1208,10 +1225,37 @@ def ann_knn_graph_incremental(
     prepped corpus and appends prep(batch) to it at O(batch) per batch
     (buckets of EXISTING vectors never change under append).
 
+    ``base_prepped`` may also be a PRUNED slice of the stored prepped
+    relation — any superset of the touched-bucket rows (tables=1):
+    the maintenance math only ever consumes touched-bucket members, so
+    reading the stored table with ``partition_values=<touched bucket
+    ids>`` (a ``__bucket``-identity-partitioned lakehouse table —
+    partition-pruned at planning time) is correct AND removes the
+    residual serial scan of the stored relation the r10 probe measured
+    (SCALE.md §r10; the r11 probe arm measures the difference).
+
     ``emit="updates"`` returns ONLY the rescored edges (the MERGE upsert
     payload for the affected queries, O(affected) rows) instead of the
     default fully-merged graph view (O(n·k) to materialize) — the same
     knob pair as ``pagerank_micro_delta``.
+
+    ``rebuild_threshold`` (the FLOOD GUARD, VERDICT r10 ask #5): the
+    r10 probe measured the failure mode — a batch touching 60–100% of
+    a small bucket space makes maintenance tie or LOSE vs a rebuild
+    (BATCH_MOD=10 regime, SCALE.md §r10).  When set, the function
+    computes the touched-cell fraction (distinct batch buckets /
+    distinct buckets of base ∪ batch; (table, bucket) cells for
+    tables>1) as exact integer ppm and, at fraction ≥ threshold, falls
+    back to ``ann_knn_graph(base ∪ batch)`` — which is what maintenance
+    is hash-proved equal to, so the guard NEVER changes the result,
+    only the plan.  The two driver-side counts are over the DISTINCT
+    bucket sets (≤ 2^planes·tables rows); production reads the base
+    side from the stored table's partition metadata.  Requires a
+    full-corpus ``base_prepped`` (or ``base``) — incompatible with a
+    pre-pruned slice, which can no longer see the untouched buckets.
+    Under the guard's rebuild, ``emit="updates"`` returns the full
+    rebuilt graph (the MERGE payload IS everything).  ``stats``
+    receives ``touched_fraction_ppm`` and ``chose_rebuild``.
 
     Output matches :func:`ann_knn_graph`: (query_id, neighbor_id,
     score, rank)."""
@@ -1235,6 +1279,33 @@ def ann_knn_graph_incremental(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+
+    def flood_guard(touched_keys: DataFrame, all_keys: DataFrame):
+        """Decide maintain-vs-rebuild from the touched-cell fraction
+        (exact integer ppm — replayable in ANSI SQL, so a head can ship
+        the decision as a hash-checked column).  Returns the rebuilt
+        graph when the batch floods the bucket space, else None."""
+        n_t = touched_keys.count()
+        n_all = all_keys.distinct().count()
+        frac_ppm = n_t * 1_000_000 // max(n_all, 1)
+        chose = frac_ppm >= int(round(rebuild_threshold * 1_000_000))
+        if stats is not None:
+            stats["touched_fraction_ppm"] = frac_ppm
+            stats["chose_rebuild"] = chose
+        if not chose:
+            return None
+        reb_prepped = None
+        if base_prepped is not None and "__q" in base_prepped.columns:
+            # reuse the stored prep for the rebuild too — the guard's
+            # fallback should not pay the O(n·d) re-prep either
+            reb_prepped = base_prepped.select(
+                "id", "__v", "__n", "__q"
+            ).unionByName(prep(batch))
+        return ann_knn_graph(
+            None if reb_prepped is not None else base.unionByName(batch),
+            dim=dim, k=k, planes=planes, quant=quant, vec_col=vec_col,
+            id_col=id_col, tables=tables, prepped=reb_prepped,
+        )
     if tables == 1:
         # a stored relation that already carries __bucket skips the
         # per-call plane projections too (the fully-materialized shape)
@@ -1250,6 +1321,13 @@ def ann_knn_graph_incremental(
             "id", "__v", "__n", int_sign_bucket(F.col("__q"), W).alias("__bucket")
         )
         touched = b_new.select("__bucket").distinct()
+        if rebuild_threshold is not None:
+            rebuilt = flood_guard(
+                touched,
+                b_old.select("__bucket").union(b_new.select("__bucket")),
+            )
+            if rebuilt is not None:
+                return rebuilt
         # every node (old or new) living in a touched bucket: these are
         # the only queries whose candidate set the append changed — and
         # also the complete candidate universe for rescoring them
@@ -1301,6 +1379,10 @@ def ann_knn_graph_incremental(
         allp = p_old.unionByName(p_new).localCheckpoint(eager=False)
         k_all = keyed(allp).localCheckpoint(eager=False)
         touched = keyed(p_new).select("__tb").distinct()
+        if rebuild_threshold is not None:
+            rebuilt = flood_guard(touched, k_all.select("__tb"))
+            if rebuilt is not None:
+                return rebuilt
         # affected queries: share ANY (table, bucket) cell with a batch
         # vector.  Their rescoring needs candidates from ALL their
         # tables (the top-k ranks the L-way union), so the A-side of
@@ -1376,8 +1458,6 @@ def ann_knn_graph_incremental(
             base, dim=dim, k=k, planes=planes, quant=quant,
             vec_col=vec_col, id_col=id_col, tables=tables,
         )
-    if tables == 1:
-        aff_q = aff.select(F.col("id").alias("query_id")).distinct()
     kept = prev_graph.join(F.broadcast(aff_q), "query_id", "left_anti")
     return kept.unionByName(rec_edges)
 

@@ -752,51 +752,51 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-10 rotation (VERDICT r9 ask
-# #2): the window takes the flagship + the 3 new r10 heads, then ALL 26
-# remaining round-5 rows (the full list the r9 comment deferred), then
-# the oldest ROUND-6 rows in alphabetical order to fill to 50 (19 of
-# 47; the remaining 28 — events_moving_avg (displaced late for the
-# second incremental head), excess_share_suppliers, forecast_revenue,
-# idle_rich_customers, important_part_values, label_centroids,
-# lang_confusion, large_order_customers, lm_quality_score,
-# minhash_error_audit, nation_market_share, ods_union_multiplex,
-# orders_profile, pack_sequences_bpe, product_profit_by_nation,
-# promo_revenue_share, purchase_with_state_scd2, quality_buckets,
-# quantity_quantiles_approx, returned_item_revenue, similarity_ivf_sql2,
-# source_length_histogram, supplier_count_by_part,
-# supplier_revenue_share, text_hash_features, top_revenue_supplier,
-# user_daily_gapfill, value_moments — rotate in r11).  After this round
-# every registry row has driver evidence from round 6 or later, and
-# nothing older than round 6 remains.  Rotated-out queries remain
+# ordering is a visibility decision.  Round-11 rotation (VERDICT r10 ask
+# #2): the window takes the flagship + the 2 new r11 heads, then ALL 28
+# remaining round-6-stale rows (the full list the r10 comment deferred —
+# after this round NOTHING older than round 7 remains and every registry
+# row has driver evidence from r7 or later), then the oldest ROUND-7
+# rows in alphabetical order (18 of 49) plus knn_edge_recall_dial —
+# whose reported `planes` column gained the LEAST(pl, DIAL_PMAX) clamp
+# this round (r10 ADVICE), so it re-earns fresh driver evidence — to
+# fill to 50 (the remaining 31 r7 rows —
+# distinct_users, dm_user_login_info, embedding_pca, event_outliers_mad,
+# events_cube, events_ohlc, gopher_rules, graph_hits, hierarchy_flatten,
+# hybrid_rrf, lateral_top_orders, multimodal_features, ngram_novelty,
+# orders_grouping_sets, pagerank_sql, priority_with_returns,
+# product_visit_10s, purchasers_who_err, revenue_rollup, scalar_suite,
+# shipmode_priority, similarity_ivf, similarity_ivfpq, similarity_lsh,
+# similarity_pq_adc, top_events_global, user_last_state,
+# user_points_salted, user_type_pivot, user_value_deltas,
+# viewers_never_buy — rotate in r12).  Rotated-out queries remain
 # registered and locally gated after position 50 (tools/check_oracle.py
 # runs ALL of them at sf0.01).
 DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
-    # new this round: planes dial engaged + measured, realistic near-dup
-    # recall, incremental ANN-graph maintenance (hash-proved == full;
-    # single-table + the L=4 recall tier)
-    "knn_edge_recall_dial", "neardup_pair_recall", "ann_graph_incremental",
-    "ann_graph_incremental_multi",
-    # stale refresh: ALL 26 remaining ROUND-5 rows
-    "global_shuffle", "hard_negatives", "knn_graph", "label_agreement",
-    "lang_mismatch", "lineitem_unpivot_profile", "lm_quality_score_sql",
-    "mixing_temperature", "mixing_weights", "multimodal_chunks",
-    "normalize_text", "pack_sequences", "pii_redaction",
-    "quality_buckets_sql", "quality_filter", "quantity_quantiles",
-    "remove_duplicate_spans", "repetition_score", "similarity_ivf_sql",
-    "similarity_lsh_sql", "similarity_multiprobe", "source_overlap",
-    "stratified_sample", "top_terms", "user_sessions_native",
-    "weighted_sample",
-    # stale refresh: oldest ROUND-6 rows, alphabetical head (19 of 47)
-    "above_nation_avg_balance", "audience_overlap", "balance_deciles",
-    "bpe_merges", "bpe_tokenize_sql", "cheapest_regional_supplier",
-    "concurrency_peaks", "constraint_checks",
-    "customer_order_distribution", "customer_order_reconciliation",
-    "dedup_clusters_lsh", "dedup_semantic", "dedup_simhash_sql",
-    "disjunctive_revenue", "doc_clusters_sql", "doc_keywords",
-    "dsir_weights", "embedding_kmeans", "events_json_props",
+    # new this round: flood guard engaged (decision hash-checked),
+    # bucketed stored state read partition-pruned (equality hash-checked)
+    "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
+    # stale refresh: ALL 28 remaining ROUND-6 rows
+    "events_moving_avg", "excess_share_suppliers", "forecast_revenue",
+    "idle_rich_customers", "important_part_values", "label_centroids",
+    "lang_confusion", "large_order_customers", "lm_quality_score",
+    "minhash_error_audit", "nation_market_share", "ods_union_multiplex",
+    "orders_profile", "pack_sequences_bpe", "product_profit_by_nation",
+    "promo_revenue_share", "purchase_with_state_scd2", "quality_buckets",
+    "quantity_quantiles_approx", "returned_item_revenue",
+    "similarity_ivf_sql2", "source_length_histogram",
+    "supplier_count_by_part", "supplier_revenue_share",
+    "text_hash_features", "top_revenue_supplier", "user_daily_gapfill",
+    "value_moments",
+    # stale refresh: oldest ROUND-7 rows, alphabetical head (19 of 49)
+    "active_customers_semi", "approx_distinct_users", "asof_trade_quote",
+    "basket_pairs", "big_spender_exists", "blame_last_supplier",
+    "bm25_topk", "bpe_tokenize", "browse_pipeline_e2e", "browse_wide",
+    "cdc_latest", "conversion_funnel", "count_min_audit",
+    "customers_without_orders", "daily_retention", "dedup_embedding_lsh",
+    "dedup_minhash_lsh", "dedup_simhash", "knn_edge_recall_dial",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -845,6 +845,13 @@ REGISTRY.update(R9B_REGISTRY)
 from icebergproject_spark.queries_r10 import R10_REGISTRY  # noqa: E402
 
 REGISTRY.update(R10_REGISTRY)
+
+# round-11 batch (ANN scale-policy closure: flood guard engaged,
+# bucketed stored state partition-pruned) — before the reorder so the
+# new heads can hold driver-window slots
+from icebergproject_spark.queries_r11 import R11_REGISTRY  # noqa: E402
+
+REGISTRY.update(R11_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

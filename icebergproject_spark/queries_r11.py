@@ -1,0 +1,279 @@
+"""Round-11 registry batch — closing VERDICT r10's two remaining ANN
+scale-policy gaps, each at ORACLE strength:
+
+- ``ann_graph_flood_guard`` — the FLOOD GUARD engaged (VERDICT r10 ask
+  #5): the r10 probe measured that a batch touching 60–100% of a small
+  bucket space makes maintenance tie or lose vs a rebuild, but nothing
+  enforced the policy.  ``ann_knn_graph_incremental(rebuild_threshold=)``
+  now computes the touched-bucket fraction (exact integer ppm) and falls
+  back to a full rebuild above it.  This head runs the guard at
+  threshold 0.5 on the same %10 append split as ``ann_graph_incremental``
+  and ships the maintained-or-rebuilt graph WITH the decision columns
+  (touched_fraction_ppm, chose_rebuild) — the oracle recomputes both the
+  full-rebuild graph and the decision arithmetic in SQL, so a hash match
+  proves (a) the guard's fraction/decision math replays exactly and
+  (b) the output is identical WHICHEVER branch the guard takes (maintain
+  is hash-proved equal to rebuild by ``ann_graph_incremental``; rebuild
+  trivially is).
+
+- ``ann_graph_incremental_bucketed`` — the BUCKETED STORED STATE path
+  measured in the correctness gate (VERDICT r10 ask #1): the stored
+  prepped corpus is persisted as a lakehouse table hidden-partitioned on
+  ``__bucket`` (identity transform), the maintenance step reads ONLY the
+  touched buckets via ``read(partition_values=...)`` — pruning happens
+  at planning time, visible as PartitionFilters (pinned in
+  tests/test_plans.py) — and the maintained graph still hash-equals a
+  full-rebuild oracle over nothing but the parquet fixtures.  This is
+  the production composition SCALE.md §r10 prescribed: stored state +
+  partition-pruned touched-bucket reads, with the equality proof intact.
+
+Reference anchor: the reference (Flink job scripts, e.g.
+ods/ProduceKafkaDBDataToODS.scala) maintains derived state under a
+streaming append feed; these heads are the ANN-tier counterpart with
+the storage layout (hidden partitioning, `lakehouse/tableformat.py`)
+standing in for the reference's Iceberg runtime partitioning.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergproject_spark.queries import Query, _t
+from icebergproject_spark.queries_r9 import (
+    ANN_DIM,
+    ANN_K,
+    ANN_PLANES,
+    _materialized_with_stats,
+)
+from icebergproject_spark.queries_r10 import INC_SPLIT_MOD, INC_SPLIT_REM
+
+# guard threshold for the registered head: the %10 split floods most of
+# the 2^4 bucket space at every fixture SF, so the guard chooses rebuild
+# — the regime the r10 probe measured maintenance losing in.  The
+# maintain-branch equality is hash-proved by ann_graph_incremental;
+# either way the output equals the full-rebuild oracle.
+FLOOD_THRESHOLD = 0.5
+FLOOD_THRESHOLD_PPM = 500000
+
+
+def _prep_bucketed(df: DataFrame, W: list[list[int]]) -> DataFrame:
+    """The stored-relation shape of ``ann_knn_graph_incremental``'s prep
+    step: (id, __v, __n, __bucket) — what production persists once and
+    appends to at O(batch) per batch (buckets of existing vectors never
+    change under append)."""
+    from icebergproject_spark.llm.similarity import int_sign_bucket, l2_norm
+
+    qz = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 10000).cast("long"),
+    )
+    return df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("__n"),
+        int_sign_bucket(qz, W).alias("__bucket"),
+    )
+
+
+def q_ann_graph_flood_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood-guarded incremental ANN maintenance: rebuild_threshold=0.5
+    computes the touched-bucket fraction in exact integer ppm and picks
+    maintain vs rebuild; the decision and fraction ship as hash-checked
+    columns alongside the (branch-independent) graph."""
+    from icebergproject_spark.llm.similarity import (
+        ann_knn_graph,
+        ann_knn_graph_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM
+    base, batch = emb.where(~is_batch), emb.where(is_batch)
+    # prev is consumed ONLY if the guard picks maintain (lazy DataFrame:
+    # under rebuild it is never evaluated, costing nothing)
+    prev = ann_knn_graph(base, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES)
+    stats: dict = {}
+    g = ann_knn_graph_incremental(
+        base, batch, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
+        prev_graph=prev, rebuild_threshold=FLOOD_THRESHOLD, stats=stats,
+    )
+    return g.select(
+        "query_id", "neighbor_id", "score", "rank",
+        F.lit(int(stats["touched_fraction_ppm"])).cast("long").alias(
+            "touched_fraction_ppm"
+        ),
+        F.lit(1 if stats["chose_rebuild"] else 0).cast("long").alias(
+            "chose_rebuild"
+        ),
+    )
+
+
+def _flood_guard_oracle_sql() -> str:
+    """Full-rebuild graph + the guard's decision arithmetic replayed in
+    SQL: touched fraction = distinct batch buckets over distinct buckets
+    of the whole post-append corpus, integer ppm, decision at ≥ 0.5."""
+    from icebergproject_spark.llm.similarity import lsh_weights
+
+    W = lsh_weights(ANN_PLANES, ANN_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(q, CAST({W[p]} AS DOUBLE[])) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(ANN_PLANES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+bk AS MATERIALIZED (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm, {bucket} AS bucket
+  FROM v
+),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS score
+  FROM bk a JOIN bk b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM p
+),
+guard AS (
+  SELECT CAST(
+    (SELECT COUNT(DISTINCT bucket) FROM bk
+     WHERE vec_id % {INC_SPLIT_MOD} = {INC_SPLIT_REM}) * 1000000
+    // GREATEST((SELECT COUNT(DISTINCT bucket) FROM bk), 1)
+  AS BIGINT) AS touched_fraction_ppm
+)
+SELECT query_id, neighbor_id, score, rank,
+       guard.touched_fraction_ppm,
+       CAST(CASE WHEN guard.touched_fraction_ppm >= {FLOOD_THRESHOLD_PPM}
+            THEN 1 ELSE 0 END AS BIGINT) AS chose_rebuild
+FROM ranked CROSS JOIN guard
+WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_ANN_GRAPH_FLOOD_GUARD = _flood_guard_oracle_sql()
+
+
+def q_ann_graph_incremental_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ANN maintenance reading its stored prepped base from
+    a ``__bucket``-identity-partitioned lakehouse table with
+    ``read(partition_values=<touched ids>)`` — only the touched-bucket
+    directories are ever listed into the scan (planning-time pruning,
+    PartitionFilters in the physical plan; pinned by
+    tests/test_plans.py).  The maintained graph + the bucket-count
+    locality hash-check against a full-rebuild oracle, proving the
+    pruned-read path loses nothing.  The table lives in a per-call
+    tempdir (a few hundred KB at fixture SFs; the driver collects the
+    result before process exit, so the dir must outlive this call)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+    from icebergproject_spark.llm.similarity import (
+        ann_knn_graph,
+        ann_knn_graph_incremental,
+        lsh_weights,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM
+    base, batch = emb.where(~is_batch), emb.where(is_batch)
+    W = lsh_weights(ANN_PLANES, ANN_DIM)
+
+    wh = tempfile.mkdtemp(prefix="ann_bkt_")
+    tbl = LakehouseTable(spark, wh, "tmp", "prepped_base")
+    tbl.set_partitioning("__bucket", "identity")
+    tbl.append(_prep_bucketed(base, W))
+    # the batch's bucket ids: O(batch) driver state (bounded — the
+    # nightly-append shape), the partition_values the pruned read needs
+    touched_ids = sorted(
+        r[0]
+        for r in _prep_bucketed(batch, W).select("__bucket").distinct().collect()
+    )
+    pruned = tbl.read(partition_values=touched_ids)
+    prev = _materialized_with_stats(
+        ann_knn_graph(base, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES)
+    )
+    maintained = ann_knn_graph_incremental(
+        base, batch, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
+        prev_graph=prev, base_prepped=pruned,
+    )
+    stats = (
+        tbl.read()
+        .agg(F.count_distinct("__bucket").cast("long").alias("n_base_buckets"))
+        .select(
+            F.lit(len(touched_ids)).cast("long").alias("n_touched_buckets"),
+            "n_base_buckets",
+        )
+    )
+    return maintained.crossJoin(F.broadcast(stats))
+
+
+def _bucketed_oracle_sql() -> str:
+    """Full-rebuild graph over ALL vectors + the same bucket counts."""
+    from icebergproject_spark.llm.similarity import lsh_weights
+
+    W = lsh_weights(ANN_PLANES, ANN_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(q, CAST({W[p]} AS DOUBLE[])) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(ANN_PLANES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         [CAST(ROUND(x * 10000) AS DOUBLE) FOR x IN CAST(embedding AS DOUBLE[])] AS q
+  FROM embeddings
+),
+bk AS MATERIALIZED (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm, {bucket} AS bucket
+  FROM v
+),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS score
+  FROM bk a JOIN bk b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM p
+),
+stats AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM bk
+     WHERE vec_id % {INC_SPLIT_MOD} = {INC_SPLIT_REM})
+      AS n_touched_buckets,
+    (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM bk
+     WHERE vec_id % {INC_SPLIT_MOD} <> {INC_SPLIT_REM})
+      AS n_base_buckets
+)
+SELECT query_id, neighbor_id, score, rank, n_touched_buckets, n_base_buckets
+FROM ranked CROSS JOIN stats
+WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_ANN_GRAPH_INCREMENTAL_BUCKETED = _bucketed_oracle_sql()
+
+
+R11_REGISTRY: dict[str, Query] = {
+    "ann_graph_flood_guard": Query(
+        q_ann_graph_flood_guard, ORACLE_ANN_GRAPH_FLOOD_GUARD
+    ),
+    "ann_graph_incremental_bucketed": Query(
+        q_ann_graph_incremental_bucketed, ORACLE_ANN_GRAPH_INCREMENTAL_BUCKETED
+    ),
+}
