@@ -1338,7 +1338,17 @@ def ann_knn_graph_incremental(
             # + the affected-query anti-join key set
         )
         a, b = aff.alias("a"), aff.alias("b")
-        rescored = (
+        # candidate join emits IDS ONLY, then the d-dim dot products are
+        # computed after an explicit repartition on query_id (r11): the
+        # touched-bucket join has ≈|batch buckets| distinct keys, so
+        # scoring inside it runs at batch-sized parallelism no matter
+        # how many executors exist — measured at 64× replication as THE
+        # maintenance residual (7 of 11 s; the stored-relation scan the
+        # r10 notes blamed was 0.3 s).  The repartition balances the
+        # expensive projection across the cluster and pre-satisfies the
+        # top-k window's hash partitioning (vector re-attach joins are
+        # AQE-broadcast at bounded batch sizes, preserving it).
+        cand = (
             a.join(
                 b,
                 (F.col("a.__bucket") == F.col("b.__bucket"))
@@ -1347,9 +1357,28 @@ def ann_knn_graph_incremental(
             .select(
                 F.col("a.id").alias("query_id"),
                 F.col("b.id").alias("neighbor_id"),
+            )
+            .repartition("query_id")
+        )
+        va = aff.select(
+            F.col("id").alias("query_id"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        vb = aff.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        rescored = (
+            cand.join(va, "query_id")
+            .join(vb, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
                 F.round(
-                    _dot(F.col("a.__v"), F.col("b.__v"))
-                    / (F.col("a.__n") * F.col("b.__n")),
+                    _dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")),
                     6,
                 ).alias("score"),
             )

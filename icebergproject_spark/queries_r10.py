@@ -61,8 +61,13 @@ from icebergproject_spark.queries_r9 import (
 # 10 covers corpora to ~2^15 rows at the n/32 occupancy target — far past
 # every fixture SF.  The cap is a property of this REGISTERED HEAD's
 # static SQL text, not of the design: a 100 TB deployment regenerates the
-# gated expression with P_MAX 20–24 (the SQL builder below is the same
-# one-liner at any width); the dial formula itself never clamps.
+# gated expression with P_MAX 20–24 via the same width-parametric
+# builders (_dial_bucket_col / _dial_bucket_sql) — EXECUTED past the cap
+# by tests/test_graph_retrieval.py::test_wide_dial_executes_at_planes_12
+# (planes=12 over a 2^17-row corpus, occupancy on the n/2^planes target,
+# Spark/DuckDB bucket equality at width 12; SCALE.md §r11).  The head's
+# reported `planes` column is clamped to LEAST(pl, DIAL_PMAX) in both
+# arms so a row cannot overstate how many bits actually bind.
 DIAL_PMAX = 10
 
 
@@ -648,35 +653,52 @@ def q_ann_graph_incremental_multi(spark: SparkSession, sf_dir: str) -> DataFrame
         lsh_weights,
     )
 
+    from icebergproject_spark.llm.similarity import l2_norm
+
     emb = _t(spark, sf_dir, "embeddings")
     is_batch = F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM
     base, batch = emb.where(~is_batch), emb.where(is_batch)
-    prev = _materialized_with_stats(
-        ann_knn_graph(
-            base, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
-            tables=NEARDUP_TABLES,
-        )
-    )
-    maintained = ann_knn_graph_incremental(
-        base, batch, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
-        prev_graph=prev, tables=NEARDUP_TABLES,
-    )
-    # locality as data: distinct nodes sharing a (table, bucket) cell
-    # with the batch
-    W = lsh_weights(NEARDUP_TABLES * ANN_PLANES, ANN_DIM)
+    # ONE materialized prep of the whole corpus (r11, VERDICT r10 ask
+    # #6): the prev-graph cold start, the maintenance arm, and the
+    # locality stats all consume the same quantized relation instead of
+    # each re-prepping from parquet — the stored-state shape production
+    # has anyway (the prepped corpus IS the stored table).
     qz = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * 10000).cast("long"),
     )
-    keyed = emb.select(
-        "vec_id",
-        is_batch.alias("__isb"),
+    p_all = _materialized_with_stats(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            is_batch.alias("__isb"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+            l2_norm(F.col("embedding").cast("array<double>")).alias("__n"),
+            qz.alias("__q"),
+        )
+    )
+    p_base = p_all.where(~F.col("__isb")).select("id", "__v", "__n", "__q")
+    prev = _materialized_with_stats(
+        ann_knn_graph(
+            None, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
+            tables=NEARDUP_TABLES, prepped=p_base,
+        )
+    )
+    maintained = ann_knn_graph_incremental(
+        base, batch, dim=ANN_DIM, k=ANN_K, planes=ANN_PLANES,
+        prev_graph=prev, tables=NEARDUP_TABLES, base_prepped=p_base,
+    )
+    # locality as data: distinct nodes sharing a (table, bucket) cell
+    # with the batch — keyed off the SAME materialized prep
+    W = lsh_weights(NEARDUP_TABLES * ANN_PLANES, ANN_DIM)
+    keyed = p_all.select(
+        F.col("id").alias("vec_id"),
+        "__isb",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(t).alias("tbl"),
                     int_sign_bucket(
-                        qz, W[t * ANN_PLANES : (t + 1) * ANN_PLANES]
+                        F.col("__q"), W[t * ANN_PLANES : (t + 1) * ANN_PLANES]
                     ).alias("bk"),
                 )
                 for t in range(NEARDUP_TABLES)
@@ -689,7 +711,7 @@ def q_ann_graph_incremental_multi(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count_distinct("vec_id").cast("long").alias("n_recomputed"))
         .crossJoin(
             F.broadcast(
-                emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+                p_all.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
             )
         )
     )

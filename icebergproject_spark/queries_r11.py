@@ -192,7 +192,10 @@ def q_ann_graph_incremental_bucketed(
     wh = tempfile.mkdtemp(prefix="ann_bkt_")
     tbl = LakehouseTable(spark, wh, "tmp", "prepped_base")
     tbl.set_partitioning("__bucket", "identity")
-    tbl.append(_prep_bucketed(base, W))
+    # one file per bucket dir: co-locate buckets before the partitioned
+    # write so the pruned read lists O(touched) files, not O(tasks ×
+    # buckets) slivers (the 100 TB layout; measured in the r11 probe)
+    tbl.append(_prep_bucketed(base, W).repartition(F.col("__bucket")))
     # the batch's bucket ids: O(batch) driver state (bounded — the
     # nightly-append shape), the partition_values the pruned read needs
     touched_ids = sorted(

@@ -70,7 +70,8 @@ def main() -> None:
         "vec_id", "embedding"
     )
     print(f"{'N':>4} {'n':>8} {'planes':>6} {'full_s':>8} {'maint_s':>8} "
-          f"{'stored_s':>8} {'upsert_s':>8} {'f/u':>6}  locality")
+          f"{'stored_s':>8} {'upsert_s':>8} {'pruned_s':>8} {'f/u':>6} "
+          f"{'f/p':>6}  locality")
     for n in ns:
         planes = 4 + 2 * round(math.log(n, 4))
         corpus = one
@@ -151,6 +152,42 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
             t_upsert.append(time.time() - t0)
             _release(spark)
+        # r11 arm: the stored prepped corpus as a __bucket-identity-
+        # partitioned LAKEHOUSE table; the timed path collects the
+        # batch's bucket ids (O(batch) driver state) and reads ONLY the
+        # touched partitions — the planning-time pruning that removes
+        # the r10 residual (one serial scan of the stored relation)
+        from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+        tblw = f"{WORK}/lake_{n}x"
+        shutil.rmtree(tblw, ignore_errors=True)
+        tbl = LakehouseTable(spark, tblw, "probe", "prepped")
+        tbl.set_partitioning("__bucket", "identity")
+        # co-locate each bucket into one task before the partitioned
+        # write: otherwise every shuffle task spills a sliver into every
+        # bucket dir (measured 25k files for 1024 buckets at 64×) and
+        # driver-side file discovery dominates the pruned read
+        tbl.append(
+            prepped.select("id", "__v", "__n", "__bucket").repartition(
+                F.col("__bucket")
+            )
+        )
+        p_batch = batch.select(
+            int_sign_bucket(qz, Wn).alias("__bucket")
+        )
+        t_pruned = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            touched_ids = sorted(
+                r[0] for r in p_batch.distinct().collect()
+            )
+            pruned_base = tbl.read(partition_values=touched_ids)
+            ann_knn_graph_incremental(
+                base, batch, dim=DIM, k=K, planes=planes, prev_graph=prev,
+                base_prepped=pruned_base, emit="updates",
+            ).write.format("noop").mode("overwrite").save()
+            t_pruned.append(time.time() - t0)
+            _release(spark)
         stats: dict = {}
         ann_knn_graph_incremental(
             base, batch, dim=DIM, k=K, planes=planes, prev_graph=prev,
@@ -160,8 +197,10 @@ def main() -> None:
         tm = sorted(t_maint)[len(t_maint) // 2]
         ts = sorted(t_stored)[len(t_stored) // 2]
         tu = sorted(t_upsert)[len(t_upsert) // 2]
+        tp = sorted(t_pruned)[len(t_pruned) // 2]
         print(f"{n:>4} {nrow:>8} {planes:>6} {tf:>8.2f} {tm:>8.2f} "
-              f"{ts:>8.2f} {tu:>8.2f} {tf / tu:>6.2f}  {stats}")
+              f"{ts:>8.2f} {tu:>8.2f} {tp:>8.2f} {tf / tu:>6.2f} "
+              f"{tf / tp:>6.2f}  {stats}")
         spark.catalog.clearCache()
 
     spark.stop()
