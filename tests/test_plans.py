@@ -165,6 +165,14 @@ def _count(plan: str, node: str) -> int:
         ("neardup_pair_recall", 0, 8),
         ("ann_graph_incremental", 0, 5),
         ("ann_graph_incremental_multi", 0, 8),
+        # round-11 ANN policy heads: the guard head's decision is two
+        # driver-side counts (literal columns in-plan), so its visible
+        # plan is just the rebuilt graph + the 1-row stats broadcast;
+        # the bucketed head's stored-base scan must stay partition-
+        # pruned (the PartitionFilters pin lives in
+        # test_graph_retrieval.py::test_ann_incremental_pruned_stored_base)
+        ("ann_graph_flood_guard", 0, 1),
+        ("ann_graph_incremental_bucketed", 0, 5),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
