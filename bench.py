@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     # stored-state path read partition-pruned (equality hash-checked)
     "ann_graph_flood_guard",
     "ann_graph_incremental_bucketed",
+    # round 11 batch 4: incremental connected components — the dedup-tier
+    # maintenance proof (maintain == full re-cluster, hash-checked)
+    "dedup_clusters_incremental",
 ]
 
 # the exact query set BENCH_r09 reported (118 queries) — the
@@ -201,6 +204,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         # entered the bench in round 11
         "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
+        "dedup_clusters_incremental",
     )
 }
 

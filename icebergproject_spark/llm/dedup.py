@@ -261,6 +261,79 @@ def _minhash_flat(
     return inv.groupBy("id").agg(*aggs)
 
 
+def banded_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The (id, band, band_sig) stream :func:`minhash_lsh_candidates`
+    self-joins — exposed because it is also the STORED STATE of the
+    incremental dedup tier: production persists this table once and
+    appends each batch's rows, so a daily batch pays |batch| × bands
+    signature rows, never a corpus re-band (the contract
+    :func:`incremental_near_dups` documents and
+    :func:`incremental_lsh_candidates` consumes)."""
+    rows = num_hashes // bands
+    sigs = _minhash_flat(df, content_col, id_col, n, num_hashes)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+
+
+def incremental_lsh_candidates(
+    batch_bands: DataFrame, stored_bands: DataFrame
+) -> DataFrame:
+    """Candidate near-dup pairs TOUCHING an append batch, against stored
+    band signatures: batch×stored bucket hits plus batch×batch internal
+    hits — exactly the edge set :func:`connected_components_incremental`
+    needs to maintain a stored cluster assignment.
+
+    Scale shape: the batch side is broadcast (a bounded nightly append),
+    so the O(corpus) stored-bands table is met by ONE streamed
+    broadcast-hash join — no shuffle of the stored side, the same
+    two-broadcast contract as the assignment write-back.  Output:
+    distinct (id_a, id_b), id_a < id_b.
+    """
+    nb = batch_bands.select(
+        F.col("id").alias("nid"), "band", "band_sig"
+    )
+    hist = stored_bands.join(F.broadcast(nb), ["band", "band_sig"]).filter(
+        F.col("id") != F.col("nid")
+    )
+    n2 = nb.select(F.col("nid").alias("nid2"), "band", "band_sig")
+    intra = nb.join(F.broadcast(n2), ["band", "band_sig"]).filter(
+        F.col("nid") < F.col("nid2")
+    )
+    return (
+        hist.select(
+            F.least("id", "nid").alias("id_a"),
+            F.greatest("id", "nid").alias("id_b"),
+        )
+        .union(
+            intra.select(
+                F.col("nid").alias("id_a"), F.col("nid2").alias("id_b")
+            )
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     content_col: str = "text",
@@ -283,24 +356,7 @@ def minhash_lsh_candidates(
     because its two branches carry different filters, which defeats
     exchange reuse).
     """
-    rows = num_hashes // bands
-    sigs = _minhash_flat(df, content_col, id_col, n, num_hashes)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                        ).alias("band_sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.band_sig")
+    banded = banded_signatures(df, content_col, id_col, n, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -1023,6 +1079,16 @@ def connected_components(
         )
         if nodes is not None:
             all_nodes = nodes.select(F.col(node_col).alias("node"))
+            # the driver-path result is an RDD-backed relation with UNKNOWN
+            # plan stats, so without a hint this left join sort-merges —
+            # shuffling the O(corpus) nodes side to meet a driver-bounded
+            # right side.  Broadcast it whenever it provably fits (≤ 1M
+            # (node, cluster) longs ≈ 16 MB payload): the corpus side then
+            # streams through un-shuffled — the shape every cluster-
+            # assignment consumer (dedup_clusters*, dataset_split) needs
+            # at 100 TB.
+            if len(rows) <= 1_000_000:
+                out = F.broadcast(out)
             out = all_nodes.join(out, "node", "left").select(
                 "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
             )
@@ -1072,6 +1138,141 @@ def connected_components(
             "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
         )
     return out
+
+
+def connected_components_incremental(
+    assign: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    new_nodes: DataFrame | None = None,
+    node_col: str = "node",
+    emit: str = "merged",
+    max_iter: int = 30,
+    driver_threshold: int = 2_000_000,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Maintain a stored connected-components assignment under an APPEND
+    batch of edges/nodes — the dedup-tier sibling of
+    ``ann_knn_graph_incremental`` / ``pagerank_micro_delta``: instead of
+    re-clustering the whole corpus when a day's documents arrive, contract
+    only the clusters the new edges touch.
+
+    ``assign`` is the stored state — (node, cluster_id) with cluster_id =
+    min node id of the component, exactly :func:`connected_components`'s
+    output contract.  ``new_edges`` are the batch's candidate pairs (e.g.
+    the batch-vs-history LSH join of :func:`incremental_near_dups`);
+    ``new_nodes`` the batch's nodes (singletons unless edged).  Append
+    semantics only: edges merge components, never split them (near-dup
+    corpora are append-mostly; deletions need a rebuild, same contract as
+    every monotone IVM).
+
+    Why this is exact: each stored cluster_id is the MIN node of its old
+    component, and each genuinely-new node's label is its own id, so
+    contracting the batch edges onto those labels and taking per-component
+    min-of-labels yields the min node id of every MERGED component — the
+    same label a full rebuild over base ∪ batch edges would mint.  No
+    float, no order dependence; maintain == rebuild bit-for-bit (pinned by
+    a hypothesis property test over arbitrary graphs and splits, and
+    hash-proven against a DuckDB full-rebuild oracle by the registered
+    head ``dedup_clusters_incremental``).
+
+    Scale shape (the reason this exists): the stored assignment — the
+    O(corpus) side — is touched by exactly TWO broadcast hash joins and
+    never shuffled: one inner join against the broadcast batch-endpoint
+    set (to read the touched labels out) and one left join against the
+    broadcast relabel map (to write the merged labels back).  Everything
+    else — canonicalization, contraction (:func:`connected_components`
+    on the label graph, whose size is ≤ |new_edges|), the relabel map —
+    is O(batch).  With ``emit="updates"`` the output is only the rows a
+    MERGE INTO needs (changed stored rows + all batch rows), so a 100 TB
+    corpus absorbs a daily batch at O(batch) shuffle + one columnar scan
+    of the assignment table.  Reference parity: the reference's dim
+    upsert pipeline (dim/DimDataToHBase.scala:79-110) maintains stored
+    state per micro-batch; this maintains the dedup CLUSTER state the
+    same way.
+
+    ``broadcast_batch=True`` (the default, the bounded-nightly-append
+    contract) broadcast-hints every batch-derived side; flip it off for
+    a backfill-sized batch whose endpoint set would not fit a broadcast
+    — the joins then fall back to Catalyst's own strategy (AQE picks
+    shuffle or broadcast from runtime sizes) with identical results
+    (pinned by test_cc_incremental_no_broadcast_same_result).
+
+    Returns (node, cluster_id): the full merged assignment
+    (``emit="merged"``) or the MERGE payload (``emit="updates"``).
+    """
+    if emit not in ("merged", "updates"):
+        raise ValueError(f"emit must be 'merged' or 'updates', got {emit!r}")
+    bcast = F.broadcast if broadcast_batch else (lambda d: d)
+    a = assign.select(F.col(node_col).alias("node"), "cluster_id")
+    # batch edges: canonical, deduped, self-loops dropped — O(batch)
+    e = (
+        new_edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # endpoints + label join + contraction reuse it
+    )
+    # touched labels: ONE broadcast-endpoint scan of the stored assignment
+    eps = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lab = (
+        a.join(bcast(eps), "node")
+        .select("node", "cluster_id")
+        .localCheckpoint(eager=True)  # reused for both edge endpoints
+    )
+    # contract batch edges onto stored labels (unknown endpoint = its own id)
+    lu = lab.select(F.col("node").alias("u"), F.col("cluster_id").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("cluster_id").alias("cv"))
+    contracted = (
+        e.join(bcast(lu), "u", "left")
+        .join(bcast(lv), "v", "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("la"),
+            F.coalesce("cv", F.col("v")).alias("lb"),
+        )
+        .filter(F.col("la") != F.col("lb"))
+    )
+    # per-merged-component min label == min node id of the merged component
+    roots = connected_components(
+        contracted,
+        src="la",
+        dst="lb",
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+    remap = (
+        roots.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("old_label"), F.col("cluster_id").alias("root"))
+        .localCheckpoint(eager=True)  # stored-side + batch-side reuse it
+    )
+    # write-back: ONE broadcast-remap scan of the stored assignment
+    relabeled = a.join(
+        bcast(remap), a["cluster_id"] == F.col("old_label"), "left"
+    ).select("node", F.coalesce("root", F.col("cluster_id")).alias("cluster_id"))
+    if emit == "updates":
+        stored_out = a.join(
+            bcast(remap), a["cluster_id"] == F.col("old_label")
+        ).select("node", F.col("root").alias("cluster_id"))
+    else:
+        stored_out = relabeled
+    # batch nodes: explicit new_nodes ∪ edge endpoints absent from the store
+    implicit = eps.join(bcast(lab.select("node")), "node", "left_anti")
+    fresh = (
+        implicit
+        if new_nodes is None
+        else new_nodes.select(F.col(node_col).alias("node")).union(implicit)
+    )
+    fresh_out = (
+        fresh.distinct()
+        .join(bcast(remap), F.col("node") == F.col("old_label"), "left")
+        .select("node", F.coalesce("root", F.col("node")).alias("cluster_id"))
+    )
+    return stored_out.union(fresh_out)
 
 
 def _near_pair_blocks(size_based, rows_est, count) -> int:

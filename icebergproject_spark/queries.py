@@ -753,14 +753,15 @@ REGISTRY.update(R4_REGISTRY)
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
 # ordering is a visibility decision.  Round-11 rotation (VERDICT r10 ask
-# #2): the window takes the flagship + the 2 new r11 heads, then ALL 28
+# #2): the window takes the flagship + the 3 new r11 heads, then ALL 28
 # remaining round-6-stale rows (the full list the r10 comment deferred —
 # after this round NOTHING older than round 7 remains and every registry
 # row has driver evidence from r7 or later), then the oldest ROUND-7
-# rows in alphabetical order (18 of 49) plus knn_edge_recall_dial —
+# rows in alphabetical order (17 of 49) plus knn_edge_recall_dial —
 # whose reported `planes` column gained the LEAST(pl, DIAL_PMAX) clamp
 # this round (r10 ADVICE), so it re-earns fresh driver evidence — to
-# fill to 50 (the remaining 31 r7 rows —
+# fill to 50 (the remaining 32 r7 rows —
+# dedup_simhash (yielded its slot to dedup_clusters_incremental),
 # distinct_users, dm_user_login_info, embedding_pca, event_outliers_mad,
 # events_cube, events_ohlc, gopher_rules, graph_hits, hierarchy_flatten,
 # hybrid_rrf, lateral_top_orders, multimodal_features, ngram_novelty,
@@ -776,8 +777,11 @@ DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
     # new this round: flood guard engaged (decision hash-checked),
-    # bucketed stored state read partition-pruned (equality hash-checked)
+    # bucketed stored state read partition-pruned (equality hash-checked),
+    # incremental connected components maintain==rebuild (hash-checked
+    # against the full-rebuild closure oracle)
     "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
+    "dedup_clusters_incremental",
     # stale refresh: ALL 28 remaining ROUND-6 rows
     "events_moving_avg", "excess_share_suppliers", "forecast_revenue",
     "idle_rich_customers", "important_part_values", "label_centroids",
@@ -796,7 +800,7 @@ DRIVER_WINDOW = [
     "bm25_topk", "bpe_tokenize", "browse_pipeline_e2e", "browse_wide",
     "cdc_latest", "conversion_funnel", "count_min_audit",
     "customers_without_orders", "daily_retention", "dedup_embedding_lsh",
-    "dedup_minhash_lsh", "dedup_simhash", "knn_edge_recall_dial",
+    "dedup_minhash_lsh", "knn_edge_recall_dial",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

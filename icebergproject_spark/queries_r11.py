@@ -272,6 +272,76 @@ WHERE rank <= {ANN_K}
 ORACLE_ANN_GRAPH_INCREMENTAL_BUCKETED = _bucketed_oracle_sql()
 
 
+# append split for the dedup-cluster maintenance head: ~7.7% of docs
+# arrive as "today's batch".  REM 0 deliberately puts the corpus' MIN
+# doc_id in the BATCH, forcing the hardest relabeling case (a merged
+# component whose new root is a batch node) on every driver run.
+CC_SPLIT_MOD = 13
+CC_SPLIT_REM = 0
+
+
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-tier MAINTENANCE proof — incremental connected
+    components (llm/dedup.connected_components_incremental) hash-proved
+    equal to a full re-cluster: documents split into a stored corpus
+    (doc_id % 13 != 0) and an append batch; the Spark arm builds the
+    stored assignment from base-only LSH edges, then MAINTAINS it with
+    only the batch-touching edges (contract batch edges onto stored
+    cluster labels → batch-sized min-label contraction → broadcast
+    relabel), while the DuckDB oracle re-clusters the WHOLE corpus from
+    scratch (ORACLE_DEDUP_CLUSTERS_LSH_SQL, the recursive closure over
+    the md5-LSH edge set).  Hash equality on every driver run proves
+    maintain == rebuild — the same contract as ``ann_graph_incremental``
+    and ``pagerank_micro_delta``, completing the incremental tier across
+    all three stateful families (ANN graph, PageRank, dedup clusters).
+
+    The md5-LSH pair generator is pair-local (a pair exists iff two
+    docs share a band signature, independent of every other doc), so the
+    full corpus' edge set partitions EXACTLY into base-only pairs and
+    batch-touching pairs; the generator runs ONCE (localCheckpoint) and
+    both arms slice it — the shared-prep shape of
+    ``ann_graph_incremental_multi``.
+
+    Scale shape: the O(corpus) stored assignment is touched by exactly
+    two broadcast hash joins (touched-label read-out, relabel
+    write-back) and never shuffled; the contraction runs on the label
+    graph, which is ≤ |batch edges|.  Production stores the band
+    signatures too (incremental_near_dups' contract), so a daily batch
+    costs O(batch) banding + O(batch) contraction + one columnar scan
+    of the assignment — measured vs full rebuild in
+    tools/cc_incremental_probe.py.  Reference parity: the reference
+    maintains derived dim state per micro-batch
+    (dim/DimDataToHBase.scala:79-110); this maintains the dedup CLUSTER
+    state under the same append feed."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    # one generator run, sliced by both arms (pair-local ⇒ exact split)
+    pairs = (
+        dedup.minhash_lsh_sql_candidates(docs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    in_batch = lambda c: F.col(c) % CC_SPLIT_MOD == CC_SPLIT_REM  # noqa: E731
+    base_docs = docs.where(~in_batch("doc_id")).select("doc_id")
+    batch_docs = docs.where(in_batch("doc_id")).select(
+        F.col("doc_id").alias("node")
+    )
+    base_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
+    new_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
+    stored = dedup.connected_components(
+        base_pairs, nodes=base_docs, node_col="doc_id"
+    )
+    merged = dedup.connected_components_incremental(
+        stored, new_pairs, new_nodes=batch_docs
+    )
+    from pyspark.sql.window import Window
+
+    return merged.select(F.col("node").alias("doc_id"), "cluster_id").withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
 R11_REGISTRY: dict[str, Query] = {
     "ann_graph_flood_guard": Query(
         q_ann_graph_flood_guard, ORACLE_ANN_GRAPH_FLOOD_GUARD
@@ -280,3 +350,16 @@ R11_REGISTRY: dict[str, Query] = {
         q_ann_graph_incremental_bucketed, ORACLE_ANN_GRAPH_INCREMENTAL_BUCKETED
     ),
 }
+
+
+def _register_dedup_clusters_incremental() -> None:
+    # oracle = the FULL-REBUILD closure, verbatim from the r4 head: the
+    # maintenance arm must reproduce it bit-for-bit
+    from icebergproject_spark.queries_r4 import ORACLE_DEDUP_CLUSTERS_LSH_SQL
+
+    R11_REGISTRY["dedup_clusters_incremental"] = Query(
+        q_dedup_clusters_incremental, ORACLE_DEDUP_CLUSTERS_LSH_SQL
+    )
+
+
+_register_dedup_clusters_incremental()

@@ -796,6 +796,158 @@ def test_connected_components_empty_edges(spark):
     assert got == {1: 1, 2: 2}
 
 
+def _cc(edges_df, nodes_df):
+    return {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(
+            edges_df, nodes=nodes_df, node_col="node"
+        ).collect()
+    }
+
+
+def test_cc_incremental_merges_and_updates_emission(spark):
+    """Maintenance under an append equals the full re-cluster, the
+    updates emission is exactly the changed stored rows + all batch
+    rows, and an empty batch leaves the store untouched (batch nodes
+    become singletons)."""
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    new_edges = spark.createDataFrame(
+        [(3, 5), (10, 11), (6, 10)], "id_a long, id_b long"
+    )
+    all_edges = base_edges.union(new_edges)
+    base_nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], ["node"])
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 6, 9, 10, 11]], ["node"]
+    )
+    batch_nodes = spark.createDataFrame([(10,), (11,)], ["node"])
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    want = _cc(all_edges, all_nodes)
+    merged = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes
+        ).collect()
+    }
+    assert merged == want
+    # updates: stored side strictly changed-only (node 9 untouched, the
+    # {1,2,3} rows already labeled 1 stay silent), batch rows always out
+    upd = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes, emit="updates"
+        ).collect()
+    }
+    assert upd == {5: 1, 6: 1, 10: 1, 11: 1}
+    applied = {r.node: r.cluster_id for r in stored.collect()}
+    applied.update(upd)
+    assert applied == want
+    # empty batch: store passes through, batch nodes are singletons
+    still = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges.limit(0), new_nodes=batch_nodes
+        ).collect()
+    }
+    assert still == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 10, 11: 11}
+
+
+def test_cc_incremental_batch_node_becomes_root(spark):
+    """A batch node with the smallest id in a merged component becomes
+    the new cluster root — the relabel must rewrite EVERY stored row of
+    the old cluster to a label that never existed in the store (the
+    CC_SPLIT_REM=0 head forces this case on every driver run)."""
+    base_edges = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    base_nodes = spark.createDataFrame([(7,), (8,)], ["node"])
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    new_edges = spark.createDataFrame([(0, 8)], "id_a long, id_b long")
+    batch_nodes = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes
+        ).collect()
+    }
+    assert got == {0: 0, 7: 0, 8: 0}
+
+
+def test_cc_incremental_no_broadcast_same_result(spark):
+    """broadcast_batch=False (the backfill-sized-batch escape hatch)
+    produces the identical merged assignment — only the join strategy
+    changes, never the labels."""
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    new_edges = spark.createDataFrame(
+        [(3, 5), (10, 11), (6, 10)], "id_a long, id_b long"
+    )
+    base_nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], ["node"])
+    batch_nodes = spark.createDataFrame([(10,), (11,)], ["node"])
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    hinted = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes
+        ).collect()
+    }
+    plain = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes, broadcast_batch=False
+        ).collect()
+    }
+    assert hinted == plain
+
+
+def test_incremental_lsh_candidates_equal_filtered_full(spark, sf_dir):
+    """The stored-bands incremental candidate generator produces exactly
+    the batch-touching slice of the full self-join generator — the
+    LSH-mechanism half of the maintain == rebuild proof (the banding is
+    doc-local, so batch×stored ∪ batch×batch IS the full set's slice)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_b = F.col("doc_id") % 13 == 0
+    full = dedup.minhash_lsh_candidates(docs)
+    want = sorted(
+        map(
+            tuple,
+            full.where(
+                (F.col("id_a") % 13 == 0) | (F.col("id_b") % 13 == 0)
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup.incremental_lsh_candidates(
+                dedup.banded_signatures(docs.where(is_b)),
+                dedup.banded_signatures(docs.where(~is_b)),
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cc_incremental_distributed_contraction_path(spark):
+    """driver_threshold=0 forces the label-graph contraction down the
+    distributed large-star/small-star path — same merged assignment."""
+    base_edges = spark.createDataFrame(
+        [(1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    base_nodes = spark.createDataFrame([(i,) for i in [1, 2, 4, 5]], ["node"])
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    new_edges = spark.createDataFrame([(2, 4)], "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            stored, new_edges, driver_threshold=0
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 1, 5: 1}
+
+
 def test_normalize_text_edge_cases(spark):
     docs = spark.createDataFrame(
         [(1, "  HeLLo\tWoRld\x01  from\n\nSPARK  ")],

@@ -173,6 +173,11 @@ def _count(plan: str, node: str) -> int:
         # test_graph_retrieval.py::test_ann_incremental_pruned_stored_base)
         ("ann_graph_flood_guard", 0, 1),
         ("ann_graph_incremental_bucketed", 0, 5),
+        # round-11 dedup-tier maintenance: the stored assignment is
+        # touched by broadcast joins only (touched-label read-out,
+        # relabel write-back) — the remaining plain exchanges are the
+        # O(batch) canonicalization/distincts + the output window
+        ("dedup_clusters_incremental", 0, 5),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
@@ -187,6 +192,16 @@ def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_br
     shuffles = _count(plan, "Exchange") - _count(plan, "BroadcastExchange")
     assert shuffles <= max_exchanges, plan
     assert _count(plan, "BroadcastExchange") >= min_broadcasts, plan
+
+
+def test_cc_incremental_assign_side_never_sort_merges(spark, sf_dir):
+    """The incremental connected-components head must not sort-merge
+    anywhere: the O(corpus) stored assignment meets the batch only
+    through broadcast hash joins (a sort-merge here would shuffle the
+    whole assignment to absorb a batch — the exact failure the operator
+    exists to avoid at 100 TB)."""
+    plan = _executed_plan(spark, sf_dir, "dedup_clusters_incremental")
+    assert _count(plan, "SortMergeJoin") == 0, plan
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):

@@ -612,3 +612,60 @@ def test_ann_incremental_equals_full_for_all_splits(spark, seed, mod, tables):
     want = ann_knn_graph(df, dim=6, k=2, planes=3, tables=tables)
     key = lambda r: (r.query_id, r.neighbor_id, r.score, r.rank)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+# --- incremental connected components == full re-cluster, for ALL inputs ----
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=29),
+            st.integers(min_value=0, max_value=29),
+        ),
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=7),  # node-split modulus
+)
+def test_cc_incremental_equals_full_for_all_splits(spark, raw_edges, mod):
+    """The maintain-under-append invariant holds for ANY graph and ANY
+    node split: stored = components over base-internal edges; maintain
+    with every edge touching a batch node (+ the batch nodes) ==
+    components over ALL edges and ALL nodes — including empty edge
+    sets, self-loops, duplicates, and splits where the merged root is a
+    batch node."""
+    from icebergproject_spark.llm.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    nodes = list(range(30))
+    in_batch = lambda n: n % mod == 0  # noqa: E731
+    edges = spark.createDataFrame(
+        raw_edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not raw_edges:
+        edges = edges.limit(0)
+    base_edges = edges.where(
+        f"id_a % {mod} != 0 AND id_b % {mod} != 0"
+    )
+    new_edges = edges.where(f"id_a % {mod} = 0 OR id_b % {mod} = 0")
+    base_nodes = spark.createDataFrame(
+        [(n,) for n in nodes if not in_batch(n)], ["node"]
+    )
+    batch_nodes = spark.createDataFrame(
+        [(n,) for n in nodes if in_batch(n)], ["node"]
+    )
+    all_nodes = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    stored = connected_components(base_edges, nodes=base_nodes)
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes
+        ).collect()
+    }
+    want = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, nodes=all_nodes).collect()
+    }
+    assert got == want

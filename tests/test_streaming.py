@@ -1684,6 +1684,113 @@ def test_streaming_ann_graph_maintenance_e2e(spark, tmp_path):
     )
 
 
+def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
+    """The dedup tier's streaming loop (round-11 sibling of the ANN
+    maintenance e2e): document micro-batches (file source, 3 ordered
+    batches) are appended to a lakehouse DOCS table; each batch's band
+    signatures are appended to a stored BANDS table (the
+    incremental_near_dups contract — a batch pays |batch|×bands rows,
+    never a corpus re-band); the batch-touching candidate edges
+    (incremental_lsh_candidates against the PRE-append bands) maintain
+    a stored CLUSTER assignment table via
+    connected_components_incremental(emit="updates") MERGEd on node.
+    After the drain the stored assignment is bit-equal to a cold full
+    re-cluster over the docs table's final state — streaming dedup
+    maintenance never diverges from recompute."""
+    import os
+    import time as time_mod
+
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.llm.dedup import (
+        banded_signatures,
+        connected_components,
+        connected_components_incremental,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for b in range(3):
+        rows = [(r.doc_id, r.text) for r in docs if r.doc_id % 3 == b]
+        p = str(src / f"b{b}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        stamp = time_mod.time() + b * 10
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (stamp, stamp))
+        os.utime(p, (stamp, stamp))
+
+    catalog = LakehouseCatalog(
+        spark, warehouse=str(tmp_path / "wh"), db="testdb"
+    )
+    docs_tbl = catalog.table("DOCS")
+    bands_tbl = catalog.table("DOC_BANDS")  # (id, band, band_sig)
+    assign_tbl = catalog.table("DOC_CLUSTERS")  # (node, cluster_id)
+    state = {"batches": 0}
+
+    def sink(batch, batch_id):
+        batch = batch.localCheckpoint(eager=True)
+        bb = banded_signatures(batch).localCheckpoint(eager=True)
+        if state["batches"] == 0:
+            # cold start: no stored state — cluster the batch alone
+            assign_tbl.append(
+                connected_components(
+                    minhash_lsh_candidates(batch),
+                    nodes=batch.select("doc_id"),
+                    node_col="doc_id",
+                )
+            )
+        else:
+            edges = incremental_lsh_candidates(bb, bands_tbl.read())
+            ups = connected_components_incremental(
+                assign_tbl.read(),
+                edges,
+                new_nodes=batch.select(F.col("doc_id").alias("node")),
+                emit="updates",
+            )
+            assign_tbl.merge(ups, key_cols=["node"])
+        bands_tbl.append(bb)
+        docs_tbl.append(batch)
+        state["batches"] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert state["batches"] == 3
+    final_docs = docs_tbl.read()
+    assert final_docs.count() == len(docs)
+    maintained = {
+        r.node: r.cluster_id for r in assign_tbl.read().collect()
+    }
+    cold = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            minhash_lsh_candidates(final_docs),
+            nodes=final_docs.select("doc_id"),
+            node_col="doc_id",
+        ).collect()
+    }
+    assert maintained == cold
+
+
 def test_streaming_ann_pagerank_chained_e2e(spark, tmp_path):
     """VERDICT r10 ask #3 — the reference's streaming spine composed
     through BOTH incremental tiers in ONE foreachBatch: each embedding
