@@ -190,8 +190,10 @@ BENCH_QUERIES = [
     "ann_graph_flood_guard",
     "ann_graph_incremental_bucketed",
     # round 11 batch 4: incremental connected components — the dedup-tier
-    # maintenance proof (maintain == full re-cluster, hash-checked)
+    # maintenance proof (maintain == full re-cluster, hash-checked) and
+    # its oracle-checked MERGE payload (changed-only emission)
     "dedup_clusters_incremental",
+    "dedup_clusters_upserts",
 ]
 
 # the exact query set BENCH_r09 reported (118 queries) — the
@@ -204,7 +206,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         # entered the bench in round 11
         "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
-        "dedup_clusters_incremental",
+        "dedup_clusters_incremental", "dedup_clusters_upserts",
     )
 }
 

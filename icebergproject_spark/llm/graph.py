@@ -296,7 +296,10 @@ def pagerank_micro_delta(
     de = edges_delta.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by delta_srcs AND the
+    # dirty seed's dst branch (r11) — without the pin a caller's delta
+    # plan (often a corpus-wide filter+distinct) executes once per
+    # consumer
     base = (100 - damping_pct) * scale // 100
     if static_state is not None:
         ed = static_state["ed"]

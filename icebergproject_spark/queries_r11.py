@@ -352,6 +352,104 @@ R11_REGISTRY: dict[str, Query] = {
 }
 
 
+def q_dedup_clusters_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE payload itself at ORACLE strength: the same maintenance
+    as ``dedup_clusters_incremental`` but with ``emit="updates"`` — only
+    the stored rows whose cluster label CHANGED plus every batch row,
+    i.e. exactly what a production ``MERGE INTO assignment`` writes per
+    batch (the streaming e2e's payload,
+    test_streaming_dedup_cluster_maintenance_e2e).  The DuckDB oracle
+    computes BOTH recursive closures — over the base corpus and over the
+    full corpus — and diffs them, so a hash match proves the payload is
+    truly changed-only on the stored side and complete on the batch
+    side.  Scale shape: identical to the merged-emission head minus the
+    O(corpus) output (and minus its window), so a daily batch ships
+    O(changed + batch) rows to the MERGE."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.minhash_lsh_sql_candidates(docs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    in_batch = lambda c: F.col(c) % CC_SPLIT_MOD == CC_SPLIT_REM  # noqa: E731
+    base_docs = docs.where(~in_batch("doc_id")).select("doc_id")
+    batch_docs = docs.where(in_batch("doc_id")).select(
+        F.col("doc_id").alias("node")
+    )
+    base_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
+    new_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
+    stored = dedup.connected_components(
+        base_pairs, nodes=base_docs, node_col="doc_id"
+    )
+    ups = dedup.connected_components_incremental(
+        stored, new_pairs, new_nodes=batch_docs, emit="updates"
+    )
+    return ups.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def _closure_cte(sfx: str, where: str) -> str:
+    """One md5-LSH-edges + recursive-min-closure block (the
+    ORACLE_DEDUP_CLUSTERS_LSH_SQL pipeline) over ``documents WHERE
+    {where}``, CTE names suffixed so two instances can coexist."""
+    from icebergproject_spark.queries_r4 import _md5_prefix12_sql
+
+    return f"""
+toks{sfx} AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t
+  FROM documents WHERE {where}
+),
+grams{sfx} AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS g
+  FROM toks{sfx}
+),
+hashed{sfx} AS (
+  SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '-' || g) AS hx
+  FROM grams{sfx} CROSS JOIN (SELECT UNNEST(range(16)) AS i)
+),
+hmin{sfx} AS (
+  SELECT doc_id, i, MIN({_md5_prefix12_sql('hx')}) AS h
+  FROM hashed{sfx} GROUP BY doc_id, i
+),
+bands{sfx} AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_sig
+  FROM hmin{sfx} GROUP BY doc_id, i // 2
+),
+pairs{sfx} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands{sfx} a
+  JOIN bands{sfx} b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+edges{sfx} AS (
+  SELECT id_a AS s, id_b AS d FROM pairs{sfx}
+  UNION ALL SELECT id_b, id_a FROM pairs{sfx}
+),
+reach{sfx}(node, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE {where}
+  UNION
+  SELECT e.d, reach{sfx}.r FROM reach{sfx} JOIN edges{sfx} e ON e.s = reach{sfx}.node
+),
+lab{sfx} AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach{sfx} GROUP BY node)"""
+
+
+# the full-corpus closure and the base-only closure, diffed: batch rows
+# always emitted, stored rows only when the merged label differs
+ORACLE_DEDUP_CLUSTERS_UPSERTS = f"""
+WITH RECURSIVE
+{_closure_cte('_a', 'TRUE')},
+{_closure_cte('_b', f'doc_id % {CC_SPLIT_MOD} <> {CC_SPLIT_REM}')}
+SELECT a.doc_id, a.cluster_id
+FROM lab_a a LEFT JOIN lab_b b USING (doc_id)
+WHERE a.doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+   OR a.cluster_id <> b.cluster_id
+"""
+
+
 def _register_dedup_clusters_incremental() -> None:
     # oracle = the FULL-REBUILD closure, verbatim from the r4 head: the
     # maintenance arm must reproduce it bit-for-bit
@@ -359,6 +457,9 @@ def _register_dedup_clusters_incremental() -> None:
 
     R11_REGISTRY["dedup_clusters_incremental"] = Query(
         q_dedup_clusters_incremental, ORACLE_DEDUP_CLUSTERS_LSH_SQL
+    )
+    R11_REGISTRY["dedup_clusters_upserts"] = Query(
+        q_dedup_clusters_upserts, ORACLE_DEDUP_CLUSTERS_UPSERTS
     )
 
 

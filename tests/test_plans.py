@@ -178,6 +178,8 @@ def _count(plan: str, node: str) -> int:
         # relabel write-back) — the remaining plain exchanges are the
         # O(batch) canonicalization/distincts + the output window
         ("dedup_clusters_incremental", 0, 5),
+        # the MERGE-payload twin: same shape minus the output window
+        ("dedup_clusters_upserts", 0, 5),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
