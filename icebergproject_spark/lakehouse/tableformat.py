@@ -2194,6 +2194,14 @@ class LakehouseTable:
         self.drop_branch(branch)
         return True, published
 
+    def has_batch(self, batch_id: str) -> bool:
+        """True if a snapshot already recorded this ``batch_id`` (the
+        :meth:`idempotent_append` marker) — lets a multi-table
+        ``foreachBatch`` sink detect a fully-committed prior attempt and
+        skip recomputation on replay (the last table written is the
+        batch's commit token)."""
+        return any(s.get("batch_id") == batch_id for s in self._snapshots())
+
     def idempotent_append(self, df: DataFrame, batch_id: str) -> dict | None:
         """Exactly-once streaming append: skip if a snapshot already
         recorded this ``batch_id`` (what the Iceberg Spark sink does by

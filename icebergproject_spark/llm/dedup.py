@@ -1165,7 +1165,11 @@ def connected_components_incremental(
     ``new_nodes`` the batch's nodes (singletons unless edged).  Append
     semantics only: edges merge components, never split them (near-dup
     corpora are append-mostly; deletions need a rebuild, same contract as
-    every monotone IVM).
+    every monotone IVM).  A REPLAYED batch (its nodes already merged into
+    the store by a prior attempt) is a no-op: store-present nodes route
+    through the stored side, already-merged edges contract to nothing,
+    and ``emit="updates"`` returns an empty payload — foreachBatch sinks
+    can MERGE the output without an external dedup fence.
 
     Why this is exact: each stored cluster_id is the MIN node of its old
     component, and each genuinely-new node's label is its own id, so
@@ -1214,14 +1218,25 @@ def connected_components_incremental(
         .distinct()
         .localCheckpoint(eager=True)  # endpoints + label join + contraction reuse it
     )
-    # touched labels: ONE broadcast-endpoint scan of the stored assignment
+    # touched nodes = edge endpoints ∪ declared batch nodes; ONE
+    # broadcast scan of the stored assignment reads their labels out.
+    # Including new_nodes in the probe costs nothing extra and makes a
+    # REPLAYED batch (nodes already merged into the store by a prior
+    # attempt) degrade gracefully: store-present nodes route through the
+    # stored side instead of re-emitting themselves as singletons —
+    # pinned by test_cc_incremental_replay_is_idempotent.
     eps = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
+    touched = (
+        eps
+        if new_nodes is None
+        else eps.union(new_nodes.select(F.col(node_col).alias("node"))).distinct()
+    )
     lab = (
-        a.join(bcast(eps), "node")
+        a.join(bcast(touched), "node")
         .select("node", "cluster_id")
         .localCheckpoint(eager=True)  # reused for both edge endpoints
     )
@@ -1260,16 +1275,12 @@ def connected_components_incremental(
         ).select("node", F.col("root").alias("cluster_id"))
     else:
         stored_out = relabeled
-    # batch nodes: explicit new_nodes ∪ edge endpoints absent from the store
-    implicit = eps.join(bcast(lab.select("node")), "node", "left_anti")
-    fresh = (
-        implicit
-        if new_nodes is None
-        else new_nodes.select(F.col(node_col).alias("node")).union(implicit)
-    )
+    # batch nodes: every touched node absent from the store (explicit
+    # new_nodes and edge endpoints alike — store-present ones already
+    # flowed through the stored side above)
+    fresh = touched.join(bcast(lab.select("node")), "node", "left_anti")
     fresh_out = (
-        fresh.distinct()
-        .join(bcast(remap), F.col("node") == F.col("old_label"), "left")
+        fresh.join(bcast(remap), F.col("node") == F.col("old_label"), "left")
         .select("node", F.coalesce("root", F.col("node")).alias("cluster_id"))
     )
     return stored_out.union(fresh_out)

@@ -272,12 +272,39 @@ WHERE rank <= {ANN_K}
 ORACLE_ANN_GRAPH_INCREMENTAL_BUCKETED = _bucketed_oracle_sql()
 
 
-# append split for the dedup-cluster maintenance head: ~7.7% of docs
+# append split for the dedup-cluster maintenance heads: ~7.7% of docs
 # arrive as "today's batch".  REM 0 deliberately puts the corpus' MIN
 # doc_id in the BATCH, forcing the hardest relabeling case (a merged
 # component whose new root is a batch node) on every driver run.
 CC_SPLIT_MOD = 13
 CC_SPLIT_REM = 0
+
+
+def _cc_maintenance_parts(spark: SparkSession, sf_dir: str):
+    """Shared prep for the two cluster-maintenance heads: run the md5-LSH
+    pair generator ONCE (pair-local ⇒ the full corpus' edge set
+    partitions EXACTLY into base-internal and batch-touching slices),
+    build the stored assignment from the base slice, and return
+    (stored_assignment, batch_touching_pairs, batch_nodes)."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.minhash_lsh_sql_candidates(docs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    in_batch = lambda c: F.col(c) % CC_SPLIT_MOD == CC_SPLIT_REM  # noqa: E731
+    base_docs = docs.where(~in_batch("doc_id")).select("doc_id")
+    batch_docs = docs.where(in_batch("doc_id")).select(
+        F.col("doc_id").alias("node")
+    )
+    base_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
+    new_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
+    stored = dedup.connected_components(
+        base_pairs, nodes=base_docs, node_col="doc_id"
+    )
+    return stored, new_pairs, batch_docs
 
 
 def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,23 +342,7 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     state under the same append feed."""
     from icebergproject_spark.llm import dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    # one generator run, sliced by both arms (pair-local ⇒ exact split)
-    pairs = (
-        dedup.minhash_lsh_sql_candidates(docs)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    in_batch = lambda c: F.col(c) % CC_SPLIT_MOD == CC_SPLIT_REM  # noqa: E731
-    base_docs = docs.where(~in_batch("doc_id")).select("doc_id")
-    batch_docs = docs.where(in_batch("doc_id")).select(
-        F.col("doc_id").alias("node")
-    )
-    base_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
-    new_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
-    stored = dedup.connected_components(
-        base_pairs, nodes=base_docs, node_col="doc_id"
-    )
+    stored, new_pairs, batch_docs = _cc_maintenance_parts(spark, sf_dir)
     merged = dedup.connected_components_incremental(
         stored, new_pairs, new_nodes=batch_docs
     )
@@ -367,22 +378,7 @@ def q_dedup_clusters_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(changed + batch) rows to the MERGE."""
     from icebergproject_spark.llm import dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = (
-        dedup.minhash_lsh_sql_candidates(docs)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    in_batch = lambda c: F.col(c) % CC_SPLIT_MOD == CC_SPLIT_REM  # noqa: E731
-    base_docs = docs.where(~in_batch("doc_id")).select("doc_id")
-    batch_docs = docs.where(in_batch("doc_id")).select(
-        F.col("doc_id").alias("node")
-    )
-    base_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
-    new_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
-    stored = dedup.connected_components(
-        base_pairs, nodes=base_docs, node_col="doc_id"
-    )
+    stored, new_pairs, batch_docs = _cc_maintenance_parts(spark, sf_dir)
     ups = dedup.connected_components_incremental(
         stored, new_pairs, new_nodes=batch_docs, emit="updates"
     )

@@ -872,6 +872,37 @@ def test_cc_incremental_batch_node_becomes_root(spark):
     assert got == {0: 0, 7: 0, 8: 0}
 
 
+def test_cc_incremental_replay_is_idempotent(spark):
+    """A batch REPLAYED after its first attempt fully committed (the
+    foreachBatch retry-after-crash shape) is a no-op: maintaining the
+    ALREADY-MERGED assignment with the same edges/nodes returns the
+    merged assignment unchanged, and emit='updates' returns an empty
+    payload — no self-label resurrection for batch nodes that now carry
+    a smaller cluster root."""
+    base_edges = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    base_nodes = spark.createDataFrame([(7,), (8,)], ["node"])
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    new_edges = spark.createDataFrame([(0, 8)], "id_a long, id_b long")
+    batch_nodes = spark.createDataFrame([(0,), (3,)], ["node"])  # 3: unedged
+    merged = dedup.connected_components_incremental(
+        stored, new_edges, new_nodes=batch_nodes
+    ).localCheckpoint(eager=True)
+    want = {r.node: r.cluster_id for r in merged.collect()}
+    assert want == {0: 0, 3: 3, 7: 0, 8: 0}
+    # replay: same batch against the post-merge store
+    again = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_incremental(
+            merged, new_edges, new_nodes=batch_nodes
+        ).collect()
+    }
+    assert again == want
+    ups = dedup.connected_components_incremental(
+        merged, new_edges, new_nodes=batch_nodes, emit="updates"
+    ).collect()
+    assert ups == []
+
+
 def test_cc_incremental_no_broadcast_same_result(spark):
     """broadcast_batch=False (the backfill-sized-batch escape hatch)
     produces the identical merged assignment — only the join strategy

@@ -1696,7 +1696,15 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     connected_components_incremental(emit="updates") MERGEd on node.
     After the drain the stored assignment is bit-equal to a cold full
     re-cluster over the docs table's final state — streaming dedup
-    maintenance never diverges from recompute."""
+    maintenance never diverges from recompute.
+
+    Replay safety, both crash windows: the sink is exactly-once without
+    an external fence — a batch replayed BEFORE its bands landed
+    recomputes an idempotent payload (the operator's replay contract,
+    test_cc_incremental_replay_is_idempotent), and one replayed AFTER
+    full commit short-circuits on the bands table's batch marker
+    (LakehouseTable.has_batch).  The test replays the last batch through
+    both windows and pins the state unchanged."""
     import os
     import time as time_mod
 
@@ -1737,6 +1745,9 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     state = {"batches": 0}
 
     def sink(batch, batch_id):
+        bid = f"dedup-{batch_id}"
+        if bands_tbl.has_batch(bid):
+            return  # replay after full commit: the marker short-circuits
         batch = batch.localCheckpoint(eager=True)
         bb = banded_signatures(batch).localCheckpoint(eager=True)
         if state["batches"] == 0:
@@ -1757,8 +1768,12 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
                 emit="updates",
             )
             assign_tbl.merge(ups, key_cols=["node"])
-        bands_tbl.append(bb)
-        docs_tbl.append(batch)
+        docs_tbl.idempotent_append(batch, bid)
+        # bands LAST: its batch marker is the commit token — a crash
+        # anywhere earlier replays into idempotent writes (docs skips on
+        # its own marker, the MERGE payload recomputes identically);
+        # once bands lands, the has_batch guard above skips the batch
+        bands_tbl.idempotent_append(bb, bid)
         state["batches"] += 1
 
     stream = (
@@ -1789,6 +1804,35 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
         ).collect()
     }
     assert maintained == cold
+
+    # replay window 1 — after full commit: the has_batch token
+    # short-circuits (state counter untouched proves the early return)
+    last = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in docs if r.doc_id % 3 == 2], schema
+    )
+    sink(last, 2)
+    assert state["batches"] == 3
+    # replay window 2 — crash before the bands token landed: the retry
+    # re-runs the MERGE path against the already-merged assignment.  Re-
+    # deriving edges from the post-commit bands is a SUPERSET of what
+    # that retry would see (the operator's replay contract covers both):
+    # the payload must be a no-op either way
+    from icebergproject_spark.llm.dedup import (
+        banded_signatures as _bs,
+        connected_components_incremental as _cci,
+        incremental_lsh_candidates as _ilc,
+    )
+
+    ups = _cci(
+        assign_tbl.read(),
+        _ilc(_bs(last), bands_tbl.read()),
+        new_nodes=last.select(F.col("doc_id").alias("node")),
+        emit="updates",
+    )
+    assign_tbl.merge(ups, key_cols=["node"])
+    replayed = {r.node: r.cluster_id for r in assign_tbl.read().collect()}
+    assert replayed == cold
+    assert docs_tbl.read().count() == len(docs)
 
 
 def test_streaming_ann_pagerank_chained_e2e(spark, tmp_path):
