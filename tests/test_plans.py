@@ -177,9 +177,12 @@ def _count(plan: str, node: str) -> int:
         # touched by broadcast joins only (touched-label read-out,
         # relabel write-back) — the remaining plain exchanges are the
         # O(batch) canonicalization/distincts + the output window
-        ("dedup_clusters_incremental", 0, 5),
+        # (broadcasts dropped 5 → 4 when the touched-node probe gained
+        # its O(batch) checkpoint: the checkpointed relation feeds two
+        # consumers through ONE BroadcastExchange)
+        ("dedup_clusters_incremental", 0, 4),
         # the MERGE-payload twin: same shape minus the output window
-        ("dedup_clusters_upserts", 0, 5),
+        ("dedup_clusters_upserts", 0, 4),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
