@@ -199,6 +199,28 @@ def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_br
     assert _count(plan, "BroadcastExchange") >= min_broadcasts, plan
 
 
+def test_incremental_lsh_candidates_broadcasts_batch_side(spark, sf_dir):
+    """The incremental dedup edge generator must meet the O(corpus)
+    stored-bands relation with a broadcast of the (bounded) batch bands
+    on BOTH joins — a sort-merge here would shuffle the stored band-
+    signature table to absorb a nightly batch."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.llm import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_b = F.col("doc_id") % 13 == 0
+    df = dedup.incremental_lsh_candidates(
+        dedup.banded_signatures(docs.where(is_b)),
+        dedup.banded_signatures(docs.where(~is_b)),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _count(plan, "BroadcastHashJoin") == 2, plan
+    assert _count(plan, "SortMergeJoin") == 0, plan
+
+
 def test_cc_incremental_assign_side_never_sort_merges(spark, sf_dir):
     """The incremental connected-components head must not sort-merge
     anywhere: the O(corpus) stored assignment meets the batch only
