@@ -183,6 +183,13 @@ def _count(plan: str, node: str) -> int:
         ("dedup_clusters_incremental", 0, 4),
         # the MERGE-payload twin: same shape minus the output window
         ("dedup_clusters_upserts", 0, 4),
+        # cluster-assignment consumers: the driver-path union-find
+        # result is broadcast into the nodes join (r11 fix — before it,
+        # the RDD-backed result's unknown stats silently sort-merged,
+        # shuffling the O(corpus) nodes side; dataset_split −2.1s)
+        ("dedup_clusters", 0, 1),
+        ("dedup_clusters_lsh_sql", 0, 1),
+        ("dataset_split", 0, 5),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
