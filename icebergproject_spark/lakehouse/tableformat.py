@@ -85,6 +85,31 @@ _TRANSFORMS = {
     "bucket16": lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(16)),
 }
 
+#: Iceberg's bucket[N] is parametric; so are these. ``bucket<N>`` hashes
+#: (xxhash64, Spark-side) before the modulus — the general-purpose
+#: choice; ``mod<N>`` buckets an integer column by plain modulus, which
+#: a SQL oracle (DuckDB ``x % N``) can replay exactly — the choice when
+#: the partition-local decision itself must be hash-checkable.
+_PARAM_TRANSFORM = re.compile(r"(bucket|mod)(\d+)")
+
+
+def _transform_fn(name: str):
+    """Resolve a transform name (fixed table or parametric family) to a
+    ``col_name -> Column`` function; raises ValueError on unknown names."""
+    if name in _TRANSFORMS:
+        return _TRANSFORMS[name]
+    m = _PARAM_TRANSFORM.fullmatch(name)
+    if m:
+        n = int(m.group(2))
+        if n < 2:
+            raise ValueError(f"transform {name!r}: need at least 2 buckets")
+        if m.group(1) == "bucket":
+            return lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n))
+        return lambda c: F.pmod(F.col(c), F.lit(n))
+    raise ValueError(
+        f"transform must be one of {sorted(_TRANSFORMS)} or bucket<N>/mod<N>"
+    )
+
 
 class CommitConflictError(RuntimeError):
     """A concurrent commit moved the branch head between the caller's
@@ -121,8 +146,7 @@ class LakehouseTable:
         never see the partition column — Iceberg's hidden-partitioning
         contract, minus expression→partition rewriting (the caller passes
         the wanted partition values explicitly)."""
-        if transform not in _TRANSFORMS:
-            raise ValueError(f"transform must be one of {sorted(_TRANSFORMS)}")
+        _transform_fn(transform)  # validate (raises on unknown names)
         if self._snapshots():
             raise ValueError("cannot change partitioning after the first write")
         with open(self.props_path, "w") as f:
@@ -139,8 +163,7 @@ class LakehouseTable:
         filter ``transform(column) IN (values)`` — same semantics, no
         directory pruning (what Iceberg does for files under old specs).
         """
-        if transform not in _TRANSFORMS:
-            raise ValueError(f"transform must be one of {sorted(_TRANSFORMS)}")
+        _transform_fn(transform)  # validate (raises on unknown names)
         props = {}
         if os.path.exists(self.props_path):
             with open(self.props_path) as f:
@@ -1183,7 +1206,7 @@ class LakehouseTable:
                 df = df.withMetadata(c, {"parquet.field.id": name_to_id[c]})
         spec = self._partition_spec()
         if spec:
-            part = _TRANSFORMS[spec["transform"]](spec["column"]).alias("__p")
+            part = _transform_fn(spec["transform"])(spec["column"]).alias("__p")
             df.withColumn("__p", part).write.mode("overwrite").partitionBy(
                 "__p"
             ).parquet(d)
@@ -1731,7 +1754,7 @@ class LakehouseTable:
                     if self._dir_spec(d) == spec:
                         p = p.filter(F.col("__p").isin(vals))
                     else:
-                        expr = _TRANSFORMS[spec["transform"]](spec["column"])
+                        expr = _transform_fn(spec["transform"])(spec["column"])
                         p = p.filter(expr.isin(vals))
                 if "__p" in p.columns:
                     p = p.drop("__p")
@@ -2022,6 +2045,119 @@ class LakehouseTable:
             return self._retry_cas(attempt)
         except BaseException:
             shutil.rmtree(d, ignore_errors=True)  # don't orphan on failure
+            raise
+
+    def upsert_by_key(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        batch_id: str | None = None,
+    ) -> dict:
+        """Iceberg v2 CDC UPSERT — ONE atomic commit carrying an
+        equality-delete file on ``key_cols`` (hiding every current row
+        whose key appears in ``updates``) plus a data file with the
+        applied rows: write cost O(updates), and — unlike :meth:`merge`
+        in either mode — ZERO scans of the table at write time
+        (copy-on-write rewrites everything; positional merge-on-read
+        must scan to find row addresses).  This is exactly the shape
+        Iceberg's Flink CDC writer commits per checkpoint (equality
+        deletes + data files in one snapshot), and at 100 TB it is the
+        only upsert whose cost is independent of table size — the write
+        half of the incremental-maintenance tier
+        (``connected_components_incremental_bucketed`` applies its MERGE
+        payload through here).  Reference parity: the Phoenix upsert
+        sink (utils/MyPhoenixUtil / dim/DimDataToHBase.scala:79-110)
+        applies each micro-batch as key-addressed upserts; this is that
+        sink against the snapshot table format.
+
+        Semantics match ``MERGE … WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT`` with last-writer-wins per key inside ``updates``.  The
+        equality delete is scoped to the data dirs present at commit
+        time (sequence-number scoping), so the applied rows — committed
+        in the SAME snapshot — are not hidden by it.  Read cost grows by
+        one broadcast anti-join per accumulated upsert;
+        :meth:`convert_equality_deletes` + :meth:`compact` (or
+        :meth:`maintain`) fold the debt down, same as Iceberg's
+        rewrite-deletes + rewrite-data maintenance.
+
+        ``batch_id``: stamp the commit with a replay token (see
+        :meth:`has_batch`) — foreachBatch sinks get exactly-once by
+        checking it before calling.  Returns the committed snapshot."""
+        w_last = F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy(
+                F.monotonically_increasing_id().desc()
+            )
+        )
+        applied = (
+            updates.withColumn("__rn", w_last)
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if self.current_snapshot() is None:
+            # empty table: the upsert degenerates to a plain append (no
+            # rows to hide); still batch-stamped for replay safety
+            new_dir = self._write_data(applied)
+            return self._commit(
+                "append", [new_dir], batch_id=batch_id,
+                expected_parent_id=None,
+            )
+        # both dirs are written ONCE, before the CAS loop (a retry only
+        # recomputes snapshot-scoped metadata — same rationale as
+        # delete_by_key's key dir)
+        eq_dir = os.path.join(self.eq_deletes_root, uuid.uuid4().hex)
+        applied.select(*key_cols).dropDuplicates().write.mode(
+            "overwrite"
+        ).parquet(eq_dir)
+        new_dir = self._write_data(applied)
+
+        def attempt(cur):
+            if cur is None:
+                # the table was emptied between the check and the commit
+                return self._commit(
+                    "append", [new_dir], batch_id=batch_id,
+                    expected_parent_id=None,
+                )
+            st = self._load_schema_state()
+            by_name = {
+                f["name"]: f.get("id")
+                for f in self._fields_of(st, st["current-schema-id"])
+            }
+            missing = [c for c in key_cols if by_name.get(c) is None]
+            if missing:
+                raise ValueError(
+                    f"upsert_by_key: key column(s) {missing} not in the "
+                    f"current schema of {self.db}.{self.name}"
+                )
+            with open(os.path.join(eq_dir, "_eq.json"), "w") as f:
+                json.dump(
+                    {
+                        "cols": list(key_cols),
+                        "field_ids": [by_name.get(c) for c in key_cols],
+                    },
+                    f,
+                )
+            entry = {
+                "dir": eq_dir,
+                "cols": list(key_cols),
+                "field_ids": [by_name.get(c) for c in key_cols],
+                # scope: dirs live BEFORE this commit — the new data dir
+                # is deliberately absent, so the applied rows survive
+                "applies_to_dirs": list(cur["data_dirs"]),
+            }
+            return self._commit(
+                "merge",
+                list(cur["data_dirs"]) + [new_dir],
+                batch_id=batch_id,
+                delete_dirs=list(cur.get("delete_dirs", [])),
+                eq_delete_dirs=list(cur.get("eq_delete_dirs", [])) + [entry],
+                expected_parent_id=self._cas_id(cur),
+            )
+
+        try:
+            return self._retry_cas(attempt)
+        except BaseException:
+            shutil.rmtree(eq_dir, ignore_errors=True)
+            shutil.rmtree(new_dir, ignore_errors=True)
             raise
 
     def compact(self, target_partitions: int | None = None) -> dict:

@@ -1140,6 +1140,164 @@ def connected_components(
     return out
 
 
+def _cc_inc_prepare(
+    a: DataFrame,
+    new_edges: DataFrame,
+    src: str,
+    dst: str,
+    new_nodes: DataFrame | None,
+    node_col: str,
+    bcast,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front half of the incremental-CC variants: canonicalize
+    the batch edges, derive the touched-node set, and read the touched
+    nodes' stored labels out of ``a`` with ONE probe join.  Returns
+    (canonical_edges, touched_nodes, touched_labels) — each O(batch)
+    and localCheckpointed where multiple consumers follow."""
+    e = (
+        new_edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # endpoints + label join + contraction reuse it
+    )
+    # touched nodes = edge endpoints ∪ declared batch nodes; ONE
+    # broadcast scan of the stored assignment reads their labels out.
+    # Including new_nodes in the probe costs nothing extra and makes a
+    # REPLAYED batch (nodes already merged into the store by a prior
+    # attempt) degrade gracefully: store-present nodes route through the
+    # stored side instead of re-emitting themselves as singletons —
+    # pinned by test_cc_incremental_replay_is_idempotent.
+    eps = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    touched = (
+        eps
+        if new_nodes is None
+        else eps.union(new_nodes.select(F.col(node_col).alias("node"))).distinct()
+    ).localCheckpoint(eager=True)  # O(batch) rows, consumed by the store
+    # probe's broadcast AND the fresh anti-join — un-pinned, the union's
+    # source scans re-run per consumer (measured ~2s at the probe's 64×)
+    lab = (
+        a.join(bcast(touched), "node")
+        .select("node", "cluster_id")
+        .localCheckpoint(eager=True)  # reused for both edge endpoints
+    )
+    return e, touched, lab
+
+
+def _cc_inc_remap(
+    e: DataFrame,
+    lab: DataFrame,
+    bcast,
+    max_iter: int,
+    driver_threshold: int,
+) -> DataFrame:
+    """Shared middle: contract the batch edges onto the stored labels
+    and mint the (old_label → root) relabel map — everything here is
+    O(batch); the contraction runs on the label graph, whose size is
+    ≤ |batch edges|."""
+    lu = lab.select(F.col("node").alias("u"), F.col("cluster_id").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("cluster_id").alias("cv"))
+    contracted = (
+        e.join(bcast(lu), "u", "left")
+        .join(bcast(lv), "v", "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("la"),
+            F.coalesce("cv", F.col("v")).alias("lb"),
+        )
+        .filter(F.col("la") != F.col("lb"))
+    )
+    # per-merged-component min label == min node id of the merged component
+    roots = connected_components(
+        contracted,
+        src="la",
+        dst="lb",
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+    return (
+        roots.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("old_label"), F.col("cluster_id").alias("root"))
+        .localCheckpoint(eager=True)  # stored-side + batch-side reuse it
+    )
+
+
+def _cc_inc_fresh_out(
+    touched: DataFrame, lab: DataFrame, remap: DataFrame, bcast
+) -> DataFrame:
+    """Shared tail: label the genuinely-new nodes (touched but absent
+    from the store) — their own id unless a batch edge merged them."""
+    fresh = touched.join(bcast(lab.select("node")), "node", "left_anti")
+    return fresh.join(
+        bcast(remap), F.col("node") == F.col("old_label"), "left"
+    ).select("node", F.coalesce("root", F.col("node")).alias("cluster_id"))
+
+
+def _cc_inc_rebuild(
+    a: DataFrame,
+    e: DataFrame,
+    touched: DataFrame,
+    emit: str,
+    max_iter: int,
+    driver_threshold: int,
+) -> DataFrame:
+    """The flood-guard fallback: re-cluster from the stored STAR FOREST
+    plus the batch edges — exact because contracting a graph onto its
+    components preserves connectivity and every stored label is already
+    the min node id of its old component, so CC over (star edges ∪
+    batch edges) mints exactly the labels a rebuild over base ∪ batch
+    edges would.  O(corpus) by design (that is the regime the guard
+    fires in); skips every broadcast of batch-derived state, which is
+    precisely what stops scaling when the batch floods the store."""
+    star = a.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    all_edges = star.union(
+        e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    all_nodes = a.select("node").union(touched).distinct()
+    rebuilt = connected_components(
+        all_edges,
+        nodes=all_nodes,
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+    if emit == "merged":
+        return rebuilt
+    old = a.select("node", F.col("cluster_id").alias("__old"))
+    return (
+        rebuilt.join(old, "node", "left")
+        .filter(
+            F.col("__old").isNull() | (F.col("__old") != F.col("cluster_id"))
+        )
+        .select("node", "cluster_id")
+    )
+
+
+def _cc_guard_decision(
+    a: DataFrame,
+    lab: DataFrame,
+    rebuild_threshold: float,
+    stats: dict | None,
+) -> bool:
+    """Flood-guard arithmetic, shared by both incremental-CC variants and
+    mirroring ``ann_knn_graph_incremental``'s contract exactly: touched
+    fraction = distinct stored labels touched / distinct stored labels,
+    in EXACT integer ppm (both sides are bounded counts; the ratio is
+    integer division, so a SQL oracle replays the decision bit-for-bit)."""
+    n_t = lab.select("cluster_id").distinct().count()
+    n_all = a.select("cluster_id").distinct().count()
+    frac_ppm = n_t * 1_000_000 // max(n_all, 1)
+    chose = frac_ppm >= int(round(rebuild_threshold * 1_000_000))
+    if stats is not None:
+        stats["touched_fraction_ppm"] = frac_ppm
+        stats["chose_rebuild"] = chose
+    return chose
+
+
 def connected_components_incremental(
     assign: DataFrame,
     new_edges: DataFrame,
@@ -1151,6 +1309,8 @@ def connected_components_incremental(
     max_iter: int = 30,
     driver_threshold: int = 2_000_000,
     broadcast_batch: bool = True,
+    rebuild_threshold: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Maintain a stored connected-components assignment under an APPEND
     batch of edges/nodes — the dedup-tier sibling of
@@ -1203,6 +1363,23 @@ def connected_components_incremental(
     shuffle or broadcast from runtime sizes) with identical results
     (pinned by test_cc_incremental_no_broadcast_same_result).
 
+    ``rebuild_threshold`` (the FLOOD GUARD — policy parity with
+    ``ann_knn_graph_incremental``'s, VERDICT r11 ask #3): when the batch
+    touches ≥ this fraction of the stored cluster labels (distinct
+    stored labels touched / distinct stored labels, exact integer ppm —
+    both sides bounded counts, the ratio replayable in ANSI SQL), fall
+    back to a full re-cluster over the stored star forest ∪ batch edges
+    instead of maintaining — the backfill regime where broadcasting
+    batch-derived state stops paying (measured in
+    tools/cc_incremental_probe.py --flood).  NEVER changes the result:
+    the rebuild mints identical labels (contracting a graph onto its
+    components preserves connectivity; stored labels are already
+    component minima), pinned bit-equal by
+    test_cc_flood_guard_both_regimes_equal and shipped at oracle
+    strength by the registered head ``dedup_clusters_flood_guard``.
+    ``stats``: pass a dict to receive ``touched_fraction_ppm`` and
+    ``chose_rebuild``.
+
     Returns (node, cluster_id): the full merged assignment
     (``emit="merged"``) or the MERGE payload (``emit="updates"``).
     """
@@ -1210,82 +1387,158 @@ def connected_components_incremental(
         raise ValueError(f"emit must be 'merged' or 'updates', got {emit!r}")
     bcast = F.broadcast if broadcast_batch else (lambda d: d)
     a = assign.select(F.col(node_col).alias("node"), "cluster_id")
-    # batch edges: canonical, deduped, self-loops dropped — O(batch)
-    e = (
-        new_edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
-        .filter(F.col("x") != F.col("y"))
-        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)  # endpoints + label join + contraction reuse it
+    e, touched, lab = _cc_inc_prepare(
+        a, new_edges, src, dst, new_nodes, node_col, bcast
     )
-    # touched nodes = edge endpoints ∪ declared batch nodes; ONE
-    # broadcast scan of the stored assignment reads their labels out.
-    # Including new_nodes in the probe costs nothing extra and makes a
-    # REPLAYED batch (nodes already merged into the store by a prior
-    # attempt) degrade gracefully: store-present nodes route through the
-    # stored side instead of re-emitting themselves as singletons —
-    # pinned by test_cc_incremental_replay_is_idempotent.
-    eps = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    touched = (
-        eps
-        if new_nodes is None
-        else eps.union(new_nodes.select(F.col(node_col).alias("node"))).distinct()
-    ).localCheckpoint(eager=True)  # O(batch) rows, consumed by the store
-    # probe's broadcast AND the fresh anti-join — un-pinned, the union's
-    # source scans re-run per consumer (measured ~2s at the probe's 64×)
-    lab = (
-        a.join(bcast(touched), "node")
-        .select("node", "cluster_id")
-        .localCheckpoint(eager=True)  # reused for both edge endpoints
-    )
-    # contract batch edges onto stored labels (unknown endpoint = its own id)
-    lu = lab.select(F.col("node").alias("u"), F.col("cluster_id").alias("cu"))
-    lv = lab.select(F.col("node").alias("v"), F.col("cluster_id").alias("cv"))
-    contracted = (
-        e.join(bcast(lu), "u", "left")
-        .join(bcast(lv), "v", "left")
-        .select(
-            F.coalesce("cu", F.col("u")).alias("la"),
-            F.coalesce("cv", F.col("v")).alias("lb"),
-        )
-        .filter(F.col("la") != F.col("lb"))
-    )
-    # per-merged-component min label == min node id of the merged component
-    roots = connected_components(
-        contracted,
-        src="la",
-        dst="lb",
-        max_iter=max_iter,
-        driver_threshold=driver_threshold,
-    )
-    remap = (
-        roots.filter(F.col("node") != F.col("cluster_id"))
-        .select(F.col("node").alias("old_label"), F.col("cluster_id").alias("root"))
-        .localCheckpoint(eager=True)  # stored-side + batch-side reuse it
-    )
+    if rebuild_threshold is not None and _cc_guard_decision(
+        a, lab, rebuild_threshold, stats
+    ):
+        return _cc_inc_rebuild(a, e, touched, emit, max_iter, driver_threshold)
+    remap = _cc_inc_remap(e, lab, bcast, max_iter, driver_threshold)
     # write-back: ONE broadcast-remap scan of the stored assignment
-    relabeled = a.join(
-        bcast(remap), a["cluster_id"] == F.col("old_label"), "left"
-    ).select("node", F.coalesce("root", F.col("cluster_id")).alias("cluster_id"))
     if emit == "updates":
         stored_out = a.join(
             bcast(remap), a["cluster_id"] == F.col("old_label")
         ).select("node", F.col("root").alias("cluster_id"))
     else:
-        stored_out = relabeled
+        stored_out = a.join(
+            bcast(remap), a["cluster_id"] == F.col("old_label"), "left"
+        ).select(
+            "node", F.coalesce("root", F.col("cluster_id")).alias("cluster_id")
+        )
     # batch nodes: every touched node absent from the store (explicit
     # new_nodes and edge endpoints alike — store-present ones already
     # flowed through the stored side above)
-    fresh = touched.join(bcast(lab.select("node")), "node", "left_anti")
-    fresh_out = (
-        fresh.join(bcast(remap), F.col("node") == F.col("old_label"), "left")
-        .select("node", F.coalesce("root", F.col("node")).alias("cluster_id"))
-    )
+    fresh_out = _cc_inc_fresh_out(touched, lab, remap, bcast)
     return stored_out.union(fresh_out)
+
+
+def connected_components_incremental_bucketed(
+    assign_tbl,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    new_nodes: DataFrame | None = None,
+    node_col: str = "node",
+    n_buckets: int = 16,
+    max_iter: int = 30,
+    driver_threshold: int = 2_000_000,
+    rebuild_threshold: float | None = None,
+    stats: dict | None = None,
+    apply: bool = False,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """:func:`connected_components_incremental` against a STORED,
+    hash-bucketed assignment — the storage/policy parity move the ANN
+    tier proved out in round 11 (``ann_graph_incremental_bucketed``),
+    applied to the one family that still paid an O(corpus) scan per
+    batch (VERDICT r11 ask #1).
+
+    ``assign_tbl`` is a :class:`~icebergproject_spark.lakehouse.
+    tableformat.LakehouseTable` holding (``node_col``, cluster_id),
+    hidden-partitioned ``set_partitioning("cluster_id",
+    f"mod{n_buckets}")`` — plain-modulus bucketing so a SQL oracle can
+    replay the partition arithmetic (``cluster_id % N``), exactly like
+    Iceberg's bucket[N] minus the hash.  Use
+    :func:`cc_assignment_table` to create/seed it one-file-per-bucket.
+
+    What gets pruned vs the in-memory variant (whose write-back scans
+    the whole assignment):
+
+    - the PROBE (touched nodes → labels) still reads the full table
+      once — it is keyed on ``node`` and the layout is keyed on
+      ``cluster_id``; one narrow 2-column columnar scan, the documented
+      residual;
+    - the CHANGED-ROW read-out is partition-pruned: every stored row
+      whose label changes has ``cluster_id ∈ old_labels``, so reading
+      ``partition_values = {l % N for l in old_labels}`` lists ONLY the
+      touched bucket directories (planning-time, PartitionFilters —
+      pinned in tests/test_plans.py) instead of re-scanning the corpus;
+    - the WRITE-BACK is :meth:`LakehouseTable.upsert_by_key` — one
+      atomic equality-delete + append commit, O(changed + batch) write
+      cost, zero table scan (``apply=True``; pass ``batch_id`` for
+      exactly-once foreachBatch replay).
+
+    Returns the MERGE payload (``emit="updates"`` shape: changed stored
+    rows + all batch rows).  ``rebuild_threshold``/``stats``: same flood
+    guard as the in-memory variant; the rebuild branch returns the
+    payload computed from a full re-cluster (and, with ``apply=True``,
+    still applies it through the same upsert).  Maintain == rebuild is
+    hash-proved by the registered head ``dedup_clusters_bucketed``
+    against the full-corpus recursive-closure oracle."""
+    spec = assign_tbl._partition_spec()
+    want = {"column": "cluster_id", "transform": f"mod{n_buckets}"}
+    if spec != want:
+        raise ValueError(
+            f"assign_tbl must be partitioned {want}, got {spec} "
+            "(create it with cc_assignment_table)"
+        )
+    bcast = F.broadcast
+    a = assign_tbl.read().select(F.col(node_col).alias("node"), "cluster_id")
+    e, touched, lab = _cc_inc_prepare(
+        a, new_edges, src, dst, new_nodes, node_col, bcast
+    )
+    if rebuild_threshold is not None and _cc_guard_decision(
+        a, lab, rebuild_threshold, stats
+    ):
+        payload = _cc_inc_rebuild(
+            a, e, touched, "updates", max_iter, driver_threshold
+        )
+    else:
+        remap = _cc_inc_remap(e, lab, bcast, max_iter, driver_threshold)
+        # the buckets holding every to-be-relabeled stored row: O(merged
+        # clusters) driver state, bounded by the batch edge count
+        bucket_ids = sorted(
+            r[0]
+            for r in remap.select(
+                F.pmod("old_label", F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        changed = (
+            assign_tbl.read(partition_values=bucket_ids)
+            .select(F.col(node_col).alias("node"), "cluster_id")
+            .join(bcast(remap), F.col("cluster_id") == F.col("old_label"))
+            .select("node", F.col("root").alias("cluster_id"))
+            if bucket_ids
+            else a.limit(0)
+        )
+        payload = changed.union(_cc_inc_fresh_out(touched, lab, remap, bcast))
+    if node_col != "node":
+        payload = payload.withColumnRenamed("node", node_col)
+    if apply:
+        payload = payload.localCheckpoint(eager=True)  # upsert reads it twice
+        assign_tbl.upsert_by_key(payload, [node_col], batch_id=batch_id)
+    return payload
+
+
+def cc_assignment_table(
+    spark,
+    warehouse: str,
+    db: str,
+    name: str,
+    assign: DataFrame | None = None,
+    node_col: str = "node",
+    n_buckets: int = 16,
+):
+    """Create (and optionally seed) the bucketed stored-assignment table
+    :func:`connected_components_incremental_bucketed` maintains:
+    hidden-partitioned ``mod{n_buckets}(cluster_id)``, seeded with ONE
+    file per bucket directory (the repartition below co-locates each
+    bucket before the partitioned write — the 100 TB layout lesson the
+    r11 ANN probe measured: a file-per-task-per-bucket write makes the
+    pruned read list O(tasks × buckets) slivers)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    tbl = LakehouseTable(spark, warehouse, db, name)
+    tbl.set_partitioning("cluster_id", f"mod{n_buckets}")
+    if assign is not None:
+        tbl.append(
+            assign.select(F.col(node_col).alias(node_col), "cluster_id")
+            .repartition(F.pmod("cluster_id", F.lit(n_buckets)))
+        )
+    return tbl
 
 
 def _near_pair_blocks(size_based, rows_est, count) -> int:
