@@ -1732,3 +1732,97 @@ def test_delete_by_key_rejects_column_missing_from_live_schema(spark, catalog):
     # a key on a LIVE column still works after the rejected attempt
     t.delete_by_key(spark.createDataFrame([("2",)], ["id"]))
     assert {r.id for r in t.read().collect()} == {"1"}
+
+
+# --- Iceberg v2 CDC upsert (equality delete + data file, one commit) ------
+
+
+def test_upsert_by_key_one_atomic_commit_no_scan(spark, catalog):
+    """upsert_by_key commits ONE snapshot carrying an equality delete on
+    the keys plus the applied rows: matched rows update, new keys
+    insert, unmatched rows survive, the old data dirs are untouched
+    (write cost O(updates), no rewrite), and last-writer-wins applies
+    within the batch."""
+    t = catalog.table("UPSERT")
+    t.append(df_of(spark, [("1", "a"), ("2", "b"), ("3", "c")]))
+    before = t.current_snapshot()
+    n_snaps = len(t.history())
+
+    snap = t.upsert_by_key(
+        df_of(spark, [("2", "b2"), ("4", "d"), ("2", "b3")]), ["id"]
+    )
+    assert len(t.history()) == n_snaps + 1  # atomic: exactly one commit
+    got = {(r.id, r.v) for r in t.read().collect()}
+    # (2,b3): last writer inside the batch wins, like merge()
+    assert got == {("1", "a"), ("2", "b3"), ("3", "c"), ("4", "d")}
+    # the prior data dirs were NOT rewritten — the new snapshot appends
+    # one dir and one equality-delete entry scoped to the old dirs
+    assert set(before["data_dirs"]) < set(snap["data_dirs"])
+    entry = snap["eq_delete_dirs"][-1]
+    assert entry["cols"] == ["id"]
+    assert set(entry["applies_to_dirs"]) == set(before["data_dirs"])
+    # the applied rows (same commit) are out of the delete's scope
+    new_dirs = set(snap["data_dirs"]) - set(before["data_dirs"])
+    assert not new_dirs & set(entry["applies_to_dirs"])
+    # maintenance folds the debt: compaction drops the eq-delete entry
+    t.compact()
+    assert t.current_snapshot().get("eq_delete_dirs", []) == []
+    assert {(r.id, r.v) for r in t.read().collect()} == got
+
+
+def test_upsert_by_key_empty_table_batch_id_and_partition_layout(
+    spark, tmp_path
+):
+    """On an empty table the upsert degenerates to an append; batch_id
+    stamps the commit for exactly-once foreachBatch replay; and on a
+    mod-bucketed table the applied rows land under their NEW partition
+    value (so later pruned reads see post-upsert truth)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path), "db", "bkt")
+    t.set_partitioning("cluster_id", "mod4")
+    rows = spark.createDataFrame(
+        [(i, i % 8) for i in range(16)], "node long, cluster_id long"
+    )
+    t.upsert_by_key(rows, ["node"], batch_id="b0")  # empty → append
+    assert t.has_batch("b0")
+    assert t.read().count() == 16
+    # move nodes 0..3 into cluster 99 (bucket 3)
+    ups = spark.createDataFrame(
+        [(i, 99) for i in range(4)], "node long, cluster_id long"
+    )
+    t.upsert_by_key(ups, ["node"], batch_id="b1")
+    assert t.has_batch("b1") and t.read().count() == 16
+    moved = t.read(partition_values=[3]).where("cluster_id = 99")
+    assert {r.node for r in moved.collect()} == {0, 1, 2, 3}
+    # the old versions are hidden in their old buckets too
+    assert (
+        t.read(partition_values=[0, 1, 2]).where("node < 4").count() == 0
+    )
+
+
+def test_parametric_partition_transforms(spark, tmp_path):
+    """mod<N> and bucket<N> resolve for any N; unknown names and N<2
+    are rejected; modN pruning lists only the wanted directories
+    (PartitionFilters at planning time)."""
+    from icebergproject_spark.lakehouse.tableformat import (
+        LakehouseTable,
+        _transform_fn,
+    )
+
+    with pytest.raises(ValueError):
+        _transform_fn("mod1")
+    with pytest.raises(ValueError):
+        _transform_fn("zigzag7")
+    t = LakehouseTable(spark, str(tmp_path), "db", "m5")
+    t.set_partitioning("k", "mod5")
+    t.append(spark.createDataFrame([(i,) for i in range(20)], "k long"))
+    pruned = t.read(partition_values=[2])
+    assert sorted(r.k for r in pruned.collect()) == [2, 7, 12, 17]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # bucket<N>: xxhash64-based, any width
+    t2 = LakehouseTable(spark, str(tmp_path), "db", "b32")
+    t2.set_partitioning("k", "bucket32")
+    t2.append(spark.createDataFrame([(i,) for i in range(20)], "k long"))
+    assert t2.read().count() == 20

@@ -979,6 +979,129 @@ def test_cc_incremental_distributed_contraction_path(spark):
     assert got == {1: 1, 2: 1, 4: 1, 5: 1}
 
 
+def test_cc_flood_guard_both_regimes_equal(spark):
+    """rebuild_threshold never changes the result: the same batch run
+    through the maintain branch (threshold above the touched fraction)
+    and the rebuild branch (threshold 0) yields bit-equal assignments in
+    BOTH emissions, and the stats dict records exact-integer-ppm
+    arithmetic a SQL oracle can replay."""
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (20, 21)], "id_a long, id_b long"
+    )
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 6, 9, 20, 21]], ["node"]
+    )
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    new_edges = spark.createDataFrame([(3, 5), (0, 1)], "id_a long, id_b long")
+    batch_nodes = spark.createDataFrame([(0,), (30,)], ["node"])
+    for emit in ("merged", "updates"):
+        s_m, s_r = {}, {}
+        maintain = dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes, emit=emit,
+            rebuild_threshold=0.99, stats=s_m,
+        )
+        rebuild = dedup.connected_components_incremental(
+            stored, new_edges, new_nodes=batch_nodes, emit=emit,
+            rebuild_threshold=0.0, stats=s_r,
+        )
+        assert sorted(map(tuple, maintain.collect())) == sorted(
+            map(tuple, rebuild.collect())
+        )
+        # touched stored labels: {1, 5} of stored labels {1, 5, 9, 20};
+        # 2 * 1e6 // 4 = 500000 ppm, identically in both regimes
+        assert s_m == {"touched_fraction_ppm": 500000, "chose_rebuild": False}
+        assert s_r == {"touched_fraction_ppm": 500000, "chose_rebuild": True}
+    # guard engaged on the merged emission must still equal the
+    # no-guard maintenance
+    plain = dedup.connected_components_incremental(
+        stored, new_edges, new_nodes=batch_nodes
+    )
+    guarded = dedup.connected_components_incremental(
+        stored, new_edges, new_nodes=batch_nodes, rebuild_threshold=0.5
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, guarded.collect())
+    )
+
+
+def test_cc_incremental_bucketed_maintains_stored_table(spark, tmp_path):
+    """The bucketed stored-assignment path (VERDICT r11 ask #1)
+    end-to-end: the assignment lives in a mod-bucketed lakehouse table;
+    the changed-row read-out is partition-pruned at PLANNING time
+    (PartitionFilters on __p); apply=True MERGEs through one atomic
+    equality-delete upsert; the maintained table equals the full
+    rebuild; and a replayed batch is a no-op both by payload emptiness
+    and by the batch_id commit token."""
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 9, 10, 11, 20, 21]], ["node"]
+    )
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    tbl = dedup.cc_assignment_table(
+        spark, str(tmp_path), "db", "assign", assign=stored, n_buckets=4
+    )
+    new_edges = spark.createDataFrame([(3, 10), (0, 20)], "id_a long, id_b long")
+    batch_nodes = spark.createDataFrame([(0,), (30,)], ["node"])
+
+    # plan pin first (apply=False — the applied payload is checkpointed,
+    # which would hide the scan): the changed-row read-out cut happens
+    # at the SCAN, planning-time
+    preview = dedup.connected_components_incremental_bucketed(
+        tbl, new_edges, new_nodes=batch_nodes, n_buckets=4
+    )
+    plan = preview._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__p" in plan.split("PartitionFilters", 1)[1][:200]
+    payload = dedup.connected_components_incremental_bucketed(
+        tbl, new_edges, new_nodes=batch_nodes, n_buckets=4,
+        apply=True, batch_id="b0",
+    )
+
+    all_nodes = base_nodes.union(spark.createDataFrame([(0,), (30,)], ["node"]))
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                base_edges.union(new_edges), nodes=all_nodes
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, tbl.read().select("node", "cluster_id").collect()))
+    assert got == want
+    # payload was changed-stored + batch rows only
+    assert sorted(map(tuple, payload.collect())) == sorted(
+        [(10, 1), (11, 1), (20, 0), (21, 0), (0, 0), (30, 30)]
+    )
+    # replay: payload drains to nothing against the merged store, and
+    # the commit token lets a sink skip the write entirely
+    assert tbl.has_batch("b0")
+    again = dedup.connected_components_incremental_bucketed(
+        tbl, new_edges, new_nodes=batch_nodes, n_buckets=4
+    )
+    assert again.count() == 0
+    # guard parity through the stored path: rebuild branch, same table
+    reb = dedup.connected_components_incremental_bucketed(
+        tbl, new_edges, new_nodes=batch_nodes, n_buckets=4,
+        rebuild_threshold=0.0,
+    )
+    assert reb.count() == 0  # already merged — rebuild also emits nothing
+
+
+def test_cc_incremental_bucketed_rejects_wrong_layout(spark, tmp_path):
+    """A mis-partitioned assignment table is refused up front — silently
+    falling back to unpruned scans would defeat the operator's contract."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    stored = spark.createDataFrame([(1, 1)], "node long, cluster_id long")
+    tbl = LakehouseTable(spark, str(tmp_path), "db", "flat")
+    tbl.append(stored)
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="partitioned"):
+        dedup.connected_components_incremental_bucketed(tbl, edges, n_buckets=4)
+
+
 def test_normalize_text_edge_cases(spark):
     docs = spark.createDataFrame(
         [(1, "  HeLLo\tWoRld\x01  from\n\nSPARK  ")],
