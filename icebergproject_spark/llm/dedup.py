@@ -1487,15 +1487,24 @@ def connected_components_incremental_bucketed(
     else:
         remap = _cc_inc_remap(e, lab, bcast, max_iter, driver_threshold)
         # the buckets holding every to-be-relabeled stored row: O(merged
-        # clusters) driver state, bounded by the batch edge count
+        # clusters) driver state, bounded by the batch edge count.
+        # Restricted to labels that EXIST in the store — remap's domain
+        # also covers fresh batch-node labels, which live in no stored
+        # partition and would only widen the pruned read (and desync the
+        # oracle-replayed count)
+        stored_labels = lab.select(
+            F.col("cluster_id").alias("old_label")
+        ).distinct()
         bucket_ids = sorted(
             r[0]
-            for r in remap.select(
-                F.pmod("old_label", F.lit(n_buckets)).alias("b")
-            )
+            for r in remap.join(bcast(stored_labels), "old_label")
+            .select(F.pmod("old_label", F.lit(n_buckets)).alias("b"))
             .distinct()
             .collect()
         )
+        if stats is not None:
+            # plain-modulus arithmetic — a SQL oracle replays the count
+            stats["n_touched_buckets"] = len(bucket_ids)
         changed = (
             assign_tbl.read(partition_values=bucket_ids)
             .select(F.col(node_col).alias("node"), "cluster_id")

@@ -752,57 +752,42 @@ REGISTRY.update(R4_REGISTRY)
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# ordering is a visibility decision.  Round-11 rotation (VERDICT r10 ask
-# #2): the window takes the flagship + the 4 new r11 heads, then ALL 28
-# remaining round-6-stale rows (the full list the r10 comment deferred —
-# after this round NOTHING older than round 7 remains and every registry
-# row has driver evidence from r7 or later), then the oldest ROUND-7
-# rows in alphabetical order (16 of 49) plus knn_edge_recall_dial —
-# whose reported `planes` column gained the LEAST(pl, DIAL_PMAX) clamp
-# this round (r10 ADVICE), so it re-earns fresh driver evidence — to
-# fill to 50 (the remaining 33 r7 rows —
-# dedup_simhash and dedup_minhash_lsh (each yielded its slot to a new
-# r11 dedup-maintenance head),
-# distinct_users, dm_user_login_info, embedding_pca, event_outliers_mad,
-# events_cube, events_ohlc, gopher_rules, graph_hits, hierarchy_flatten,
-# hybrid_rrf, lateral_top_orders, multimodal_features, ngram_novelty,
-# orders_grouping_sets, pagerank_sql, priority_with_returns,
-# product_visit_10s, purchasers_who_err, revenue_rollup, scalar_suite,
-# shipmode_priority, similarity_ivf, similarity_ivfpq, similarity_lsh,
-# similarity_pq_adc, top_events_global, user_last_state,
-# user_points_salted, user_type_pivot, user_value_deltas,
-# viewers_never_buy — rotate in r12).  Rotated-out queries remain
-# registered and locally gated after position 50 (tools/check_oracle.py
-# runs ALL of them at sf0.01).
+# ordering is a visibility decision.  Round-12 rotation (VERDICT r11 ask
+# #2): the window takes the flagship + the 2 new r12 heads, then ALL 33
+# remaining ROUND-7-stale rows (the full list VERDICT r11 What's-wrong
+# #1 enumerated — after this round NOTHING older than round 8 remains
+# and every registry row has driver evidence from r8 or later), then
+# the oldest ROUND-8 rows in alphabetical order (14 of 49) to fill to
+# 50.  Rotated-out queries remain registered and locally gated after
+# position 50 (tools/check_oracle.py runs ALL of them at sf0.01).
 DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
-    # new this round: flood guard engaged (decision hash-checked),
-    # bucketed stored state read partition-pruned (equality hash-checked),
-    # incremental connected components maintain==rebuild (hash-checked
-    # against the full-rebuild closure oracle) + its MERGE payload
-    # (changed-only emission hash-checked against the two-closure diff)
-    "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
-    "dedup_clusters_incremental", "dedup_clusters_upserts",
-    # stale refresh: ALL 28 remaining ROUND-6 rows
-    "events_moving_avg", "excess_share_suppliers", "forecast_revenue",
-    "idle_rich_customers", "important_part_values", "label_centroids",
-    "lang_confusion", "large_order_customers", "lm_quality_score",
-    "minhash_error_audit", "nation_market_share", "ods_union_multiplex",
-    "orders_profile", "pack_sequences_bpe", "product_profit_by_nation",
-    "promo_revenue_share", "purchase_with_state_scd2", "quality_buckets",
-    "quantity_quantiles_approx", "returned_item_revenue",
-    "similarity_ivf_sql2", "source_length_histogram",
-    "supplier_count_by_part", "supplier_revenue_share",
-    "text_hash_features", "top_revenue_supplier", "user_daily_gapfill",
-    "value_moments",
-    # stale refresh: oldest ROUND-7 rows, alphabetical head (19 of 49)
-    "active_customers_semi", "approx_distinct_users", "asof_trade_quote",
-    "basket_pairs", "big_spender_exists", "blame_last_supplier",
-    "bm25_topk", "bpe_tokenize", "browse_pipeline_e2e", "browse_wide",
-    "cdc_latest", "conversion_funnel", "count_min_audit",
-    "customers_without_orders", "daily_retention", "dedup_embedding_lsh",
-    "knn_edge_recall_dial",
+    # new this round: the bucketed stored CC assignment (partition-
+    # pruned read-out + atomic equality-delete upsert write-back,
+    # table-after-maintenance hash-checked against the full re-cluster)
+    # and the CC flood guard engaged (fraction + decision hash-checked)
+    "dedup_clusters_bucketed", "dedup_clusters_flood_guard",
+    # stale refresh: ALL 33 remaining ROUND-7 rows
+    "dedup_minhash_lsh", "dedup_simhash", "distinct_users",
+    "dm_user_login_info", "embedding_pca", "event_outliers_mad",
+    "events_cube", "events_ohlc", "gopher_rules", "graph_hits",
+    "hierarchy_flatten", "hybrid_rrf", "lateral_top_orders",
+    "multimodal_features", "ngram_novelty", "orders_grouping_sets",
+    "pagerank_sql", "priority_with_returns", "product_visit_10s",
+    "purchasers_who_err", "revenue_rollup", "scalar_suite",
+    "shipmode_priority", "similarity_ivf", "similarity_ivfpq",
+    "similarity_lsh", "similarity_pq_adc", "top_events_global",
+    "user_last_state", "user_points_salted", "user_type_pivot",
+    "user_value_deltas", "viewers_never_buy",
+    # stale refresh: oldest ROUND-8 rows, alphabetical head (14 of 49;
+    # dedup_prefix_filter deliberately included — its r12 variance fix
+    # re-earns fresh driver evidence)
+    "benford_audit", "community_modularity", "dedup_embedding",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_prefix_filter",
+    "density_clusters", "doc_lsa_sql", "dwd_cleanse", "embedding_pca_sql",
+    "events_autocorr", "events_cusum", "events_ks_drift",
+    "fuzzy_join_parts",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -858,6 +843,13 @@ REGISTRY.update(R10_REGISTRY)
 from icebergproject_spark.queries_r11 import R11_REGISTRY  # noqa: E402
 
 REGISTRY.update(R11_REGISTRY)
+
+# round-12 batch (dedup-tier scale-policy closure: bucketed stored
+# assignment partition-pruned + equality-delete upsert, CC flood guard
+# engaged) — before the reorder so the new heads can hold window slots
+from icebergproject_spark.queries_r12 import R12_REGISTRY  # noqa: E402
+
+REGISTRY.update(R12_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

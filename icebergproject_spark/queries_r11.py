@@ -36,6 +36,8 @@ standing in for the reference's Iceberg runtime partitioning.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -57,6 +59,17 @@ from icebergproject_spark.queries_r10 import INC_SPLIT_MOD, INC_SPLIT_REM
 # either way the output equals the full-rebuild oracle.
 FLOOD_THRESHOLD = 0.5
 FLOOD_THRESHOLD_PPM = 500000
+
+
+def _mkdtemp_for_run(prefix: str) -> str:
+    """Per-invocation scratch dir that OUTLIVES the call (the driver
+    collects the returned DataFrame after the query function returns,
+    so the backing table must stay readable) but not the process —
+    atexit removes it (VERDICT r11 hygiene #5: the r11 head leaked one
+    tempdir per driver invocation)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _prep_bucketed(df: DataFrame, W: list[list[int]]) -> DataFrame:
@@ -189,7 +202,7 @@ def q_ann_graph_incremental_bucketed(
     base, batch = emb.where(~is_batch), emb.where(is_batch)
     W = lsh_weights(ANN_PLANES, ANN_DIM)
 
-    wh = tempfile.mkdtemp(prefix="ann_bkt_")
+    wh = _mkdtemp_for_run("ann_bkt_")
     tbl = LakehouseTable(spark, wh, "tmp", "prepped_base")
     tbl.set_partitioning("__bucket", "identity")
     # one file per bucket dir: co-locate buckets before the partitioned
