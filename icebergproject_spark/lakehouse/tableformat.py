@@ -2093,6 +2093,13 @@ class LakehouseTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        if updates.isEmpty():
+            # no-op upsert (e.g. a replayed maintenance batch whose
+            # payload drained to nothing): commit nothing — an empty
+            # partitioned data dir would not even be re-readable.  The
+            # batch_id is deliberately NOT stamped: a replay recomputes
+            # the same empty payload, which is already idempotent.
+            return self.current_snapshot() or {}
         if self.current_snapshot() is None:
             # empty table: the upsert degenerates to a plain append (no
             # rows to hide); still batch-stamped for replay safety

@@ -1686,25 +1686,33 @@ def test_streaming_ann_graph_maintenance_e2e(spark, tmp_path):
 
 def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     """The dedup tier's streaming loop (round-11 sibling of the ANN
-    maintenance e2e): document micro-batches (file source, 3 ordered
-    batches) are appended to a lakehouse DOCS table; each batch's band
-    signatures are appended to a stored BANDS table (the
-    incremental_near_dups contract — a batch pays |batch|×bands rows,
-    never a corpus re-band); the batch-touching candidate edges
-    (incremental_lsh_candidates against the PRE-append bands) maintain
-    a stored CLUSTER assignment table via
-    connected_components_incremental(emit="updates") MERGEd on node.
-    After the drain the stored assignment is bit-equal to a cold full
-    re-cluster over the docs table's final state — streaming dedup
-    maintenance never diverges from recompute.
+    maintenance e2e, upgraded round 12 to the production storage path):
+    document micro-batches (file source, 3 ordered batches) are appended
+    to a lakehouse DOCS table; each batch's band signatures are appended
+    to a stored BANDS table (the incremental_near_dups contract — a
+    batch pays |batch|×bands rows, never a corpus re-band); the
+    batch-touching candidate edges (incremental_lsh_candidates against
+    the PRE-append bands) maintain a stored, mod-bucketed CLUSTER
+    assignment table via connected_components_incremental_bucketed
+    (apply=True) — the changed-row read-out partition-pruned, the MERGE
+    one atomic equality-delete upsert.  After the drain the stored
+    assignment is bit-equal to a cold full re-cluster over the docs
+    table's final state — streaming dedup maintenance never diverges
+    from recompute.
 
-    Replay safety, both crash windows: the sink is exactly-once without
-    an external fence — a batch replayed BEFORE its bands landed
-    recomputes an idempotent payload (the operator's replay contract,
-    test_cc_incremental_replay_is_idempotent), and one replayed AFTER
-    full commit short-circuits on the bands table's batch marker
+    Replay safety, both crash windows, WITHOUT an external fence and
+    WITHOUT in-memory sink state (ADVICE r11: routing cold-start on an
+    in-memory counter re-enters the cold branch after a driver restart;
+    here EVERY routing decision reads stored state — the bands table's
+    emptiness — and every write is idempotent: the cold-start assignment
+    lands through upsert_by_key, so a replayed batch 0 merges onto its
+    own prior attempt instead of double-appending).  A batch replayed
+    BEFORE its bands landed recomputes an idempotent payload (the
+    operator's replay contract); one replayed AFTER full commit
+    short-circuits on the bands table's batch marker
     (LakehouseTable.has_batch).  The test replays the last batch through
-    both windows and pins the state unchanged."""
+    both windows and pins the state unchanged; the driver-RESTART
+    cold-start window gets its own test below."""
     import os
     import time as time_mod
 
@@ -1713,8 +1721,9 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
     from icebergproject_spark.llm.dedup import (
         banded_signatures,
+        cc_assignment_table,
         connected_components,
-        connected_components_incremental,
+        connected_components_incremental_bucketed,
         incremental_lsh_candidates,
         minhash_lsh_candidates,
     )
@@ -1741,8 +1750,10 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     )
     docs_tbl = catalog.table("DOCS")
     bands_tbl = catalog.table("DOC_BANDS")  # (id, band, band_sig)
-    assign_tbl = catalog.table("DOC_CLUSTERS")  # (node, cluster_id)
-    state = {"batches": 0}
+    assign_tbl = cc_assignment_table(  # (node, cluster_id), mod8-bucketed
+        spark, str(tmp_path / "wh"), "testdb", "DOC_CLUSTERS", n_buckets=8
+    )
+    seen = []  # observability only — NEVER routes a decision
 
     def sink(batch, batch_id):
         bid = f"dedup-{batch_id}"
@@ -1750,31 +1761,38 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
             return  # replay after full commit: the marker short-circuits
         batch = batch.localCheckpoint(eager=True)
         bb = banded_signatures(batch).localCheckpoint(eager=True)
-        if state["batches"] == 0:
-            # cold start: no stored state — cluster the batch alone
-            assign_tbl.append(
+        if bands_tbl.current_snapshot() is None:
+            # cold start routed on STORED state (no bands ⇒ no stored
+            # clusters to maintain; an in-memory counter would reset
+            # across driver restarts — ADVICE r11): cluster the batch
+            # alone and write it idempotently (merge on node)
+            assign_tbl.upsert_by_key(
                 connected_components(
                     minhash_lsh_candidates(batch),
                     nodes=batch.select("doc_id"),
                     node_col="doc_id",
-                )
+                ),
+                ["node"],
+                batch_id=f"{bid}-assign",
             )
         else:
             edges = incremental_lsh_candidates(bb, bands_tbl.read())
-            ups = connected_components_incremental(
-                assign_tbl.read(),
+            connected_components_incremental_bucketed(
+                assign_tbl,
                 edges,
                 new_nodes=batch.select(F.col("doc_id").alias("node")),
-                emit="updates",
+                n_buckets=8,
+                apply=True,
+                batch_id=f"{bid}-assign",
             )
-            assign_tbl.merge(ups, key_cols=["node"])
         docs_tbl.idempotent_append(batch, bid)
         # bands LAST: its batch marker is the commit token — a crash
         # anywhere earlier replays into idempotent writes (docs skips on
-        # its own marker, the MERGE payload recomputes identically);
-        # once bands lands, the has_batch guard above skips the batch
+        # its own marker, the cold-start upsert merges onto itself, the
+        # maintenance payload recomputes empty against the already-
+        # merged store); once bands lands, the guard above skips
         bands_tbl.idempotent_append(bb, bid)
-        state["batches"] += 1
+        seen.append(batch_id)
 
     stream = (
         spark.readStream.schema(schema)
@@ -1789,7 +1807,7 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     )
     q.awaitTermination()
 
-    assert state["batches"] == 3
+    assert seen == [0, 1, 2]
     final_docs = docs_tbl.read()
     assert final_docs.count() == len(docs)
     maintained = {
@@ -1806,33 +1824,131 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     assert maintained == cold
 
     # replay window 1 — after full commit: the has_batch token
-    # short-circuits (state counter untouched proves the early return)
+    # short-circuits (seen untouched proves the early return)
     last = spark.createDataFrame(
         [(r.doc_id, r.text) for r in docs if r.doc_id % 3 == 2], schema
     )
     sink(last, 2)
-    assert state["batches"] == 3
+    assert seen == [0, 1, 2]
     # replay window 2 — crash before the bands token landed: the retry
-    # re-runs the MERGE path against the already-merged assignment.  Re-
-    # deriving edges from the post-commit bands is a SUPERSET of what
-    # that retry would see (the operator's replay contract covers both):
-    # the payload must be a no-op either way
+    # re-runs the pruned MERGE path against the already-merged
+    # assignment.  Re-deriving edges from the post-commit bands is a
+    # SUPERSET of what that retry would see (the operator's replay
+    # contract covers both): the payload must drain to nothing and the
+    # applied upsert must be a no-op either way
     from icebergproject_spark.llm.dedup import (
         banded_signatures as _bs,
-        connected_components_incremental as _cci,
         incremental_lsh_candidates as _ilc,
     )
 
-    ups = _cci(
-        assign_tbl.read(),
+    ups = connected_components_incremental_bucketed(
+        assign_tbl,
         _ilc(_bs(last), bands_tbl.read()),
         new_nodes=last.select(F.col("doc_id").alias("node")),
-        emit="updates",
+        n_buckets=8,
+        apply=True,
     )
-    assign_tbl.merge(ups, key_cols=["node"])
+    assert ups.count() == 0
     replayed = {r.node: r.cluster_id for r in assign_tbl.read().collect()}
     assert replayed == cold
     assert docs_tbl.read().count() == len(docs)
+
+
+def test_streaming_dedup_cold_start_survives_driver_restart(spark, tmp_path):
+    """The exact hole ADVICE r11 flagged, pinned: batch 0 commits its
+    assignment but CRASHES before the bands marker lands, then the
+    driver RESTARTS (all in-memory sink state gone) and Structured
+    Streaming replays batch 0.  Because routing reads the bands table
+    (still empty) and the cold-start write is an idempotent merge on
+    node, the replay converges to a single copy; batch 1 then routes
+    through the maintenance path and the final state equals a cold
+    re-cluster.  With counter-based routing + plain append this replay
+    double-appended batch 0 and clustered batch 1 alone."""
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.llm.dedup import (
+        banded_signatures,
+        cc_assignment_table,
+        connected_components,
+        connected_components_incremental_bucketed,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .collect()
+    )
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in docs if r.doc_id % 2 == 0], schema
+    )
+    b1 = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in docs if r.doc_id % 2 == 1], schema
+    )
+    catalog = LakehouseCatalog(
+        spark, warehouse=str(tmp_path / "wh"), db="testdb"
+    )
+    docs_tbl = catalog.table("DOCS")
+    bands_tbl = catalog.table("DOC_BANDS")
+    assign_tbl = cc_assignment_table(
+        spark, str(tmp_path / "wh"), "testdb", "DOC_CLUSTERS", n_buckets=8
+    )
+
+    def sink(batch, batch_id, crash_before_bands=False):
+        bid = f"dedup-{batch_id}"
+        if bands_tbl.has_batch(bid):
+            return
+        batch = batch.localCheckpoint(eager=True)
+        bb = banded_signatures(batch).localCheckpoint(eager=True)
+        if bands_tbl.current_snapshot() is None:
+            assign_tbl.upsert_by_key(
+                connected_components(
+                    minhash_lsh_candidates(batch),
+                    nodes=batch.select("doc_id"),
+                    node_col="doc_id",
+                ),
+                ["node"],
+                batch_id=f"{bid}-assign",
+            )
+        else:
+            edges = incremental_lsh_candidates(bb, bands_tbl.read())
+            connected_components_incremental_bucketed(
+                assign_tbl,
+                edges,
+                new_nodes=batch.select(F.col("doc_id").alias("node")),
+                n_buckets=8,
+                apply=True,
+                batch_id=f"{bid}-assign",
+            )
+        if crash_before_bands:
+            return  # simulated crash: docs + bands never land
+        docs_tbl.idempotent_append(batch, bid)
+        bands_tbl.idempotent_append(bb, bid)
+
+    # attempt 1 commits the cold-start assignment, then the driver dies
+    sink(b0, 0, crash_before_bands=True)
+    n0 = b0.count()
+    assert assign_tbl.read().count() == n0
+    # restart: no in-memory state survives; the stream replays batch 0
+    sink(b0, 0)
+    assert assign_tbl.read().count() == n0  # merged, not double-appended
+    sink(b1, 1)  # routes through MAINTENANCE (bands now non-empty)
+    final_docs = docs_tbl.read()
+    assert final_docs.count() == len(docs)
+    maintained = {r.node: r.cluster_id for r in assign_tbl.read().collect()}
+    cold = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            minhash_lsh_candidates(final_docs),
+            nodes=final_docs.select("doc_id"),
+            node_col="doc_id",
+        ).collect()
+    }
+    assert maintained == cold
 
 
 def test_streaming_ann_pagerank_chained_e2e(spark, tmp_path):
