@@ -92,6 +92,11 @@ _TRANSFORMS = {
 #: the partition-local decision itself must be hash-checkable.
 _PARAM_TRANSFORM = re.compile(r"(bucket|mod)(\d+)")
 
+#: partition values whose directory-name rendering is escape-free
+#: (read()'s O(touched)-listing fast path; anything else falls back to
+#: full partition discovery + filter)
+_SAFE_PARTITION_VALUE = re.compile(r"[A-Za-z0-9_.\-]+")
+
 
 def _transform_fn(name: str):
     """Resolve a transform name (fixed table or parametric family) to a
@@ -1741,9 +1746,40 @@ class LakehouseTable:
             # (or no) spec gets the equivalent residual row filter —
             # identical semantics, it just can't skip directories.
             vals = list(partition_values) if partition_values is not None else None
+            # the O(touched)-listing fast path matches wanted values to
+            # __p=<value> directory names literally; Spark URL-escapes
+            # special characters when writing dir names, so only values
+            # whose rendering is provably escape-free qualify (ints and
+            # day/month strings — every bucket/mod/day partition).  An
+            # unsafe value falls back to full discovery + filter: slower,
+            # never wrong.
+            safe_vals = vals is not None and all(
+                _SAFE_PARTITION_VALUE.fullmatch(str(v)) for v in vals
+            )
             parts = []
             for d in data_dirs:
-                p = self.spark.read.parquet(d)
+                if safe_vals and self._dir_spec(d) == spec:
+                    # manifest-style O(touched) listing: ONLY the wanted
+                    # __p= subdirectories are handed to the scan — the
+                    # reader never lists (let alone plans over) the other
+                    # partitions' files, matching Iceberg's manifest
+                    # pruning.  (Before r12 this read the whole
+                    # partitioned root and let Catalyst prune — correct,
+                    # but partition DISCOVERY still listed every
+                    # directory, a planning-time O(partitions) tax the
+                    # cc probe measured at ~0.5 s per read at 256
+                    # buckets.)  The residual isin filter keeps the
+                    # PartitionFilters plan guarantee and exactness.
+                    subs = [
+                        os.path.join(d, f"__p={v}")
+                        for v in vals
+                        if os.path.isdir(os.path.join(d, f"__p={v}"))
+                    ]
+                    if not subs:
+                        continue  # this dir holds none of the wanted values
+                    p = self.spark.read.option("basePath", d).parquet(*subs)
+                else:
+                    p = self.spark.read.parquet(d)
                 if drops[d]:
                     p = p.drop(*drops[d])
                 if renames[d]:
@@ -1759,6 +1795,19 @@ class LakehouseTable:
                 if "__p" in p.columns:
                     p = p.drop("__p")
                 parts.append(p)
+            if not parts:
+                # every wanted value was absent from every dir: an empty
+                # result under the live schema (one full-dir plan,
+                # emptied by a false filter — never evaluated eagerly)
+                d0 = data_dirs[0]
+                p = self.spark.read.parquet(d0).filter(F.lit(False))
+                if drops[d0]:
+                    p = p.drop(*drops[d0])
+                if renames[d0]:
+                    p = p.withColumnsRenamed(renames[d0])
+                if need_addr:
+                    p = self._address(p)
+                parts = [p.drop("__p") if "__p" in p.columns else p]
             df = parts[0]
             for p in parts[1:]:
                 # allowMissingColumns = additive schema evolution: rows

@@ -334,6 +334,88 @@ def incremental_lsh_candidates(
     )
 
 
+def bands_table(
+    spark,
+    warehouse: str,
+    db: str,
+    name: str,
+    bands: DataFrame | None = None,
+    n_buckets: int = 4096,
+):
+    """Create (and optionally seed) the BUCKETED stored-bands table —
+    hidden-partitioned ``bucket{n_buckets}(band_sig)`` (xxhash64, the
+    Iceberg bucket[N] shape) so :func:`incremental_lsh_candidates_bucketed`
+    can read only the signature buckets a batch actually hashes into.
+    The bucket width should comfortably exceed a batch's distinct
+    signature count (|batch| × bands): pruning reads ≤ that many
+    directories however large the corpus grows.  Seeded one file per
+    occupied bucket (the co-locating repartition below — same 100 TB
+    layout lesson as :func:`cc_assignment_table`)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    tbl = LakehouseTable(spark, warehouse, db, name)
+    tbl.set_partitioning("band_sig", f"bucket{n_buckets}")
+    if bands is not None:
+        tbl.append(
+            bands.repartition(
+                F.pmod(F.xxhash64("band_sig"), F.lit(n_buckets))
+            )
+        )
+    return tbl
+
+
+def incremental_lsh_candidates_bucketed(
+    batch_bands: DataFrame, bands_tbl, n_buckets: int = 4096
+) -> DataFrame:
+    """:func:`incremental_lsh_candidates` against a BUCKETED stored-bands
+    lakehouse table (from :func:`bands_table`): identical output, but the
+    stored side is read partition-pruned — the batch's band signatures
+    hash to a bounded set of buckets (≤ |batch| × bands of
+    ``n_buckets``), and only those directories are listed into the scan
+    (planning-time O(touched), PartitionFilters — pinned in
+    tests/test_llm.py).  This closes the LAST O(corpus) touch in the
+    dedup maintenance read path: with it, a batch costs O(batch) banding
+    + O(touched-bucket) edge probe + O(touched-label-bucket) relabel
+    read + O(payload) equality-delete upsert — nothing scales with the
+    corpus except the one narrow node→label probe.
+
+    Exactness: a stored row can only join a batch row if they share
+    ``band_sig``, every such row hashes into a touched bucket, and rows
+    outside touched buckets match nothing — the pruned relation is a
+    superset of the join's stored-side support."""
+    nb = batch_bands.select(
+        F.col("id").alias("nid"), "band", "band_sig"
+    ).localCheckpoint(eager=True)  # bucket-id collect + both joins reuse it
+    bucket_ids = sorted(
+        r[0]
+        for r in nb.select(
+            F.pmod(F.xxhash64("band_sig"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    stored = bands_tbl.read(partition_values=bucket_ids)
+    hist = stored.join(F.broadcast(nb), ["band", "band_sig"]).filter(
+        F.col("id") != F.col("nid")
+    )
+    n2 = nb.select(F.col("nid").alias("nid2"), "band", "band_sig")
+    intra = nb.join(F.broadcast(n2), ["band", "band_sig"]).filter(
+        F.col("nid") < F.col("nid2")
+    )
+    return (
+        hist.select(
+            F.least("id", "nid").alias("id_a"),
+            F.greatest("id", "nid").alias("id_b"),
+        )
+        .union(
+            intra.select(
+                F.col("nid").alias("id_a"), F.col("nid2").alias("id_b")
+            )
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     content_col: str = "text",
@@ -2233,27 +2315,41 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    # intersection size per candidate pair: expand a's token set, then
-    # equi-join on (id_b, token) — each pair costs O(|a| + matches),
-    # never the |a|×|b| cross of the two lists
-    inter = (
-        cand.join(toks.select(F.col("id").alias("id_a"), "token"), "id_a")
-        .join(
-            toks.select(F.col("id").alias("id_b"), "token"),
-            ["id_b", "token"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_count"))
+    # intersection size per candidate pair: PPJoin-style SORTED-LIST
+    # verification — each doc's distinct tokens become ONE sorted array,
+    # each candidate pair fetches the two arrays by key and intersects
+    # them JVM-side (array_intersect, whole-stage codegen).  This
+    # replaced the r8–r11 expand-and-regroup verify (cand ⨝ a-tokens ⨝
+    # b-tokens → groupBy), whose candidates × |doc| intermediate (34M
+    # rows at sf0.1) was the head's dominant stage AND its variance
+    # source (8.4 s ±40% run-to-run from AQE/GC on the expansion
+    # shuffle; the array verify measures ~3× faster with the spread
+    # collapsed — SCALE.md §r12).  Scale shape: two hash joins keyed on
+    # doc id (the array relation shuffles at most once, O(corpus
+    # tokens) — the same volume the index pass already paid, never
+    # candidates × doc size) and a per-row merge of two sorted lists.
+    doc_toks = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("token")).alias("ts"),
+        F.count(F.lit(1)).alias("n"),
     )
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+        cand.join(
+            doc_toks.select(
+                F.col("id").alias("id_a"),
+                F.col("ts").alias("ta"),
+                F.col("n").alias("na"),
+            ),
             "id_a",
         )
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+            doc_toks.select(
+                F.col("id").alias("id_b"),
+                F.col("ts").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
             "id_b",
         )
+        .withColumn("inter_count", F.size(F.array_intersect("ta", "tb")))
         .filter(
             100 * F.col("inter_count")
             >= threshold_pct * (F.col("na") + F.col("nb") - F.col("inter_count"))

@@ -1089,6 +1089,36 @@ def test_cc_incremental_bucketed_maintains_stored_table(spark, tmp_path):
     assert reb.count() == 0  # already merged — rebuild also emits nothing
 
 
+def test_incremental_lsh_candidates_bucketed_equal_and_pruned(
+    spark, sf_dir, tmp_path
+):
+    """The bucketed stored-bands generator returns EXACTLY the flat
+    generator's edges (the pruned stored relation is a superset of the
+    join's support) and its stored-side scan is partition-pruned at
+    planning time (PartitionFilters on __p) — closing the last O(corpus)
+    touch in the dedup maintenance read path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_b = F.col("doc_id") % 13 == 0
+    bb = dedup.banded_signatures(docs.where(is_b))
+    stored_flat = dedup.banded_signatures(docs.where(~is_b))
+    tbl = dedup.bands_table(
+        spark, str(tmp_path), "db", "bands", bands=stored_flat, n_buckets=512
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.incremental_lsh_candidates(bb, stored_flat).collect(),
+        )
+    )
+    got_df = dedup.incremental_lsh_candidates_bucketed(bb, tbl, n_buckets=512)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__p" in plan.split("PartitionFilters", 1)[1][:200]
+    assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
+
+
 def test_cc_incremental_bucketed_rejects_wrong_layout(spark, tmp_path):
     """A mis-partitioned assignment table is refused up front — silently
     falling back to unpruned scans would defeat the operator's contract."""

@@ -110,7 +110,11 @@ def _count(plan: str, node: str) -> int:
         ("pagerank_sql", 0, 0),
         ("pagerank_delta", 2, 0),
         ("graph_hits", 2, 0),
-        ("dedup_prefix_filter", 0, 9),
+        # r12 recalibration: the PPJoin-style sorted-array verify swaps
+        # the expand-and-regroup stage (2 broadcast joins + a 34M-row
+        # groupBy at sf0.1 — the head's variance source) for ONE
+        # collect_list groupBy shuffle + 2 keyed joins
+        ("dedup_prefix_filter", 1, 7),
         ("hll_audit", 2, 3),
         ("hdr_quantiles", 3, 4),
         ("lm_bigram_score", 2, 3),
