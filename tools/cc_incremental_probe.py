@@ -253,10 +253,14 @@ def main_flood() -> None:
     )
     for n in ns:
         base = _replicate(spark, one, n, f"{WORK}/corpus_{n}x")
-        # re-crawl: 60% of stored docs reappear verbatim under new ids
+        # re-crawl: 60% of stored docs reappear verbatim under NEGATIVE
+        # ids — every twin pair's min node is the BATCH doc, so every
+        # touched stored cluster must relabel (the hardest write-back:
+        # remap and changed-row payload are both ~0.6·|corpus|, the
+        # regime where broadcasting batch-derived state stops paying)
         batch_path = f"{WORK}/flood_batch_{n}x"
         base.filter(F.col("doc_id") % 5 < 3).select(
-            (F.col("doc_id") + 100 * OFFSET).alias("doc_id"), "text"
+            (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
         ).write.mode("overwrite").parquet(batch_path)
         batch = spark.read.parquet(batch_path)
 
