@@ -194,9 +194,13 @@ BENCH_QUERIES = [
     # its oracle-checked MERGE payload (changed-only emission)
     "dedup_clusters_incremental",
     "dedup_clusters_upserts",
+    # round-12 heads: bucketed stored CC assignment (pruned read +
+    # equality-delete upsert), CC flood guard engaged
+    "dedup_clusters_bucketed",
+    "dedup_clusters_flood_guard",
 ]
 
-# the exact query set BENCH_r09 reported (118 queries) — the
+# the query set the PREVIOUS round's bench reported — the
 # round-over-round continuity baseline. Totals across DIFFERENT sets
 # mislead (the set grows every round), so the output splits the
 # prev-round-comparable subtotal from the genuinely new queries'
@@ -204,9 +208,8 @@ BENCH_QUERIES = [
 PREV_ROUND_QUERIES = {
     q for q in BENCH_QUERIES
     if q not in (
-        # entered the bench in round 11
-        "ann_graph_flood_guard", "ann_graph_incremental_bucketed",
-        "dedup_clusters_incremental", "dedup_clusters_upserts",
+        # entered the bench in round 12
+        "dedup_clusters_bucketed", "dedup_clusters_flood_guard",
     )
 }
 
@@ -216,6 +219,12 @@ PREV_ROUND_QUERIES = {
 # Round 4: none — corpus_pipeline_e2e kept its v2 (r3) semantics; the
 # new scale-mode defaults (global_shuffle/curriculum_bins) produce
 # byte-identical output and enter the bench as NEW rows.
+# Round 12: outputs unchanged everywhere, but two heads' COST model
+# changed deliberately (SCALE.md §r12) — compare per-query, not in the
+# subtotal: dedup_prefix_filter (PPJoin array verify replaced the
+# 34M-row expand-and-regroup; expect ~12s → ~7s and a tighter spread),
+# ann_graph_incremental_multi (fixture-fingerprinted stored prev state;
+# expect ~19.5s → ~8-11s warm).
 SEMANTICS_CHANGED: set[str] = set()
 
 

@@ -31,6 +31,7 @@ def upsert_dims(
     dim_records: DataFrame,
     config_rows: list[dict],
     op_col: str = "type",
+    write_mode: str = "merge",
 ) -> dict[str, int]:
     """K6: for each configured dim table, MERGE its records.
 
@@ -39,8 +40,19 @@ def upsert_dims(
     of payload columns — the same metadata Phoenix DDL was generated from
     (DimDataToHBase.scala:79-93).
 
+    ``write_mode``: ``"merge"`` (copy-on-write MERGE — reads and
+    rewrites the dim table) or ``"upsert"``
+    (:meth:`LakehouseTable.upsert_by_key` — one equality-delete + data
+    file commit, O(batch) write cost regardless of dim size).  The
+    upsert mode is the faithful COST shape of the reference's Phoenix
+    sink (key-addressed upserts, never a table rewrite,
+    dim/DimDataToHBase.scala:100-110); identical final state
+    (pytest-pinned), read debt folded by compaction.
+
     Returns {sink_table: rows merged}.
     """
+    if write_mode not in ("merge", "upsert"):
+        raise ValueError("write_mode must be 'merge' or 'upsert'")
     live = filter_upsert_ops(dim_records, op_col)
     out: dict[str, int] = {}
     for cfg in config_rows:
@@ -50,7 +62,11 @@ def upsert_dims(
         n = payload.count()
         if n == 0:
             continue
-        catalog.table(cfg["sink_tbl_name"]).merge(payload, [cfg["pk_col"]])
+        tbl = catalog.table(cfg["sink_tbl_name"])
+        if write_mode == "upsert" and tbl.current_snapshot() is not None:
+            tbl.upsert_by_key(payload, [cfg["pk_col"]])
+        else:
+            tbl.merge(payload, [cfg["pk_col"]])
         out[cfg["sink_tbl_name"]] = n
     return out
 

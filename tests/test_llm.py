@@ -1119,6 +1119,58 @@ def test_incremental_lsh_candidates_bucketed_equal_and_pruned(
     assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
 
 
+def test_cc_bucketed_upsert_debt_folds_and_stays_pruned(spark, tmp_path):
+    """The read-debt lifecycle of the bucketed assignment under repeated
+    equality-delete upserts: after several maintenance batches the table
+    carries one eq-delete entry per batch (one broadcast anti-join per
+    read); maintenance (compact) folds them ALL into rewritten data, the
+    state is byte-identical, and — because _write_data re-applies the
+    partition spec — the compacted layout still partition-prunes
+    (PartitionFilters after compaction)."""
+    base_edges = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 9, 10, 11, 20, 21]], ["node"]
+    )
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    tbl = dedup.cc_assignment_table(
+        spark, str(tmp_path), "db", "assign", assign=stored, n_buckets=4
+    )
+    batches = [
+        spark.createDataFrame([(2, 10)], "id_a long, id_b long"),
+        spark.createDataFrame([(0, 20)], "id_a long, id_b long"),
+        spark.createDataFrame([(11, 21)], "id_a long, id_b long"),
+    ]
+    all_edges = base_edges
+    for i, e in enumerate(batches):
+        dedup.connected_components_incremental_bucketed(
+            tbl, e, n_buckets=4, apply=True, batch_id=f"b{i}"
+        )
+        all_edges = all_edges.union(e)
+    all_nodes = base_nodes.union(spark.createDataFrame([(0,)], ["node"]))
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components(all_edges, nodes=all_nodes).collect(),
+        )
+    )
+    assert len(tbl.current_snapshot()["eq_delete_dirs"]) == 3
+    before = sorted(map(tuple, tbl.read().select("node", "cluster_id").collect()))
+    assert before == want
+    # fragmented + eq-debt → the maintenance policy compacts, folding
+    # every equality delete into the rewritten data
+    res = tbl.maintain(max_data_dirs=2, max_eq_delete_files=1)
+    assert res is not None and res["action"] == "compact"
+    assert tbl.current_snapshot().get("eq_delete_dirs", []) == []
+    after = sorted(map(tuple, tbl.read().select("node", "cluster_id").collect()))
+    assert after == want
+    # the compacted dir still carries the spec: pruned reads keep their
+    # planning-time PartitionFilters guarantee
+    pruned = tbl.read(partition_values=[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert {r.cluster_id % 4 for r in pruned.collect()} <= {0}
+
+
 def test_cc_incremental_bucketed_rejects_wrong_layout(spark, tmp_path):
     """A mis-partitioned assignment table is refused up front — silently
     falling back to unpruned scans would defeat the operator's contract."""

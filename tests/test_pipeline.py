@@ -105,6 +105,48 @@ def test_dim_upsert_and_merge(spark, cdc, routing_config, tmp_path):
     assert len(t2) == 1 and t2[0].member_level == "platinum"
 
 
+def test_dim_upsert_write_mode_upsert_same_state_o_batch_cost(
+    spark, cdc, routing_config, tmp_path
+):
+    """write_mode='upsert' (the Phoenix-parity COST shape: one
+    equality-delete + data file commit per batch, O(batch), no table
+    rewrite) lands the IDENTICAL final dim state as the copy-on-write
+    MERGE — and the update batch provably did not rewrite the seed data
+    dir (the prior dirs survive in the new snapshot)."""
+    catalog = LakehouseCatalog(spark, warehouse=str(tmp_path), db="testdb")
+    biz = parse_cdc_stream(cdc)
+    dim, _ = route_cdc(biz, routing_config)
+    cfg = [{
+        "tbl_name": "mc_member_info", "tbl_db": "lakehousedb", "pk_col": "user_id",
+        "cols": "id,user_id,member_level,member_points,balance,member_growth_score,gmt_create",
+        "sink_tbl_name": "DIM_MEMBER_UPS",
+    }]
+    assert upsert_dims(catalog, dim, cfg, write_mode="upsert") == {
+        "DIM_MEMBER_UPS": 1
+    }
+    t = catalog.table("DIM_MEMBER_UPS")
+    before = t.current_snapshot()
+    upd = spark.createDataFrame(
+        [("lakehousedb", "mc_member_info", "update", "9",
+          {"id": "1", "user_id": "uid185880", "member_level": "platinum",
+           "member_points": "150", "balance": "99", "member_growth_score": "9",
+           "gmt_create": "1645019079851"})],
+        "database string, table string, type string, ts string, data map<string,string>",
+    )
+    upsert_dims(catalog, upd, cfg, write_mode="upsert")
+    after = t.current_snapshot()
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].member_level == "platinum"
+    # O(batch): the seed dirs were NOT rewritten, the update commit only
+    # added one data dir + one equality-delete entry
+    assert set(before["data_dirs"]) < set(after["data_dirs"])
+    assert len(after["eq_delete_dirs"]) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_dims(catalog, upd, cfg, write_mode="phoenix")
+
+
 def test_dws_user_login_wide_null_attrs(spark):
     login = spark.createDataFrame(
         [("uid185880", "1.2.3.4", "2022-03-08 12:03:20", "1970-01-01 00:00:00"),
