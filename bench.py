@@ -195,9 +195,11 @@ BENCH_QUERIES = [
     "dedup_clusters_incremental",
     "dedup_clusters_upserts",
     # round-12 heads: bucketed stored CC assignment (pruned read +
-    # equality-delete upsert), CC flood guard engaged
+    # equality-delete upsert), CC flood guard engaged, zero-full-scan
+    # store (node-bucketed probe + spill-index changed-scan)
     "dedup_clusters_bucketed",
     "dedup_clusters_flood_guard",
+    "dedup_clusters_stored",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -210,6 +212,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         # entered the bench in round 12
         "dedup_clusters_bucketed", "dedup_clusters_flood_guard",
+        "dedup_clusters_stored",
     )
 }
 

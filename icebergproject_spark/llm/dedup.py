@@ -1604,6 +1604,239 @@ def connected_components_incremental_bucketed(
     return payload
 
 
+class CCStore:
+    """Handle for the FULLY-PRUNED stored-assignment layout (see
+    :func:`cc_assignment_store`): ``assign`` partitioned
+    ``mod{n}(node)``, ``index`` — the (cluster_id, node_bucket) spill
+    index — partitioned ``mod{n}(cluster_id)``."""
+
+    def __init__(self, assign_tbl, index_tbl, n_buckets: int):
+        self.assign = assign_tbl
+        self.index = index_tbl
+        self.n_buckets = n_buckets
+
+
+def cc_assignment_store(
+    spark,
+    warehouse: str,
+    db: str,
+    name: str,
+    assign: DataFrame | None = None,
+    node_col: str = "node",
+    n_buckets: int = 16,
+) -> CCStore:
+    """Create (and optionally seed) the ZERO-FULL-SCAN assignment layout
+    — the r12 capstone that removes the one O(corpus) read the
+    cluster_id-bucketed layout still paid (the node→label probe):
+
+    - ``<name>_assign`` (node, cluster_id), hidden-partitioned
+      ``mod{n_buckets}(node)``.  The probe prunes: touched-node buckets
+      are computable from the batch alone (mod of the node ids).  And
+      because a node's id never changes, upserted rows NEVER migrate
+      partitions — the right partition key for an update-heavy table.
+    - ``<name>_labelidx`` (cluster_id, node_bucket), hidden-partitioned
+      ``mod{n_buckets}(cluster_id)`` — the SPILL INDEX: one row per
+      (cluster, node-bucket) pair where a member lives OUTSIDE the
+      cluster label's own bucket.  Singleton clusters (the near-dup
+      corpus's overwhelming majority — label == node) need no row, so
+      the index is O(non-singleton cross-bucket memberships), tiny
+      relative to the assignment.  The changed-row read-out prunes to
+      {mod(old_label)} ∪ index[old_label].
+
+    Invariant (correctness-critical, superset-safe): for every
+    assignment row (node, c) with mod(node) ≠ mod(c), the index holds
+    (c, mod(node)).  EXTRA index rows only widen a pruned read (never
+    wrong); MISSING rows would under-read — which is why
+    :func:`connected_components_incremental_stored` appends new index
+    rows BEFORE the assignment upsert and deletes dead labels last."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    a_tbl = LakehouseTable(spark, warehouse, db, f"{name}_assign")
+    a_tbl.set_partitioning(node_col, f"mod{n_buckets}")
+    i_tbl = LakehouseTable(spark, warehouse, db, f"{name}_labelidx")
+    i_tbl.set_partitioning("cluster_id", f"mod{n_buckets}")
+    if assign is not None:
+        a = assign.select(F.col(node_col).alias(node_col), "cluster_id")
+        a_tbl.append(a.repartition(F.pmod(node_col, F.lit(n_buckets))))
+        idx = (
+            a.select(
+                "cluster_id",
+                F.pmod(node_col, F.lit(n_buckets)).alias("node_bucket"),
+            )
+            .where(
+                F.pmod(node_col, F.lit(n_buckets))
+                != F.pmod("cluster_id", F.lit(n_buckets))
+            )
+            .distinct()
+        )
+        if not idx.isEmpty():
+            i_tbl.append(
+                idx.repartition(F.pmod("cluster_id", F.lit(n_buckets)))
+            )
+    return CCStore(a_tbl, i_tbl, n_buckets)
+
+
+def connected_components_incremental_stored(
+    store: CCStore,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    new_nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 30,
+    driver_threshold: int = 2_000_000,
+    apply: bool = False,
+    batch_id: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental connected components with EVERY stored read
+    partition-pruned — no O(corpus) scan anywhere in the maintenance
+    path (the cluster_id-bucketed variant still full-scanned the
+    assignment once for the node→label probe; SCALE.md §r12 named that
+    the remaining residual, this closes it):
+
+    1. PROBE — touched nodes' buckets are mod(node) of the batch's own
+       ids (O(batch) driver state, no lookup needed); read ONLY those
+       assignment partitions, join the broadcast touched set.
+    2. CONTRACTION — unchanged O(batch) algebra (shared helpers).
+    3. CHANGED-ROW READ-OUT — the relabeled clusters' members live in
+       {mod(old_label)} ∪ spill-index[old_label]; the index itself is
+       read pruned on mod(old_label) partitions.  Exact while the index
+       invariant holds (superset-safe: stale extra rows only widen the
+       read).
+    4. WRITE-BACK (``apply=True``) — three commits in
+       crash-safe order: index APPEND first (a crash after it leaves a
+       harmless superset), assignment equality-delete upsert second,
+       index delete of the now-dead labels last (dead labels can never
+       be minted again — labels are component minima and only merge
+       downward, so a missed cleanup is garbage, not corruption).
+       ``batch_id`` short-circuits a fully-committed replay via the
+       assignment's commit token; a partial replay recomputes an empty
+       payload (the operator's idempotence contract).
+
+    Returns the MERGE payload (changed stored rows + batch rows).
+    ``stats`` receives ``n_probe_buckets`` / ``n_changed_buckets`` —
+    both replayable in SQL (plain mod arithmetic), shipped at oracle
+    strength by the registered head ``dedup_clusters_stored``."""
+    n = store.n_buckets
+    bcast = F.broadcast
+    if (
+        apply
+        and batch_id is not None
+        and store.assign.current_snapshot() is not None
+        and store.assign.has_batch(batch_id)
+    ):
+        # fully-committed replay: empty payload, no writes (limit(0)
+        # never scans — the read is only a schema source)
+        return store.assign.read().select(node_col, "cluster_id").limit(0)
+    e = (
+        new_edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    eps = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    touched = (
+        eps
+        if new_nodes is None
+        else eps.union(new_nodes.select(F.col(node_col).alias("node"))).distinct()
+    ).localCheckpoint(eager=True)
+    probe_buckets = sorted(
+        r[0]
+        for r in touched.select(F.pmod("node", F.lit(n)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    a_t = store.assign.read(partition_values=probe_buckets).select(
+        F.col(node_col).alias("node"), "cluster_id"
+    )
+    lab = (
+        a_t.join(bcast(touched), "node")
+        .select("node", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    remap = _cc_inc_remap(e, lab, bcast, max_iter, driver_threshold)
+    stored_labels = lab.select(
+        F.col("cluster_id").alias("old_label")
+    ).distinct()
+    remap_stored = remap.join(bcast(stored_labels), "old_label").localCheckpoint(
+        eager=True
+    )
+    old_label_buckets = sorted(
+        r[0]
+        for r in remap_stored.select(F.pmod("old_label", F.lit(n)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if old_label_buckets:
+        idx_rows = (
+            store.index.read(partition_values=old_label_buckets)
+            .join(
+                bcast(remap_stored.select(F.col("old_label").alias("cluster_id"))),
+                "cluster_id",
+            )
+            if store.index.current_snapshot() is not None
+            else None
+        )
+        spill = (
+            sorted(
+                r[0]
+                for r in idx_rows.select("node_bucket").distinct().collect()
+            )
+            if idx_rows is not None
+            else []
+        )
+        changed_buckets = sorted(set(old_label_buckets) | set(spill))
+        changed = (
+            store.assign.read(partition_values=changed_buckets)
+            .select(F.col(node_col).alias("node"), "cluster_id")
+            .join(bcast(remap_stored), F.col("cluster_id") == F.col("old_label"))
+            .select("node", F.col("root").alias("cluster_id"))
+        )
+    else:
+        changed_buckets = []
+        changed = lab.limit(0).select("node", "cluster_id")
+    if stats is not None:
+        stats["n_probe_buckets"] = len(probe_buckets)
+        stats["n_changed_buckets"] = len(changed_buckets)
+    payload = changed.union(_cc_inc_fresh_out(touched, lab, remap, bcast))
+    if node_col != "node":
+        payload = payload.withColumnRenamed("node", node_col)
+    if apply:
+        payload = payload.localCheckpoint(eager=True)
+        # (1) index append FIRST — superset-safe crash window
+        new_idx = (
+            payload.select(
+                "cluster_id",
+                F.pmod(node_col, F.lit(n)).alias("node_bucket"),
+            )
+            .where(
+                F.pmod(node_col, F.lit(n))
+                != F.pmod("cluster_id", F.lit(n))
+            )
+            .distinct()
+        )
+        if not new_idx.isEmpty():
+            # upsert on the composite key (not plain append) so rows a
+            # surviving root already owns don't accumulate as duplicates
+            store.index.upsert_by_key(new_idx, ["cluster_id", "node_bucket"])
+        # (2) the assignment upsert — the batch's commit token
+        store.assign.upsert_by_key(payload, [node_col], batch_id=batch_id)
+        # (3) dead-label index cleanup LAST (roots are never in the key
+        # set, so the just-appended rows survive)
+        if old_label_buckets and store.index.current_snapshot() is not None:
+            store.index.delete_by_key(
+                remap_stored.select(F.col("old_label").alias("cluster_id")),
+                ["cluster_id"],
+            )
+    return payload
+
+
 def cc_assignment_table(
     spark,
     warehouse: str,

@@ -765,9 +765,12 @@ DRIVER_WINDOW = [
     "user_points",
     # new this round: the bucketed stored CC assignment (partition-
     # pruned read-out + atomic equality-delete upsert write-back,
-    # table-after-maintenance hash-checked against the full re-cluster)
-    # and the CC flood guard engaged (fraction + decision hash-checked)
+    # table-after-maintenance hash-checked against the full re-cluster),
+    # the CC flood guard engaged (fraction + decision hash-checked), and
+    # the zero-full-scan store (node-bucketed probe + spill-index
+    # changed-scan, BOTH pruning widths hash-checked)
     "dedup_clusters_bucketed", "dedup_clusters_flood_guard",
+    "dedup_clusters_stored",
     # stale refresh: ALL 33 remaining ROUND-7 rows
     "dedup_minhash_lsh", "dedup_simhash", "distinct_users",
     "dm_user_login_info", "embedding_pca", "event_outliers_mad",
@@ -780,14 +783,13 @@ DRIVER_WINDOW = [
     "similarity_lsh", "similarity_pq_adc", "top_events_global",
     "user_last_state", "user_points_salted", "user_type_pivot",
     "user_value_deltas", "viewers_never_buy",
-    # stale refresh: oldest ROUND-8 rows, alphabetical head (14 of 49;
+    # stale refresh: oldest ROUND-8 rows, alphabetical head (13 of 49;
     # dedup_prefix_filter deliberately included — its r12 variance fix
     # re-earns fresh driver evidence)
     "benford_audit", "community_modularity", "dedup_embedding",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_prefix_filter",
     "density_clusters", "doc_lsa_sql", "dwd_cleanse", "embedding_pca_sql",
     "events_autocorr", "events_cusum", "events_ks_drift",
-    "fuzzy_join_parts",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -199,11 +199,93 @@ FROM lab_a a CROSS JOIN guard
 """
 
 
+def q_dedup_clusters_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-FULL-SCAN maintenance layout at oracle strength
+    (llm/dedup.connected_components_incremental_stored): the assignment
+    is node-bucketed (probe prunes on the batch's own node ids), the
+    changed-row read-out prunes through the cluster→node-bucket spill
+    index, and the write-back is three crash-ordered O(changed) commits
+    — no read or write in the whole maintenance path scales with the
+    corpus.  The maintained TABLE hash-equals the DuckDB full
+    re-cluster, and BOTH pruning widths (probe buckets, changed-scan
+    buckets) ship as columns the oracle recomputes from the closures —
+    proving not just the answer but the locality arithmetic."""
+    from icebergproject_spark.llm import dedup
+
+    stored, new_pairs, batch_docs = _cc_maintenance_parts(spark, sf_dir)
+    wh = _mkdtemp_for_run("cc_store_")
+    st = dedup.cc_assignment_store(
+        spark, wh, "tmp", "cc", assign=stored, n_buckets=CC_BUCKETS
+    )
+    stats: dict = {}
+    dedup.connected_components_incremental_stored(
+        st, new_pairs, new_nodes=batch_docs, apply=True, stats=stats
+    )
+    merged = st.assign.read().select(F.col("node").alias("doc_id"), "cluster_id")
+    return merged.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        F.lit(int(stats["n_probe_buckets"])).cast("long").alias(
+            "n_probe_buckets"
+        ),
+        F.lit(int(stats["n_changed_buckets"])).cast("long").alias(
+            "n_changed_buckets"
+        ),
+    )
+
+
+# full-corpus closure + BOTH pruning widths replayed: probe buckets =
+# distinct node-id buckets of the touched set (batch-pair endpoints ∪
+# batch docs); changed-scan buckets = distinct buckets of every member
+# of a relabeled stored cluster (the spill-index lookup's exact result
+# on a freshly-seeded store)
+ORACLE_DEDUP_CLUSTERS_STORED = f"""
+WITH RECURSIVE
+{_closure_cte('_a', 'TRUE')},
+{_closure_cte('_b', f'doc_id % {CC_SPLIT_MOD} <> {CC_SPLIT_REM}')},
+touched AS (
+  SELECT id_a AS node FROM pairs_a
+  WHERE id_a % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+     OR id_b % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+  UNION
+  SELECT id_b FROM pairs_a
+  WHERE id_a % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+     OR id_b % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+  UNION
+  SELECT doc_id FROM documents
+  WHERE doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+),
+changed AS (
+  SELECT DISTINCT b.cluster_id AS old_label
+  FROM lab_a a JOIN lab_b b USING (doc_id)
+  WHERE a.cluster_id <> b.cluster_id
+),
+widths AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT node % {CC_BUCKETS}) AS BIGINT)
+     FROM touched) AS n_probe_buckets,
+    (SELECT CAST(COUNT(DISTINCT b.doc_id % {CC_BUCKETS}) AS BIGINT)
+     FROM lab_b b JOIN changed c ON b.cluster_id = c.old_label)
+      AS n_changed_buckets
+)
+SELECT a.doc_id, a.cluster_id,
+       COUNT(*) OVER (PARTITION BY a.cluster_id) AS cluster_size,
+       widths.n_probe_buckets, widths.n_changed_buckets
+FROM lab_a a CROSS JOIN widths
+"""
+
+
 R12_REGISTRY: dict[str, Query] = {
     "dedup_clusters_bucketed": Query(
         q_dedup_clusters_bucketed, ORACLE_DEDUP_CLUSTERS_BUCKETED
     ),
     "dedup_clusters_flood_guard": Query(
         q_dedup_clusters_flood_guard, ORACLE_DEDUP_CLUSTERS_FLOOD_GUARD
+    ),
+    "dedup_clusters_stored": Query(
+        q_dedup_clusters_stored, ORACLE_DEDUP_CLUSTERS_STORED
     ),
 }

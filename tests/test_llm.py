@@ -1119,6 +1119,127 @@ def test_incremental_lsh_candidates_bucketed_equal_and_pruned(
     assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
 
 
+def test_cc_stored_zero_full_scan_layout(spark, tmp_path):
+    """The fully-pruned store (node-bucketed assignment + cluster→
+    node-bucket spill index): maintained table equals a full rebuild,
+    BOTH stored reads are partition-pruned at planning time, the spill
+    index holds exactly the invariant set after maintenance (upsert on
+    the composite key — no duplicate accumulation), and replays are
+    no-ops through both the commit token and recomputation."""
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 9, 10, 11, 20, 21]], ["node"]
+    )
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    st = dedup.cc_assignment_store(
+        spark, str(tmp_path), "db", "cc", assign=stored, n_buckets=4
+    )
+    # seed index = the exact invariant set
+    assert sorted(map(tuple, st.index.read().collect())) == [
+        (1, 2), (1, 3), (10, 3), (20, 1),
+    ]
+    new_edges = spark.createDataFrame([(3, 10), (0, 20)], "id_a long, id_b long")
+    batch_nodes = spark.createDataFrame([(0,), (30,)], ["node"])
+    # plan pins: the changed scan cuts at the scan in the payload plan
+    # (the probe scan is eagerly checkpointed inside the operator, so
+    # its pruning is pinned on the read expression it uses instead)
+    preview = dedup.connected_components_incremental_stored(
+        st, new_edges, new_nodes=batch_nodes
+    )
+    plan = preview._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "__p" in plan.split("PartitionFilters", 1)[1][:200]
+    probe_plan = (
+        st.assign.read(partition_values=[0, 2, 3])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in probe_plan
+    stats: dict = {}
+    payload = dedup.connected_components_incremental_stored(
+        st, new_edges, new_nodes=batch_nodes, apply=True, batch_id="b0",
+        stats=stats,
+    )
+    assert sorted(map(tuple, payload.collect())) == sorted(
+        [(10, 1), (11, 1), (20, 0), (21, 0), (0, 0), (30, 30)]
+    )
+    # probe buckets: touched = {3,10,0,20,30} → {3, 2, 0} → 3; changed
+    # scan: members of clusters 10 and 20 = {10,11,20,21} ∪ label
+    # buckets {2, 0} → {2,3,0,1} → 4
+    assert stats == {"n_probe_buckets": 3, "n_changed_buckets": 4}
+    all_nodes = base_nodes.union(spark.createDataFrame([(0,), (30,)], ["node"]))
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                base_edges.union(new_edges), nodes=all_nodes
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, st.assign.read().select("node", "cluster_id").collect())
+    )
+    assert got == want
+    # index invariant: exactly the cross-bucket memberships, deduped
+    rows = st.assign.read().select("node", "cluster_id").collect()
+    need = {
+        (r.cluster_id, r.node % 4) for r in rows if r.node % 4 != r.cluster_id % 4
+    }
+    assert sorted(map(tuple, st.index.read().collect())) == sorted(need)
+    # replay, both windows
+    assert st.assign.has_batch("b0")
+    tok = dedup.connected_components_incremental_stored(
+        st, new_edges, new_nodes=batch_nodes, apply=True, batch_id="b0"
+    )
+    assert tok.count() == 0
+    re = dedup.connected_components_incremental_stored(
+        st, new_edges, new_nodes=batch_nodes
+    )
+    assert re.count() == 0
+
+
+def test_cc_stored_crash_window_superset_index_stays_correct(spark, tmp_path):
+    """The crash-ordering contract: if the index APPEND committed but
+    the assignment upsert did not (the one non-atomic window), the index
+    is a SUPERSET — a replayed batch recomputes the identical payload
+    (extra index rows only widen a pruned read, never corrupt it) and
+    the final state still equals the rebuild."""
+    base_edges = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    base_nodes = spark.createDataFrame([(5,), (6,), (7,)], ["node"])
+    stored = dedup.connected_components(base_edges, nodes=base_nodes)
+    st = dedup.cc_assignment_store(
+        spark, str(tmp_path), "db", "cc", assign=stored, n_buckets=4
+    )
+    new_edges = spark.createDataFrame([(1, 6)], "id_a long, id_b long")
+    # simulate the crash: commit ONLY the index half of the batch
+    st.index.upsert_by_key(
+        spark.createDataFrame([(1, 2)], "cluster_id long, node_bucket long"),
+        ["cluster_id", "node_bucket"],
+    )
+    payload = dedup.connected_components_incremental_stored(
+        st, new_edges, apply=True, batch_id="b0"
+    )
+    assert sorted(map(tuple, payload.collect())) == [(1, 1), (5, 1), (6, 1)]
+    # the rebuild's node set must name node 1 (connected_components
+    # restricts output to the declared nodes); {1,5,6}→1, {7}→7
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                base_edges.union(new_edges),
+                nodes=base_nodes.union(spark.createDataFrame([(1,)], ["node"])),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, st.assign.read().select("node", "cluster_id").collect())
+    )
+    assert got == want
+
+
 def test_cc_bucketed_upsert_debt_folds_and_stays_pruned(spark, tmp_path):
     """The read-debt lifecycle of the bucketed assignment under repeated
     equality-delete upserts: after several maintenance batches the table
