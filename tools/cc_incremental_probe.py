@@ -59,10 +59,12 @@ import pyspark.sql.functions as F
 
 from icebergproject_spark.llm.dedup import (
     banded_signatures,
+    cc_assignment_store,
     cc_assignment_table,
     connected_components,
     connected_components_incremental,
     connected_components_incremental_bucketed,
+    connected_components_incremental_stored,
     incremental_lsh_candidates,
     minhash_lsh_candidates,
 )
@@ -109,8 +111,8 @@ def main() -> None:
     )
     print(
         f"{'N':>4} {'docs':>9} {'edges':>8} {'full_s':>8} {'maint_s':>8} "
-        f"{'mbkt_s':>8} {'f/m':>6} {'f/mb':>6} {'merge_s':>8} "
-        f"{'upsert_s':>9}  batch_edges/updates/buckets"
+        f"{'mbkt_s':>8} {'mstore_s':>8} {'f/m':>6} {'f/mb':>6} {'f/ms':>6} "
+        f"{'merge_s':>8} {'upsert_s':>9}  batch_edges/updates/buckets"
     )
     for n in ns:
         corpus = _replicate(spark, one, n, f"{WORK}/corpus_{n}x")
@@ -134,6 +136,12 @@ def main() -> None:
         # the SAME stored state in the production bucketed layout
         tbl = cc_assignment_table(
             spark, f"{WORK}/wh_{n}x", "probe", "assign",
+            assign=spark.read.parquet(assign_path), n_buckets=N_BUCKETS,
+        )
+        # ... and in the r12 zero-full-scan layout (node-bucketed
+        # assignment + cluster→node-bucket spill index)
+        cstore = cc_assignment_store(
+            spark, f"{WORK}/wh_{n}x", "probe", "cc",
             assign=spark.read.parquet(assign_path), n_buckets=N_BUCKETS,
         )
         ndocs = corpus.count()
@@ -193,6 +201,22 @@ def main() -> None:
             t_bkt.append(time.time() - t0)
             _release(spark)
 
+        t_store = []
+        sstats: dict = {}
+        for _ in range(RUNS):
+            t0 = time.time()
+            new_edges = incremental_lsh_candidates(
+                banded_signatures(batch), stored_bands
+            )
+            connected_components_incremental_stored(
+                cstore,
+                new_edges,
+                new_nodes=batch.select(F.col("doc_id").alias("node")),
+                stats=sstats,
+            ).write.format("noop").mode("overwrite").save()
+            t_store.append(time.time() - t0)
+            _release(spark)
+
         batch_edges = incremental_lsh_candidates(
             banded_signatures(batch), stored_bands
         ).count()
@@ -221,11 +245,15 @@ def main() -> None:
         tf = sorted(t_full)[len(t_full) // 2]
         tm = sorted(t_maint)[len(t_maint) // 2]
         tb = sorted(t_bkt)[len(t_bkt) // 2]
+        ts = sorted(t_store)[len(t_store) // 2]
         print(
             f"{n:>4} {ndocs:>9} {n_edges:>8} {tf:>8.2f} {tm:>8.2f} "
-            f"{tb:>8.2f} {tf / tm:>6.2f} {tf / tb:>6.2f} {t_merge:>8.2f} "
+            f"{tb:>8.2f} {ts:>8.2f} {tf / tm:>6.2f} {tf / tb:>6.2f} "
+            f"{tf / ts:>6.2f} {t_merge:>8.2f} "
             f"{t_upsert:>9.2f}  {batch_edges}/{n_updates}"
             f"/{stats.get('n_touched_buckets')}of{N_BUCKETS}"
+            f" probe={sstats.get('n_probe_buckets')}"
+            f" changed={sstats.get('n_changed_buckets')}"
         )
         spark.catalog.clearCache()
 
