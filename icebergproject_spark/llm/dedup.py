@@ -1717,7 +1717,15 @@ def connected_components_incremental_stored(
     Returns the MERGE payload (changed stored rows + batch rows).
     ``stats`` receives ``n_probe_buckets`` / ``n_changed_buckets`` —
     both replayable in SQL (plain mod arithmetic), shipped at oracle
-    strength by the registered head ``dedup_clusters_stored``."""
+    strength by the registered head ``dedup_clusters_stored``.
+
+    No ``rebuild_threshold`` here, by design: a flood/backfill batch
+    contradicts this layout's premise (every cost bounded by the batch),
+    so the policy belongs a level up — compare the batch's row count to
+    the assignment's (an O(1) snapshot-summary read) and on a backfill
+    RE-SEED via :func:`cc_assignment_store` instead of maintaining;
+    the in-memory and bucketed variants keep the in-operator guard for
+    the orchestrations that want it."""
     n = store.n_buckets
     bcast = F.broadcast
     if (

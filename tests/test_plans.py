@@ -187,6 +187,17 @@ def _count(plan: str, node: str) -> int:
         ("dedup_clusters_incremental", 0, 4),
         # the MERGE-payload twin: same shape minus the output window
         ("dedup_clusters_upserts", 0, 4),
+        # round-12 dedup maintenance heads.  bucketed/stored return the
+        # READ-BACK of the maintained table (the maintenance ran inside
+        # the head as side-effecting commits): one window shuffle, one
+        # broadcast of the stats row, and NEVER a sort-merge — a
+        # sort-merge appearing here would mean the assignment read-back
+        # lost its layout
+        ("dedup_clusters_bucketed", 1, 1),
+        ("dedup_clusters_stored", 1, 1),
+        # the guard head's maintain branch: stored side touched by
+        # broadcast joins only (same contract as dedup_clusters_incremental)
+        ("dedup_clusters_flood_guard", 0, 4),
         # cluster-assignment consumers: the driver-path union-find
         # result is broadcast into the nodes join (r11 fix — before it,
         # the RDD-backed result's unknown stats silently sort-merged,
