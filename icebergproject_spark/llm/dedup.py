@@ -1656,7 +1656,10 @@ def cc_assignment_store(
     i_tbl = LakehouseTable(spark, warehouse, db, f"{name}_labelidx")
     i_tbl.set_partitioning("cluster_id", f"mod{n_buckets}")
     if assign is not None:
-        a = assign.select(F.col(node_col).alias(node_col), "cluster_id")
+        # both seed writes consume this relation — one evaluation
+        a = assign.select(
+            F.col(node_col).alias(node_col), "cluster_id"
+        ).localCheckpoint(eager=True)
         a_tbl.append(a.repartition(F.pmod(node_col, F.lit(n_buckets))))
         idx = (
             a.select(
