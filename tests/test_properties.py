@@ -669,3 +669,75 @@ def test_cc_incremental_equals_full_for_all_splits(spark, raw_edges, mod):
         for r in connected_components(edges, nodes=all_nodes).collect()
     }
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=29),
+            st.integers(min_value=0, max_value=29),
+        ),
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=7),  # node-split modulus
+)
+def test_cc_stored_layout_equals_full_for_all_splits(
+    spark, tmp_path_factory, raw_edges, mod
+):
+    """The zero-full-scan layout preserves the maintain == rebuild
+    invariant for ANY graph and ANY node split, INCLUDING the spill
+    index after apply: the maintained table equals a full re-cluster
+    and the stored index is exactly the cross-bucket membership set of
+    the final assignment."""
+    from icebergproject_spark.llm.dedup import (
+        cc_assignment_store,
+        connected_components,
+        connected_components_incremental_stored,
+    )
+
+    nodes = list(range(30))
+    in_batch = lambda n: n % mod == 0  # noqa: E731
+    edges = spark.createDataFrame(
+        raw_edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not raw_edges:
+        edges = edges.limit(0)
+    base_edges = edges.where(f"id_a % {mod} != 0 AND id_b % {mod} != 0")
+    new_edges = edges.where(f"id_a % {mod} = 0 OR id_b % {mod} = 0")
+    base_nodes = spark.createDataFrame(
+        [(n,) for n in nodes if not in_batch(n)], ["node"]
+    )
+    batch_nodes = spark.createDataFrame(
+        [(n,) for n in nodes if in_batch(n)], ["node"]
+    )
+    all_nodes = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    stored = connected_components(base_edges, nodes=base_nodes)
+    st_dir = tmp_path_factory.mktemp("ccprop")
+    store = cc_assignment_store(
+        spark, str(st_dir), "db", "cc", assign=stored, n_buckets=4
+    )
+    connected_components_incremental_stored(
+        store, new_edges, new_nodes=batch_nodes, apply=True
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in store.assign.read().select("node", "cluster_id").collect()
+    }
+    want = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, nodes=all_nodes).collect()
+    }
+    assert got == want
+    rows = store.assign.read().select("node", "cluster_id").collect()
+    need = {
+        (r.cluster_id, r.node % 4)
+        for r in rows
+        if r.node % 4 != r.cluster_id % 4
+    }
+    have = (
+        {tuple(r) for r in store.index.read().collect()}
+        if store.index.current_snapshot() is not None
+        else set()  # never-written index ⇔ no cross-bucket memberships
+    )
+    assert have == need
