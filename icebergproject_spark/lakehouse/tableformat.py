@@ -87,9 +87,15 @@ _TRANSFORMS = {
 
 #: Iceberg's bucket[N] is parametric; so are these. ``bucket<N>`` hashes
 #: (xxhash64, Spark-side) before the modulus — the general-purpose
-#: choice; ``mod<N>`` buckets an integer column by plain modulus, which
-#: a SQL oracle (DuckDB ``x % N``) can replay exactly — the choice when
-#: the partition-local decision itself must be hash-checkable.
+#: choice; ``mod<N>`` buckets an integer column by plain modulus
+#: (``F.pmod``: always non-negative), which a SQL oracle can replay
+#: exactly — the choice when the partition-local decision itself must
+#: be hash-checkable.  Replay caveat: DuckDB's ``%`` keeps the
+#: dividend's sign, so the exact replay is ``((x % N) + N) % N``; plain
+#: ``x % N`` matches only on a non-negative key domain (what every
+#: registered oracle's fixture keys satisfy — negative ids in a
+#: mod-partitioned table need the pmod-form replay or they desync
+#: silently).
 _PARAM_TRANSFORM = re.compile(r"(bucket|mod)(\d+)")
 
 #: partition values whose directory-name rendering is escape-free
@@ -1753,8 +1759,17 @@ class LakehouseTable:
             # day/month strings — every bucket/mod/day partition).  An
             # unsafe value falls back to full discovery + filter: slower,
             # never wrong.
+            # type gate besides the regex: Python's str() can disagree
+            # with Spark's partition-dir rendering for non-int/str types
+            # (bool True -> 'True' vs Spark's 'true'; float 5.0 vs an
+            # int column's '5'), which would make the isdir probe miss a
+            # REAL partition and silently drop its rows — only ints and
+            # strings render identically on both sides.
             safe_vals = vals is not None and all(
-                _SAFE_PARTITION_VALUE.fullmatch(str(v)) for v in vals
+                isinstance(v, (int, str))
+                and not isinstance(v, bool)
+                and _SAFE_PARTITION_VALUE.fullmatch(str(v))
+                for v in vals
             )
             parts = []
             for d in data_dirs:
@@ -2168,7 +2183,12 @@ class LakehouseTable:
 
         def attempt(cur):
             if cur is None:
-                # the table was emptied between the check and the commit
+                # the table was emptied between the check and the commit:
+                # the upsert degrades to a plain append that never
+                # references eq_dir — reclaim it here or it would be
+                # orphaned on disk by the SUCCESSFUL commit (the rmtree
+                # below only runs on exceptions)
+                shutil.rmtree(eq_dir, ignore_errors=True)
                 return self._commit(
                     "append", [new_dir], batch_id=batch_id,
                     expected_parent_id=None,

@@ -382,7 +382,20 @@ def incremental_lsh_candidates_bucketed(
     Exactness: a stored row can only join a batch row if they share
     ``band_sig``, every such row hashes into a touched bucket, and rows
     outside touched buckets match nothing — the pruned relation is a
-    superset of the join's stored-side support."""
+    superset of the join's stored-side support.
+
+    ``n_buckets`` must equal the table's ``bucket<N>`` width or bucket
+    ids are computed under the wrong modulus and stored candidates are
+    silently dropped — validated here against the table's own partition
+    spec (mirroring ``connected_components_incremental_bucketed``)."""
+    spec = bands_tbl._partition_spec()
+    want = {"column": "band_sig", "transform": f"bucket{n_buckets}"}
+    if spec != want:
+        raise ValueError(
+            f"bands_tbl must be partitioned {want}, got {spec} "
+            "(create it with bands_table(n_buckets=...) and pass the "
+            "same n_buckets here)"
+        )
     nb = batch_bands.select(
         F.col("id").alias("nid"), "band", "band_sig"
     ).localCheckpoint(eager=True)  # bucket-id collect + both joins reuse it

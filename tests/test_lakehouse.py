@@ -1826,3 +1826,62 @@ def test_parametric_partition_transforms(spark, tmp_path):
     t2.set_partitioning("k", "bucket32")
     t2.append(spark.createDataFrame([(i,) for i in range(20)], "k long"))
     assert t2.read().count() == 20
+
+
+def test_partition_values_type_gate_falls_back_not_drops(spark, tmp_path):
+    """ADVICE r12: the O(touched) listing fast path matched directories
+    via str(v), but Python's rendering can disagree with Spark's
+    partition-dir rendering (float 5.0 vs an int column's '__p=5';
+    bool True vs 'true') — the isdir probe would miss a REAL partition
+    and silently drop rows the slow path returns.  Non-int/str values
+    must fall back to full discovery + residual filter: slower, never
+    wrong."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path), "db", "typegate")
+    t.set_partitioning("k", "mod7")
+    t.append(spark.createDataFrame([(i,) for i in range(21)], "k long"))
+    want = sorted(r.k for r in t.read(partition_values=[5]).collect())
+    assert want == [5, 12, 19]
+    # float 5.0: str() renders '5.0', no '__p=5.0' dir exists — the
+    # pre-fix fast path returned ZERO rows here
+    got = sorted(r.k for r in t.read(partition_values=[5.0]).collect())
+    assert got == want
+    # bool True: str() renders 'True' vs Spark's 'true' dir name — the
+    # pre-fix fast path silently returned zero rows; post-fix it falls
+    # to the residual filter, where Spark 4's strict isin type check
+    # rejects BOOLEAN-vs-INT loudly (an error, never a silent drop)
+    with pytest.raises(Exception, match="DATATYPE_MISMATCH|IN"):
+        t.read(partition_values=[True]).collect()
+
+
+def test_upsert_by_key_emptied_table_race_reclaims_eq_dir(spark, tmp_path):
+    """ADVICE r12: when the table is emptied between upsert_by_key's
+    head check and its CAS attempt, the commit degrades to a plain
+    append that never references the already-written equality-delete
+    dir — it must be reclaimed on the SUCCESSFUL commit, not only on
+    exceptions."""
+    import os
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseTable
+
+    t = LakehouseTable(spark, str(tmp_path), "db", "race")
+    t.append(df_of(spark, [("1", "a")]))
+    real = t.current_snapshot
+    calls = {"n": 0}
+
+    def flaky():
+        # call 1: the top-of-method emptiness check (real head);
+        # call 2+: inside _retry_cas — simulate a concurrent truncation
+        calls["n"] += 1
+        return real() if calls["n"] == 1 else None
+
+    t.current_snapshot = flaky
+    try:
+        snap = t.upsert_by_key(df_of(spark, [("2", "b")]), ["id"])
+    finally:
+        t.current_snapshot = real
+    assert snap["operation"] == "append"
+    assert snap.get("eq_delete_dirs", []) == []
+    # the pre-written eq-delete key dir was reclaimed, not orphaned
+    assert os.listdir(t.eq_deletes_root) == []

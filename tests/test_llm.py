@@ -1117,6 +1117,12 @@ def test_incremental_lsh_candidates_bucketed_equal_and_pruned(
     assert "PartitionFilters" in plan
     assert "__p" in plan.split("PartitionFilters", 1)[1][:200]
     assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
+    # ADVICE r12: an n_buckets that differs from the table's bucket<N>
+    # width computes bucket ids under the wrong modulus and silently
+    # drops stored candidates — must be refused up front, mirroring the
+    # CC variant's layout validation
+    with pytest.raises(ValueError, match="partitioned"):
+        dedup.incremental_lsh_candidates_bucketed(bb, tbl, n_buckets=1024)
 
 
 def test_cc_stored_zero_full_scan_layout(spark, tmp_path):
