@@ -230,6 +230,25 @@ PREV_ROUND_QUERIES = {
 # expect ~19.5s → ~8-11s warm).
 SEMANTICS_CHANGED: set[str] = set()
 
+#: Heads whose same-code medians were MEASURED to vary up to 1.4×
+#: across interleaved same-box sessions and up to 2.4× between the
+#: driver box and the builder box (SCALE.md "Round 13" A/B table; the
+#: iterative pagerank family carries the same r11 evidence).  The
+#: continuity check should treat a round-over-round move on these heads
+#: inside 2.4× WITHOUT a code diff as host noise; only a move that
+#: reproduces under an interleaved worktree A/B (tools/ab_probe.py) is
+#: code-borne.
+HOST_SENSITIVE_HEADS = {
+    "community_modularity_ann": 2.4,
+    "knn_edge_recall": 2.4,
+    "knn_edge_recall_multi": 2.4,
+    "item_similarity_capped": 2.4,
+    "pagerank_delta": 1.5,
+    "pagerank_delta_local": 1.5,
+    "pagerank_weighted": 1.5,
+    "graph_kcore": 1.5,
+}
+
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -263,6 +282,13 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    # cold/warm annotation (VERDICT r12 ask #5): ann_graph_incremental_multi
+    # pays a one-time stored-state build (~38 s at sf0.1) on a fresh host;
+    # stamping whether THIS bench run started warm keeps a future reader
+    # from misreading the cold run inside the median/min.
+    from icebergproject_spark.queries_r10 import ann_multi_store_is_warm
+
+    ann_multi_warm_at_start = ann_multi_store_is_warm(SF_DIR)
     import gc
 
     for name in BENCH_QUERIES:
@@ -354,6 +380,8 @@ def main() -> None:
             "names": sorted(new),
         },
         "semantics_changed": sorted(SEMANTICS_CHANGED & set(timings)),
+        "ann_multi_store_warm_at_start": ann_multi_warm_at_start,
+        "host_sensitive_heads": HOST_SENSITIVE_HEADS,
         "sweep_timing": f"median_of_{max(sweep_runs, 1)}",
         "sweep_queries": sweep,
         "sweep_total_sec": round(sum(sweep.values()), 3),

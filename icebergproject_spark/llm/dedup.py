@@ -502,6 +502,48 @@ def minhash_sql_signatures(
     )
 
 
+def banded_sql_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """The ORACLE-strength twin of :func:`banded_signatures`: the same
+    (id, band, band_sig) stream, but md5-derived
+    (:func:`minhash_sql_signatures`) so any engine replays identical
+    band keys bit-for-bit.  This is the stored-state schema of the
+    incremental dedup tier at oracle strength — persist it per corpus,
+    band each append batch with the SAME function, and
+    :func:`incremental_lsh_candidates` generates the batch's candidate
+    edges without re-banding the corpus (hash-proved equal to slicing
+    the full :func:`minhash_lsh_sql_candidates` run by the registered
+    head ``dedup_lsh_candidates_incremental``)."""
+    rows = num_hashes // bands
+    sigs = minhash_sql_signatures(df, content_col, id_col, n, num_hashes)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+
+
 def minhash_lsh_sql_candidates(
     df: DataFrame,
     content_col: str = "text",
@@ -531,28 +573,7 @@ def minhash_lsh_sql_candidates(
 
     Output: (id_a, id_b, n_shared_bands), id_a < id_b.
     """
-    rows = num_hashes // bands
-    sigs = minhash_sql_signatures(df, content_col, id_col, n, num_hashes)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col(f"h{b * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("band_sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.band_sig")
+    banded = banded_sql_signatures(df, content_col, id_col, n, num_hashes, bands)
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(

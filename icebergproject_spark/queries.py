@@ -763,33 +763,32 @@ REGISTRY.update(R4_REGISTRY)
 DRIVER_WINDOW = [
     # flagship (in every round's window)
     "user_points",
-    # new this round: the bucketed stored CC assignment (partition-
-    # pruned read-out + atomic equality-delete upsert write-back,
-    # table-after-maintenance hash-checked against the full re-cluster),
-    # the CC flood guard engaged (fraction + decision hash-checked), and
-    # the zero-full-scan store (node-bucketed probe + spill-index
-    # changed-scan, BOTH pruning widths hash-checked)
-    "dedup_clusters_bucketed", "dedup_clusters_flood_guard",
-    "dedup_clusters_stored",
-    # stale refresh: ALL 33 remaining ROUND-7 rows
-    "dedup_minhash_lsh", "dedup_simhash", "distinct_users",
-    "dm_user_login_info", "embedding_pca", "event_outliers_mad",
-    "events_cube", "events_ohlc", "gopher_rules", "graph_hits",
-    "hierarchy_flatten", "hybrid_rrf", "lateral_top_orders",
-    "multimodal_features", "ngram_novelty", "orders_grouping_sets",
-    "pagerank_sql", "priority_with_returns", "product_visit_10s",
-    "purchasers_who_err", "revenue_rollup", "scalar_suite",
-    "shipmode_priority", "similarity_ivf", "similarity_ivfpq",
-    "similarity_lsh", "similarity_pq_adc", "top_events_global",
-    "user_last_state", "user_points_salted", "user_type_pivot",
-    "user_value_deltas", "viewers_never_buy",
-    # stale refresh: oldest ROUND-8 rows, alphabetical head (13 of 49;
-    # dedup_prefix_filter deliberately included — its r12 variance fix
-    # re-earns fresh driver evidence)
-    "benford_audit", "community_modularity", "dedup_embedding",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_prefix_filter",
-    "density_clusters", "doc_lsa_sql", "dwd_cleanse", "embedding_pca_sql",
-    "events_autocorr", "events_cusum", "events_ks_drift",
+    # new this round (r13): the incremental LSH candidate feed at
+    # oracle strength (VERDICT r12 ask #3 — stored bands + batch bands,
+    # no corpus self-join, hash-checked against the sliced full run)
+    "dedup_lsh_candidates_incremental",
+    # stale refresh: ALL 36 remaining ROUND-8 rows (VERDICT r12 ask #2
+    # — after this round nothing older than r9 remains)
+    "fuzzy_join_parts", "fuzzy_join_snm", "gapfill_interpolate",
+    "hdr_quantiles", "hll_audit", "item_similarity", "knn_triangles",
+    "label_propagation", "link_prediction", "lm_bigram_score",
+    "local_supplier_volume", "multimodal_decode",
+    "nation_volume_shipping", "ods_browselog", "pagerank_delta",
+    "pagerank_personalized", "pagerank_weighted", "part_taxonomy",
+    "pmi_collocations", "pricing_summary", "purchase_attribution",
+    "quantity_price_corr", "range_join_shipments", "retrieval_eval",
+    "revenue_gini", "revenue_pareto", "rolling_30d_revenue",
+    "route_dim", "route_fact", "shipping_priority",
+    "small_quantity_revenue", "top_parts_by_revenue", "trend_ols",
+    "trend_theil_sen", "user_login_wide", "user_sessions",
+    # stale refresh: oldest ROUND-9 rows, alphabetical head (12 of 49;
+    # community_modularity_ann deliberately included — it is one of the
+    # two r12 perf-weak heads, so fresh driver evidence matters)
+    "bloom_audit", "bpe_pair_counts", "chunk_documents",
+    "community_modularity_ann", "contamination_spans",
+    "coreset_kcenter", "corpus_pipeline_e2e", "curriculum_bins",
+    "dataset_split", "decontamination", "dedup_clusters",
+    "dedup_clusters_lsh_sql",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)
@@ -852,6 +851,13 @@ REGISTRY.update(R11_REGISTRY)
 from icebergproject_spark.queries_r12 import R12_REGISTRY  # noqa: E402
 
 REGISTRY.update(R12_REGISTRY)
+
+# round-13 batch (the incremental LSH candidate feed at oracle
+# strength — VERDICT r12 ask #3) — before the reorder so the new head
+# can hold a window slot
+from icebergproject_spark.queries_r13 import R13_REGISTRY  # noqa: E402
+
+REGISTRY.update(R13_REGISTRY)
 
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(n in REGISTRY for n in DRIVER_WINDOW)

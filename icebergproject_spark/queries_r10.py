@@ -637,32 +637,23 @@ ORACLE_ANN_GRAPH_INCREMENTAL = _ann_inc_oracle_sql()
 # ---------------------------------------------------------------------------
 
 
-def _ann_multi_stored_state(spark: SparkSession, sf_dir: str):
-    """The L=4 tier's STORED STATE — the prepped corpus and the previous
-    5-NN graph — persisted to parquet under a fixture-fingerprinted key
-    (VERDICT r11 ask #4): production maintains a stored graph, it never
-    cold-rebuilds it per run, and this head should pay that rebuild only
-    when the stored state does not exist yet (first invocation per
-    fixture) instead of on EVERY driver/bench run as it did through
-    r10/r11.  The maintain==rebuild hash contract is untouched: the
-    stored prev is a pure function of the fixture (rebuilt whenever any
-    embeddings file's path/size/mtime changes — the fingerprint), and
-    the DuckDB oracle still full-rebuilds from raw parquet on every run,
-    so a stale or corrupted store hash-fails loudly.  The store is
-    written to a temp location and atomically renamed into place, so a
-    crashed first build never leaves a half-state behind.
+#: LRU bound on /tmp/ipspark_stored (VERDICT r12 what's-wrong #3): keep
+#: the most-recently-USED stores (one per live fixture fingerprint — 3
+#: SFs in this sandbox), reclaim the rest.  Without it every fixture
+#: mtime change stranded a full stored state (~100s of MB at sf0.1) in
+#: /tmp forever.
+_STORED_KEEP = 8
 
-    Returns (p_all, prev_graph) as parquet-backed DataFrames (real file
-    stats — Catalyst sizes the downstream joins correctly without the
-    persist/count dance the in-memory build needed)."""
+
+def _ann_multi_store_path(sf_dir: str) -> str:
+    """Fixture-fingerprinted store directory for the L=4 stored state:
+    a pure function of the embeddings fixture (path/size/mtime of every
+    file) and the head's knob constants — any change mints a NEW key,
+    so a stale store can never be read as current."""
     import hashlib
     import json as json_mod
     import os
-    import shutil
     import tempfile
-    import uuid
-
-    from icebergproject_spark.llm.similarity import ann_knn_graph, l2_norm
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     h = hashlib.sha256()
@@ -680,10 +671,81 @@ def _ann_multi_stored_state(spark: SparkSession, sf_dir: str):
     else:
         st = os.stat(src)
         h.update(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode())
-    d = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(), "ipspark_stored",
         f"ann_multi_{h.hexdigest()[:20]}",
     )
+
+
+def ann_multi_store_is_warm(sf_dir: str) -> bool:
+    """True when ``ann_graph_incremental_multi``'s stored state already
+    exists for this fixture — bench.py stamps this into BENCH_DETAIL so
+    a cold first run (~38 s one-time build at sf0.1) is annotated, not
+    misread as the head's steady-state cost."""
+    import os
+
+    return os.path.exists(os.path.join(_ann_multi_store_path(sf_dir), "_OK"))
+
+
+def _sweep_stored_root(current: str, keep: int = _STORED_KEEP) -> None:
+    """Bound /tmp/ipspark_stored: keep the ``keep`` most-recently-used
+    ann_multi stores (last use = _OK mtime, touched on every read),
+    reclaim older fingerprints and half-built ``.tmp-*`` leftovers from
+    crashed builds.  Never removes ``current``; removal races with a
+    concurrent probe are benign (ignore_errors + the loser rebuilds)."""
+    import os
+    import shutil
+
+    root = os.path.dirname(current)
+    try:
+        entries = [
+            os.path.join(root, e)
+            for e in os.listdir(root)
+            if e.startswith("ann_multi_")
+        ]
+    except FileNotFoundError:
+        return
+    live = []
+    for e in entries:
+        ok = os.path.join(e, "_OK")
+        try:
+            live.append((os.stat(ok).st_mtime, e))
+        except OSError:
+            if ".tmp-" in os.path.basename(e):
+                shutil.rmtree(e, ignore_errors=True)
+    live.sort(reverse=True)
+    for _, e in live[keep:]:
+        if os.path.realpath(e) != os.path.realpath(current):
+            shutil.rmtree(e, ignore_errors=True)
+
+
+def _ann_multi_stored_state(spark: SparkSession, sf_dir: str):
+    """The L=4 tier's STORED STATE — the prepped corpus and the previous
+    5-NN graph — persisted to parquet under a fixture-fingerprinted key
+    (VERDICT r11 ask #4): production maintains a stored graph, it never
+    cold-rebuilds it per run, and this head should pay that rebuild only
+    when the stored state does not exist yet (first invocation per
+    fixture) instead of on EVERY driver/bench run as it did through
+    r10/r11.  The maintain==rebuild hash contract is untouched: the
+    stored prev is a pure function of the fixture (rebuilt whenever any
+    embeddings file's path/size/mtime changes — the fingerprint), and
+    the DuckDB oracle still full-rebuilds from raw parquet on every run,
+    so a stale or corrupted store hash-fails loudly.  The store is
+    written to a temp location and atomically renamed into place, so a
+    crashed first build never leaves a half-state behind; every read
+    touches the _OK marker and LRU-sweeps stale sibling fingerprints
+    (:func:`_sweep_stored_root`), so the cache is bounded.
+
+    Returns (p_all, prev_graph) as parquet-backed DataFrames (real file
+    stats — Catalyst sizes the downstream joins correctly without the
+    persist/count dance the in-memory build needed)."""
+    import os
+    import shutil
+    import uuid
+
+    from icebergproject_spark.llm.similarity import ann_knn_graph, l2_norm
+
+    d = _ann_multi_store_path(sf_dir)
     if not os.path.exists(os.path.join(d, "_OK")):
         emb = _t(spark, sf_dir, "embeddings")
         is_batch = F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM
@@ -716,6 +778,11 @@ def _ann_multi_stored_state(spark: SparkSession, sf_dir: str):
             os.rename(tmp, d)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost a build race
+    try:
+        os.utime(os.path.join(d, "_OK"))  # LRU last-use marker
+    except OSError:
+        pass
+    _sweep_stored_root(d)
     return (
         spark.read.parquet(os.path.join(d, "p_all")),
         spark.read.parquet(os.path.join(d, "prev")),

@@ -1,0 +1,114 @@
+"""Round-13 registry batch — closing VERDICT r12 ask #3: the
+incremental LSH candidate generator (the dedup tier's production
+candidate feed) gets its own driver-facing CORRECTNESS row.
+
+``dedup_lsh_candidates_incremental`` — the INCREMENTAL path itself at
+oracle strength: the corpus splits into a stored base (doc_id % 13 != 0)
+and an append batch; the Spark arm bands ONLY the two slices with the
+md5-replayable band stream (:func:`llm.dedup.banded_sql_signatures` —
+the stored-state schema production persists) and generates the batch's
+candidate edges via :func:`llm.dedup.incremental_lsh_candidates`
+(batch×stored broadcast probe + batch×batch intra hits — NO corpus
+self-join), while the DuckDB oracle recomputes the FULL md5-LSH
+generator from scratch and slices it to the batch-touching pairs.  The
+LSH mechanism is pair-local (a pair exists iff two docs share a band
+signature, independent of every other doc), so the sliced full run and
+the incremental run are provably the same set — a hash match proves the
+incremental feed loses and invents nothing, the same maintain==rebuild
+contract its CC consumer (``dedup_clusters_incremental``) already
+carries.
+
+Scale shape: the stored-bands side is met by ONE streamed
+broadcast-hash join (the bounded batch is the broadcast side) — the
+O(corpus) table is scanned once columnar and never shuffled; the
+batch-internal join is batch×batch.  Production persists the band
+stream once (``bands_table`` for the bucketed layout) and pays
+O(batch × bands) new rows per append — this head is the correctness
+proof for that feed.
+
+Reference anchor: the reference recomputes derived state per
+micro-batch against the full dim tables (dim/DimDataToHBase.scala:
+79-110); this is the candidate-generation analogue under the same
+append feed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from icebergproject_spark.queries import Query, _t
+from icebergproject_spark.queries_r4 import _md5_prefix12_sql
+from icebergproject_spark.queries_r11 import CC_SPLIT_MOD, CC_SPLIT_REM
+
+
+def q_dedup_lsh_candidates_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-touching candidate pairs from the INCREMENTAL generator
+    (stored bands + batch bands, no corpus self-join), hash-checked
+    against the sliced full-run oracle.  ``is_intra`` = 1 for
+    batch-internal pairs, 0 for batch×stored — so the hash also proves
+    the two sub-feeds individually."""
+    from icebergproject_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    in_batch = F.col("doc_id") % CC_SPLIT_MOD == CC_SPLIT_REM
+    stored_bands = dedup.banded_sql_signatures(docs.where(~in_batch))
+    batch_bands = dedup.banded_sql_signatures(docs.where(in_batch))
+    cands = dedup.incremental_lsh_candidates(batch_bands, stored_bands)
+    intra = (
+        (F.col("id_a") % CC_SPLIT_MOD == CC_SPLIT_REM)
+        & (F.col("id_b") % CC_SPLIT_MOD == CC_SPLIT_REM)
+    )
+    return cands.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        intra.cast("long").alias("is_intra"),
+    )
+
+
+# the oracle re-runs the FULL md5-LSH generator (identical CTEs to
+# ORACLE_DEDUP_MINHASH_LSH_SQL, queries_r4.py) and slices it to pairs
+# touching the batch — pair-locality makes the slice exactly the
+# incremental generator's output
+ORACLE_DEDUP_LSH_CANDIDATES_INCREMENTAL = f"""
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+           ELSE [text] END) AS g
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '-' || g) AS hx
+  FROM grams CROSS JOIN (SELECT UNNEST(range(16)) AS i)
+),
+hmin AS (
+  SELECT doc_id, i, MIN({_md5_prefix12_sql('hx')}) AS h
+  FROM hashed GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY i) AS band_sig
+  FROM hmin GROUP BY doc_id, i // 2
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(CASE WHEN a.doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+                  AND b.doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+             THEN 1 ELSE 0 END AS BIGINT) AS is_intra
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+WHERE a.doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+   OR b.doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
+"""
+
+
+R13_REGISTRY: dict[str, Query] = {
+    "dedup_lsh_candidates_incremental": Query(
+        q_dedup_lsh_candidates_incremental,
+        ORACLE_DEDUP_LSH_CANDIDATES_INCREMENTAL,
+    ),
+}

