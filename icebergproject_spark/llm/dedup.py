@@ -1882,6 +1882,113 @@ def connected_components_incremental_stored(
     return payload
 
 
+def cc_store_backfill_decision(
+    store: CCStore,
+    batch_rows: int,
+    backfill_factor: float = 0.5,
+    stats: dict | None = None,
+) -> str:
+    """The LEVEL-UP flood policy :func:`connected_components_incremental_stored`
+    prescribes (its docstring: a flood/backfill batch contradicts the
+    zero-full-scan layout's premise, so the decision belongs to the
+    orchestration): compare the batch's row count to the stored
+    assignment's — an O(1) read of the current snapshot's SUMMARY
+    (Iceberg-style footer stats: ``total-records`` minus
+    ``total-equality-deletes``, a conservative live-row estimate that
+    never scans data).  Returns:
+
+    - ``"seed"`` — no assignment exists yet (or it is empty): cold-start
+      by clustering the batch alone.
+    - ``"reseed"`` — ``batch_rows >= backfill_factor × live-estimate``:
+      a backfill; maintain-per-edge would force O(touched) broadcasts
+      near the whole corpus (the CC guard's broadcast-memory rationale,
+      SCALE.md r12 negative result #2) — RE-SEED via
+      :func:`cc_assignment_store_reseed` from a full re-cluster instead.
+    - ``"maintain"`` — the nightly-append regime:
+      :func:`connected_components_incremental_stored`.
+
+    The estimate is conservative on purpose: superseded upsert rows
+    still count into ``total-records`` until compaction folds them, so
+    a debt-heavy table under-reports the ratio and leans MAINTAIN — the
+    cheaper wrong answer (correctness is unaffected; both branches are
+    hash-proved equal by the flood-guard head's contract)."""
+    snap = store.assign.current_snapshot()
+    if snap is None:
+        return "seed"
+    s = snap.get("summary", {})
+    live = max(
+        (s.get("total-records") or 0) - (s.get("total-equality-deletes") or 0),
+        0,
+    )
+    if stats is not None:
+        stats["stored_rows_est"] = live
+        stats["batch_rows"] = batch_rows
+    if live == 0:
+        return "seed"
+    return "reseed" if batch_rows >= backfill_factor * live else "maintain"
+
+
+def cc_assignment_store_reseed(
+    store: CCStore, assign: DataFrame, node_col: str = "node"
+) -> CCStore:
+    """Backfill recovery for the zero-full-scan layout: replace BOTH
+    tables' contents from a full re-cluster, in the same superset-safe
+    crash order the maintenance path commits (the index invariant —
+    every cross-bucket membership has an index row — must hold after
+    ANY prefix of the commits):
+
+    1. index ← new ∪ old (overwrite with the SUPERSET: whichever
+       assignment is current afterward, its memberships are covered);
+    2. assignment ← new (overwrite);
+    3. index ← new exact (drops the dead half of the superset).
+
+    A crash between any two leaves a readable store whose index is a
+    superset of the invariant set — pruned reads widen, never under-read
+    — and the streaming sink's replay (bands marker lands last) redoes
+    the whole reseed idempotently."""
+    n = store.n_buckets
+    a = assign.select(
+        F.col(node_col).alias(node_col), "cluster_id"
+    ).localCheckpoint(eager=True)
+    new_idx = (
+        a.select(
+            "cluster_id",
+            F.pmod(node_col, F.lit(n)).alias("node_bucket"),
+        )
+        .where(
+            F.pmod(node_col, F.lit(n)) != F.pmod("cluster_id", F.lit(n))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    old_exists = store.index.current_snapshot() is not None
+    superset = (
+        new_idx.union(
+            store.index.read().select("cluster_id", "node_bucket")
+        ).distinct()
+        if old_exists
+        else new_idx
+    )
+    if not superset.isEmpty():
+        store.index.overwrite(
+            superset.repartition(F.pmod("cluster_id", F.lit(n)))
+        )
+        old_exists = True
+    store.assign.overwrite(a.repartition(F.pmod(node_col, F.lit(n))))
+    if old_exists:
+        if new_idx.isEmpty():
+            # an empty partitioned overwrite is not re-readable — clear
+            # the stale superset with an O(index) equality delete instead
+            dead = store.index.read().select("cluster_id").distinct()
+            if not dead.isEmpty():
+                store.index.delete_by_key(dead, ["cluster_id"])
+        else:
+            store.index.overwrite(
+                new_idx.repartition(F.pmod("cluster_id", F.lit(n)))
+            )
+    return store
+
+
 def cc_assignment_table(
     spark,
     warehouse: str,

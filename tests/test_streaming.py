@@ -1686,19 +1686,21 @@ def test_streaming_ann_graph_maintenance_e2e(spark, tmp_path):
 
 def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     """The dedup tier's streaming loop (round-11 sibling of the ANN
-    maintenance e2e, upgraded round 12 to the production storage path):
+    maintenance e2e; round 12 moved it to the bucketed storage path,
+    round 13 to the ZERO-FULL-SCAN CCStore — VERDICT r12 ask #4):
     document micro-batches (file source, 3 ordered batches) are appended
     to a lakehouse DOCS table; each batch's band signatures are appended
     to a stored BANDS table (the incremental_near_dups contract — a
     batch pays |batch|×bands rows, never a corpus re-band); the
     batch-touching candidate edges (incremental_lsh_candidates against
-    the PRE-append bands) maintain a stored, mod-bucketed CLUSTER
-    assignment table via connected_components_incremental_bucketed
-    (apply=True) — the changed-row read-out partition-pruned, the MERGE
-    one atomic equality-delete upsert.  After the drain the stored
-    assignment is bit-equal to a cold full re-cluster over the docs
-    table's final state — streaming dedup maintenance never diverges
-    from recompute.
+    the PRE-append bands) maintain the node-bucketed assignment +
+    spill-index store via connected_components_incremental_stored
+    (apply=True) — EVERY stored read partition-pruned, the MERGE one
+    atomic equality-delete upsert — with the level-up backfill policy
+    (cc_store_backfill_decision) routing each batch.  After the drain
+    the stored assignment is bit-equal to a cold full re-cluster over
+    the docs table's final state — streaming dedup maintenance never
+    diverges from recompute.
 
     Replay safety, both crash windows, WITHOUT an external fence and
     WITHOUT in-memory sink state (ADVICE r11: routing cold-start on an
@@ -1721,9 +1723,11 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
     from icebergproject_spark.llm.dedup import (
         banded_signatures,
-        cc_assignment_table,
+        cc_assignment_store,
+        cc_assignment_store_reseed,
+        cc_store_backfill_decision,
         connected_components,
-        connected_components_incremental_bucketed,
+        connected_components_incremental_stored,
         incremental_lsh_candidates,
         minhash_lsh_candidates,
     )
@@ -1750,7 +1754,8 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     )
     docs_tbl = catalog.table("DOCS")
     bands_tbl = catalog.table("DOC_BANDS")  # (id, band, band_sig)
-    assign_tbl = cc_assignment_table(  # (node, cluster_id), mod8-bucketed
+    # zero-full-scan layout: node-bucketed assignment + spill index
+    store = cc_assignment_store(
         spark, str(tmp_path / "wh"), "testdb", "DOC_CLUSTERS", n_buckets=8
     )
     seen = []  # observability only — NEVER routes a decision
@@ -1761,27 +1766,37 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
             return  # replay after full commit: the marker short-circuits
         batch = batch.localCheckpoint(eager=True)
         bb = banded_signatures(batch).localCheckpoint(eager=True)
-        if bands_tbl.current_snapshot() is None:
-            # cold start routed on STORED state (no bands ⇒ no stored
-            # clusters to maintain; an in-memory counter would reset
-            # across driver restarts — ADVICE r11): cluster the batch
-            # alone and write it idempotently (merge on node)
-            assign_tbl.upsert_by_key(
+        # every routing decision reads STORED state (no in-memory
+        # counters — ADVICE r11); the 3 test batches are each ~1/3 of
+        # the corpus, so factor 2.0 keeps them in the MAINTAIN regime
+        # (the backfill/reseed regime has its own pin below)
+        decision = cc_store_backfill_decision(
+            store, batch.count(), backfill_factor=2.0
+        )
+        if bands_tbl.current_snapshot() is None or decision != "maintain":
+            # cold start (or replay of a crashed cold start, where the
+            # assignment landed but bands didn't): (re)seed from the
+            # docs-so-far ∪ batch — overwrite-based, so a replay
+            # converges instead of double-appending
+            corpus = (
+                docs_tbl.read().select("doc_id", "text").union(batch)
+                if docs_tbl.current_snapshot() is not None
+                else batch
+            ).dropDuplicates(["doc_id"])
+            cc_assignment_store_reseed(
+                store,
                 connected_components(
-                    minhash_lsh_candidates(batch),
-                    nodes=batch.select("doc_id"),
+                    minhash_lsh_candidates(corpus),
+                    nodes=corpus.select("doc_id"),
                     node_col="doc_id",
                 ),
-                ["node"],
-                batch_id=f"{bid}-assign",
             )
         else:
             edges = incremental_lsh_candidates(bb, bands_tbl.read())
-            connected_components_incremental_bucketed(
-                assign_tbl,
+            connected_components_incremental_stored(
+                store,
                 edges,
                 new_nodes=batch.select(F.col("doc_id").alias("node")),
-                n_buckets=8,
                 apply=True,
                 batch_id=f"{bid}-assign",
             )
@@ -1811,7 +1826,7 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     final_docs = docs_tbl.read()
     assert final_docs.count() == len(docs)
     maintained = {
-        r.node: r.cluster_id for r in assign_tbl.read().collect()
+        r.node: r.cluster_id for r in store.assign.read().collect()
     }
     cold = {
         r.node: r.cluster_id
@@ -1822,6 +1837,22 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
         ).collect()
     }
     assert maintained == cold
+    # the spill-index invariant holds after the drain: every cross-
+    # bucket membership has an index row (extra rows are allowed)
+    need = {
+        (c, n % 8)
+        for n, c in maintained.items()
+        if n % 8 != c % 8
+    }
+    have = {
+        (r.cluster_id, r.node_bucket)
+        for r in (
+            store.index.read().collect()
+            if store.index.current_snapshot() is not None
+            else []
+        )
+    }
+    assert need <= have
 
     # replay window 1 — after full commit: the has_batch token
     # short-circuits (seen untouched proves the early return)
@@ -1831,25 +1862,24 @@ def test_streaming_dedup_cluster_maintenance_e2e(spark, tmp_path):
     sink(last, 2)
     assert seen == [0, 1, 2]
     # replay window 2 — crash before the bands token landed: the retry
-    # re-runs the pruned MERGE path against the already-merged
-    # assignment.  Re-deriving edges from the post-commit bands is a
-    # SUPERSET of what that retry would see (the operator's replay
-    # contract covers both): the payload must drain to nothing and the
-    # applied upsert must be a no-op either way
+    # re-runs the pruned MERGE path against the already-merged store.
+    # Re-deriving edges from the post-commit bands is a SUPERSET of
+    # what that retry would see (the operator's replay contract covers
+    # both): the payload must drain to nothing and the applied upsert
+    # must be a no-op either way
     from icebergproject_spark.llm.dedup import (
         banded_signatures as _bs,
         incremental_lsh_candidates as _ilc,
     )
 
-    ups = connected_components_incremental_bucketed(
-        assign_tbl,
+    ups = connected_components_incremental_stored(
+        store,
         _ilc(_bs(last), bands_tbl.read()),
         new_nodes=last.select(F.col("doc_id").alias("node")),
-        n_buckets=8,
         apply=True,
     )
     assert ups.count() == 0
-    replayed = {r.node: r.cluster_id for r in assign_tbl.read().collect()}
+    replayed = {r.node: r.cluster_id for r in store.assign.read().collect()}
     assert replayed == cold
     assert docs_tbl.read().count() == len(docs)
 
@@ -1859,19 +1889,22 @@ def test_streaming_dedup_cold_start_survives_driver_restart(spark, tmp_path):
     assignment but CRASHES before the bands marker lands, then the
     driver RESTARTS (all in-memory sink state gone) and Structured
     Streaming replays batch 0.  Because routing reads the bands table
-    (still empty) and the cold-start write is an idempotent merge on
-    node, the replay converges to a single copy; batch 1 then routes
-    through the maintenance path and the final state equals a cold
-    re-cluster.  With counter-based routing + plain append this replay
-    double-appended batch 0 and clustered batch 1 alone."""
+    (still empty) and the cold-start write is an overwrite-based
+    reseed of the CCStore, the replay converges to a single copy;
+    batch 1 then routes through the maintenance path and the final
+    state equals a cold re-cluster.  With counter-based routing +
+    plain append this replay double-appended batch 0 and clustered
+    batch 1 alone."""
     import pyspark.sql.functions as F
 
     from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
     from icebergproject_spark.llm.dedup import (
         banded_signatures,
-        cc_assignment_table,
+        cc_assignment_store,
+        cc_assignment_store_reseed,
+        cc_store_backfill_decision,
         connected_components,
-        connected_components_incremental_bucketed,
+        connected_components_incremental_stored,
         incremental_lsh_candidates,
         minhash_lsh_candidates,
     )
@@ -1894,7 +1927,7 @@ def test_streaming_dedup_cold_start_survives_driver_restart(spark, tmp_path):
     )
     docs_tbl = catalog.table("DOCS")
     bands_tbl = catalog.table("DOC_BANDS")
-    assign_tbl = cc_assignment_table(
+    store = cc_assignment_store(
         spark, str(tmp_path / "wh"), "testdb", "DOC_CLUSTERS", n_buckets=8
     )
 
@@ -1904,23 +1937,29 @@ def test_streaming_dedup_cold_start_survives_driver_restart(spark, tmp_path):
             return
         batch = batch.localCheckpoint(eager=True)
         bb = banded_signatures(batch).localCheckpoint(eager=True)
-        if bands_tbl.current_snapshot() is None:
-            assign_tbl.upsert_by_key(
+        decision = cc_store_backfill_decision(
+            store, batch.count(), backfill_factor=2.0
+        )
+        if bands_tbl.current_snapshot() is None or decision != "maintain":
+            corpus = (
+                docs_tbl.read().select("doc_id", "text").union(batch)
+                if docs_tbl.current_snapshot() is not None
+                else batch
+            ).dropDuplicates(["doc_id"])
+            cc_assignment_store_reseed(
+                store,
                 connected_components(
-                    minhash_lsh_candidates(batch),
-                    nodes=batch.select("doc_id"),
+                    minhash_lsh_candidates(corpus),
+                    nodes=corpus.select("doc_id"),
                     node_col="doc_id",
                 ),
-                ["node"],
-                batch_id=f"{bid}-assign",
             )
         else:
             edges = incremental_lsh_candidates(bb, bands_tbl.read())
-            connected_components_incremental_bucketed(
-                assign_tbl,
+            connected_components_incremental_stored(
+                store,
                 edges,
                 new_nodes=batch.select(F.col("doc_id").alias("node")),
-                n_buckets=8,
                 apply=True,
                 batch_id=f"{bid}-assign",
             )
@@ -1932,14 +1971,14 @@ def test_streaming_dedup_cold_start_survives_driver_restart(spark, tmp_path):
     # attempt 1 commits the cold-start assignment, then the driver dies
     sink(b0, 0, crash_before_bands=True)
     n0 = b0.count()
-    assert assign_tbl.read().count() == n0
+    assert store.assign.read().count() == n0
     # restart: no in-memory state survives; the stream replays batch 0
     sink(b0, 0)
-    assert assign_tbl.read().count() == n0  # merged, not double-appended
+    assert store.assign.read().count() == n0  # reseeded, not doubled
     sink(b1, 1)  # routes through MAINTENANCE (bands now non-empty)
     final_docs = docs_tbl.read()
     assert final_docs.count() == len(docs)
-    maintained = {r.node: r.cluster_id for r in assign_tbl.read().collect()}
+    maintained = {r.node: r.cluster_id for r in store.assign.read().collect()}
     cold = {
         r.node: r.cluster_id
         for r in connected_components(
@@ -1949,6 +1988,87 @@ def test_streaming_dedup_cold_start_survives_driver_restart(spark, tmp_path):
         ).collect()
     }
     assert maintained == cold
+
+
+def test_streaming_dedup_backfill_reseeds_ccstore(spark, tmp_path):
+    """VERDICT r12 ask #4, second half: the LEVEL-UP backfill policy at
+    a synthetic backfill.  cc_store_backfill_decision routes on the
+    assignment's snapshot-summary row estimate (O(1), never a scan):
+    'seed' on an empty store, 'maintain' for a nightly-sized batch,
+    'reseed' when the batch rivals the corpus.  The reseed itself
+    (cc_assignment_store_reseed) must leave the store equal to a cold
+    re-cluster, keep the spill-index invariant, converge under replay
+    (overwrite-based), and drop stale index rows from the pre-backfill
+    clustering."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from icebergproject_spark.llm.dedup import (
+        cc_assignment_store,
+        cc_assignment_store_reseed,
+        cc_store_backfill_decision,
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+        .localCheckpoint(eager=True)
+    )
+    base = docs.where("doc_id % 5 <> 0")
+    store = cc_assignment_store(
+        spark,
+        str(tmp_path / "wh"),
+        "testdb",
+        "CLUSTERS",
+        assign=connected_components(
+            minhash_lsh_candidates(base),
+            nodes=base.select("doc_id"),
+            node_col="doc_id",
+        ),
+        n_buckets=8,
+    )
+    n_base = base.count()
+    # the decision ladder, against the STORED estimate
+    stats: dict = {}
+    assert cc_store_backfill_decision(store, 10, stats=stats) == "maintain"
+    assert stats["stored_rows_est"] == n_base
+    assert cc_store_backfill_decision(store, n_base) == "reseed"
+    assert (
+        cc_store_backfill_decision(store, (n_base // 2) + 1) == "reseed"
+    )  # boundary: batch == factor × stored
+    empty_store = cc_assignment_store(
+        spark, str(tmp_path / "wh"), "testdb", "EMPTY", n_buckets=8
+    )
+    assert cc_store_backfill_decision(empty_store, 10) == "seed"
+
+    # the backfill lands: full re-cluster over base ∪ backfill
+    cold = connected_components(
+        minhash_lsh_candidates(docs),
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    ).localCheckpoint(eager=True)
+    cc_assignment_store_reseed(store, cold)
+    want = {r.node: r.cluster_id for r in cold.collect()}
+    got = {r.node: r.cluster_id for r in store.assign.read().collect()}
+    assert got == want
+    # spill-index invariant: every cross-bucket membership indexed
+    need = {(c, n % 8) for n, c in want.items() if n % 8 != c % 8}
+    have = {
+        (r.cluster_id, r.node_bucket) for r in store.index.read().collect()
+    }
+    assert need <= have
+    # and EXACT after the cleanup commit: stale pre-backfill rows gone
+    assert have == need
+    # replay converges (overwrite-based): same state, same index
+    cc_assignment_store_reseed(store, cold)
+    assert {
+        r.node: r.cluster_id for r in store.assign.read().collect()
+    } == want
+    assert {
+        (r.cluster_id, r.node_bucket) for r in store.index.read().collect()
+    } == need
 
 
 def test_streaming_ann_pagerank_chained_e2e(spark, tmp_path):
