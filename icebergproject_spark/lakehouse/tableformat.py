@@ -2692,6 +2692,30 @@ class LakehouseTable:
             return None
         return self.compact(target_partitions)
 
+    def maybe_fold_eq_debt(self, max_eq_delete_files: int = 16) -> dict | None:
+        """Auto-fold trigger for accumulated equality-delete READ debt
+        (mirror of :meth:`maybe_compact`): each :meth:`upsert_by_key` /
+        :meth:`delete_by_key` adds one equality-delete file, and every
+        read pays one broadcast anti-join per file; past
+        ``max_eq_delete_files`` this converts them all into ONE
+        positional delete file (:meth:`convert_equality_deletes` — a
+        one-time address-materialization scan; data files untouched, so
+        partition pruning and time travel are unaffected).
+
+        The default threshold comes from the MEASURED knee (SCALE.md
+        r13 "eq-delete read-debt curve", tools/eq_debt_probe.py): the
+        per-file read tax is small but strictly cumulative, and by ~16
+        files the added latency rivals the one-time fold cost after a
+        handful of reads.  The incremental CC maintenance operators call
+        this after every applied batch (``fold_eq_debt=``), so a
+        steady-state table's read cost stays bounded without an external
+        scheduler.  Returns the fold commit, or None when under the
+        threshold."""
+        cur = self.current_snapshot()
+        if cur is None or len(cur.get("eq_delete_dirs", [])) <= max_eq_delete_files:
+            return None
+        return self.convert_equality_deletes()
+
     def maintain(
         self,
         max_data_dirs: int = 8,

@@ -1543,6 +1543,7 @@ def connected_components_incremental_bucketed(
     stats: dict | None = None,
     apply: bool = False,
     batch_id: str | None = None,
+    fold_eq_debt: int | None = 16,
 ) -> DataFrame:
     """:func:`connected_components_incremental` against a STORED,
     hash-bucketed assignment — the storage/policy parity move the ANN
@@ -1635,6 +1636,11 @@ def connected_components_incremental_bucketed(
     if apply:
         payload = payload.localCheckpoint(eager=True)  # upsert reads it twice
         assign_tbl.upsert_by_key(payload, [node_col], batch_id=batch_id)
+        if fold_eq_debt is not None:
+            # bounded read debt without an external scheduler: fold the
+            # accumulated equality deletes once they exceed the measured
+            # knee (maybe_fold_eq_debt docstring / SCALE.md r13)
+            assign_tbl.maybe_fold_eq_debt(fold_eq_debt)
     return payload
 
 
@@ -1725,6 +1731,7 @@ def connected_components_incremental_stored(
     apply: bool = False,
     batch_id: str | None = None,
     stats: dict | None = None,
+    fold_eq_debt: int | None = 16,
 ) -> DataFrame:
     """Incremental connected components with EVERY stored read
     partition-pruned — no O(corpus) scan anywhere in the maintenance
@@ -1879,6 +1886,12 @@ def connected_components_incremental_stored(
                 remap_stored.select(F.col("old_label").alias("cluster_id")),
                 ["cluster_id"],
             )
+        if fold_eq_debt is not None:
+            # bounded read debt on BOTH tables (the index accumulates
+            # one eq file per upsert + one per cleanup delete): fold
+            # past the measured knee (maybe_fold_eq_debt / SCALE.md r13)
+            store.assign.maybe_fold_eq_debt(fold_eq_debt)
+            store.index.maybe_fold_eq_debt(fold_eq_debt)
     return payload
 
 

@@ -1885,3 +1885,25 @@ def test_upsert_by_key_emptied_table_race_reclaims_eq_dir(spark, tmp_path):
     assert snap.get("eq_delete_dirs", []) == []
     # the pre-written eq-delete key dir was reclaimed, not orphaned
     assert os.listdir(t.eq_deletes_root) == []
+
+
+def test_maybe_fold_eq_debt_trigger_and_equivalence(spark, catalog):
+    """maybe_fold_eq_debt (VERDICT r12 ask #6): a no-op at or under the
+    threshold, converts ALL accumulated equality deletes to one
+    positional file past it — read results byte-identical, data files
+    untouched."""
+    t = catalog.table("FOLD")
+    t.append(df_of(spark, [(str(i), "v") for i in range(12)]))
+    for i in range(4):
+        t.upsert_by_key(df_of(spark, [(str(i), f"u{i}")]), ["id"])
+    assert t.maybe_fold_eq_debt(max_eq_delete_files=4) is None  # at == no
+    assert len(t.current_snapshot()["eq_delete_dirs"]) == 4
+    before = {(r.id, r.v) for r in t.read().collect()}
+    t.upsert_by_key(df_of(spark, [("4", "u4")]), ["id"])
+    snap = t.maybe_fold_eq_debt(max_eq_delete_files=4)
+    assert snap is not None
+    cur = t.current_snapshot()
+    assert cur.get("eq_delete_dirs", []) == []  # folded...
+    assert cur.get("delete_dirs")  # ...into a positional file
+    after = {(r.id, r.v) for r in t.read().collect()}
+    assert after == (before - {("4", "v")}) | {("4", "u4")}

@@ -2195,3 +2195,50 @@ def test_bloom_audit_replay(spark):
     # oversized filter: collision probability ~0 -> no false positives
     row2 = bloom_audit(df, m_bits=1 << 24, n_hashes=h).collect()[0]
     assert row2.false_positives == 0 and row2.fpr_ppm == 0
+
+
+def test_cc_stored_auto_fold_bounds_read_debt(spark, tmp_path):
+    """The fold_eq_debt wiring (VERDICT r12 ask #6): repeated applied
+    maintenance batches accumulate one equality-delete file each; with
+    the auto-fold knob the assignment's debt never exceeds the
+    threshold, the store keeps its planning-time pruning, and the final
+    state still equals a cold rebuild."""
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["node"])
+    st = dedup.cc_assignment_store(
+        spark, str(tmp_path), "db", "fold",
+        assign=dedup.connected_components(
+            spark.createDataFrame([(0, 1)], "id_a long, id_b long"),
+            nodes=nodes,
+        ),
+        n_buckets=4,
+    )
+    all_edges = [(0, 1)]
+    for i, e in enumerate([(1, 2), (3, 4), (5, 6), (2, 5), (7, 8)]):
+        all_edges.append(e)
+        dedup.connected_components_incremental_stored(
+            st,
+            spark.createDataFrame([e], "id_a long, id_b long"),
+            apply=True,
+            batch_id=f"b{i}",
+            fold_eq_debt=2,
+        )
+        # the auto-fold bounds the debt at every step
+        assert len(st.assign.current_snapshot().get("eq_delete_dirs", [])) <= 2
+        assert (
+            len((st.index.current_snapshot() or {}).get("eq_delete_dirs", []))
+            <= 2
+        )
+    want = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                spark.createDataFrame(all_edges, "id_a long, id_b long"),
+                nodes=nodes,
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, st.assign.read().collect())) == want
+    # pruning survives the folds (positional deletes touch no data dirs)
+    pruned = st.assign.read(partition_values=[1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
