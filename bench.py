@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "dedup_clusters_bucketed",
     "dedup_clusters_flood_guard",
     "dedup_clusters_stored",
+    # round-13 head: the incremental LSH candidate feed at oracle
+    # strength (stored bands + batch bands, no corpus self-join)
+    "dedup_lsh_candidates_incremental",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -210,9 +213,8 @@ BENCH_QUERIES = [
 PREV_ROUND_QUERIES = {
     q for q in BENCH_QUERIES
     if q not in (
-        # entered the bench in round 12
-        "dedup_clusters_bucketed", "dedup_clusters_flood_guard",
-        "dedup_clusters_stored",
+        # entered the bench in round 13
+        "dedup_lsh_candidates_incremental",
     )
 }
 
