@@ -200,9 +200,12 @@ BENCH_QUERIES = [
     "dedup_clusters_bucketed",
     "dedup_clusters_flood_guard",
     "dedup_clusters_stored",
-    # round-13 head: the incremental LSH candidate feed at oracle
-    # strength (stored bands + batch bands, no corpus self-join)
+    # round-13 heads: the incremental LSH candidate feed at oracle
+    # strength (stored bands + batch bands, no corpus self-join) and
+    # the reseed branch of the level-up backfill policy (decision
+    # arithmetic + overwrite commits + rebuilt spill index replayed)
     "dedup_lsh_candidates_incremental",
+    "dedup_clusters_backfill_reseed",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -215,6 +218,7 @@ PREV_ROUND_QUERIES = {
     if q not in (
         # entered the bench in round 13
         "dedup_lsh_candidates_incremental",
+        "dedup_clusters_backfill_reseed",
     )
 }
 

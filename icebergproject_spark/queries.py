@@ -766,7 +766,10 @@ DRIVER_WINDOW = [
     # new this round (r13): the incremental LSH candidate feed at
     # oracle strength (VERDICT r12 ask #3 — stored bands + batch bands,
     # no corpus self-join, hash-checked against the sliced full run)
-    "dedup_lsh_candidates_incremental",
+    # and the RESEED branch of the level-up backfill policy (decision
+    # arithmetic + overwrite commits + rebuilt spill index, all
+    # replayed by the oracle)
+    "dedup_lsh_candidates_incremental", "dedup_clusters_backfill_reseed",
     # stale refresh: ALL 36 remaining ROUND-8 rows (VERDICT r12 ask #2
     # — after this round nothing older than r9 remains)
     "fuzzy_join_parts", "fuzzy_join_snm", "gapfill_interpolate",
@@ -781,14 +784,13 @@ DRIVER_WINDOW = [
     "route_dim", "route_fact", "shipping_priority",
     "small_quantity_revenue", "top_parts_by_revenue", "trend_ols",
     "trend_theil_sen", "user_login_wide", "user_sessions",
-    # stale refresh: oldest ROUND-9 rows, alphabetical head (12 of 49;
+    # stale refresh: oldest ROUND-9 rows, alphabetical head (11 of 49;
     # community_modularity_ann deliberately included — it is one of the
     # two r12 perf-weak heads, so fresh driver evidence matters)
     "bloom_audit", "bpe_pair_counts", "chunk_documents",
     "community_modularity_ann", "contamination_spans",
     "coreset_kcenter", "corpus_pipeline_e2e", "curriculum_bins",
     "dataset_split", "decontamination", "dedup_clusters",
-    "dedup_clusters_lsh_sql",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -37,9 +37,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql.window import Window
+
 from icebergproject_spark.queries import Query, _t
 from icebergproject_spark.queries_r4 import _md5_prefix12_sql
-from icebergproject_spark.queries_r11 import CC_SPLIT_MOD, CC_SPLIT_REM
+from icebergproject_spark.queries_r11 import (
+    CC_SPLIT_MOD,
+    CC_SPLIT_REM,
+    _closure_cte,
+)
+from icebergproject_spark.queries_r12 import CC_BUCKETS
 
 
 def q_dedup_lsh_candidates_incremental(
@@ -106,9 +113,120 @@ WHERE a.doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}
 """
 
 
+def q_dedup_clusters_backfill_reseed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RESEED branch of the level-up backfill policy at oracle
+    strength (no other head exercises it end-to-end): the stored corpus
+    is the SMALL %13==0 slice, and the other 92% arrives as one
+    backfill batch.  ``cc_store_backfill_decision`` must choose
+    ``reseed`` from the assignment's O(1) snapshot-summary estimate,
+    and ``cc_assignment_store_reseed`` replaces both tables from a full
+    re-cluster in superset-safe crash order.  The head reads the
+    RESEEDED store back and emits it with the decision inputs
+    (``batch_rows``, ``stored_rows_est``), the decision itself, and the
+    spill index's row count — every column recomputed independently by
+    the DuckDB oracle (the index count from the final clustering's
+    cross-bucket memberships), so a hash match proves the decision
+    arithmetic, the overwrite commits, AND the rebuilt index in one
+    check."""
+    from icebergproject_spark.llm import dedup
+    from icebergproject_spark.queries_r11 import _mkdtemp_for_run
+
+    docs = _t(spark, sf_dir, "documents")
+    in_base = F.col("doc_id") % CC_SPLIT_MOD == CC_SPLIT_REM
+    base_docs = docs.where(in_base).select("doc_id", "text")
+    backfill = docs.where(~in_base).select("doc_id", "text")
+    stored = dedup.connected_components(
+        dedup.minhash_lsh_sql_candidates(base_docs).select("id_a", "id_b"),
+        nodes=base_docs.select("doc_id"),
+        node_col="doc_id",
+    )
+    wh = _mkdtemp_for_run("cc_backfill_")
+    st = dedup.cc_assignment_store(
+        spark, wh, "tmp", "cc", assign=stored, n_buckets=CC_BUCKETS
+    )
+    stats: dict = {}
+    decision = dedup.cc_store_backfill_decision(
+        st, backfill.count(), stats=stats
+    )
+    # the policy must flip to reseed here — a silent 'maintain' would
+    # still produce the right table through the incremental path, hiding
+    # a broken estimate; fail loudly instead
+    if decision != "reseed":
+        raise AssertionError(
+            f"backfill decision was {decision!r} "
+            f"(batch={stats['batch_rows']}, est={stats['stored_rows_est']})"
+        )
+    cold = dedup.connected_components(
+        dedup.minhash_lsh_sql_candidates(docs).select("id_a", "id_b"),
+        nodes=docs.select(F.col("doc_id")),
+        node_col="doc_id",
+    )
+    dedup.cc_assignment_store_reseed(st, cold)
+    n_index_rows = (
+        st.index.read().count()
+        if st.index.current_snapshot() is not None
+        else 0
+    )
+    merged = st.assign.read().select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    return merged.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        F.lit(int(stats["batch_rows"])).cast("long").alias("batch_rows"),
+        F.lit(int(stats["stored_rows_est"]))
+        .cast("long")
+        .alias("stored_rows_est"),
+        F.lit(decision).alias("decision"),
+        F.lit(int(n_index_rows)).cast("long").alias("n_index_rows"),
+    )
+
+
+# the oracle recomputes EVERYTHING from the parquet fixtures: the full
+# re-cluster (closure over md5-LSH edges), the decision inputs (plain
+# counts of the two slices — the seed store is one append, so its
+# summary estimate IS the base count), the decision (factor 0.5 as
+# integer arithmetic: batch*2 >= stored), and the spill index's
+# invariant-set size from the final clustering's cross-bucket
+# memberships (mod CC_BUCKETS)
+ORACLE_DEDUP_CLUSTERS_BACKFILL_RESEED = f"""
+WITH RECURSIVE
+{_closure_cte('_a', 'TRUE')},
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+     WHERE doc_id % {CC_SPLIT_MOD} <> {CC_SPLIT_REM}) AS batch_rows,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+     WHERE doc_id % {CC_SPLIT_MOD} = {CC_SPLIT_REM}) AS stored_rows_est
+),
+idx AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_index_rows FROM (
+    SELECT DISTINCT cluster_id, doc_id % {CC_BUCKETS} AS nb
+    FROM lab_a WHERE doc_id % {CC_BUCKETS} <> cluster_id % {CC_BUCKETS}
+  )
+)
+SELECT a.doc_id, a.cluster_id,
+       COUNT(*) OVER (PARTITION BY a.cluster_id) AS cluster_size,
+       counts.batch_rows, counts.stored_rows_est,
+       CASE WHEN counts.batch_rows * 2 >= counts.stored_rows_est
+            THEN 'reseed' ELSE 'maintain' END AS decision,
+       idx.n_index_rows
+FROM lab_a a CROSS JOIN counts CROSS JOIN idx
+"""
+
+
 R13_REGISTRY: dict[str, Query] = {
     "dedup_lsh_candidates_incremental": Query(
         q_dedup_lsh_candidates_incremental,
         ORACLE_DEDUP_LSH_CANDIDATES_INCREMENTAL,
+    ),
+    "dedup_clusters_backfill_reseed": Query(
+        q_dedup_clusters_backfill_reseed,
+        ORACLE_DEDUP_CLUSTERS_BACKFILL_RESEED,
     ),
 }
