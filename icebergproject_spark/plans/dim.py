@@ -32,6 +32,7 @@ def upsert_dims(
     config_rows: list[dict],
     op_col: str = "type",
     write_mode: str = "merge",
+    fold_eq_debt: int | None = 16,
 ) -> dict[str, int]:
     """K6: for each configured dim table, MERGE its records.
 
@@ -47,7 +48,11 @@ def upsert_dims(
     upsert mode is the faithful COST shape of the reference's Phoenix
     sink (key-addressed upserts, never a table rewrite,
     dim/DimDataToHBase.scala:100-110); identical final state
-    (pytest-pinned), read debt folded by compaction.
+    (pytest-pinned).  ``fold_eq_debt``: each upsert batch adds one
+    equality-delete file and every dim READ pays one anti-join per file
+    (the r13-measured curve, SCALE.md); past the threshold the debt is
+    folded via :meth:`LakehouseTable.maybe_fold_eq_debt` — None
+    disables (leave folding to external `maintain`).
 
     Returns {sink_table: rows merged}.
     """
@@ -65,6 +70,8 @@ def upsert_dims(
         tbl = catalog.table(cfg["sink_tbl_name"])
         if write_mode == "upsert" and tbl.current_snapshot() is not None:
             tbl.upsert_by_key(payload, [cfg["pk_col"]])
+            if fold_eq_debt is not None:
+                tbl.maybe_fold_eq_debt(fold_eq_debt)
         else:
             tbl.merge(payload, [cfg["pk_col"]])
         out[cfg["sink_tbl_name"]] = n

@@ -145,6 +145,16 @@ def test_dim_upsert_write_mode_upsert_same_state_o_batch_cost(
 
     with _pytest.raises(ValueError):
         upsert_dims(catalog, upd, cfg, write_mode="phoenix")
+    # fold_eq_debt wiring (r13): past the threshold the accumulated
+    # equality deletes are folded to ONE positional file in-path, state
+    # unchanged — the dim sink's read cost stays bounded without an
+    # external maintain
+    for i in range(2):
+        upsert_dims(catalog, upd, cfg, write_mode="upsert", fold_eq_debt=2)
+    cur = t.current_snapshot()
+    assert len(cur.get("eq_delete_dirs", [])) <= 2
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].member_level == "platinum"
 
 
 def test_dws_user_login_wide_null_attrs(spark):
