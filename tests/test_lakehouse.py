@@ -1907,3 +1907,39 @@ def test_maybe_fold_eq_debt_trigger_and_equivalence(spark, catalog):
     assert cur.get("delete_dirs")  # ...into a positional file
     after = {(r.id, r.v) for r in t.read().collect()}
     assert after == (before - {("4", "v")}) | {("4", "u4")}
+
+
+def test_mod_partition_replay_formula_matches_duckdb(spark, tmp_path):
+    """The mod<N> docs promise the sign-exact DuckDB replay
+    ``((k % N) + N) % N`` (pmod vs DuckDB's signed ``%``) — execute
+    BOTH forms in DuckDB against a negative-key table and pin that the
+    documented form reproduces the pruned read exactly while plain
+    ``k % N`` desyncs (ADVICE r12 #4, made executable)."""
+    import duckdb
+
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+
+    t = LakehouseCatalog(spark, warehouse=str(tmp_path), db="db").table("NEG")
+    t.set_partitioning("id", "mod16")
+    keys = [-21, -16, -5, -1, 0, 3, 11, 27]
+    t.append(spark.createDataFrame([(k,) for k in keys], "id long"))
+
+    pruned = sorted(r.id for r in t.read(partition_values=[11]).collect())
+    assert pruned == [-21, -5, 11, 27]  # pmod(-21)=pmod(-5)=11
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE keys AS SELECT * FROM (VALUES "
+                + ",".join(f"({k})" for k in keys) + ") v(id)")
+    documented = sorted(
+        r[0] for r in con.execute(
+            "SELECT id FROM keys WHERE ((id % 16) + 16) % 16 = 11"
+        ).fetchall()
+    )
+    assert documented == pruned  # the documented replay is exact
+    naive = sorted(
+        r[0] for r in con.execute(
+            "SELECT id FROM keys WHERE id % 16 = 11"
+        ).fetchall()
+    )
+    assert naive != pruned  # plain % silently desyncs on negatives
+    con.close()

@@ -741,3 +741,84 @@ def test_cc_stored_layout_equals_full_for_all_splits(
         else set()  # never-written index ⇔ no cross-bucket memberships
     )
     assert have == need
+
+
+# --- round-13 hardening: partition-pruned reads equal a pure model ---------
+
+#: identity-partition value pool: mixes fast-path-safe renderings
+#: (``a.b-c_d``, ``UPPER``, ``0``, ``-1``) with values whose directory
+#: name Spark must escape (space, ``=``, ``:``, ``/``, ``%``, ``#``,
+#: unicode) — the latter MUST take the discovery+filter fallback, and
+#: either path must return exactly the model's rows.
+_IDENT_POOL = [
+    "a b", "a=b", "a:b", "a/b", "a%b", "ü", "x#y",
+    "a.b-c_d", "UPPER", "0", "-1", "plain",
+]
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None)
+def test_identity_partition_pruned_read_matches_model(
+    spark, tmp_path_factory, data
+):
+    """read(partition_values=) over an identity-partitioned string
+    column equals a pure-Python subset filter for ANY mix of safe and
+    escape-needing partition values — the O(touched) fast path may only
+    ever change HOW rows are found, never WHICH rows come back
+    (guards tableformat.py's safe_vals gate; ADVICE r12 #1)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+
+    keys = data.draw(
+        st.lists(st.sampled_from(_IDENT_POOL), min_size=1, max_size=8,
+                 unique=True)
+    )
+    wanted = data.draw(
+        st.lists(
+            st.sampled_from(_IDENT_POOL + ["absent", "no such value"]),
+            min_size=1, max_size=5, unique=True,
+        )
+    )
+    base = tmp_path_factory.mktemp("prune_ident")
+    t = LakehouseCatalog(spark, warehouse=str(base), db="propdb").table("T")
+    t.set_partitioning("k", "identity")
+    t.append(
+        spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "i int, k string"
+        )
+    )
+    got = {(r.i, r.k) for r in t.read(partition_values=wanted).collect()}
+    want = {(i, k) for i, k in enumerate(keys) if k in set(wanted)}
+    assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-60, max_value=60),
+        min_size=1, max_size=12, unique=True,
+    ),
+    n=st.sampled_from([2, 7, 16]),
+    wanted=st.lists(
+        st.integers(min_value=-2, max_value=18),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_mod_partition_pruned_read_matches_signed_model(
+    spark, tmp_path_factory, keys, n, wanted
+):
+    """read(partition_values=) over a mod<N>-partitioned int column
+    equals the documented sign-exact model ``((k % N) + N) % N`` for
+    keys of EITHER sign — pmod's non-negative buckets, absent bucket
+    ids, and out-of-range wanted values all reduce to the same subset
+    filter (guards the mod<N> replay contract; ADVICE r12 #4)."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+
+    base = tmp_path_factory.mktemp("prune_mod")
+    t = LakehouseCatalog(spark, warehouse=str(base), db="propdb").table("M")
+    t.set_partitioning("k", f"mod{n}")
+    t.append(
+        spark.createDataFrame([(k,) for k in keys], "k long")
+    )
+    got = sorted(r.k for r in t.read(partition_values=wanted).collect())
+    want = sorted(k for k in keys if ((k % n) + n) % n in set(wanted))
+    assert got == want
