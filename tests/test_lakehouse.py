@@ -1943,3 +1943,58 @@ def test_mod_partition_replay_formula_matches_duckdb(spark, tmp_path):
     )
     assert naive != pruned  # plain % silently desyncs on negatives
     con.close()
+
+
+def test_concurrent_upserts_by_key_disjoint_keys_all_land(spark, catalog):
+    """Commit concurrency on the O(payload) upsert path: 6 threads
+    upsert DISJOINT keys in parallel.  CAS + bounded retry must land
+    every upsert — each key shows its thread's value, untouched keys
+    keep the seed value, one linear mainline, and the eq-delete
+    sequence scoping holds under retries (no upsert's data file is
+    hidden by a racing upsert's equality delete)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = catalog.table("UPCONC")
+    t.append(df_of(spark, [(str(i), "seed") for i in range(8)]))
+
+    def worker(w: int):
+        return t.upsert_by_key(df_of(spark, [(str(w), f"w{w}")]), ["id"])
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        snaps = list(ex.map(worker, range(6)))
+
+    assert len({s["snapshot_id"] for s in snaps}) == 6
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {
+        str(i): (f"w{i}" if i < 6 else "seed") for i in range(8)
+    }
+    chain = t._mainline()
+    for prev, nxt in zip(chain, chain[1:]):
+        assert nxt["parent_id"] == prev["snapshot_id"]
+
+
+def test_concurrent_upserts_same_key_serialize_to_one_winner(spark, catalog):
+    """Two upserts racing on the SAME key: CAS serializes them — the
+    table ends with exactly ONE row for the key holding the LAST
+    committer's value (mainline order), never a duplicate and never a
+    value from neither."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyspark.sql.functions as F
+
+    t = catalog.table("UPSAME")
+    t.append(df_of(spark, [("k", "seed"), ("other", "x")]))
+
+    def worker(tag: str):
+        return t.upsert_by_key(df_of(spark, [("k", tag)]), ["id"])
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        snaps = list(ex.map(worker, ["a", "b"]))
+
+    rows = t.read().filter(F.col("id") == "k").collect()
+    assert len(rows) == 1
+    # the mainline's LAST upsert is the winner — map snapshot order to tag
+    order = {s["snapshot_id"]: tag for s, tag in zip(snaps, ["a", "b"])}
+    last = t._mainline()[-1]["snapshot_id"]
+    assert rows[0].v == order[last]
+    assert {r.v for r in t.read().filter(F.col("id") == "other").collect()} == {"x"}
