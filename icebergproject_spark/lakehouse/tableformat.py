@@ -29,6 +29,7 @@ at read time by an anti-join, folded back by ``rewrite_position_deletes`` /
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -40,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from icebergproject_spark.lakehouse import xxh64 as _xxh
 from icebergproject_spark.lakehouse.catalog import CATALOG_NAME, DEFAULT_WAREHOUSE, iceberg_available
 
 
@@ -122,6 +124,66 @@ def _transform_fn(name: str):
     )
 
 
+def _bloom_set_bits(bits, hashes_int64, m_bits: int, k: int) -> None:
+    """Set the Kirsch-Mitzenmacher double-hashing positions for a batch
+    of 64-bit hashes into a bitset (shared by the distributed and the
+    driver-side bloom builds — one arithmetic, one contract)."""
+    import numpy as np
+
+    h = np.asarray(hashes_int64, dtype=np.int64).view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = h >> np.uint64(32)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+def _bloom_partial_fn(cols: list[str], m_bits: int, k: int):
+    """``mapInPandas`` kernel for the dir-level Bloom build: ONE pass
+    over the new directory hashes every bloomed column JVM-side
+    (``xxhash64``), and each task emits one ``m_bits/8``-byte bitset
+    per column — only bitsets cross to the driver (O(partitions × m/8),
+    never O(rows)), which is what keeps the build scale-safe at 100 TB.
+    Bit positions come from Kirsch-Mitzenmacher double hashing over the
+    64-bit hash (h1 = low 32, h2 = high 32, pos_i = (h1 + i·h2) mod m);
+    the read side replays the identical arithmetic in
+    ``_bloom_contains``."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = {c: np.zeros(m_bits // 8, dtype=np.uint8) for c in cols}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for c in cols:
+                _bloom_set_bits(acc[c], pdf["h_" + c], m_bits, k)
+        yield pd.DataFrame(
+            {"col": list(cols), "bits": [acc[c].tobytes() for c in cols]}
+        )
+
+    return fn
+
+
+def _bloom_contains(bits: bytes, m_bits: int, k: int, h: int) -> bool:
+    """Membership test against a serialized dir bloom — pure-Python
+    replay of ``_bloom_partial_fn``'s double hashing (h1 + i·h2 stays
+    under 2^35 for k ≤ 16, so int arithmetic matches numpy's uint64
+    exactly; no wraparound on either side)."""
+    hu = h & 0xFFFFFFFFFFFFFFFF
+    h1, h2 = hu & 0xFFFFFFFF, hu >> 32
+    for i in range(k):
+        pos = (h1 + i * h2) % m_bits
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent commit moved the branch head between the caller's
     read and its commit — the analogue of Iceberg's
@@ -160,8 +222,65 @@ class LakehouseTable:
         _transform_fn(transform)  # validate (raises on unknown names)
         if self._snapshots():
             raise ValueError("cannot change partitioning after the first write")
+        props = {}
+        if os.path.exists(self.props_path):
+            with open(self.props_path) as f:
+                props = json.load(f)  # preserve blooms/other properties
+        props["partition"] = {"column": column, "transform": transform}
         with open(self.props_path, "w") as f:
-            json.dump({"partition": {"column": column, "transform": transform}}, f)
+            json.dump(props, f)
+
+    def set_bloom_filters(
+        self,
+        columns: list[str],
+        num_bits: int = 1 << 20,
+        num_hashes: int = 7,
+        driver_rows: int = 1 << 17,
+    ) -> None:
+        """Declare dir-level Bloom filters on ``columns`` — Iceberg's
+        ``write.parquet.bloom-filter-enabled.column.<col>`` table
+        property, rendered at this format's manifest granularity.  Every
+        data directory written FROM NOW ON gets one ``num_bits``-bit
+        Bloom filter per listed column stamped into its ``_stats.json``
+        (built in the same write, one extra columnar pass over the NEW
+        dir only — O(payload), never a table scan), and
+        ``read(where="col = <lit>")`` skips directories whose bloom
+        proves the key absent at PLANNING time.
+
+        This is the point-lookup complement to the min/max bounds: on a
+        key column whose values are hash-distributed across directories
+        (ids, digests — every CDC/upsert table), min/max covers the full
+        range in every dir and prunes nothing, while a bloom skips all
+        but the dirs that really hold the key.  Directories written
+        before this call simply have no bloom and are kept (correct,
+        unprunable); false positives only ever KEEP a directory.
+        Defaults: 2^20 bits (128 KiB/dir/column), 7 hashes → <1% FPR at
+        100k rows per dir."""
+        if num_bits < 8 or num_bits % 8:
+            raise ValueError("num_bits must be a positive multiple of 8")
+        if not 1 <= num_hashes <= 16:
+            raise ValueError("num_hashes must be in [1, 16]")
+        props = {}
+        if os.path.exists(self.props_path):
+            with open(self.props_path) as f:
+                props = json.load(f)
+        props["blooms"] = {
+            "columns": list(columns),
+            "m": num_bits,
+            "k": num_hashes,
+            # dirs at or under this row count build their blooms
+            # driver-side (pyarrow + the verified xxh64 replication, no
+            # Spark job); larger dirs build distributed
+            "driver_rows": driver_rows,
+        }
+        with open(self.props_path, "w") as f:
+            json.dump(props, f)
+
+    def _bloom_config(self) -> dict | None:
+        if not os.path.exists(self.props_path):
+            return None
+        with open(self.props_path) as f:
+            return json.load(f).get("blooms")
 
     def evolve_partitioning(self, column: str, transform: str = "day") -> None:
         """Iceberg-style PARTITION EVOLUTION: change the spec on a table
@@ -1228,6 +1347,7 @@ class LakehouseTable:
         with open(os.path.join(d, "_spec.json"), "w") as f:
             json.dump(spec, f)
         self._write_dir_stats(d)
+        self._write_dir_blooms(d)
         return d
 
     def _write_dir_stats(self, d: str) -> None:
@@ -1282,6 +1402,126 @@ class LakehouseTable:
                 },
                 f,
             )
+
+    def _write_dir_blooms(self, d: str) -> None:
+        """Stamp the configured per-column Bloom filters into the new
+        directory's ``_stats.json`` (see :meth:`set_bloom_filters`).
+        Small directories (micro-batch appends, CDC upserts — row count
+        from the ``_stats.json`` stamp) build DRIVER-SIDE: pyarrow reads
+        just the bloomed columns of the new local files and the
+        property-tested Python xxhash64 replication hashes them — no
+        Spark job at all (the probe measured ~1.4 s of pure job-roundtrip
+        tax per micro-batch otherwise).  Large directories (compaction
+        outputs) build distributed: ONE columnar pass hashes every
+        bloomed column JVM-side and each task ships back only its
+        bitsets, OR-ed here — cost O(payload), independent of table
+        size, bit-identical to the driver path by the xxh64 property
+        test."""
+        cfg = self._bloom_config()
+        if not cfg:
+            return
+        import numpy as np
+
+        m, k = cfg["m"], cfg["k"]
+        small = self._dir_rows(d) <= cfg.get("driver_rows", 1 << 17)
+        blooms = self._blooms_driver_side(d, cfg) if small else None
+        if blooms is None:
+            df = self.spark.read.parquet(d)
+            cols = [c for c in cfg["columns"] if c in df.columns]
+            if not cols:
+                return
+            types = {c: df.schema[c].dataType.simpleString() for c in cols}
+            partials = (
+                df.select(
+                    *[F.xxhash64(F.col(c)).alias("h_" + c) for c in cols]
+                )
+                .mapInPandas(
+                    _bloom_partial_fn(cols, m, k), "col string, bits binary"
+                )
+                .collect()
+            )
+            acc = {c: np.zeros(m // 8, dtype=np.uint8) for c in cols}
+            for r in partials:
+                acc[r.col] |= np.frombuffer(r.bits, dtype=np.uint8)
+            blooms = {
+                c: {
+                    "b64": base64.b64encode(acc[c].tobytes()).decode(),
+                    "m": m,
+                    "k": k,
+                    "type": types[c],
+                }
+                for c in cols
+            }
+        if not blooms:
+            return
+        # a SEPARATE sidecar (not _stats.json): bloom blobs are ~m/8
+        # bytes per column and _stats.json is parsed on every read —
+        # _blooms.json is opened only when an equality conjunct on a
+        # bloomed column is actually on the plan
+        with open(os.path.join(d, "_blooms.json"), "w") as f:
+            json.dump(blooms, f)
+
+    #: pyarrow physical types the driver-side bloom build can hash with
+    #: the verified Python replication; anything else → distributed
+    _PA_TO_SPARK = {
+        "int64": "bigint", "int32": "int", "int16": "smallint",
+        "int8": "tinyint", "string": "string", "large_string": "string",
+    }
+
+    def _blooms_driver_side(self, d: str, cfg: dict) -> dict | None:
+        """Build the dir blooms driver-side from the new LOCAL parquet
+        files: pyarrow reads only the bloomed columns, the xxh64
+        replication hashes them (numpy-vectorized for integrals).
+        Returns None when any bloomed column's type isn't covered by
+        the verified replication — the caller then runs the distributed
+        build, which handles every Spark type."""
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        m, k = cfg["m"], cfg["k"]
+        acc: dict[str, object] = {}
+        types: dict[str, str] = {}
+        for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            try:
+                pf = _pq.ParquetFile(f)
+            except Exception:
+                return None
+            names = set(pf.schema_arrow.names)
+            for c in cfg["columns"]:
+                if c not in names:
+                    continue
+                t = self._PA_TO_SPARK.get(str(pf.schema_arrow.field(c).type))
+                if t is None or types.setdefault(c, t) != t:
+                    return None  # unsupported or drifting type
+                col = pf.read(columns=[c]).column(c).drop_null()
+                if t == "string":
+                    hashes = np.fromiter(
+                        (
+                            _xxh.hash_bytes(v.encode("utf-8"))
+                            for v in col.to_pylist()
+                        ),
+                        dtype=np.int64,
+                    )
+                else:
+                    arr = col.combine_chunks().to_numpy(zero_copy_only=False)
+                    hashes = (
+                        _xxh.hash_longs_np(arr.astype(np.int64))
+                        if t == "bigint"
+                        else _xxh.hash_ints_np(arr.astype(np.int32))
+                    )
+                bits = acc.setdefault(c, np.zeros(m // 8, dtype=np.uint8))
+                _bloom_set_bits(bits, hashes, m, k)
+        return {
+            c: {
+                "b64": base64.b64encode(acc[c].tobytes()).decode(),
+                "m": m,
+                "k": k,
+                "type": types[c],
+            }
+            for c in acc
+        }
 
     def _dir_rows(self, d: str) -> int:
         """Record count of a data/delete directory — from its stats stamp
@@ -1738,7 +1978,11 @@ class LakehouseTable:
         if where:
             conjuncts = _parse_conjuncts(where)
             if conjuncts:
-                kept = [d for d in data_dirs if self._dir_may_match(d, conjuncts)]
+                hc: dict = {}  # one literal-hash evaluation per read, not per dir
+                kept = [
+                    d for d in data_dirs
+                    if self._dir_may_match(d, conjuncts, _hash_cache=hc)
+                ]
                 # all pruned: keep one dir for the schema — the row filter
                 # empties it via row-group skipping without a full scan
                 data_dirs = kept or data_dirs[:1]
@@ -1888,14 +2132,65 @@ class LakehouseTable:
                 eff_schema_id=eff_sid,
             )
 
-    def _dir_may_match(self, d: str, conjuncts: list[tuple[str, str, object]]) -> bool:
+    def _literal_hash(
+        self, val: object, dtype: str, cache: dict | None = None
+    ) -> int | None:
+        """``xxhash64`` of a predicate literal CAST to the bloomed
+        column's type.  The common literal×type pairs (str×string,
+        int×integral with the CAST range check) are computed in Python
+        via the property-tested replication in ``lakehouse/xxh64.py`` —
+        zero Spark jobs on the planning path; anything else falls back
+        to asking Spark on a literal-only 1-row plan (no scan, no
+        shuffle).  ``None`` (uncastable literal / evaluation failure)
+        means "can't reason" — the caller must keep the dir.  ``cache``
+        memoizes across the directories of one read."""
+        h = _xxh.spark_xxhash64(val, dtype)
+        if h is not None:
+            return h
+        key = (repr(val), dtype)
+        if cache is not None and key in cache:
+            return cache[key]
+        try:
+            lit = F.lit(val).cast(dtype)
+            row = self.spark.range(1).select(
+                lit.isNull().alias("n"), F.xxhash64(lit).alias("h")
+            ).collect()[0]
+            h = None if row.n else row.h
+        except Exception:
+            h = None
+        if cache is not None:
+            cache[key] = h
+        return h
+
+    def _dir_may_match(
+        self,
+        d: str,
+        conjuncts: list[tuple[str, str, object]],
+        _hash_cache: dict | None = None,
+    ) -> bool:
         """Can any row in directory ``d`` satisfy every conjunct? False
-        only on PROOF of emptiness from the dir's min/max bounds."""
+        only on PROOF of emptiness — from the dir's min/max bounds, or
+        (equality conjuncts on bloomed columns) from its Bloom filters."""
         stats_path = os.path.join(d, "_stats.json")
         if not os.path.exists(stats_path):
             return True  # pre-stats dir: not prunable
         with open(stats_path) as f:
             bounds = json.load(f).get("cols", {})
+        bloom_path = os.path.join(d, "_blooms.json")
+        if any(op in ("=", "==") for _, op, _v in conjuncts) and os.path.exists(
+            bloom_path
+        ):
+            with open(bloom_path) as f:
+                blooms = json.load(f)
+            for col, op, val in conjuncts:
+                if op not in ("=", "==") or col not in blooms:
+                    continue
+                b = blooms[col]
+                h = self._literal_hash(val, b["type"], _hash_cache)
+                if h is not None and not _bloom_contains(
+                    base64.b64decode(b["b64"]), b["m"], b["k"], h
+                ):
+                    return False  # key provably absent from this dir
         for col, op, val in conjuncts:
             if col not in bounds:
                 continue

@@ -1998,3 +1998,72 @@ def test_concurrent_upserts_same_key_serialize_to_one_winner(spark, catalog):
     last = t._mainline()[-1]["snapshot_id"]
     assert rows[0].v == order[last]
     assert {r.v for r in t.read().filter(F.col("id") == "other").collect()} == {"x"}
+
+
+# --- dir-level Bloom filters: point-lookup data skipping -------------------
+
+
+def test_bloom_skipping_point_lookup_min_max_blind(spark, catalog):
+    """set_bloom_filters: keys INTERLEAVED across directories (every
+    dir's min/max spans the full range — bounds prune NOTHING) must
+    still plan a point lookup down to the single directory holding the
+    key, via the dir blooms; the read returns exactly the row."""
+    t = catalog.table("BLOOMED")
+    t.set_bloom_filters(["id"], num_bits=1 << 14)
+    n_dirs, per_dir = 5, 40
+    for j in range(n_dirs):
+        t.append(df_of(
+            spark, [(f"k{i:04d}", f"d{j}") for i in range(j, n_dirs * per_dir, n_dirs)]
+        ))
+    dirs = t.current_snapshot()["data_dirs"]
+    assert len(dirs) == n_dirs
+    # min/max bounds are blind here: every dir may-match on bounds alone
+    conj = [("id", "=", "k0042")]  # 42 % 5 == 2 → lives in dir j=2 only
+    kept = [d for d in dirs if t._dir_may_match(d, conj)]
+    assert len(kept) == 1
+    got = t.read(where="id = 'k0042'").collect()
+    assert [(r.id, r.v) for r in got] == [("k0042", "d2")]
+    # absent key: every dir provably empty, read still correct (and the
+    # schema-preserving [:1] fallback keeps the plan valid)
+    assert all(
+        not t._dir_may_match(d, [("id", "=", "nope")]) for d in dirs
+    )
+    assert t.read(where="id = 'nope'").count() == 0
+
+
+def test_bloom_never_drops_rows_and_composes_with_history(spark, catalog):
+    """Bloom pruning is an accelerator, never a filter: every present
+    key must come back for EVERY dir layout — including directories
+    written BEFORE set_bloom_filters (no bloom → kept), int-typed key
+    columns, and upsert_by_key churn on top."""
+    import pyspark.sql.functions as F
+
+    t = catalog.table("BLOOMSAFE")
+    t.append(spark.createDataFrame([(i, "old") for i in range(10)], "k long, v string"))
+    t.set_bloom_filters(["k"], num_bits=1 << 13, num_hashes=5)
+    t.append(spark.createDataFrame([(i, "new") for i in range(10, 20)], "k long, v string"))
+    t.upsert_by_key(
+        spark.createDataFrame([(3, "upd"), (17, "upd")], "k long, v string"), ["k"]
+    )
+    full = {(r.k, r.v) for r in t.read().collect()}
+    for key in range(-2, 22):
+        got = {(r.k, r.v) for r in t.read(where=f"k = {key}").collect()}
+        want = {(k, v) for k, v in full if k == key}
+        assert got == want, key
+
+
+def test_bloom_props_and_partitioning_compose(spark, catalog):
+    """set_bloom_filters before set_partitioning (and vice versa) must
+    preserve BOTH properties, and the bloomed read must compose with
+    hidden-partition dirs."""
+    t = catalog.table("BLOOMPART")
+    t.set_bloom_filters(["id"], num_bits=1 << 12)
+    t.set_partitioning("id", "bucket16")
+    assert t._bloom_config()["columns"] == ["id"]
+    assert t._partition_spec()["transform"] == "bucket16"
+    t.append(df_of(spark, [(str(i), "a") for i in range(30)]))
+    t.append(df_of(spark, [(str(i), "b") for i in range(30, 60)]))
+    dirs = t.current_snapshot()["data_dirs"]
+    kept = [d for d in dirs if t._dir_may_match(d, [("id", "=", "7")])]
+    assert len(kept) == 1
+    assert {r.v for r in t.read(where="id = '7'").collect()} == {"a"}

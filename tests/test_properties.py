@@ -822,3 +822,51 @@ def test_mod_partition_pruned_read_matches_signed_model(
     got = sorted(r.k for r in t.read(partition_values=wanted).collect())
     want = sorted(k for k in keys if ((k % n) + n) % n in set(wanted))
     assert got == want
+
+
+@given(
+    longs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=8
+    ),
+    ints=st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=8
+    ),
+    strs=st.lists(st.text(max_size=64), max_size=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_python_xxhash64_matches_spark(spark, longs, ints, strs):
+    """The xxh64 replication (lakehouse/xxh64.py) must return Spark's
+    own xxhash64 for every value — bigint/int scalars and vectorized,
+    and arbitrary-unicode strings through every XXH64 length regime
+    (empty / <4 / <8 / <32 / stripes).  This is the contract that lets
+    the bloom read path hash literals with zero Spark jobs and the
+    driver-side dir-bloom build coexist with the distributed one."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from icebergproject_spark.lakehouse import xxh64 as xh
+
+    cases = (
+        [(v, "bigint") for v in longs]
+        + [(v, "int") for v in ints]
+        + [(v, "string") for v in strs]
+    )
+    if not cases:
+        return
+    exprs = [
+        F.xxhash64(F.lit(v).cast(t)).alias(f"c{i}")
+        for i, (v, t) in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, (v, t) in enumerate(cases):
+        assert xh.spark_xxhash64(v, t) == row[f"c{i}"], (v, t)
+    if longs:
+        got = xh.hash_longs_np(np.array(longs, dtype=np.int64))
+        assert [int(x) for x in got] == [
+            xh.spark_xxhash64(v, "bigint") for v in longs
+        ]
+    if ints:
+        got = xh.hash_ints_np(np.array(ints, dtype=np.int32))
+        assert [int(x) for x in got] == [
+            xh.spark_xxhash64(v, "int") for v in ints
+        ]
