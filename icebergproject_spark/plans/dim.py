@@ -33,6 +33,7 @@ def upsert_dims(
     op_col: str = "type",
     write_mode: str = "merge",
     fold_eq_debt: int | None = 16,
+    bloom_keys: bool = True,
 ) -> dict[str, int]:
     """K6: for each configured dim table, MERGE its records.
 
@@ -54,6 +55,14 @@ def upsert_dims(
     folded via :meth:`LakehouseTable.maybe_fold_eq_debt` — None
     disables (leave folding to external `maintain`).
 
+    ``bloom_keys``: declare a dir-level Bloom filter on each dim's
+    primary key before its first write
+    (:meth:`LakehouseTable.set_bloom_filters`), so key-addressed reads
+    (``read(where="pk = <id>")``) skip every dir the key isn't in —
+    the batch analogue of the reference's Phoenix/HBase per-key GET
+    access path (dim/DimDataToHBase.scala keys every dim row by pk).
+    ~2.6% write cost, measured (SCALE.md r13).
+
     Returns {sink_table: rows merged}.
     """
     if write_mode not in ("merge", "upsert"):
@@ -68,6 +77,8 @@ def upsert_dims(
         if n == 0:
             continue
         tbl = catalog.table(cfg["sink_tbl_name"])
+        if bloom_keys and tbl._bloom_config() is None:
+            tbl.set_bloom_filters([cfg["pk_col"]])
         if write_mode == "upsert" and tbl.current_snapshot() is not None:
             tbl.upsert_by_key(payload, [cfg["pk_col"]])
             if fold_eq_debt is not None:

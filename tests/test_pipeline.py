@@ -155,6 +155,19 @@ def test_dim_upsert_write_mode_upsert_same_state_o_batch_cost(
     assert len(cur.get("eq_delete_dirs", [])) <= 2
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0].member_level == "platinum"
+    # bloom_keys wiring (r13): the dim sink declared a pk bloom before
+    # the first write (Phoenix per-key GET parity), so a key-addressed
+    # read prunes every dir lacking the key, and an absent key proves
+    # empty at planning time
+    assert t._bloom_config()["columns"] == ["user_id"]
+    dirs = t.current_snapshot()["data_dirs"]
+    assert all(
+        not t._dir_may_match(d, [("user_id", "=", "uid_no_such")])
+        for d in dirs
+    )
+    assert t.read(where="user_id = 'uid_no_such'").count() == 0
+    got = t.read(where="user_id = 'uid185880'").collect()
+    assert len(got) == 1 and got[0].member_level == "platinum"
 
 
 def test_dws_user_login_wide_null_attrs(spark):
