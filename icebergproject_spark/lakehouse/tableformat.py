@@ -52,29 +52,47 @@ _PRED_RE = re.compile(
     r"^\s*(\w+)\s*(>=|<=|==|=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
 
+#: multi-key membership conjunct: ``col IN (lit, lit, ...)`` — the
+#: batch dim-lookup shape; prunable against bounds (any member inside
+#: the range?) and blooms (any member possibly present?)
+_IN_RE = re.compile(
+    r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE
+)
+_LIT_RE = re.compile(r"^\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$")
+
+
+def _parse_literal(lit: str) -> object:
+    if lit.startswith("'"):
+        return lit[1:-1]
+    return float(lit) if "." in lit else int(lit)
+
 
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Best-effort split of a WHERE string into prunable conjuncts.
 
-    Sound by construction: with OR / parens / NOT present, AND-splitting
-    is not a valid decomposition → return [] (prune nothing). Otherwise
-    each parsable ``col OP literal`` conjunct independently narrows the
-    result, so pruning on any SUBSET of them is conservative — an
-    unparsable conjunct is simply ignored, never guessed at."""
-    if re.search(r"\bOR\b|\bNOT\b|\(", where, re.IGNORECASE):
+    Sound by construction: with OR / NOT present, AND-splitting is not
+    a valid decomposition → return [] (prune nothing). Otherwise each
+    parsable ``col OP literal`` / ``col IN (literals)`` conjunct
+    independently narrows the result, so pruning on any SUBSET of them
+    is conservative — an unparsable conjunct (function calls, grouped
+    terms, anything else) is simply ignored, never guessed at."""
+    if re.search(r"\bOR\b|\bNOT\b", where, re.IGNORECASE):
         return []
     out: list[tuple[str, str, object]] = []
     for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
         m = _PRED_RE.match(part)
-        if not m:
+        if m:
+            col, op, lit = m.groups()
+            out.append((col, op, _parse_literal(lit)))
             continue
-        col, op, lit = m.groups()
-        val: object
-        if lit.startswith("'"):
-            val = lit[1:-1]
-        else:
-            val = float(lit) if "." in lit else int(lit)
-        out.append((col, op, val))
+        m = _IN_RE.match(part)
+        if m:
+            col, items = m.groups()
+            lits = [_LIT_RE.match(i) for i in items.split(",")]
+            if lits and all(lits):
+                out.append(
+                    (col, "in", tuple(_parse_literal(i.group(1)) for i in lits))
+                )
     return out
 
 
@@ -2177,24 +2195,41 @@ class LakehouseTable:
         with open(stats_path) as f:
             bounds = json.load(f).get("cols", {})
         bloom_path = os.path.join(d, "_blooms.json")
-        if any(op in ("=", "==") for _, op, _v in conjuncts) and os.path.exists(
-            bloom_path
-        ):
+        if any(
+            op in ("=", "==", "in") for _, op, _v in conjuncts
+        ) and os.path.exists(bloom_path):
             with open(bloom_path) as f:
                 blooms = json.load(f)
             for col, op, val in conjuncts:
-                if op not in ("=", "==") or col not in blooms:
+                if op not in ("=", "==", "in") or col not in blooms:
                     continue
                 b = blooms[col]
-                h = self._literal_hash(val, b["type"], _hash_cache)
-                if h is not None and not _bloom_contains(
-                    base64.b64decode(b["b64"]), b["m"], b["k"], h
-                ):
-                    return False  # key provably absent from this dir
+                bits = base64.b64decode(b["b64"])
+                members = val if op == "in" else (val,)
+                absent = True  # provably absent until a member might hit
+                for v in members:
+                    h = self._literal_hash(v, b["type"], _hash_cache)
+                    if h is None or _bloom_contains(bits, b["m"], b["k"], h):
+                        absent = False
+                        break
+                if absent:
+                    return False  # no member can be in this dir
         for col, op, val in conjuncts:
             if col not in bounds:
                 continue
             mn, mx = bounds[col]
+            if op == "in":
+                may = False
+                for v in val:
+                    if isinstance(v, str) != isinstance(mn, str):
+                        may = True  # mixed types: don't reason about v
+                        break
+                    if mn <= v <= mx:
+                        may = True
+                        break
+                if not may:
+                    return False  # every member outside the bounds
+                continue
             if isinstance(val, str) != isinstance(mn, str):
                 continue  # type mismatch: don't reason, don't prune
             if op in ("=", "==") and (val < mn or val > mx):

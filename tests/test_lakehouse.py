@@ -2067,3 +2067,73 @@ def test_bloom_props_and_partitioning_compose(spark, catalog):
     kept = [d for d in dirs if t._dir_may_match(d, [("id", "=", "7")])]
     assert len(kept) == 1
     assert {r.v for r in t.read(where="id = '7'").collect()} == {"a"}
+
+
+def test_in_list_pruning_bounds_blooms_and_parser(spark, tmp_path):
+    """``col IN (...)`` conjuncts prune like Iceberg's in() predicate:
+    against min/max bounds (any member inside the range?) and against
+    dir blooms (any member possibly present?) — the batch dim-lookup
+    shape.  Parser: OR still disables everything, malformed IN and
+    function calls are ignored (never guessed), grouped pure-AND terms
+    no longer disable the parsable rest."""
+    from icebergproject_spark.lakehouse.tableformat import _parse_conjuncts
+
+    assert _parse_conjuncts("id IN ('a', 'b') AND v = 1") == [
+        ("id", "in", ("a", "b")), ("v", "=", 1),
+    ]
+    assert _parse_conjuncts("id IN (1, 2, 3)") == [("id", "in", (1, 2, 3))]
+    assert _parse_conjuncts("id IN ('a') OR v = 1") == []
+    assert _parse_conjuncts("id IN (SELECT x FROM t)") == []
+    assert _parse_conjuncts("lower(id) = 'a' AND v = 3") == [("v", "=", 3)]
+
+    t = LakehouseCatalog(spark, warehouse=str(tmp_path), db="db").table("IN1")
+    t.set_bloom_filters(["id"])
+    n_dirs = 4
+    for j in range(n_dirs):
+        t.append(spark.createDataFrame(
+            [(f"k{i:03d}", j) for i in range(j, 40, n_dirs)], "id string, j int"
+        ))
+    dirs = t.current_snapshot()["data_dirs"]
+    # members living in dirs j=1 (k001) and j=3 (k007): exactly 2 kept
+    conj = _parse_conjuncts("id IN ('k001', 'k007')")
+    assert sum(t._dir_may_match(d, conj) for d in dirs) == 2
+    got = {(r.id, r.j) for r in t.read(where="id IN ('k001', 'k007')").collect()}
+    assert got == {("k001", 1), ("k007", 3)}
+    # all members absent: every dir provably empty, result still sound
+    conj0 = _parse_conjuncts("id IN ('zz1', 'zz2')")
+    assert not any(t._dir_may_match(d, conj0) for d in dirs)
+    assert t.read(where="id IN ('zz1', 'zz2')").count() == 0
+
+    # min/max arm (disjoint int ranges, no blooms)
+    t2 = LakehouseCatalog(spark, warehouse=str(tmp_path), db="db").table("IN2")
+    for lo in (0, 100, 200):
+        t2.append(spark.createDataFrame(
+            [(lo + i,) for i in range(100)], "id long"
+        ))
+    dirs2 = t2.current_snapshot()["data_dirs"]
+    conj2 = _parse_conjuncts("id IN (5, 7)")
+    assert sum(t2._dir_may_match(d, conj2) for d in dirs2) == 1
+    assert {r.id for r in t2.read(where="id IN (5, 7)").collect()} == {5, 7}
+    conj3 = _parse_conjuncts("id IN (305, 412)")
+    assert not any(t2._dir_may_match(d, conj3) for d in dirs2)
+
+
+def test_compaction_rebuilds_blooms(spark, tmp_path):
+    """compact() routes through _write_data, so the rewritten dir gets
+    a FRESH bloom covering all surviving keys — point-lookup pruning
+    keeps working across maintenance."""
+    import os
+
+    t = LakehouseCatalog(spark, warehouse=str(tmp_path), db="db").table("CB")
+    t.set_bloom_filters(["id"])
+    for j in range(3):
+        t.append(spark.createDataFrame(
+            [(f"k{j}{i}", j) for i in range(20)], "id string, j int"
+        ))
+    t.compact(target_partitions=1)
+    dirs = t.current_snapshot()["data_dirs"]
+    assert len(dirs) == 1
+    assert os.path.exists(os.path.join(dirs[0], "_blooms.json"))
+    assert t._dir_may_match(dirs[0], [("id", "=", "k215")])
+    assert not t._dir_may_match(dirs[0], [("id", "=", "nope")])
+    assert t.read(where="id = 'k215'").count() == 1
