@@ -206,6 +206,10 @@ BENCH_QUERIES = [
     # arithmetic + overwrite commits + rebuilt spill index replayed)
     "dedup_lsh_candidates_incremental",
     "dedup_clusters_backfill_reseed",
+    # round-13 third batch: the dim tier's Phoenix-parity batch GET —
+    # bloomed multi-dir dim + equality-delete upsert answered through
+    # the IN-list bounds/bloom-pruned read
+    "dim_point_lookup",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -219,6 +223,7 @@ PREV_ROUND_QUERIES = {
         # entered the bench in round 13
         "dedup_lsh_candidates_incremental",
         "dedup_clusters_backfill_reseed",
+        "dim_point_lookup",
     )
 }
 

@@ -220,6 +220,67 @@ FROM lab_a a CROSS JOIN counts CROSS JOIN idx
 """
 
 
+#: fixed lookup keys — custkeys are dense from 0 at every SF, so the
+#: same literal IN-list is valid for Spark and the oracle alike
+DIM_LOOKUP_KEYS = tuple(range(12))
+
+
+def q_dim_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dim tier's Phoenix-parity ACCESS PATH at oracle strength:
+    build a bloomed dim table (pk Bloom filters declared before first
+    write — `LakehouseTable.set_bloom_filters`, r13), seed it across 4
+    data dirs (c_custkey % 4 slices), apply a CDC update batch through
+    the O(payload) equality-delete upsert (keys with c_custkey % 7 == 0
+    get src='upd' and +100 cents), then answer a 12-key batch GET via
+    ``read(where="c_custkey IN (...)")`` — the IN-list conjunct prunes
+    dirs through bounds AND blooms (r13).  The oracle replays seed +
+    update semantics straight off the parquet fixture, so a hash match
+    proves the bloomed multi-dir layout, the upsert, and the IN-pruned
+    read return exactly the CDC-final state.  Reference parity: the
+    Phoenix dim store is a per-key GET/UPSERT tier
+    (dim/DimDataToHBase.scala:79-110, utils/MyPhoenixUtil); this is
+    that access pattern on the snapshot table format.  Plan guarantee
+    (pytest, test_bloom_*): only dirs that may hold a wanted key are
+    scanned."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+    from icebergproject_spark.queries_r11 import _mkdtemp_for_run
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    wh = _mkdtemp_for_run("dim_lookup_")
+    t = LakehouseCatalog(spark, warehouse=wh, db="tmp").table("DIM_CUST")
+    t.set_bloom_filters(["c_custkey"])
+    seed = cust.withColumn("src", F.lit("seed"))
+    for r in range(4):
+        t.append(seed.where(F.col("c_custkey") % 4 == r))
+    upd = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .withColumn("bal_cents", F.col("bal_cents") + F.lit(100))
+        .withColumn("src", F.lit("upd"))
+    )
+    t.upsert_by_key(upd, ["c_custkey"])
+    in_list = ", ".join(str(k) for k in DIM_LOOKUP_KEYS)
+    return t.read(where=f"c_custkey IN ({in_list})").select(
+        "c_custkey", "c_name", "bal_cents", "src"
+    )
+
+
+ORACLE_DIM_POINT_LOOKUP = f"""
+SELECT c_custkey,
+       c_name,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT)
+         + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal_cents,
+       CASE WHEN c_custkey % 7 = 0 THEN 'upd' ELSE 'seed' END AS src
+FROM customer
+WHERE c_custkey IN ({", ".join(str(k) for k in DIM_LOOKUP_KEYS)})
+"""
+
+
 R13_REGISTRY: dict[str, Query] = {
     "dedup_lsh_candidates_incremental": Query(
         q_dedup_lsh_candidates_incremental,
@@ -229,4 +290,5 @@ R13_REGISTRY: dict[str, Query] = {
         q_dedup_clusters_backfill_reseed,
         ORACLE_DEDUP_CLUSTERS_BACKFILL_RESEED,
     ),
+    "dim_point_lookup": Query(q_dim_point_lookup, ORACLE_DIM_POINT_LOOKUP),
 }
