@@ -1805,7 +1805,12 @@ class LakehouseTable:
             prev_dirs = set(s["data_dirs"])
         return out
 
-    def merge_additive(self, partials: DataFrame, key_cols: list[str]) -> dict:
+    def merge_additive(
+        self,
+        partials: DataFrame,
+        key_cols: list[str],
+        batch_id: str | None = None,
+    ) -> dict | None:
         """Incremental aggregate maintenance: MERGE partial aggregates by
         ADDING them into the stored totals (WHEN MATCHED THEN UPDATE SET
         v = t.v + s.v). The streaming serving-table pattern: each
@@ -1815,14 +1820,25 @@ class LakehouseTable:
 
         All non-key numeric columns are summed; ``partials`` should
         already be one row per key (a groupBy output).
+
+        ``batch_id``: replay token — a merge whose batch_id a snapshot
+        already records becomes a no-op (returns None), making additive
+        maintenance safe under at-least-once delivery / driver-restart
+        replay, the same contract as :meth:`idempotent_append` (which
+        addition, unlike :meth:`merge_max`'s lattice join, needs: a
+        replayed partial sum would otherwise double-count).
         """
         # CAS-guarded: two micro-batches merging concurrently must not
         # lose each other's partial sums (lost update = wrong totals)
         def attempt(cur):
+            if batch_id is not None and self.has_batch(batch_id):
+                return None  # replay of a committed batch (re-check per
+                # attempt: a concurrent committer may have landed it)
             if cur is None:
                 new_dir = self._write_data(partials)
                 return self._commit(
-                    "merge_additive", [new_dir], expected_parent_id=None
+                    "merge_additive", [new_dir], batch_id=batch_id,
+                    expected_parent_id=None,
                 )
             target = self.read()
             val_cols = [c for c in partials.columns if c not in key_cols]
@@ -1833,7 +1849,8 @@ class LakehouseTable:
             )
             new_dir = self._write_data(merged)
             return self._commit(
-                "merge_additive", [new_dir], expected_parent_id=self._cas_id(cur)
+                "merge_additive", [new_dir], batch_id=batch_id,
+                expected_parent_id=self._cas_id(cur),
             )
 
         return self._retry_cas(attempt)
