@@ -210,6 +210,11 @@ BENCH_QUERIES = [
     # bloomed multi-dir dim + equality-delete upsert answered through
     # the IN-list bounds/bloom-pruned read
     "dim_point_lookup",
+    # round-13 fourth batch: the retrieval tier's stored-state proof
+    # (maintained BM25 index serves the workload bucket-pruned) and the
+    # mergeable top-k heavy-hitter sketch audit (the skew detector)
+    "bm25_index_incremental",
+    "heavy_hitters_audit",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -224,6 +229,8 @@ PREV_ROUND_QUERIES = {
         "dedup_lsh_candidates_incremental",
         "dedup_clusters_backfill_reseed",
         "dim_point_lookup",
+        "bm25_index_incremental",
+        "heavy_hitters_audit",
     )
 }
 

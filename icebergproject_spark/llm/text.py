@@ -1474,3 +1474,94 @@ def bloom_audit(
             # must audit as FPR 0, not throw on the division
         )
     )
+
+
+def heavy_hitters_audit(
+    df: DataFrame,
+    n_parts: int = 8,
+    k: int = 32,
+    top_n: int = 20,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parallel SpaceSaving / Misra-Gries heavy hitters with an exact
+    audit — the TOP-K member of the mergeable-sketch family
+    (count_min = point frequency, hll = cardinality, hdr = quantiles,
+    kmv = distinct sample, bloom = membership): the summary every
+    100 TB job runs FIRST to find its hot keys, because the hot-key
+    list is what the skew policies (salting — user_points_salted;
+    AQE skew-join splitting) consume.
+
+    Mechanism (the clip formulation of Misra-Gries, a.k.a. parallel
+    SpaceSaving merge, Agarwal et al. 2013 "Mergeable summaries"):
+    tokens are split into ``n_parts`` deterministic sub-multisets by
+    ``pmod(doc_id, n_parts)`` (content-independent, so terms spread
+    across parts); each part keeps only the terms whose count exceeds
+    its (k+1)-th largest count t_p, clipped down by t_p
+    (``w = c - t_p``) — at most k survivors per part, each an
+    UNDER-estimate by at most t_p.  Summed across parts:
+    ``est <= exact <= est + Σ t_p`` — the one-sided sandwich this head
+    emits as checked DATA per top-``top_n`` term (est, exact count,
+    err, the Σ t_p bound, and the invariant bit), all BIGINT
+    arithmetic a SQL oracle replays exactly.
+
+    100 TB shape: the per-part summary is ≤ k rows HOWEVER large the
+    part (the clip is the compaction); the merge handles
+    ``n_parts × k`` rows, and the final top-n window sorts only those.
+    The exact arm (a full term group-by) exists for the audit only —
+    production ships the summary and drops the exact arm, exactly like
+    the other sketch audits.  Row-number (not rank) breaks count ties
+    by term, so t_p and the survivor set are deterministic under any
+    execution order.
+    """
+    tok = df.select(
+        F.pmod(F.col(id_col), F.lit(n_parts)).alias("p"),
+        F.explode(_tokens(content_col)).alias("term"),
+    )
+    pc = tok.groupBy("p", "term").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("p").orderBy(F.col("c").desc(), F.col("term").asc())
+    )
+    # t_p = the (k+1)-th largest per-part count (0 when a part holds
+    # ≤ k distinct terms — its summary is exact)
+    thr = (
+        pc.withColumn("rn", rn)
+        .groupBy("p")
+        .agg(
+            F.max(F.when(F.col("rn") == k + 1, F.col("c")).otherwise(0)).alias(
+                "t_p"
+            )
+        )
+    )
+    bound = thr.agg(F.sum("t_p").cast("long").alias("clip_bound"))
+    summ = (
+        pc.join(thr, "p")
+        .where(F.col("c") > F.col("t_p"))
+        .groupBy("term")
+        .agg(F.sum(F.col("c") - F.col("t_p")).cast("long").alias("est"))
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = summ.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("est").desc(), F.col("term").asc())
+        ),
+    ).where(F.col("rank") <= top_n)  # single-partition window over ≤ n_parts·k rows
+    return (
+        top.join(exact, "term")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "rank",
+            "term",
+            "est",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("exact_cnt") - F.col("est")).cast("long").alias("err"),
+            "clip_bound",
+            (
+                (F.col("est") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") - F.col("est") <= F.col("clip_bound"))
+            )
+            .cast("long")
+            .alias("ok"),
+        )
+    )

@@ -1523,3 +1523,141 @@ def test_ann_multi_store_sweep_is_bounded(tmp_path, monkeypatch):
     # a second sweep is a no-op (idempotent under the same state)
     _sweep_stored_root(str(current), keep=3)
     assert sorted(e.name for e in root.iterdir()) == left
+
+
+def test_bm25_index_store_maintain_equals_rebuild_and_pruned(
+    spark, sf_dir, tmp_path
+):
+    """The stored BM25 index maintained through an append batch serves
+    EXACTLY the scores a from-scratch bm25_topk over the full corpus
+    computes (maintain==rebuild for the retrieval tier), its postings
+    read is partition-pruned at planning time (PartitionFilters on __p
+    — the query touches only its terms' buckets), and the maintained
+    aggregates track the corpus exactly."""
+    import icebergproject_spark.queries  # noqa: F401  (registry module
+    # must initialize first — queries_r7 back-imports it)
+    from icebergproject_spark.llm.index import BM25IndexStore
+    from icebergproject_spark.queries_r7 import BM25_QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = BM25IndexStore(spark, str(tmp_path), "db", "bm25", n_buckets=8)
+    in_batch = F.col("doc_id") % 13 == 0
+    store.append_batch(docs.where(~in_batch))
+    store.append_batch(docs.where(in_batch))
+    got_df = store.query_topk(BM25_QUERIES, k=5)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__p" in plan.split("PartitionFilters", 1)[1][:200]
+    want = sorted(map(tuple, bm25_topk(docs, BM25_QUERIES, k=5).collect()))
+    assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
+    # the additive merges tracked the corpus exactly
+    n_docs, total_dl, n_terms = store.stats()
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    assert n_docs == docs.count()
+    assert total_dl == tok.count()
+    assert n_terms == tok.select("term").distinct().count()
+
+
+def test_bm25_index_term_buckets_match_spark(spark, tmp_path):
+    """The pure-Python planning path (xxhash64 replica) computes the
+    same bucket ids Spark's own xxhash64 assigns at write time — the
+    guarantee that pruning can never miss a posting."""
+    from icebergproject_spark.llm.index import BM25IndexStore
+
+    store = BM25IndexStore(spark, str(tmp_path), "db", "bkt", n_buckets=8)
+    terms = ["spark", "join", "hash", "window", "", "zzz unseen"]
+    got = {
+        t: store.term_buckets([t])[0] for t in terms
+    }
+    rows = spark.createDataFrame(
+        [(t,) for t in terms], ["term"]
+    ).select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(8)).alias("b")
+    ).collect()
+    assert got == {r["term"]: r["b"] for r in rows}
+
+
+def test_bm25_index_compaction_stays_pruned(spark, tmp_path):
+    """Each append adds ≤ n_buckets small postings files; maintenance
+    (compact) folds them and — because _write_data re-applies the
+    partition spec — the compacted index still partition-prunes and
+    serves byte-identical scores.  The file-count growth of the
+    per-batch append path is bounded by compaction, exactly like the
+    CC assignment's debt lifecycle."""
+    import icebergproject_spark.queries  # noqa: F401  (registry first)
+    from icebergproject_spark.llm.index import BM25IndexStore
+
+    rows = [
+        (i, f"alpha beta w{i} w{i % 7} gamma") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    store = BM25IndexStore(spark, str(tmp_path), "db", "bm25", n_buckets=4)
+    for r in range(3):  # three appends = three file generations per bucket
+        store.append_batch(docs.where(F.col("doc_id") % 3 == r))
+    queries = [(0, "alpha w3"), (1, "gamma w5")]
+    before = sorted(map(tuple, store.query_topk(queries, k=5).collect()))
+    assert len(before) > 0
+    store.postings.compact()
+    got_df = store.query_topk(queries, k=5)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sorted(map(tuple, got_df.collect())) == before
+
+
+def test_bm25_index_replay_is_idempotent(spark, tmp_path):
+    """Driver-restart replay across the index's three-commit window:
+    a crashed attempt that landed only the stats merges (the worst torn
+    state — postings commit-token absent) re-runs append_batch with the
+    same batch_id and converges to EXACTLY the clean single application;
+    a full replay after success is a complete no-op (snapshot counts
+    frozen)."""
+    import icebergproject_spark.queries  # noqa: F401  (registry first)
+    from icebergproject_spark.llm.index import BM25IndexStore
+
+    rows = [(i, f"alpha w{i} beta w{i % 5}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base, batch = docs.where("doc_id % 4 != 0"), docs.where("doc_id % 4 = 0")
+
+    clean = BM25IndexStore(spark, str(tmp_path), "db", "clean", n_buckets=4)
+    clean.append_batch(base, batch_id="b0")
+    clean.append_batch(batch, batch_id="b1")
+
+    crashed = BM25IndexStore(spark, str(tmp_path), "db", "crash", n_buckets=4)
+    crashed.append_batch(base, batch_id="b0")
+    # simulate the crash window: b1's stats commits land, postings don't
+    tok = batch.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    posts = (
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .join(tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")), "doc_id")
+    )
+    crashed.corpus.merge_additive(
+        posts.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+        .select(F.lit("all").alias("k"), "n_docs", "total_dl"),
+        ["k"], batch_id="b1",
+    )
+    crashed.termstats.merge_additive(
+        posts.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+        ["term"], batch_id="b1",
+    )
+    assert not crashed.postings.has_batch("b1")  # torn state confirmed
+    crashed.append_batch(batch, batch_id="b1")  # the restart replay
+    assert crashed.stats() == clean.stats()  # no double-counted merges
+    queries = [(0, "alpha w0"), (1, "beta w3")]
+    assert sorted(map(tuple, crashed.query_topk(queries).collect())) == sorted(
+        map(tuple, clean.query_topk(queries).collect())
+    )
+    # a second full replay is a complete no-op on every table
+    snaps = [
+        len(t._snapshots())
+        for t in (crashed.postings, crashed.termstats, crashed.corpus)
+    ]
+    crashed.append_batch(batch, batch_id="b1")
+    assert snaps == [
+        len(t._snapshots())
+        for t in (crashed.postings, crashed.termstats, crashed.corpus)
+    ]

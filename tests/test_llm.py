@@ -2242,3 +2242,41 @@ def test_cc_stored_auto_fold_bounds_read_debt(spark, tmp_path):
     pruned = st.assign.read(partition_values=[1])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_heavy_hitters_audit_sandwich_and_regimes(spark):
+    """Parallel-SpaceSaving clip merge invariants on a corpus engineered
+    so both regimes fire: (a) the sandwich est <= exact <= est +
+    clip_bound holds for every emitted term at ANY k; (b) a tiny k
+    forces clipping (some term genuinely under-estimated, bound > 0);
+    (c) a k >= per-part vocabulary makes every t_p = 0 — the summary is
+    EXACT and the bound collapses to 0; (d) the heavy term wins rank 1
+    in both regimes; (e) the output is partition-layout independent
+    (repartitioning the input changes nothing — determinism comes from
+    doc_id, not physical placement)."""
+    rows = [
+        (i, "hot " * 8 + " ".join(f"t{i}_{j}" for j in range(12)))
+        for i in range(48)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    tight = sorted(
+        text.heavy_hitters_audit(docs, n_parts=4, k=2, top_n=10).collect(),
+        key=lambda r: r.rank,
+    )
+    assert all(r.est <= r.exact_cnt for r in tight)
+    assert all(r.err <= r.clip_bound for r in tight)
+    assert all(r.ok == 1 for r in tight)
+    assert tight[0].clip_bound > 0
+    assert any(r.err > 0 for r in tight)  # clipping really happened
+    hot = next(r for r in tight if r.term == "hot")
+    assert hot.rank == 1 and hot.exact_cnt == 48 * 8
+    wide = sorted(
+        text.heavy_hitters_audit(docs, n_parts=4, k=10_000, top_n=10).collect(),
+        key=lambda r: r.rank,
+    )
+    assert all(r.err == 0 and r.clip_bound == 0 for r in wide)
+    assert wide[0].term == "hot" and wide[0].est == 48 * 8
+    re_tight = text.heavy_hitters_audit(
+        docs.repartition(7), n_parts=4, k=2, top_n=10
+    ).collect()
+    assert sorted(map(tuple, re_tight)) == sorted(map(tuple, tight))
