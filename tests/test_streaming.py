@@ -2231,3 +2231,75 @@ def test_streaming_ann_pagerank_chained_e2e(spark, tmp_path):
         }
         want = {(r.node, r.rank_micro) for r in cold[i].collect()}
         assert got == want, f"level {i} diverged"
+
+
+def test_streaming_bm25_index_ingestion(spark, tmp_path):
+    """The BM25 index as a streaming sink: a file stream of doc batches
+    maintains the three index tables through foreachBatch with the
+    query's (query_id, epoch) replay token; after the drain, serving
+    from the maintained index equals a from-scratch bm25_topk over
+    everything ingested, and a replayed epoch (crash before checkpoint
+    commit) leaves every table's snapshot count unchanged."""
+    import os
+    import time as time_mod
+
+    import icebergproject_spark.queries  # noqa: F401  (registry first)
+    from icebergproject_spark.llm.index import BM25IndexStore
+    from icebergproject_spark.llm.text import bm25_topk
+
+    src = str(tmp_path / "bm_src")
+    os.makedirs(src)
+    rows1 = [(i, f"alpha w{i} beta w{i % 5}") for i in range(0, 30)]
+    rows2 = [(i, f"gamma w{i} alpha w{i % 7}") for i in range(30, 50)]
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        path = f"{src}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", rows1, time_mod.time() - 60)
+    write_file("f2", rows2, time_mod.time())
+
+    store = BM25IndexStore(
+        spark, str(tmp_path / "wh"), "idx", "bm25", n_buckets=4
+    )
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    seen_epochs = []
+
+    def sink(batch, epoch_id):
+        seen_epochs.append(epoch_id)
+        store.append_batch(batch, batch_id=f"bm25q-{epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_epochs) == 2  # one micro-batch per file
+
+    queries = [(0, "alpha w3"), (1, "gamma w35")]
+    docs = spark.createDataFrame(rows1 + rows2, ["doc_id", "text"])
+    want = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+    assert sorted(map(tuple, store.query_topk(queries, k=5).collect())) == want
+
+    # crash-replay of the last epoch: every commit is a no-op
+    snaps = [
+        len(t._snapshots())
+        for t in (store.postings, store.termstats, store.corpus)
+    ]
+    last = spark.read.parquet(f"{src}/f2")
+    store.append_batch(last, batch_id=f"bm25q-{seen_epochs[-1]}")
+    assert snaps == [
+        len(t._snapshots())
+        for t in (store.postings, store.termstats, store.corpus)
+    ]
