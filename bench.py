@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     # mergeable top-k heavy-hitter sketch audit (the skew detector)
     "bm25_index_incremental",
     "heavy_hitters_audit",
+    "er_fellegi_sunter",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -231,6 +232,7 @@ PREV_ROUND_QUERIES = {
         "dim_point_lookup",
         "bm25_index_incremental",
         "heavy_hitters_audit",
+        "er_fellegi_sunter",
     )
 }
 

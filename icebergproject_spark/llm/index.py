@@ -67,6 +67,13 @@ class BM25IndexStore:
         self.corpus = LakehouseTable(spark, warehouse, db, f"{name}_corpus")
         if self.postings.current_snapshot() is None:
             self.postings.set_partitioning("term", f"bucket{n_buckets}")
+        if self.termstats.current_snapshot() is None:
+            # same bucketing as postings: the probe measured the df
+            # read as the serve path's un-pruned residual (the vocab
+            # table grows with the corpus under Heaps' law even though
+            # it trails it); _write_data re-applies the spec on every
+            # additive COW merge, so the layout survives maintenance
+            self.termstats.set_partitioning("term", f"bucket{n_buckets}")
 
     # -- maintenance ------------------------------------------------------
 
@@ -166,10 +173,13 @@ class BM25IndexStore:
         filter — the A/B arm tools/bm25_index_probe.py measures the
         layout against (identical output either way)."""
         qterms = sorted({t for _, text in queries for t in text.split()})
-        posts = self.postings.read(
-            partition_values=self.term_buckets(qterms) if pruned else None
-        ).where(F.col("term").isin(qterms))
-        ts = self.termstats.read().where(F.col("term").isin(qterms))
+        buckets = self.term_buckets(qterms) if pruned else None
+        posts = self.postings.read(partition_values=buckets).where(
+            F.col("term").isin(qterms)
+        )
+        ts = self.termstats.read(partition_values=buckets).where(
+            F.col("term").isin(qterms)
+        )
         stats = self.corpus.read().select("n_docs", "total_dl")
         q = self.spark.createDataFrame(
             [(qid, t) for qid, text in queries for t in text.split()],

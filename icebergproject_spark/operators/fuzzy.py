@@ -170,3 +170,168 @@ def snm_fuzzy_match(
         F.col("m.cn").alias(clean_name),
         (-F.col("m.nd")).cast("integer").alias("dist"),
     )
+
+
+def fellegi_sunter_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    eq_fields: list[str],
+    m_ppm: dict[str, int],
+    name_max_dist: int = 2,
+    dirty_id: str = "dirty_id",
+    dirty_name: str = "dirty_name",
+    clean_id: str = "clean_id",
+    clean_name: str = "clean_name",
+    t_upper: int = 2_302_585,
+    t_lower: int = -2_302_585,
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) — the
+    scoring rung above the two blocking strategies in this module:
+    instead of a hard accept at ``levenshtein <= max_dist``, every
+    blocked candidate pair gets an AGREEMENT VECTOR over the name
+    comparison (edit distance <= ``name_max_dist``) plus the
+    ``eq_fields`` equality comparisons, weighted by log-likelihood
+    ratios, summed into a match score, and classified against the
+    decision thresholds into match / possible / nonmatch — the
+    three-way decision rule the paper derives as optimal.
+
+    Parameters the classical way when no labeled data exists:
+    ``m_ppm[field]`` (P(agree | true match), parts-per-million) is a
+    DECLARED prior (a mangled field still usually agrees), while each
+    u-probability (P(agree | non-match)) is ESTIMATED FROM THE DATA on
+    deterministic pseudo-random pairs — dirty record d is paired with
+    the clean record at id ``(d*7+3) mod n + 1`` (id-keyed, so the
+    sample is reproducible and a SQL oracle replays it exactly), and
+    the per-field agreement rate in ppm (integer DIV, clamped to
+    [1, 999999]) is the u estimate.  Agreement/disagreement weights are
+    ``ln(m/u)`` / ``ln((1-m)/(1-u))`` quantized once to integer
+    micro-nats (the repo's micro-integer convention: one float
+    expression per weight, BIGINT sums after), so scores are
+    order-independent exact integers.  The default thresholds are
+    ±ln(10) micro-nats: 10:1 posterior odds either way.
+
+    100 TB shape: candidate generation is the same token-blocking join
+    as :func:`blocked_fuzzy_match` (skew caveat identical); the u
+    estimation adds ONE equi-join over the dirty side against the
+    clean side (the pseudo-pairing) and a 1-row aggregate broadcast
+    into the scoring; resolve is the same hash-aggregate argmax.
+
+    Returns one row per dirty record that blocked to >= 1 candidate:
+    (dirty_id, clean_id, g_name, g_<f>..., score_micro, decision,
+    u_name_ppm, u_<f>_ppm...), best candidate = (max score, then min
+    clean_id)."""
+    fields = ["name"] + list(eq_fields)
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"),
+        F.col(dirty_name).alias("__dname"),
+        *[F.col(f).alias(f"__d_{f}") for f in eq_fields],
+    )
+    c = clean.select(
+        F.col(clean_id).alias("__cid"),
+        F.col(clean_name).alias("__cname"),
+        *[F.col(f).alias(f"__c_{f}") for f in eq_fields],
+    )
+
+    def gammas(df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "g_name",
+            (
+                F.levenshtein(F.col("__dname"), F.col("__cname"))
+                <= name_max_dist
+            ).cast("long"),
+        )
+        for f in eq_fields:
+            out = out.withColumn(
+                f"g_{f}",
+                (F.col(f"__d_{f}") == F.col(f"__c_{f}")).cast("long"),
+            )
+        return out
+
+    # u estimation on the deterministic pseudo-pairs (one per dirty row)
+    n_clean = c.agg(F.count(F.lit(1)).alias("__n"))
+    pseudo = gammas(
+        d.crossJoin(F.broadcast(n_clean))
+        .withColumn(
+            "__cid", (F.col("__did") * 7 + 3) % F.col("__n") + 1
+        )
+        .join(c, "__cid")
+    )
+    u = pseudo.agg(
+        F.count(F.lit(1)).alias("__np"),
+        *[F.sum(f"g_{f}").alias(f"__a_{f}") for f in fields],
+    ).select(
+        *[
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(999_999),
+                    F.expr(f"__a_{f} * 1000000 DIV __np"),
+                ),
+            ).alias(f"u_{f}_ppm")
+            for f in fields
+        ]
+    )
+    # micro-nat weights from the declared m and the estimated u —
+    # each ONE float expression quantized once (engine-stable)
+    for f in fields:
+        m = int(m_ppm[f])
+        if not 0 < m < 1_000_000:
+            raise ValueError(f"m_ppm[{f!r}] must be in (0, 1e6) ppm")
+        uc = F.col(f"u_{f}_ppm").cast("double") / 1_000_000
+        u = u.withColumn(
+            f"wa_{f}",
+            F.round(
+                (F.log(F.lit(m / 1_000_000)) - F.log(uc)) * 1_000_000
+            ).cast("long"),
+        ).withColumn(
+            f"wd_{f}",
+            F.round(
+                (F.log(F.lit(1 - m / 1_000_000)) - F.log(F.lit(1) - uc))
+                * 1_000_000
+            ).cast("long"),
+        )
+
+    # token blocking (identical to blocked_fuzzy_match) -> gamma -> score
+    d_tok = d.withColumn(
+        "__tok", F.explode(F.split(F.col("__dname"), " "))
+    )
+    c_tok = c.withColumn(
+        "__tok", F.explode(F.split(F.col("__cname"), " "))
+    )
+    cand = d_tok.join(c_tok, "__tok").drop("__tok").distinct()
+    score = sum(
+        (
+            F.when(F.col(f"g_{f}") == 1, F.col(f"wa_{f}")).otherwise(
+                F.col(f"wd_{f}")
+            )
+            for f in fields
+        ),
+        start=F.lit(0),
+    )
+    scored = (
+        gammas(cand)
+        .crossJoin(F.broadcast(u))
+        .withColumn("score_micro", score.cast("long"))
+    )
+    best = scored.groupBy("__did").agg(
+        F.max(
+            F.struct(
+                F.col("score_micro").alias("s"),
+                (-F.col("__cid")).alias("nc"),
+                *[F.col(f"g_{f}").alias(f"g_{f}") for f in fields],
+                *[F.col(f"u_{f}_ppm").alias(f"u_{f}_ppm") for f in fields],
+            )
+        ).alias("m")
+    )
+    decision = (
+        F.when(F.col("score_micro") >= t_upper, F.lit("match"))
+        .when(F.col("score_micro") <= t_lower, F.lit("nonmatch"))
+        .otherwise(F.lit("possible"))
+    )
+    return best.select(
+        F.col("__did").alias(dirty_id),
+        (-F.col("m.nc")).cast("long").alias(clean_id),
+        *[F.col(f"m.g_{f}").alias(f"g_{f}") for f in fields],
+        F.col("m.s").alias("score_micro"),
+        *[F.col(f"m.u_{f}_ppm").alias(f"u_{f}_ppm") for f in fields],
+    ).withColumn("decision", decision)

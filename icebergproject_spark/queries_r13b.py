@@ -167,3 +167,187 @@ R13B_REGISTRY: dict[str, Query] = {
         q_heavy_hitters_audit, ORACLE_HEAVY_HITTERS_AUDIT
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# er_fellegi_sunter — probabilistic record linkage over the dirty-parts feed
+# ---------------------------------------------------------------------------
+
+#: declared m-probabilities (P(agree | match), ppm) — the classical
+#: no-training-data priors; u-probabilities are estimated from the data
+FS_M_PPM = {"name": 900_000, "brand": 950_000, "type": 950_000,
+            "size": 950_000}
+
+
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage (operators/fuzzy
+    .fellegi_sunter_match) on the SAME dirty feed as fuzzy_join_parts /
+    fuzzy_join_snm — the ER family's third rung: token blocking
+    generates candidates, each pair gets an agreement vector (name
+    edit-distance <= 2; brand/container/size equality), weights are
+    ln(m/u) micro-nats with u ESTIMATED from deterministic
+    id-keyed pseudo-random pairs, scores are exact BIGINT sums, and
+    the best candidate per dirty record is classified match / possible
+    / nonmatch at +/- ln(10).  The oracle replays the entire chain —
+    feed, pseudo-pairs, u ppm, weights, blocking, scoring, argmax,
+    decision — so the hash checks the parameter ESTIMATION arithmetic,
+    not just the scoring."""
+    from icebergproject_spark.operators.fuzzy import fellegi_sunter_match
+    from icebergproject_spark.queries_r8b import _dirty_parts
+
+    parts = _t(spark, sf_dir, "part")
+    attrs = parts.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    )
+    # the dirty feed is a 5% SLICE linked against the FULL catalog (the
+    # realistic linkage shape: incoming batch << reference).  Unlike
+    # fuzzy_join_parts' distinct-name catalog, the clean side here must
+    # be the full ROW set (the attribute comparisons need per-record
+    # brand/type/size), and the fixture's two-token small-vocab names
+    # make token blocking quadratic-ish in the dirty count — the slice
+    # bounds candidates, the catalog stays whole
+    dirty = (
+        _dirty_parts(spark, sf_dir)
+        .where(F.col("dirty_id") % 20 == 0)
+        .join(attrs, "dirty_id")
+    )
+    clean = parts.select(
+        F.col("p_partkey").alias("clean_id"),
+        F.col("p_name").alias("clean_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    )
+    return fellegi_sunter_match(
+        dirty, clean, eq_fields=["brand", "type", "size"],
+        m_ppm=FS_M_PPM,
+    )
+
+
+def _fs_oracle() -> str:
+    """Oracle for er_fellegi_sunter: float literals for the declared m
+    arms are interpolated via repr() of the SAME Python arithmetic the
+    Spark arm evaluates (1 - 900000/1e6 != 0.1 in binary), so both
+    engines quantize identical doubles."""
+    fields = ["name", "brand", "type", "size"]
+    g_exprs = {
+        "name": "CAST(levenshtein(dirty_name, clean_name) <= 2 AS BIGINT)",
+        "brand": "CAST(d_brand = c_brand AS BIGINT)",
+        "type": "CAST(d_type = c_type AS BIGINT)",
+        "size": "CAST(d_size = c_size AS BIGINT)",
+    }
+    u_cols = ",\n         ".join(
+        f"CAST(GREATEST(1, LEAST(999999,"
+        f" SUM(g_{f}) * 1000000 // COUNT(*))) AS BIGINT) AS u_{f}_ppm"
+        for f in fields
+    )
+    w_cols = ",\n         ".join(
+        f"CAST(ROUND((LN({FS_M_PPM[f] / 1_000_000!r})"
+        f" - LN(u_{f}_ppm / 1000000.0)) * 1000000) AS BIGINT) AS wa_{f},\n"
+        f"         CAST(ROUND((LN({1 - FS_M_PPM[f] / 1_000_000!r})"
+        f" - LN(1 - u_{f}_ppm / 1000000.0)) * 1000000) AS BIGINT) AS wd_{f}"
+        for f in fields
+    )
+    score = " + ".join(
+        f"CASE WHEN g_{f} = 1 THEN wa_{f} ELSE wd_{f} END" for f in fields
+    )
+    best_struct = ", ".join(
+        ["'s': score_micro", "'nc': -clean_id"]
+        + [f"'g_{f}': g_{f}" for f in fields]
+        + [f"'u_{f}': u_{f}_ppm" for f in fields]
+    )
+    gsel = ",\n       ".join(f"m.g_{f} AS g_{f}" for f in fields)
+    usel = ",\n       ".join(f"m.u_{f} AS u_{f}_ppm" for f in fields)
+    pseudo_g = ",\n         ".join(
+        f"{g_exprs[f]} AS g_{f}" for f in fields
+    )
+    cand_g = ",\n         ".join(f"{g_exprs[f]} AS g_{f}" for f in fields)
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS dirty_id, p_name,
+         CAST(p_partkey % length(p_name) + 1 AS INT) AS p0
+  FROM part
+),
+dirty0 AS (
+  SELECT dirty_id,
+         concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1))
+           AS dirty_name
+  FROM (
+    SELECT dirty_id, p_name,
+           CASE WHEN substring(p_name, p0, 1) = ' ' THEN p0 + 1 ELSE p0 END
+             AS pos
+    FROM base
+  )
+),
+d AS (
+  SELECT dirty_id, dirty_name,
+         p_brand AS d_brand, p_type AS d_type, p_size AS d_size
+  FROM dirty0 JOIN part ON p_partkey = dirty_id
+  WHERE dirty_id % 20 = 0
+),
+c AS (
+  SELECT p_partkey AS clean_id, p_name AS clean_name,
+         p_brand AS c_brand, p_type AS c_type, p_size AS c_size
+  FROM part
+),
+n AS (SELECT COUNT(*) AS n FROM c),
+pseudo AS (
+  SELECT {pseudo_g}
+  FROM d CROSS JOIN n
+  JOIN c ON c.clean_id = (d.dirty_id * 7 + 3) % n.n + 1
+),
+u AS (
+  SELECT {u_cols}
+  FROM pseudo
+),
+w AS (
+  SELECT u.*,
+         {w_cols}
+  FROM u
+),
+dt AS (
+  SELECT d.*, UNNEST(string_split(dirty_name, ' ')) AS tok FROM d
+),
+ct AS (
+  SELECT c.*, UNNEST(string_split(clean_name, ' ')) AS tok FROM c
+),
+cand AS (
+  SELECT DISTINCT d.dirty_id, d.dirty_name, d.d_brand, d.d_type,
+         d.d_size, c.clean_id, c.clean_name, c.c_brand, c.c_type,
+         c.c_size
+  FROM dt d JOIN ct c USING (tok)
+),
+scored AS (
+  SELECT dirty_id, clean_id, {score} AS score_micro,
+         g_name, g_brand, g_type, g_size,
+         u_name_ppm, u_brand_ppm, u_type_ppm, u_size_ppm
+  FROM (
+    SELECT dirty_id, clean_id,
+         {cand_g}
+    FROM cand
+  ) CROSS JOIN w
+),
+best AS (
+  SELECT dirty_id, MAX({{{best_struct}}}) AS m
+  FROM scored GROUP BY dirty_id
+)
+SELECT dirty_id,
+       CAST(-(m.nc) AS BIGINT) AS clean_id,
+       {gsel},
+       m.s AS score_micro,
+       {usel},
+       CASE WHEN m.s >= 2302585 THEN 'match'
+            WHEN m.s <= -2302585 THEN 'nonmatch'
+            ELSE 'possible' END AS decision
+FROM best
+"""
+
+
+ORACLE_ER_FELLEGI_SUNTER = _fs_oracle()
+
+R13B_REGISTRY["er_fellegi_sunter"] = Query(
+    q_er_fellegi_sunter, ORACLE_ER_FELLEGI_SUNTER
+)

@@ -813,3 +813,60 @@ def test_dq_checks_fire_on_dirty_fixture(spark):
     empty = spark.createDataFrame([], "x string")
     row = dq.completeness(empty, "e", "x").collect()[0]
     assert (row.violations, row.total, row.pass_ppm) == (0, 0, 1000000)
+
+
+def test_fellegi_sunter_classifies_and_estimates(spark):
+    """FS invariants on a hand corpus: (a) every dirty record's best
+    candidate is its own source record, classified 'match' (full
+    agreement vector, all-agreement score above +ln(10)); (b) a decoy
+    that blocks to a candidate but agrees on nothing except one token
+    classifies 'nonmatch' (all-disagreement weights are negative);
+    (c) the u estimates are data-derived ppm in [1, 999999] and the
+    output is partition-layout independent."""
+    from icebergproject_spark.operators.fuzzy import fellegi_sunter_match
+
+    clean_rows = [
+        (i, f"alpha part unit{i} rev{i % 3}", f"B{i % 4}", 10 + i % 5)
+        for i in range(1, 41)
+    ]
+    clean = spark.createDataFrame(
+        clean_rows, ["clean_id", "clean_name", "brand", "size"]
+    )
+    # dirty = clean with one char deleted mid-name, attrs unchanged
+    dirty_rows = [
+        (i, name[:6] + name[7:], b, s) for i, name, b, s in clean_rows
+    ]
+    # decoy 999: shares the token 'alpha' only; attrs agree with nothing
+    dirty_rows.append((999, "alpha zzz qqq www", "NOPE", -1))
+    dirty = spark.createDataFrame(
+        dirty_rows, ["dirty_id", "dirty_name", "brand", "size"]
+    )
+    m_ppm = {"name": 900_000, "brand": 950_000, "size": 950_000}
+    out = {
+        r.dirty_id: r
+        for r in fellegi_sunter_match(
+            dirty, clean, eq_fields=["brand", "size"], m_ppm=m_ppm
+        ).collect()
+    }
+    for i, *_ in clean_rows:
+        assert out[i].clean_id == i, (i, out[i])
+        assert out[i].decision == "match"
+        assert (out[i].g_name, out[i].g_brand, out[i].g_size) == (1, 1, 1)
+        assert out[i].score_micro >= 2_302_585
+    decoy = out[999]
+    assert decoy.decision == "nonmatch"
+    assert (decoy.g_name, decoy.g_brand, decoy.g_size) == (0, 0, 0)
+    assert decoy.score_micro < 0
+    r0 = out[1]
+    for f in ("name", "brand", "size"):
+        assert 1 <= getattr(r0, f"u_{f}_ppm") <= 999_999
+    re_out = {
+        r.dirty_id: r
+        for r in fellegi_sunter_match(
+            dirty.repartition(7), clean.repartition(5),
+            eq_fields=["brand", "size"], m_ppm=m_ppm,
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in re_out.items()
+    }
