@@ -205,6 +205,18 @@ def _count(plan: str, node: str) -> int:
         ("dedup_clusters", 0, 1),
         ("dedup_clusters_lsh_sql", 0, 1),
         ("dataset_split", 0, 5),
+        # round-13 fourth-batch heads.  bm25_index_incremental returns
+        # the SERVE over the maintained tables (maintenance committed
+        # inside the head): both stored reads partition-pruned, query/
+        # df/stats sides all broadcast, never a sort-merge.  The
+        # heavy-hitter audit's plain shuffles are the two tok group-bys
+        # (summary + exact audit arm) plus the bounded merge/top
+        # windows — production drops the exact arm.  Fellegi-Sunter:
+        # pseudo-pair u-estimation + weight row + query side are all
+        # broadcasts; the one aggregation is the per-dirty argmax.
+        ("bm25_index_incremental", 0, 3),
+        ("heavy_hitters_audit", 5, 2),
+        ("er_fellegi_sunter", 0, 5),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
