@@ -83,6 +83,8 @@ class BM25IndexStore:
         content_col: str = "text",
         id_col: str = "doc_id",
         batch_id: str | None = None,
+        df_merge: str = "upsert",
+        fold_eq_debt: int = 16,
     ) -> None:
         """Index an append batch of NEW docs: O(batch) tokenization, one
         postings append (co-located one file per occupied term bucket),
@@ -102,7 +104,22 @@ class BM25IndexStore:
         clean single application — pinned by
         tests/test_graph_retrieval.py::test_bm25_index_replay_is_idempotent.
         Without a batch_id (bounded back-tests, the oracle head) the
-        caller owns replay discipline."""
+        caller owns replay discipline.
+
+        ``df_merge`` picks the termstats maintenance write:
+        ``"upsert"`` (default — the production path) reads ONLY the
+        batch terms' current df rows (partition-pruned to the touched
+        buckets, delta broadcast into the scan) and applies the summed
+        rows through the O(payload) equality-delete upsert, then
+        auto-folds the read debt past ``fold_eq_debt`` files
+        (maybe_fold_eq_debt) — cost O(batch vocabulary), independent of
+        the table.  ``"cow"`` is the additive full-rewrite merge
+        (merge_additive): simpler, but the probe measured it as the
+        maintain arm's ceiling once the vocabulary is large
+        (SCALE.md r13 third session).  Both paths converge to the same
+        table state and both are idempotent under ``batch_id``."""
+        if df_merge not in ("upsert", "cow"):
+            raise ValueError(f"df_merge must be 'upsert' or 'cow': {df_merge!r}")
         if batch_id is not None and self.postings.has_batch(batch_id):
             return  # fully committed earlier attempt
         tok = docs.select(
@@ -131,11 +148,47 @@ class BM25IndexStore:
                 ["k"],
                 batch_id=batch_id,
             )
-            self.termstats.merge_additive(
-                posts.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
-                ["term"],
-                batch_id=batch_id,
-            )
+            delta = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            if (
+                df_merge == "cow"
+                or self.termstats.current_snapshot() is None
+            ):
+                # first write: merge_additive just lands the partials
+                # (partitioned by _write_data), so both modes seed alike
+                self.termstats.merge_additive(
+                    delta, ["term"], batch_id=batch_id
+                )
+            elif batch_id is None or not self.termstats.has_batch(batch_id):
+                # O(batch-vocab): read only the touched buckets' current
+                # rows with the delta BROADCAST into the scan (right-
+                # outer keeps brand-new terms), sum, eq-delete upsert
+                delta_b = delta.localCheckpoint(eager=True)
+                touched = sorted(
+                    r[0]
+                    for r in delta_b.select(
+                        F.pmod(
+                            F.xxhash64("term"), F.lit(self.n_buckets)
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                old = self.termstats.read(partition_values=touched).select(
+                    "term", F.col("df").alias("__df_old")
+                )
+                merged = old.join(
+                    F.broadcast(delta_b), "term", "right"
+                ).select(
+                    "term",
+                    (
+                        F.coalesce(F.col("__df_old"), F.lit(0))
+                        + F.col("df")
+                    ).alias("df"),
+                )
+                self.termstats.upsert_by_key(
+                    merged, ["term"], batch_id=batch_id
+                )
+                self.termstats.maybe_fold_eq_debt(fold_eq_debt)
             bucketed = posts.repartition(
                 F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
             )

@@ -1661,3 +1661,47 @@ def test_bm25_index_replay_is_idempotent(spark, tmp_path):
         len(t._snapshots())
         for t in (crashed.postings, crashed.termstats, crashed.corpus)
     ]
+
+
+def test_bm25_df_upsert_equals_cow_and_bounds_debt(spark, tmp_path):
+    """The O(batch-vocab) termstats upsert path converges to exactly the
+    COW merge's table state across several batches, its old-row read is
+    partition-pruned with the delta broadcast (never a shuffle of the
+    vocab table), and the eq-delete read debt stays bounded by the
+    auto-fold threshold."""
+    import icebergproject_spark.queries  # noqa: F401  (registry first)
+    from icebergproject_spark.llm.index import BM25IndexStore
+    from icebergproject_spark.queries_r7 import BM25_QUERIES
+
+    rows = [(i, f"alpha w{i} beta w{i % 6} gamma w{i % 11}") for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    slices = [docs.where(F.col("doc_id") % 4 == r) for r in range(4)]
+
+    up = BM25IndexStore(spark, str(tmp_path), "db", "up", n_buckets=4)
+    cow = BM25IndexStore(spark, str(tmp_path), "db", "cow", n_buckets=4)
+    for i, sl in enumerate(slices):
+        up.append_batch(sl, batch_id=f"b{i}", df_merge="upsert",
+                        fold_eq_debt=2)
+        cow.append_batch(sl, batch_id=f"b{i}", df_merge="cow")
+    want = sorted(map(tuple, cow.termstats.read().collect()))
+    assert sorted(map(tuple, up.termstats.read().collect())) == want
+    assert len(want) > 0
+    # debt bounded: at most fold_eq_debt eq-delete entries survive
+    snap = up.termstats.current_snapshot()
+    assert len(snap.get("eq_delete_dirs", [])) <= 2
+    # the serve is unaffected by which merge maintained the df table
+    q = [(0, "alpha w3")]
+    assert sorted(map(tuple, up.query_topk(q).collect())) == sorted(
+        map(tuple, cow.query_topk(q).collect())
+    )
+    # plan pin on the upsert path's old-row read: pruned + broadcast
+    delta = spark.createDataFrame([("alpha", 1)], ["term", "df"])
+    old = up.termstats.read(partition_values=[0, 1]).select(
+        "term", F.col("df").alias("__df_old")
+    )
+    plan = (
+        old.join(F.broadcast(delta), "term", "right")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
