@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "bm25_index_incremental",
     "heavy_hitters_audit",
     "er_fellegi_sunter",
+    "events_ewma_control",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -233,6 +234,7 @@ PREV_ROUND_QUERIES = {
         "bm25_index_incremental",
         "heavy_hitters_audit",
         "er_fellegi_sunter",
+        "events_ewma_control",
     )
 }
 

@@ -776,3 +776,69 @@ def gini_index(
             f"   DIV (n * total) AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+def ewma_control(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    date_col: str = "ts",
+    window: int = 8,
+    quant: int = 100,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959) — the ONLINE-monitoring member
+    of the drift family (cusum_changepoint = retrospective single shift,
+    ks_drift = window-vs-window distribution): per group, the daily
+    value series smoothed by an exponentially-weighted moving average
+    with alpha = 1/4, and each day's residual against its own smoothed
+    history flagged when it exceeds half the smoothed level.
+
+    Exact-integer formulation (no float recurrence, so any engine
+    replays it bit-for-bit): alpha = 1/4 makes the lag-i weight
+    (3/4)^i; scaling through by 4^(window-1) gives the integer weight
+    w_i = 3^i * 4^(window-1-i), so over the last ``window`` PRESENT
+    days the EWMA is the rational  num/den  with
+    num = sum w_i * x_{t-i}  and  den = sum w_i  over available lags —
+    both BIGINT sums of a bounded LAG chain (series heads with < window history renormalize
+    automatically because den only counts present lags).  The emitted
+    smoothed value is the integer quotient, and the alarm rule is
+    cross-multiplied (|x*den - num| * 2 > num, i.e. residual > half the
+    EWMA level) so no division ever happens in a comparison.
+
+    100 TB shape: one shuffle to the daily rollup, then a per-group
+    ordered window over days (days per group is small and bounded by
+    retention); the LAG chain is ``window`` column expressions inside
+    one window spec — no self-joins, no iteration.
+
+    Output: group_cols + (day, value_q, ewma_q, resid_q, alarm)."""
+    day = F.date_format(date_col, "yyyy-MM-dd").alias("day")
+    daily = (
+        df.groupBy(*group_cols, day)
+        .agg(
+            F.sum(F.round(F.col(value_col) * quant).cast("long")).alias(
+                "value_q"
+            )
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("day")
+    num = F.lit(0)
+    den = F.lit(0)
+    for i in range(window):
+        lag_i = F.lag("value_q", i).over(w)
+        weight = 3 ** i * 4 ** (window - 1 - i)
+        num = num + F.coalesce(lag_i * weight, F.lit(0))
+        den = den + F.when(lag_i.isNotNull(), F.lit(weight)).otherwise(0)
+    resid = F.abs(
+        F.col("value_q") * F.col("den") - F.col("num")
+    )  # scaled by den
+    return (
+        daily.withColumn("num", num.cast("long"))
+        .withColumn("den", den.cast("long"))
+        .withColumn("ewma_q", F.expr("num DIV den"))
+        .withColumn("resid_q", F.expr("abs(value_q - (num DIV den))"))
+        .withColumn(
+            "alarm",
+            (resid * 2 > F.col("num")).cast("long"),
+        )
+        .select(*group_cols, "day", "value_q", "ewma_q", "resid_q", "alarm")
+    )

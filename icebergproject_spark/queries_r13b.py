@@ -351,3 +351,75 @@ ORACLE_ER_FELLEGI_SUNTER = _fs_oracle()
 R13B_REGISTRY["er_fellegi_sunter"] = Query(
     q_er_fellegi_sunter, ORACLE_ER_FELLEGI_SUNTER
 )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_control — EWMA control chart over the daily event series
+# ---------------------------------------------------------------------------
+
+EWMA_WINDOW = 8  # alpha = 1/4; integer weights 3^i * 4^(window-1-i)
+
+
+def q_events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (operators/aggregates.ewma_control) per
+    event_type over the daily value rollup — the ONLINE member of the
+    drift-monitoring family (cusum = retrospective shift, ks = window
+    distribution drift): exact rational EWMA (integer num/den of a
+    bounded LAG chain, heads renormalize), alarm on cross-multiplied
+    residual > half the smoothed level."""
+    from icebergproject_spark.operators.aggregates import ewma_control
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_control(
+        ev, "value", ["event_type"], date_col="ts", window=EWMA_WINDOW
+    )
+
+
+def _ewma_oracle(window: int) -> str:
+    weights = [3**i * 4 ** (window - 1 - i) for i in range(window)]
+    lag_cols = ",\n         ".join(
+        f"LAG(value_q, {i}) OVER w AS l{i}" for i in range(1, window)
+    )
+    num = " + ".join(
+        [f"value_q * {weights[0]}"]
+        + [f"COALESCE(l{i} * {weights[i]}, 0)" for i in range(1, window)]
+    )
+    den = " + ".join(
+        [f"{weights[0]}"]
+        + [
+            f"CASE WHEN l{i} IS NOT NULL THEN {weights[i]} ELSE 0 END"
+            for i in range(1, window)
+        ]
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_q
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT event_type, day, value_q,
+         {lag_cols}
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+e AS (
+  SELECT event_type, day, value_q,
+         CAST({num} AS BIGINT) AS num,
+         CAST({den} AS BIGINT) AS den
+  FROM lagd
+)
+SELECT event_type, day, value_q,
+       CAST(num // den AS BIGINT) AS ewma_q,
+       CAST(abs(value_q - num // den) AS BIGINT) AS resid_q,
+       CAST(CASE WHEN abs(value_q * den - num) * 2 > num
+             THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM e
+"""
+
+
+ORACLE_EVENTS_EWMA_CONTROL = _ewma_oracle(EWMA_WINDOW)
+
+R13B_REGISTRY["events_ewma_control"] = Query(
+    q_events_ewma_control, ORACLE_EVENTS_EWMA_CONTROL
+)

@@ -870,3 +870,34 @@ def test_fellegi_sunter_classifies_and_estimates(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in re_out.items()
     }
+
+
+def test_ewma_control_hand_series(spark):
+    """EWMA invariants on a hand series: a constant series smooths to
+    itself (resid 0, no alarm); the first day's head renormalizes to
+    the value itself; a 10x step spike alarms on the spike day (the
+    smoothed level lags, so the residual exceeds half of it); the
+    weights favor RECENT values (post-spike EWMA closer to the new
+    level than the old)."""
+    from datetime import datetime as dt
+
+    from icebergproject_spark.operators.aggregates import ewma_control
+
+    rows = [("a", dt(2024, 1, d), 10.0) for d in range(1, 9)]
+    rows += [("b", dt(2024, 1, d), 10.0) for d in range(1, 6)]
+    rows += [("b", dt(2024, 1, 6), 100.0)]  # step spike
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        (r.event_type, r.day): r
+        for r in ewma_control(df, "value", ["event_type"]).collect()
+    }
+    for d in range(1, 9):
+        r = out[("a", f"2024-01-0{d}")]
+        assert r.ewma_q == 1000 and r.resid_q == 0 and r.alarm == 0
+    first = out[("b", "2024-01-01")]
+    assert first.ewma_q == 1000  # head renormalization: den = w_0 only
+    spike = out[("b", "2024-01-06")]
+    assert spike.alarm == 1 and spike.resid_q > 0
+    # recency weighting: smoothed level after the spike is far above
+    # the old level (current-day weight dominates the chain)
+    assert spike.ewma_q > 1000 * 2

@@ -217,6 +217,9 @@ def _count(plan: str, node: str) -> int:
         ("bm25_index_incremental", 0, 3),
         ("heavy_hitters_audit", 5, 2),
         ("er_fellegi_sunter", 0, 5),
+        # EWMA chart: one shuffle to the daily rollup, one to the
+        # per-group ordered window — the bounded LAG chain adds none
+        ("events_ewma_control", 2, 0),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
