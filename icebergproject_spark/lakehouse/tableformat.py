@@ -2082,7 +2082,25 @@ class LakehouseTable:
                     p = self._address(p)
                 if vals is not None:
                     if self._dir_spec(d) == spec:
-                        p = p.filter(F.col("__p").isin(vals))
+                        if spec["transform"] == "identity":
+                            # filter on the SOURCE column, not __p:
+                            # partition discovery types __p by the dir
+                            # VALUES (an all-digit-string identity
+                            # partition comes back BIGINT), and under
+                            # ANSI `bigint_col.isin('a b')` THROWS on
+                            # the literal cast instead of matching
+                            # nothing — the source column carries the
+                            # declared type, so comparisons coerce the
+                            # way the caller's values mean
+                        # (hypothesis-found; pinned by
+                        # test_identity_partition_numeric_dirs_*)
+                            p = p.filter(F.col(spec["column"]).isin(vals))
+                        else:
+                            # integer-domain transforms (mod<N>,
+                            # bucket<N>, day/month strings round-trip):
+                            # keep the typed compare — float 5.0 must
+                            # match dir 5, bool-vs-int must fail LOUDLY
+                            p = p.filter(F.col("__p").isin(vals))
                     else:
                         expr = _transform_fn(spec["transform"])(spec["column"])
                         p = p.filter(expr.isin(vals))

@@ -870,3 +870,30 @@ def test_python_xxhash64_matches_spark(spark, longs, ints, strs):
         assert [int(x) for x in got] == [
             xh.spark_xxhash64(v, "int") for v in ints
         ]
+
+
+def test_identity_partition_numeric_dirs_nonnumeric_wanted(
+    spark, tmp_path_factory
+):
+    """Deterministic pin of the hypothesis-found ANSI trap (r13): when
+    every stored identity-STRING partition value is numeric, Spark's
+    partition discovery types __p as BIGINT, and the residual filter
+    for an escape-needing wanted value ('a b' → discovery+filter
+    fallback) used to THROW on the cast instead of matching nothing.
+    The read must return exactly the model rows, matching on directory
+    NAMES, not inferred types."""
+    from icebergproject_spark.lakehouse.tableformat import LakehouseCatalog
+
+    base = tmp_path_factory.mktemp("prune_numdir")
+    t = LakehouseCatalog(spark, warehouse=str(base), db="propdb").table("N")
+    t.set_partitioning("k", "identity")
+    t.append(
+        spark.createDataFrame(
+            [(0, "0"), (1, "-1")], "i int, k string"
+        )
+    )
+    got = {
+        (r.i, r.k)
+        for r in t.read(partition_values=["a b", "0"]).collect()
+    }
+    assert got == {(0, "0")}
