@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "heavy_hitters_audit",
     "er_fellegi_sunter",
     "events_ewma_control",
+    "heaps_vocab_curve",
 ]
 
 # the query set the PREVIOUS round's bench reported — the
@@ -235,6 +236,7 @@ PREV_ROUND_QUERIES = {
         "heavy_hitters_audit",
         "er_fellegi_sunter",
         "events_ewma_control",
+        "heaps_vocab_curve",
     )
 }
 

@@ -776,7 +776,7 @@ DRIVER_WINDOW = [
     # linkage (the ER family's scoring rung, u estimated from data)
     "dedup_lsh_candidates_incremental", "dedup_clusters_backfill_reseed",
     "dim_point_lookup", "bm25_index_incremental", "heavy_hitters_audit",
-    "er_fellegi_sunter", "events_ewma_control",
+    "er_fellegi_sunter", "events_ewma_control", "heaps_vocab_curve",
     # stale refresh: ALL 36 remaining ROUND-8 rows (VERDICT r12 ask #2
     # — after this round nothing older than r9 remains)
     "fuzzy_join_parts", "fuzzy_join_snm", "gapfill_interpolate",
@@ -791,13 +791,12 @@ DRIVER_WINDOW = [
     "route_dim", "route_fact", "shipping_priority",
     "small_quantity_revenue", "top_parts_by_revenue", "trend_ols",
     "trend_theil_sen", "user_login_wide", "user_sessions",
-    # stale refresh: oldest ROUND-9 rows, alphabetical head (6 of 49;
+    # stale refresh: oldest ROUND-9 rows, alphabetical head (5 of 49;
     # community_modularity_ann deliberately included — it is one of the
     # two r12 perf-weak heads, so fresh driver evidence matters; the
     # remaining r9 rows are next round's oldest cohort)
     "bloom_audit", "bpe_pair_counts", "chunk_documents",
     "community_modularity_ann", "contamination_spans",
-    "coreset_kcenter",
 ]
 # TPC-H analog batches 2-3 — imported BEFORE the window reorder (several
 # r3-rotated-in rows live here: nation_volume_shipping, revenue_pareto, …)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from icebergproject_spark.queries import Query, _t
 from icebergproject_spark.queries_r7 import BM25_QUERIES, _bm25_ctes
@@ -422,4 +423,149 @@ ORACLE_EVENTS_EWMA_CONTROL = _ewma_oracle(EWMA_WINDOW)
 
 R13B_REGISTRY["events_ewma_control"] = Query(
     q_events_ewma_control, ORACLE_EVENTS_EWMA_CONTROL
+)
+
+
+# ---------------------------------------------------------------------------
+# heaps_vocab_curve — vocabulary-growth audit (Heaps' law)
+# ---------------------------------------------------------------------------
+
+def q_heaps_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve in ingestion order — the
+    measurement behind the BM25 df-maintenance ceiling claim (SCALE.md
+    r13: the termstats table grows with the vocabulary, which trails
+    the corpus): for each doc-count decile, the cumulative token count
+    and the cumulative DISTINCT-term count (a term's first occurrence
+    is its min doc_id — one aggregation, no per-decile rescans), plus
+    the log-log OLS slope (the Heaps exponent beta) fitted over the 10
+    points, micro-quantized with the repo's single-float-expression
+    convention.
+
+    100 TB shape: one (doc, term) shuffle for first-occurrences, one
+    doc-level shuffle for sizes; the doc rank and the cumulative token
+    count use the range-partitioned two-pass shape
+    (llm/sharding.exact_global_rank / exact_prefix_sum — no global
+    window funnel); a 10-row decile frame joins by broadcast; the OLS
+    runs over 10 rows.  Output: (decile, docs, tokens, vocab,
+    beta_micro)."""
+    from icebergproject_spark.llm.sharding import (
+        exact_global_rank,
+        exact_prefix_sum,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    # per-doc rank in ingestion (doc_id) order and cumulative tokens —
+    # both via the range-partitioned two-pass shape (no global-window
+    # funnel; byte-identical to the single-window oracle)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ranked_r, _ = exact_global_rank(sizes, [F.col("doc_id")], rank_col="r")
+    ranked = exact_prefix_sum(
+        ranked_r, "n_tok", [F.col("doc_id")], sum_col="cum_tok"
+    )
+    n_docs = docs.count()  # scalar: decile cutoffs are driver-known
+    cuts = [(d, n_docs * d // 10) for d in range(1, 11)]
+    cut_df = spark.createDataFrame(cuts, "decile int, cutoff long")
+    # cumulative docs/tokens AT each cutoff rank
+    at = (
+        ranked.where(F.col("r").isin([c for _, c in cuts]))
+        .join(
+            F.broadcast(cut_df),
+            F.col("r") == F.col("cutoff"),
+        )
+        .select("decile", F.col("r").alias("docs"), F.col("cum_tok").alias("tokens"))
+    )
+    # vocab at cutoff: terms whose first-occurrence doc has rank <= cutoff
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    first_ranked = first.join(
+        ranked.select("doc_id", "r"),
+        first["first_doc"] == ranked["doc_id"],
+    ).select("term", "r")
+    vocab = (
+        first_ranked.crossJoin(F.broadcast(cut_df))
+        .where(F.col("r") <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    curve = at.join(vocab, "decile")
+    # Heaps beta via log-log OLS over the 10 points: quantize each
+    # ln() ONCE to micro (engine-stable single float expression), then
+    # exact integer OLS on the quantized values
+    lx = F.round(F.log(F.col("tokens").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    ly = F.round(F.log(F.col("vocab").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    pts = curve.select("decile", "docs", "tokens", "vocab",
+                       lx.alias("lx"), ly.alias("ly"))
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    ).select(
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx)"
+        ).alias("beta_micro")
+    )
+    return (
+        pts.crossJoin(F.broadcast(stats))
+        .select("decile", "docs", "tokens", "vocab", "beta_micro")
+    )
+
+
+ORACLE_HEAPS_VOCAB_CURVE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1),
+ranked AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+         SUM(n_tok) OVER (ORDER BY doc_id) AS cum_tok
+  FROM sizes
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+cuts AS (
+  SELECT d AS decile, (n_docs * d) // 10 AS cutoff
+  FROM (SELECT UNNEST(range(1, 11)) AS d) CROSS JOIN nd
+),
+at_cut AS (
+  SELECT decile, CAST(r AS BIGINT) AS docs, CAST(cum_tok AS BIGINT) AS tokens
+  FROM ranked JOIN cuts ON r = cutoff
+),
+first AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+fr AS (
+  SELECT term, r FROM first JOIN ranked ON first_doc = doc_id
+),
+vocab AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM fr CROSS JOIN cuts WHERE r <= cutoff GROUP BY decile
+),
+pts AS (
+  SELECT decile, docs, tokens, vocab,
+         CAST(ROUND(LN(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+         CAST(ROUND(LN(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+  FROM at_cut JOIN vocab USING (decile)
+),
+beta AS (
+  SELECT CAST(
+    (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT
+  ) AS beta_micro
+  FROM (
+    SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+           SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+    FROM pts
+  )
+)
+SELECT decile, docs, tokens, vocab, beta_micro
+FROM pts CROSS JOIN beta
+"""
+
+R13B_REGISTRY["heaps_vocab_curve"] = Query(
+    q_heaps_vocab_curve, ORACLE_HEAPS_VOCAB_CURVE
 )

@@ -220,6 +220,11 @@ def _count(plan: str, node: str) -> int:
         # EWMA chart: one shuffle to the daily rollup, one to the
         # per-group ordered window — the bounded LAG chain adds none
         ("events_ewma_control", 2, 0),
+        # Heaps curve: the two-pass range shapes (rank + prefix sum)
+        # cost bounded shuffles; its two sort-merge joins are the
+        # big×big first-occurrence⋈doc-rank joins, correctly NOT
+        # broadcast (vocab-sized × corpus-sized)
+        ("heaps_vocab_curve", 4, 4),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
