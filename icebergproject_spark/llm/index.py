@@ -83,7 +83,7 @@ class BM25IndexStore:
         content_col: str = "text",
         id_col: str = "doc_id",
         batch_id: str | None = None,
-        df_merge: str = "upsert",
+        df_merge: str = "cow",
         fold_eq_debt: int = 16,
     ) -> None:
         """Index an append batch of NEW docs: O(batch) tokenization, one
@@ -106,18 +106,25 @@ class BM25IndexStore:
         Without a batch_id (bounded back-tests, the oracle head) the
         caller owns replay discipline.
 
-        ``df_merge`` picks the termstats maintenance write:
-        ``"upsert"`` (default — the production path) reads ONLY the
-        batch terms' current df rows (partition-pruned to the touched
-        buckets, delta broadcast into the scan) and applies the summed
-        rows through the O(payload) equality-delete upsert, then
-        auto-folds the read debt past ``fold_eq_debt`` files
-        (maybe_fold_eq_debt) — cost O(batch vocabulary), independent of
-        the table.  ``"cow"`` is the additive full-rewrite merge
-        (merge_additive): simpler, but the probe measured it as the
-        maintain arm's ceiling once the vocabulary is large
-        (SCALE.md r13 third session).  Both paths converge to the same
-        table state and both are idempotent under ``batch_id``."""
+        ``df_merge`` picks the termstats maintenance write.  ``"cow"``
+        (default) is the additive full-rewrite merge (merge_additive).
+        ``"upsert"`` reads only the batch terms' current df rows
+        (partition-pruned to the touched buckets, delta broadcast into
+        the scan), applies the summed rows through the O(payload)
+        equality-delete upsert, and auto-folds the read debt past
+        ``fold_eq_debt`` files — write cost O(batch vocabulary),
+        independent of the table.  The probe measured NO single-box
+        crossover up to a 1M-term synthetic vocabulary (the 50-doc
+        batch's ~1.4k terms touch all 64 buckets, so the pruned read
+        degenerates to a full scan and the eq-delete commit machinery
+        costs more than rewriting <=1M rows on 32 cores — SCALE.md r13
+        third session, negative result); "upsert" is the documented
+        scale path for the regime where the vocabulary table is too
+        large to rewrite per batch (n_buckets >> batch vocabulary, df
+        table >> single-box rewrite budget), the same policy class as
+        the CC flood guard.  Both paths converge to the same table
+        state (pytest-pinned) and both are idempotent under
+        ``batch_id``."""
         if df_merge not in ("upsert", "cow"):
             raise ValueError(f"df_merge must be 'upsert' or 'cow': {df_merge!r}")
         if batch_id is not None and self.postings.has_batch(batch_id):
