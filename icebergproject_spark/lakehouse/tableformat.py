@@ -2082,19 +2082,25 @@ class LakehouseTable:
                     p = self._address(p)
                 if vals is not None:
                     if self._dir_spec(d) == spec:
-                        if spec["transform"] == "identity":
-                            # filter on the SOURCE column, not __p:
-                            # partition discovery types __p by the dir
-                            # VALUES (an all-digit-string identity
-                            # partition comes back BIGINT), and under
-                            # ANSI `bigint_col.isin('a b')` THROWS on
-                            # the literal cast instead of matching
-                            # nothing — the source column carries the
-                            # declared type, so comparisons coerce the
-                            # way the caller's values mean
-                        # (hypothesis-found; pinned by
-                        # test_identity_partition_numeric_dirs_*)
-                            p = p.filter(F.col(spec["column"]).isin(vals))
+                        src_type = dict(p.dtypes).get(spec["column"])
+                        if spec["transform"] == "identity" and src_type:
+                            # cast __p to the SOURCE column's declared
+                            # type before comparing: partition discovery
+                            # types __p by the dir VALUES (an all-digit-
+                            # string identity partition comes back
+                            # BIGINT), and under ANSI `bigint_col.isin(
+                            # 'a b')` THROWS on the literal cast instead
+                            # of matching nothing.  Casting __p (not
+                            # filtering the source column) keeps the
+                            # predicate on the partition column, so it
+                            # stays a PLANNING-time PartitionFilter —
+                            # directory skipping survives on the
+                            # discovery fallback path.  (hypothesis-
+                            # found; pinned by
+                            # test_identity_partition_numeric_dirs_*)
+                            p = p.filter(
+                                F.col("__p").cast(src_type).isin(vals)
+                            )
                         else:
                             # integer-domain transforms (mod<N>,
                             # bucket<N>, day/month strings round-trip):
