@@ -278,6 +278,10 @@ HOST_SENSITIVE_HEADS = {
     # NOTES.md r13 close-out records the re-measurement.
     "dedup_simhash": 3.0,
     "neardup_pair_recall": 2.2,
+    # r13 fourth-batch close-out: bench median 17.3 vs 8.7 prior
+    # close-out with zero diff; standalone median-of-5 minutes later
+    # 11.7 (samples 7.6-14.9) — same-box 2x spread inside minutes
+    "item_similarity": 2.0,
 }
 
 
