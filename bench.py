@@ -443,6 +443,10 @@ def main() -> None:
                 "unit": "sec",
                 "timing": f"median_of_{max(runs, 1)}",
                 "n_queries": len(timings),
+                # full per-query medians inline: the driver contract reads
+                # {"queries": {name: sec}} off this ONE stdout line (the
+                # detail file is a repo artifact, not the driver surface)
+                "queries": timings,
                 "value_min_sec": round(sum(timings_min.values()), 3),
                 "sf": sf_val,
                 "comparable_to_prev": detail["comparable_to_prev"],

@@ -130,9 +130,10 @@ def _count(plan: str, node: str) -> int:
         ("community_modularity_ann", 3, 0),
         ("knn_edge_recall", 3, 3),
         ("knn_edge_recall_multi", 3, 3),
-        # capped CF: uncapped's 5 + basket-size aggregate/join + the
-        # 1-row dropped-count broadcast
-        ("item_similarity_capped", 8, 2),
+        # capped CF: uncapped's 5 — the r13 basket-array shape turned
+        # the cap from a sizes-aggregate join into a size(items) filter,
+        # so only the 1-row dropped-count broadcast remains
+        ("item_similarity_capped", 5, 1),
         ("pagerank_delta_local", 2, 0),
         # LSH-DBSCAN: 3 visible shuffles vs the exact arm's 8 — the
         # ε-pair generator is materialized, core/border joins broadcast
