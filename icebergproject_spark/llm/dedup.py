@@ -485,20 +485,33 @@ def minhash_sql_signatures(
         zipped = F.zip_with(
             zipped, F.slice(toks, j + 1, k), lambda x, y: F.concat_ws(" ", x, y)
         )
-    grams = F.when(k <= 0, F.array(col)).otherwise(zipped)
+    # r13 (guide §2.3 "shuffle/evaluate fewer rows"): duplicate shingles
+    # within a doc cannot change any min but each paid ``num_hashes``
+    # md5s — array_distinct drops them before the explode.
+    grams = F.array_distinct(F.when(k <= 0, F.array(col)).otherwise(zipped))
     inv = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
 
-    def hperm(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.lit(str(i)), F.col("g"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("long")
+    def hhex(i: int):
+        return F.substring(
+            F.md5(F.concat_ws("-", F.lit(str(i)), F.col("g"))), 1, 12
+        )
 
-    return inv.groupBy("id").agg(
-        *[F.min(hperm(i)).alias(f"h{i}") for i in range(num_hashes)]
+    # r13: take the min over the 12-char hex PREFIX and convert once per
+    # (id, permutation) after the aggregate — fixed-width lowercase hex
+    # orders identically to its numeric value, so min(conv(x)) ==
+    # conv(min(x)) and the conv+cast drops from per-shingle×k to
+    # per-doc×k.  Measured (with array_distinct) 6.4 -> 5.2 s median /
+    # 5.5 -> 4.0 s min on the full sf0.1 candidate pipeline, candidate
+    # set exactly equal.
+    agg = inv.groupBy("id").agg(
+        *[F.min(hhex(i)).alias(f"__x{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id",
+        *[
+            F.conv(F.col(f"__x{i}"), 16, 10).cast("long").alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
 
 
