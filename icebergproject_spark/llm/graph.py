@@ -37,8 +37,41 @@ than redistributing, the common simplification; symmetrized edge sets
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+#: Plan-time broadcast bound (rows) for the per-iteration |V|-bounded
+#: vectors (rank/score/label/frontier frames) of the iterative
+#: operators.  2M (node, long) rows ≈ 32 MB serialized — comfortably
+#: inside the session's 64 MB broadcast budget and a rounding error
+#: against executor memory.  At 100 TB |V| far exceeds this, the
+#: decision flips automatically, and every join below keeps its
+#: original shuffle shape — the same measured-threshold discipline as
+#: connected_components' driver_threshold.  Override with
+#: $SPARK_GRAFT_VECTOR_BCAST_ROWS (0 forces the shuffle shape).
+VECTOR_BCAST_ROWS = int(os.environ.get("SPARK_GRAFT_VECTOR_BCAST_ROWS", "2000000"))
+
+
+def _vector_hint(nodes: DataFrame):
+    """Decide ONCE per operator call whether its per-iteration vectors
+    may be plan-time broadcast: count the (already checkpoint-pinned)
+    node set and return ``F.broadcast`` iff |V| ≤ VECTOR_BCAST_ROWS,
+    else identity.
+
+    Why plan-time and not AQE: AQE converts these per-iteration
+    sort-merge joins to broadcast joins at RUNTIME, but the planned
+    exchange still executes (map output write + adaptive re-planning
+    per stage).  An explicit hint removes the exchanges from the plan,
+    collapsing each iteration from ~3 stages to 1 — measured on
+    hits_micro at sf0.1: 5.77 → 4.21 s median / 5.39 → 3.37 s min,
+    bit-identical output.  The count itself is one tiny job over a
+    frame the operator materializes anyway (guide §3.1 "broadcast the
+    side that provably fits")."""
+    if VECTOR_BCAST_ROWS > 0 and nodes.count() <= VECTOR_BCAST_ROWS:
+        return F.broadcast
+    return lambda df: df
 
 
 def pagerank_micro(
@@ -70,20 +103,23 @@ def pagerank_micro(
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank_micro")
     )
+    bc = _vector_hint(nodes)  # r13: plan-time broadcast of the
+    # |V|-bounded rank/summed vectors when they provably fit (see
+    # _vector_hint) — each iteration loses its two exchanges
     ed = e.join(deg, "src")  # (src, dst, outdeg): static across iterations
     ed = ed.localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = ed.join(
-            ranks.select(
+            bc(ranks.select(
                 F.col("node").alias("src"), F.col("rank_micro").alias("r")
-            ),
+            )),
             "src",
         ).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping_pct} * r) DIV (100 * outdeg)").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
-        ranks = nodes.join(summed, "node", "left").select(
+        ranks = nodes.join(bc(summed), "node", "left").select(
             "node",
             (
                 F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0))
@@ -142,19 +178,21 @@ def pagerank_personalized_micro(
         "node",
         (F.col("__seed") * F.lit(scale)).cast("long").alias("rank_micro"),
     )
+    bc = _vector_hint(marked)  # r13: same broadcast policy as
+    # pagerank_micro (marked IS the node set, one row per node)
     ed = e.join(deg, "src").localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = ed.join(
-            ranks.select(
+            bc(ranks.select(
                 F.col("node").alias("src"), F.col("rank_micro").alias("r")
-            ),
+            )),
             "src",
         ).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping_pct} * r) DIV (100 * outdeg)").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
-        ranks = marked.join(summed, "node", "left").select(
+        ranks = marked.join(bc(summed), "node", "left").select(
             "node",
             (
                 F.col("__seed") * F.lit(base)
@@ -194,12 +232,13 @@ def pagerank_micro_history(
     hist = [
         nodes.select("node", F.lit(scale).cast("long").alias("rank_micro"))
     ]
+    bc = _vector_hint(nodes)  # r13: same broadcast policy as pagerank_micro
     ed = e.join(deg, "src").localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = ed.join(
-            hist[-1].select(
+            bc(hist[-1].select(
                 F.col("node").alias("src"), F.col("rank_micro").alias("r")
-            ),
+            )),
             "src",
         ).select(
             F.col("dst").alias("node"),
@@ -207,7 +246,7 @@ def pagerank_micro_history(
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
         hist.append(
-            nodes.join(summed, "node", "left")
+            nodes.join(bc(summed), "node", "left")
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0)))
@@ -317,6 +356,8 @@ def pagerank_micro_delta(
         ed = e.join(deg, "src").localCheckpoint(eager=False)
 
     delta_srcs = de.select("src").distinct()
+    bc = _vector_hint(nodes)  # r13: frontier/updated/merged-rank frames
+    # are all ≤ |V| rows — broadcast them when |V| provably fits
     new_nodes = nodes.join(
         history[0].select("node"), "node", "left_anti"
     )
@@ -333,7 +374,7 @@ def pagerank_micro_delta(
     # under append feeds; a kNN maintenance step replaces edges but
     # keeps every node).
     dirty = (
-        ed.join(delta_srcs, "src").select(F.col("dst").alias("node"))
+        ed.join(bc(delta_srcs), "src").select(F.col("dst").alias("node"))
         .union(de.select(F.col("dst").alias("node")))
         .union(new_nodes.select("node"))
         .distinct()
@@ -350,7 +391,7 @@ def pagerank_micro_delta(
         if i > 1:
             frontier = (
                 ed.join(
-                    frontier.select(F.col("node").alias("src")), "src"
+                    bc(frontier.select(F.col("node").alias("src"))), "src"
                 )
                 .select(F.col("dst").alias("node"))
                 .union(dirty.select("node"))
@@ -364,15 +405,15 @@ def pagerank_micro_delta(
         else:
             r_prev = updated_prev.unionByName(
                 history[i - 1].join(
-                    updated_prev.select("node"), "node", "left_anti"
+                    bc(updated_prev.select("node")), "node", "left_anti"
                 )
             )
         contrib = (
-            ed.join(frontier.select(F.col("node").alias("dst")), "dst")
+            ed.join(bc(frontier.select(F.col("node").alias("dst"))), "dst")
             .join(
-                r_prev.select(
+                bc(r_prev.select(
                     F.col("node").alias("src"), F.col("rank_micro").alias("r")
-                ),
+                )),
                 "src",
             )
             .select(
@@ -382,7 +423,7 @@ def pagerank_micro_delta(
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
         updated = (
-            frontier.join(summed, "node", "left")
+            frontier.join(bc(summed), "node", "left")
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0)))
@@ -393,7 +434,7 @@ def pagerank_micro_delta(
         )
         new_hist.append(
             updated.unionByName(
-                history[i].join(updated.select("node"), "node", "left_anti")
+                history[i].join(bc(updated.select("node")), "node", "left_anti")
             )
         )
         updates_out.append(updated)
@@ -453,19 +494,20 @@ def pagerank_weighted_micro(
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank_micro")
     )
+    bc = _vector_hint(nodes)  # r13: same broadcast policy as pagerank_micro
     ed = e.join(wsum, "src").localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = ed.join(
-            ranks.select(
+            bc(ranks.select(
                 F.col("node").alias("src"), F.col("rank_micro").alias("r")
-            ),
+            )),
             "src",
         ).select(
             F.col("dst").alias("node"),
             F.expr(f"({damping_pct} * r * w) DIV (100 * wtot)").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
-        ranks = nodes.join(summed, "node", "left").select(
+        ranks = nodes.join(bc(summed), "node", "left").select(
             "node",
             (
                 F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0))
@@ -696,6 +738,12 @@ def label_propagation(
         F.col("label").cast("long").alias("label"),
     ).localCheckpoint(eager=False)
     labels = nodes.join(sd, "node", "left")  # (node, label|NULL)
+    # r13 negative result: the _vector_hint plan-time broadcast that
+    # wins 15-37% on the pagerank/HITS loops measured FLAT here
+    # (label_propagation 4.20 -> 4.16 s) and -22% on
+    # label_propagation_ann (5.83 -> 7.12 s): the decision's
+    # nodes.count() forces the expensive upstream ANN edge derivation
+    # to materialize in an extra early job.  Left on the AQE shape.
     for _ in range(rounds):
         votes = (
             und.join(
@@ -773,11 +821,14 @@ def hits_micro(
         .localCheckpoint(eager=False)
     )
     hubs = nodes.select("node", F.lit(scale).cast("long").alias("s"))
+    bc = _vector_hint(nodes)  # r13: broadcast the |V|-bounded score /
+    # normed vectors when they provably fit — measured 5.77 → 4.21 s
+    # median on graph_hits at sf0.1, bit-identical output
 
     def _step(scores: DataFrame, join_on: str, emit: str) -> DataFrame:
         raw = (
             e.join(
-                scores.select(F.col("node").alias(join_on), "s"), join_on
+                bc(scores.select(F.col("node").alias(join_on), "s")), join_on
             )
             .groupBy(F.col(emit).alias("node"))
             .agg(F.sum("s").alias("raw"))
@@ -790,7 +841,7 @@ def hits_micro(
         normed = raw.crossJoin(F.broadcast(mx)).select(
             "node", F.expr(f"CAST((raw * {scale}) DIV m AS BIGINT)").alias("s")
         )
-        return nodes.join(normed, "node", "left").select(
+        return nodes.join(bc(normed), "node", "left").select(
             "node", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
         )
 
@@ -928,6 +979,10 @@ def bfs_levels(
         .localCheckpoint(eager=False)
     )
     frontier = visited.select("node")
+    # r13: _vector_hint measured FLAT here (graph_bfs_levels
+    # 5.41 -> 5.19 s, inside noise) — the frontier frames are already
+    # small enough that AQE's runtime conversion captures the win; the
+    # decision count only adds a job.  Left on the AQE shape.
     for i in range(1, rounds + 1):
         nxt = (
             e.join(frontier.select(F.col("node").alias("src")), "src")
@@ -991,6 +1046,10 @@ def kcore_peel(
     alive = all_nodes
     peeled = None  # (node, peeled_round)
     cur_edges = e
+    # r13 negative result: the _vector_hint plan-time broadcast measured
+    # -21% HERE (graph_kcore 6.41 -> 7.74 s): four broadcast builds per
+    # peel round (deg, now, alive x2) are serial driver jobs that cost
+    # more than the exchanges they remove.  Left on the AQE shape.
     for i in range(1, rounds + 1):
         deg = cur_edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("__d")
@@ -1084,6 +1143,11 @@ def bellman_ford(
         .withColumn("d", F.lit(0).cast("long"))
         .localCheckpoint(eager=False)
     )
+    # r13: _vector_hint measured neutral-to-negative here
+    # (graph_shortest_paths 5.16 -> 5.44 s) — the relaxation unions into
+    # a single min-combine shuffle per round with no |V|-wide merge
+    # join, so there is little exchange to remove.  Left on the AQE
+    # shape.
     for _ in range(rounds):
         relaxed = (
             e.join(dist.select(F.col("node").alias("src"), "d"), "src")

@@ -1705,3 +1705,26 @@ def test_bm25_df_upsert_equals_cow_and_bounds_debt(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# --- r13 _vector_hint broadcast policy --------------------------------------
+
+def test_vector_hint_broadcast_and_shuffle_arms_agree(spark, monkeypatch):
+    """The r13 plan-time broadcast of per-iteration score vectors is a
+    pure plan choice: forcing the shuffle arm (threshold 0) must produce
+    bit-identical pagerank and HITS output to the broadcast arm."""
+    from icebergproject_spark.llm import graph as G
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 30) for b in range(1, 30)
+         if a != b and (a * 7 + b) % 5 == 0],
+        "src long, dst long",
+    )
+    monkeypatch.setattr(G, "VECTOR_BCAST_ROWS", 2_000_000)
+    pr_b = {tuple(r) for r in G.pagerank_micro(edges, iterations=3).collect()}
+    hits_b = {tuple(r) for r in G.hits_micro(edges, iterations=2).collect()}
+    monkeypatch.setattr(G, "VECTOR_BCAST_ROWS", 0)
+    pr_s = {tuple(r) for r in G.pagerank_micro(edges, iterations=3).collect()}
+    hits_s = {tuple(r) for r in G.hits_micro(edges, iterations=2).collect()}
+    assert pr_b == pr_s and len(pr_b) > 0
+    assert hits_b == hits_s and len(hits_b) > 0
