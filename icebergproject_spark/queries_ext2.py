@@ -1293,7 +1293,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LABEL_CENTROIDS = """
 WITH flat AS (
   SELECT label, i - 1 AS idx,
-         CAST(embedding[i] AS DECIMAL(18,9)) AS c
+         -- widen to DOUBLE first: the column is float32 and DuckDB's
+         -- FLOAT->DECIMAL cast quantizes in float arithmetic (quantum
+         -- ~16e-9 at |x|~0.2), while Spark widens to double before the
+         -- decimal round — the two must quantize identically or label
+         -- means that land near a 6dp boundary flip (seen at sf0.001)
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS c
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 ),
 per_dim AS (
