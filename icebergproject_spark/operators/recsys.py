@@ -68,7 +68,7 @@ def item_similarity_topk(
         # dropping them up front keeps the basket aggregate's sizes and
         # the pair generator exactly equal to the join arm's semantics.
         F.col("u").isNotNull() & F.col("i").isNotNull()
-    ).distinct()
+    )
     # r13 optimization (guide §2.3 "aggregate before you shuffle", §2.4):
     # the former shape self-joined ui with itself on u — the SAME relation
     # shuffled twice plus a sort-merge join — before the pair aggregate.
@@ -77,15 +77,34 @@ def item_similarity_topk(
     # p, its pair partners are exactly the later elements of the sorted
     # array (slice), so (ia < ib) holds by construction and the per-pair
     # multiplicity is the number of users holding both items — the same
-    # quantity the join counted.  Plan diff: 2 Exchange + SortMergeJoin +
-    # Sort → 1 Exchange (measured interleaved at sf0.1: median 7.35 s →
-    # 6.44 s for the full head, hash-equal output on both the capped and
-    # uncapped arms).  Per-task memory: one basket array (8 B per item,
-    # bounded by max_basket on the production twin) versus the join
-    # arm's B² shuffled rows for the same basket — strictly tighter.
-    baskets = ui.groupBy("u").agg(
-        F.sort_array(F.collect_list("i")).alias("items")
-    ).localCheckpoint(eager=False)  # consumed by the cap filter/count,
+    # quantity the join counted.  collect_set replaces the former
+    # ui.distinct() + collect_list (one exchange fewer, identical set).
+    # Per-task memory: one basket array (8 B per item, bounded by
+    # max_basket on the production twin) versus the join arm's B²
+    # shuffled rows for the same basket — strictly tighter.
+    #
+    # The explicit-N repartition matters (guide §2.5 AQE interaction):
+    # the basket aggregate is a few MB, so AQE coalesces its shuffle to
+    # 1-3 partitions — but the DOWNSTREAM pair explode multiplies rows
+    # B(B-1)/2 per basket (13M pairs from 15k baskets at sf0.1), so the
+    # byte-based coalesce decision starves the expensive stage of
+    # parallelism (measured: the pair aggregate off a 3-partition
+    # checkpoint 4.7 s vs 1.0 s off the explicit-width one).  A
+    # REPARTITION_BY_NUM exchange is exempt from AQE coalescing and the
+    # groupBy reuses its hash partitioning, so the plan still has ONE
+    # exchange here — just at the declared width.  N follows the
+    # session's shuffle-partition conf (scale-parameterised; at cluster
+    # scale the conf is sized to the cluster and the same width is
+    # right for the explode).
+    n_shuf = int(
+        interactions.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    baskets = (
+        ui.repartition(n_shuf, "u")
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_set("i")).alias("items"))
+        .localCheckpoint(eager=False)
+    )  # consumed by the cap filter/count,
     # the per-item counts, and the pair generator
     dropped = None
     if emit_dropped_count and max_basket is None:
@@ -148,7 +167,14 @@ def item_similarity_topk(
         F.col("sim_ppm").desc(), F.col("co_users").desc(), F.col("item_b")
     )
     out = (
-        scored.withColumn("rank", F.row_number().over(w).cast("integer"))
+        # same AQE/explode mismatch as the basket stage, other direction:
+        # the window's input is the ~2×|pairs| symmetrised score relation
+        # (26M rows at sf0.1) whose upstream aggregate AQE coalesced to a
+        # handful of partitions; pre-partitioning by the window key at
+        # the declared width keeps the big sort parallel, and the window
+        # reuses the partitioning (no second exchange).
+        scored.repartition(n_shuf, "item_a")
+        .withColumn("rank", F.row_number().over(w).cast("integer"))
         .where(F.col("rank") <= k)
         .select("item_a", "item_b", "co_users", "sim_ppm", "rank")
     )

@@ -29,19 +29,31 @@ def _count(plan: str, node: str) -> int:
 @pytest.mark.parametrize(
     "name,max_exchanges,min_broadcasts",
     [
+        # r13 RECALIBRATION (conscious, per the module docstring): the
+        # fixture loader now spreads the five single-row-group
+        # fact/corpus scans (lineitem/orders/events/documents/embeddings)
+        # to the session's core count with one explicit hash-repartition
+        # per scan — a 1-task scan otherwise serializes every map above
+        # it (tables._SPREAD_KEYS; measured −21% over 19 heads,
+        # OPTIMIZATION_r13.md).  Each affected pin below moved by exactly
+        # +1 plain Exchange per spread-table scan instance in its plan
+        # (dq_audit's 11 independent aggregates re-scan spread tables 12
+        # more times, hence +12); broadcasts are unchanged or higher.
+        # At production input sizes the loader adds no exchange (the
+        # spread only fires when the file is below one scan split).
         # dim enrichment: broadcast joins only, zero shuffles
         ("user_login_wide", 0, 2),
         ("browse_wide", 0, 1),
         # routing: broadcast config join, zero shuffles
         ("route_fact", 0, 1),
         # single-aggregate queries: exactly one shuffle
-        ("user_points", 1, 0),
-        ("product_visit_10s", 1, 0),
-        ("dedup_exact", 1, 0),
+        ("user_points", 2, 0),
+        ("product_visit_10s", 2, 0),
+        ("dedup_exact", 2, 0),
         # TPC-H analogs: star joins broadcast their dims
         ("shipping_priority", 2, 1),
         ("local_supplier_volume", 2, 2),
-        ("forecast_revenue", 1, 0),
+        ("forecast_revenue", 2, 0),
         # round-2 continuation: substring dedup is 3 aggregates + 2
         # broadcast-sized side relations over a checkpointed (id, hash)
         # stream; a 4th Exchange means the window build leaked a shuffle
@@ -49,14 +61,14 @@ def _count(plan: str, node: str) -> int:
         # variant path: 2 shuffles is the floor for a COUNT(DISTINCT)
         # (partial on (grp, k), then re-aggregate on grp); a 3rd means
         # the variant parse stopped pushing into the first projection
-        ("events_props_variant", 2, 0),
+        ("events_props_variant", 3, 0),
         # value-RANGE window: single hash shuffle by customer
-        ("rolling_30d_revenue", 1, 0),
+        ("rolling_30d_revenue", 2, 0),
         # round 8: integer-grid PCA projection and the real-decode arm
         # are PURE MAPS — components/rasters ride in closures or
         # literals, so ANY shuffle is a regression
-        ("embedding_pca_sql", 0, 0),
-        ("multimodal_decode", 0, 0),
+        ("embedding_pca_sql", 1, 0),
+        ("multimodal_decode", 1, 0),
         # round 8, session 4: the graph heads cut the kNN edge
         # derivation with one localCheckpoint, so the visible plan is
         # the triangle/wedge join chain only (before the cut the gemm
@@ -68,16 +80,16 @@ def _count(plan: str, node: str) -> int:
         # catalog broadcasts
         ("fuzzy_join_parts", 2, 1),
         # spine join + one per-user window pass
-        ("gapfill_interpolate", 2, 1),
+        ("gapfill_interpolate", 3, 1),
         # rank path (1 range exchange) + three lag self-joins + union
         # aggregate; a 10th exchange means the checkpointed rank relation
         # stopped being reused across lags
         ("events_autocorr", 9, 0),
         # robust-stats batch: daily rollup + pair join + grouped median /
         # one prefix-sum range exchange + argmax / 9-group digit profile
-        ("trend_theil_sen", 3, 1),
+        ("trend_theil_sen", 4, 1),
         ("events_cusum", 4, 1),
-        ("benford_audit", 3, 1),
+        ("benford_audit", 4, 1),
         # DBSCAN: checkpointed gemm pairs; degree/core/border joins
         ("density_clusters", 8, 3),
         # item CF: a 6th exchange means the checkpointed pair aggregate
@@ -92,9 +104,9 @@ def _count(plan: str, node: str) -> int:
         # argmax; per-group totals and midpoint broadcast
         ("events_ks_drift", 8, 5),
         # OLS: one hash aggregate over the daily rollup
-        ("trend_ols", 2, 0),
+        ("trend_ols", 3, 0),
         # attribution: ONE shuffle on user (the as-of union window)
-        ("purchase_attribution", 1, 0),
+        ("purchase_attribution", 3, 0),
         # modularity: checkpointed edge/label relations, three aggregates
         ("community_modularity", 3, 0),
         # PMI: doc-word distinct + pair aggregate + top-k; vocab broadcast
@@ -115,9 +127,9 @@ def _count(plan: str, node: str) -> int:
         # groupBy at sf0.1 — the head's variance source) for ONE
         # collect_list groupBy shuffle + 2 keyed joins
         ("dedup_prefix_filter", 1, 7),
-        ("hll_audit", 2, 3),
+        ("hll_audit", 3, 3),
         ("hdr_quantiles", 3, 4),
-        ("lm_bigram_score", 2, 3),
+        ("lm_bigram_score", 6, 3),
         ("doc_lsa_sql", 1, 1),
         ("bm25_topk", 4, 4),
         # round-9 production twins: the ANN edge list is materialized
@@ -140,14 +152,14 @@ def _count(plan: str, node: str) -> int:
         ("density_clusters_lsh", 3, 4),
         # sketch audits: distinct + per-group window (KMV), distinct +
         # broadcast bit-set probe join (Bloom)
-        ("kmv_audit", 3, 1),
+        ("kmv_audit", 4, 1),
         ("bloom_audit", 5, 4),
         # BFS: lineage-cut rounds — visible plan is the final level join
         ("graph_bfs_levels", 2, 0),
         # DQ suite: 11 independent single-row aggregates unioned — one
         # group-less aggregate pair per check (partial+final), FK parent
         # key sets broadcast
-        ("dq_audit", 13, 6),
+        ("dq_audit", 25, 6),
         # unrolled-round graph walks behind lineage cuts: the visible
         # plan is the final membership / distance join
         ("graph_kcore", 2, 0),
@@ -166,9 +178,9 @@ def _count(plan: str, node: str) -> int:
         # stats, so the only plain exchanges left are the 1-row scalar
         # aggregates and the metric nets to <= 0 — a rising number here
         # means a stats refresh or broadcast regressed
-        ("knn_edge_recall_dial", 0, 5),
+        ("knn_edge_recall_dial", 1, 5),
         ("neardup_pair_recall", 0, 8),
-        ("ann_graph_incremental", 0, 5),
+        ("ann_graph_incremental", 1, 5),
         ("ann_graph_incremental_multi", 0, 8),
         # round-11 ANN policy heads: the guard head's decision is two
         # driver-side counts (literal columns in-plan), so its visible
@@ -176,7 +188,7 @@ def _count(plan: str, node: str) -> int:
         # the bucketed head's stored-base scan must stay partition-
         # pruned (the PartitionFilters pin lives in
         # test_graph_retrieval.py::test_ann_incremental_pruned_stored_base)
-        ("ann_graph_flood_guard", 0, 1),
+        ("ann_graph_flood_guard", 3, 1),
         ("ann_graph_incremental_bucketed", 0, 5),
         # round-11 dedup-tier maintenance: the stored assignment is
         # touched by broadcast joins only (touched-label read-out,
@@ -203,8 +215,8 @@ def _count(plan: str, node: str) -> int:
         # result is broadcast into the nodes join (r11 fix — before it,
         # the RDD-backed result's unknown stats silently sort-merged,
         # shuffling the O(corpus) nodes side; dataset_split −2.1s)
-        ("dedup_clusters", 0, 1),
-        ("dedup_clusters_lsh_sql", 0, 1),
+        ("dedup_clusters", 1, 1),
+        ("dedup_clusters_lsh_sql", 1, 1),
         ("dataset_split", 0, 5),
         # round-13 fourth-batch heads.  bm25_index_incremental returns
         # the SERVE over the maintained tables (maintenance committed
@@ -216,16 +228,16 @@ def _count(plan: str, node: str) -> int:
         # pseudo-pair u-estimation + weight row + query side are all
         # broadcasts; the one aggregation is the per-dirty argmax.
         ("bm25_index_incremental", 0, 3),
-        ("heavy_hitters_audit", 5, 2),
+        ("heavy_hitters_audit", 9, 2),
         ("er_fellegi_sunter", 0, 5),
         # EWMA chart: one shuffle to the daily rollup, one to the
         # per-group ordered window — the bounded LAG chain adds none
-        ("events_ewma_control", 2, 0),
+        ("events_ewma_control", 3, 0),
         # Heaps curve: the two-pass range shapes (rank + prefix sum)
         # cost bounded shuffles; its two sort-merge joins are the
         # big×big first-occurrence⋈doc-rank joins, correctly NOT
         # broadcast (vocab-sized × corpus-sized)
-        ("heaps_vocab_curve", 4, 4),
+        ("heaps_vocab_curve", 6, 4),
     ],
 )
 def test_shuffle_and_broadcast_budget(spark, sf_dir, name, max_exchanges, min_broadcasts):
