@@ -62,9 +62,15 @@ def blocked_fuzzy_match(
     cand = d_tok.join(c_tok, "__tok").select(
         dirty_id, dirty_name, clean_id, clean_name
     ).distinct()
+    # r13 (guide §1.2 per-task work): the bounded three-arg levenshtein
+    # runs the banded O(max_dist·len) DP and returns -1 past the bound —
+    # exactly the rows the filter discarded anyway, so `>= 0` is
+    # row-for-row equal to the unbounded `<= max_dist` at a fraction of
+    # the per-pair cost (the verify scan IS this operator's hot loop).
     verified = cand.withColumn(
-        "dist", F.levenshtein(F.col(dirty_name), F.col(clean_name))
-    ).where(F.col("dist") <= max_dist)
+        "dist",
+        F.levenshtein(F.col(dirty_name), F.col(clean_name), max_dist),
+    ).where(F.col("dist") >= 0)
     best = verified.groupBy(dirty_id, dirty_name).agg(
         F.max(
             F.struct(
@@ -151,9 +157,12 @@ def snm_fuzzy_match(
         .select(dirty_id, dirty_name, clean_id, clean_name)
         .distinct()
     )
+    # bounded-DP levenshtein; `>= 0` ≡ `<= max_dist` (see
+    # blocked_fuzzy_match)
     verified = cand.withColumn(
-        "dist", F.levenshtein(F.col(dirty_name), F.col(clean_name))
-    ).where(F.col("dist") <= max_dist)
+        "dist",
+        F.levenshtein(F.col(dirty_name), F.col(clean_name), max_dist),
+    ).where(F.col("dist") >= 0)
     best = verified.groupBy(dirty_id, dirty_name).agg(
         F.max(
             F.struct(
@@ -233,11 +242,15 @@ def fellegi_sunter_match(
     )
 
     def gammas(df: DataFrame) -> DataFrame:
+        # bounded-DP levenshtein; `>= 0` ≡ `<= name_max_dist` (see
+        # blocked_fuzzy_match)
         out = df.withColumn(
             "g_name",
             (
-                F.levenshtein(F.col("__dname"), F.col("__cname"))
-                <= name_max_dist
+                F.levenshtein(
+                    F.col("__dname"), F.col("__cname"), name_max_dist
+                )
+                >= 0
             ).cast("long"),
         )
         for f in eq_fields:
@@ -291,14 +304,27 @@ def fellegi_sunter_match(
             ).cast("long"),
         )
 
-    # token blocking (identical to blocked_fuzzy_match) -> gamma -> score
-    d_tok = d.withColumn(
-        "__tok", F.explode(F.split(F.col("__dname"), " "))
+    # token blocking (identical to blocked_fuzzy_match) -> gamma -> score.
+    # r13 (guide §2.3 "project before the exchange", §8 "decide with
+    # small rows"): the blocking join and its dedup used to carry every
+    # name/attribute column through the shuffle; generating candidates as
+    # bare (dirty_id, clean_id) pairs shuffles 16-byte rows through the
+    # distinct and re-attaches the comparison payload once per SURVIVING
+    # pair (two id-keyed joins — broadcastable whenever a side fits, and
+    # never wider than the old shuffle's own payload).
+    d_tok = d.select(
+        "__did", F.explode(F.split(F.col("__dname"), " ")).alias("__tok")
     )
-    c_tok = c.withColumn(
-        "__tok", F.explode(F.split(F.col("__cname"), " "))
+    c_tok = c.select(
+        "__cid", F.explode(F.split(F.col("__cname"), " ")).alias("__tok")
     )
-    cand = d_tok.join(c_tok, "__tok").drop("__tok").distinct()
+    cand = (
+        d_tok.join(c_tok, "__tok")
+        .select("__did", "__cid")
+        .distinct()
+        .join(d, "__did")
+        .join(c, "__cid")
+    )
     score = sum(
         (
             F.when(F.col(f"g_{f}") == 1, F.col(f"wa_{f}")).otherwise(
@@ -313,15 +339,21 @@ def fellegi_sunter_match(
         .crossJoin(F.broadcast(u))
         .withColumn("score_micro", score.cast("long"))
     )
+    # the u estimates are per-run CONSTANTS (one broadcast row): they can
+    # never influence the argmax, so they ride along AFTER the aggregate
+    # instead of inflating every row of its hash-map input.  (s, nc) is
+    # already a total order per __did — cand is distinct on (did, cid) —
+    # so the g fields are carried, never compared.
     best = scored.groupBy("__did").agg(
         F.max(
             F.struct(
                 F.col("score_micro").alias("s"),
                 (-F.col("__cid")).alias("nc"),
                 *[F.col(f"g_{f}").alias(f"g_{f}") for f in fields],
-                *[F.col(f"u_{f}_ppm").alias(f"u_{f}_ppm") for f in fields],
             )
         ).alias("m")
+    ).crossJoin(
+        F.broadcast(u.select(*[f"u_{f}_ppm" for f in fields]))
     )
     decision = (
         F.when(F.col("score_micro") >= t_upper, F.lit("match"))
@@ -333,5 +365,5 @@ def fellegi_sunter_match(
         (-F.col("m.nc")).cast("long").alias(clean_id),
         *[F.col(f"m.g_{f}").alias(f"g_{f}") for f in fields],
         F.col("m.s").alias("score_micro"),
-        *[F.col(f"m.u_{f}_ppm").alias(f"u_{f}_ppm") for f in fields],
+        *[F.col(f"u_{f}_ppm") for f in fields],
     ).withColumn("decision", decision)

@@ -459,8 +459,16 @@ def q_heaps_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-doc rank in ingestion (doc_id) order and cumulative tokens —
     # both via the range-partitioned two-pass shape (no global-window
-    # funnel; byte-identical to the single-window oracle)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # funnel; byte-identical to the single-window oracle).
+    # r13 (guide §2.4): n_tok = size(split(...)) is a pure map — the
+    # former explode+groupBy re-tokenized the corpus a second time and
+    # shuffled one row per TOKEN just to count them per doc.  size() of
+    # the split array counts the identical tokens (split never yields
+    # an empty array; null text never reached the old aggregate and is
+    # filtered to match).
+    sizes = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
     ranked_r, _ = exact_global_rank(sizes, [F.col("doc_id")], rank_col="r")
     ranked = exact_prefix_sum(
         ranked_r, "n_tok", [F.col("doc_id")], sum_col="cum_tok"
