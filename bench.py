@@ -285,6 +285,41 @@ HOST_SENSITIVE_HEADS = {
 }
 
 
+class _StageMeter:
+    """Per-head task-parallelism meter (VERDICT r13 ask #2): reads the
+    JVM AppStatusStore (present with the UI disabled) and attributes
+    every stage COMPLETED since the previous read to the current head.
+    avg_concurrency = Σ executorRunTime / wall — 'how many tasks ran on
+    average during the head's wall clock'.  ~1.0 means the head cannot
+    demonstrate parallel speedup at this SF (fixed overhead / 1-task
+    stages dominate); »1 means a core-count cut must hurt it.  Pure
+    measurement: nothing about the timed region changes."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._empty = sc._jvm.java.util.ArrayList()
+        self._quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        self._last_stage_id = -1
+
+    def drain_run_ms(self) -> int:
+        """Sum executorRunTime of stages newer than the last drain.
+        Keyed by stageId (monotone), so UI retention evicting OLD stages
+        can never double-count or go negative."""
+        seq = self._store.stageList(
+            self._empty, False, False, self._quantiles, self._empty
+        )
+        run_ms, max_id = 0, self._last_stage_id
+        for i in range(seq.size()):
+            sd = seq.apply(i)
+            sid = sd.stageId()
+            if sid > self._last_stage_id:
+                run_ms += sd.executorRunTime()
+                max_id = max(max_id, sid)
+        self._last_stage_id = max_id
+        return run_ms
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("bench")
@@ -317,6 +352,13 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    # per-head avg task concurrency (executorRunTime / wall across the
+    # head's runs) — the driver-readable parallel-fraction column
+    # (VERDICT r13 ask #2: 8-core ≈ 32-core at sf0.1 needed a measured
+    # explanation; this column shows directly how much task-parallel
+    # work each head exposes).  ADDITIVE: timed region unchanged.
+    meter = _StageMeter(spark)
+    parallelism: dict[str, float] = {}
     # cold/warm annotation (VERDICT r12 ask #5): ann_graph_incremental_multi
     # pays a one-time stored-state build (~38 s at sf0.1) on a fresh host;
     # stamping whether THIS bench run started warm keeps a future reader
@@ -328,12 +370,16 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         samples = []
+        meter.drain_run_ms()  # attribute warmup/prior stages elsewhere
         for _ in range(max(runs, 1)):
             t0 = time.time()
             df = REGISTRY[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             del df
+        parallelism[name] = round(
+            meter.drain_run_ms() / 1000.0 / max(sum(samples), 1e-9), 2
+        )
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         timings_min[name] = round(samples[0], 3)
@@ -415,6 +461,7 @@ def main() -> None:
             "names": sorted(new),
         },
         "semantics_changed": sorted(SEMANTICS_CHANGED & set(timings)),
+        "parallelism_avg_concurrency": parallelism,
         "ann_multi_store_warm_at_start": ann_multi_warm_at_start,
         "host_sensitive_heads": HOST_SENSITIVE_HEADS,
         "sweep_timing": f"median_of_{max(sweep_runs, 1)}",
@@ -447,6 +494,11 @@ def main() -> None:
                 # {"queries": {name: sec}} off this ONE stdout line (the
                 # detail file is a repo artifact, not the driver surface)
                 "queries": timings,
+                # per-head avg task concurrency (executorRunTime/wall):
+                # the parallel-fraction column of VERDICT r13 ask #2 —
+                # ≈1 marks a head whose sf0.1 runtime is fixed-overhead
+                # bound (core-count insensitive by measurement)
+                "parallelism_avg_concurrency": parallelism,
                 "value_min_sec": round(sum(timings_min.values()), 3),
                 "sf": sf_val,
                 "comparable_to_prev": detail["comparable_to_prev"],
